@@ -1,0 +1,384 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import dsl._
+
+/** Scans, filters, joins, aggregations, sorts and set operations.
+  *
+  * Spark-first notes (100 TB design intent, verified on .explain):
+  *  - dim joins (region/nation/customer-sized) are explicitly broadcast;
+  *    fact-fact joins shuffle on their equi keys and stay sort-merge, with
+  *    AQE free to re-plan at runtime.
+  *  - filters/projections are plain Column expressions so Catalyst pushes
+  *    them into the parquet scan (PushedFilters / pruned ReadSchema).
+  *  - aggregates are hash aggregates with partial (map-side) combine; sums
+  *    use integer-exact DECIMAL accumulation (see [[dsl.moneySum]]) which is
+  *    also what makes them deterministic under any partitioning.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- scans ----------------------------------------------------------
+    "q_scan_project" -> ((s, d) => Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_scan_pruned" -> ((s, d) => Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), dstr(col("l_shipdate")).as("ship"),
+        col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- filters / predicates ------------------------------------------
+    "q_filter_compound" -> ((s, d) => Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    "q_case_when" -> ((s, d) => Tables(s, d, "orders")
+      .select(when(col("o_totalprice") < 100000, "low")
+        .when(col("o_totalprice") < 300000, "mid")
+        .otherwise("high").as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .orderBy("tier")),
+
+    // ---- joins ----------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) => Tables(s, d, "nation")
+      .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")),
+
+    "q_join_shuffle" -> ((s, d) => Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderstatus")),
+
+    "q_join_multiway" -> ((s, d) => Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name")),
+
+    "q_join_left_outer" -> ((s, d) => Tables(s, d, "orders")
+      .join(Tables(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("o_orderkey")),
+
+    "q_join_semi" -> ((s, d) => Tables(s, d, "customer")
+      .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, d) => Tables(s, d, "customer")
+      .join(Tables(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")),
+
+    // Equi conjunct on user_id keeps this a shuffled equi join; the range
+    // predicate is applied post-join (SMJ + filter). At 100 TB: range-bucket
+    // the timestamp too, so candidate pairs stay bounded per bucket.
+    "q_join_range_theta" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
+        .select("view_id", "purchase_id")
+        .orderBy("view_id", "purchase_id")
+    }),
+
+    // As-of: for each purchase event, the latest view of the same user at or
+    // before it. Equi join on user + window argmax; at scale the window runs
+    // per purchase_id partition after an equi shuffle (bounded state).
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("vts"))
+      val j = p.join(v, col("user_id") === col("v_user") && col("vts") <= col("pts"))
+      val w = Window.partitionBy("purchase_id").orderBy(col("vts").desc, col("view_id").desc)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("purchase_id", "view_id")
+        .orderBy("purchase_id")
+    }),
+
+    "q_join_cross_bounded" -> ((s, d) => Tables(s, d, "region")
+      .crossJoin(Tables(s, d, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")),
+
+    // ---- aggregations ---------------------------------------------------
+    "q_agg_q1" -> ((s, d) => Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integer-valued doubles: exact
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        round(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        dmean(col("l_extendedprice")).as("avg_price"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"))
+      .orderBy("l_suppkey")),
+
+    // No oracle (approximate); determinism holds because HLL++ merge is
+    // order-independent. Covered by a tolerance test in scalatest.
+    "q_agg_approx_distinct" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_suppkey")),
+
+    "q_agg_rollup" -> ((s, d) => Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+        coalesce(col("n_name"), lit("(all)")).as("n_name"), col("revenue"))
+      .orderBy("r_name", "n_name")),
+
+    "q_agg_cube" -> ((s, d) => Tables(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"), col("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "events").createOrReplaceTempView("gs_events")
+      s.sql("""
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(user_id, -1)         AS user_id,
+               count(1)                      AS n,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        ORDER BY event_type, user_id""")
+    }),
+
+    "q_agg_collect_sorted" -> ((s, d) => Tables(s, d, "customer")
+      .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(array_join(sort_array(collect_list(col("c_custkey"))), ",").as("custkeys"))
+      .orderBy("n_name")),
+
+    // ---- sorts / top-k --------------------------------------------------
+    // 'yyyy-MM-dd' strings sort chronologically, so ordering on the formatted
+    // column keeps Spark and DuckDB byte-identical. limit -> TakeOrderedAndProject.
+    "q_sort_multikey" -> ((s, d) => Tables(s, d, "lineitem")
+      .select(col("l_returnflag"), dstr(col("l_shipdate")).as("ship"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag"), col("ship").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)),
+
+    "q_topk_global" -> ((s, d) => Tables(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10)),
+
+    // ---- set operations -------------------------------------------------
+    "q_set_union" -> ((s, d) => Tables(s, d, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .union(Tables(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")),
+
+    "q_set_intersect" -> ((s, d) => Tables(s, d, "lineitem")
+      .select(col("l_partkey").as("partkey"))
+      .intersect(Tables(s, d, "part").filter(col("p_size") <= 25)
+        .select(col("p_partkey").as("partkey")))
+      .orderBy("partkey")),
+
+    "q_set_except" -> ((s, d) => Tables(s, d, "part")
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey").as("partkey"))
+      .except(Tables(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_compound" ->
+      s"""SELECT ${sqlMoneySum("l_extendedprice * l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 300000 THEN 'mid'
+        |            ELSE 'high' END AS tier, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_shuffle" ->
+      s"""SELECT o_orderstatus,
+         |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_multiway" ->
+      s"""SELECT r_name, ${sqlMoneySum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_range_theta" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >  CAST(v.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT purchase_id, view_id FROM (
+        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND p.user_id = v.user_id
+        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |) WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_join_cross_bounded" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2""",
+
+    "q_agg_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+         |  ${sqlMean("l_extendedprice")} AS avg_price,
+         |  ${sqlMean("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name, revenue
+         |FROM (
+         |  SELECT r_name, n_name, ${sqlMoneySum("o_totalprice")} AS revenue
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY ROLLUP (r_name, n_name)
+         |) ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+        |       coalesce(o_orderpriority, '(all)') AS o_orderpriority, n
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |) ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |       coalesce(user_id, -1) AS user_id,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_collect_sorted" ->
+      """SELECT n_name, array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sort_multikey" ->
+      """SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, ship DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q_topk_global" ->
+      s"""SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1
+         |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY 1""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+        |INTERSECT
+        |SELECT p_partkey FROM part WHERE p_size <= 25
+        |ORDER BY 1""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT p_partkey AS partkey FROM part WHERE p_size <= 10
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+        |ORDER BY 1""".stripMargin,
+  )
+}

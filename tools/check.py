@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's t2 gate.
+
+Usage: python3 tools/check.py [sfDir] [verifyOutDir]
+
+Reads the parquet files written by `graft.Verify` plus its oracle_sql.json,
+runs each oracle statement in DuckDB against the same testdata parquet, sorts
+columns by name (as the driver does), and compares cell-by-cell.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            files = glob.glob(f"{outdir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no verify parquet written")
+                failures += 1
+                continue
+            got = pq.read_table(files[0]).to_pandas()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            failures += 1
+            continue
+        bad = None
+        for c in got.columns:
+            a = got[c].astype(str).values
+            b = exp[c].astype(str).values
+            neq = a != b
+            if neq.any():
+                i = int(neq.argmax())
+                bad = (c, i, got[c].iloc[i], exp[c].iloc[i])
+                break
+        if bad:
+            print(f"FAIL {name}: col={bad[0]} row={bad[1]} "
+                  f"spark={bad[2]!r} duckdb={bad[3]!r}")
+            failures += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+    print(f"== {len(oracle) - failures}/{len(oracle)} matched ==")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
