@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import dsl._
+
+/** Batch time-series over `events`: tumbling/sliding windows via the window()
+  * generator (the same shape Structured Streaming uses — see
+  * graft.streaming.EventStreams), and gap-based sessionization via
+  * lag + cumulative sum (one shuffle on user_id, streaming-friendly state).
+  */
+object TimeSeries {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, microseconds
+
+  val queries: Map[String, Q] = Map(
+
+    "q_ts_tumbling" -> ((s, d) => Tables(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(tstr(col("w.start")).as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")),
+
+    // No oracle (overlapping windows are brittle to emulate in SQL);
+    // covered by a scalatest golden + batch-vs-stream equivalence test.
+    "q_ts_sliding" -> ((s, d) => Tables(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(tstr(col("w.start")).as("wstart"), tstr(col("w.end")).as("wend"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")),
+
+    "q_ts_sessionize_batch" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        // new session iff gap strictly greater than 30 min (FIXTURES §4 pin)
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(wo) > GapUs, 1)
+            .when(lag(col("us"), 1).over(wo).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ts_tumbling" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us, 1) OVER w IS NULL THEN 1
+        |         WHEN us - lag(us, 1) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import dsl._
+
+/** Window functions. All frames are written explicitly (ROWS ...) so Spark
+  * and DuckDB agree; running/moving sums accumulate in DECIMAL so sliding-
+  * window implementation tricks (segment trees, add/subtract) cannot change
+  * the result. Window state is bounded per partition key — at 100 TB these
+  * shuffle once on the partition key and stream within each partition.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), dstr(col("o_orderdate")).as("od"),
+          sum(col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double").as("running_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("dt_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    "q_window_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("event_id"),
+          round(sum(col("value").cast("decimal(22,6)")).over(w).cast("double") /
+            count(lit(1)).over(w), 4).as("mavg"))
+        .orderBy("event_id")
+    }),
+
+    "q_window_ntile_analytic" -> ((s, d) => {
+      val wo = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(wo).as("quartile"),
+          first(col("c_custkey")).over(wf).as("richest"),
+          last(col("c_custkey")).over(wf).as("poorest"))
+        .orderBy("c_custkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS dt_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_moving_avg" ->
+      """SELECT event_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w, 4) AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_ntile_analytic" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER wo AS quartile,
+        |  first_value(c_custkey) OVER wf AS richest,
+        |  last_value(c_custkey) OVER wf AS poorest
+        |FROM customer
+        |WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+        |       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
