@@ -11,11 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ Scalars.queries ++
-      TimeSeries.queries ++ LlmOps.queries
+      TimeSeries.queries ++ LlmOps.queries ++ MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Windows.oracles ++ Scalars.oracles ++
-      TimeSeries.oracles ++ LlmOps.oracles
+      TimeSeries.oracles ++ LlmOps.oracles ++ MlQueries.oracles
 }

@@ -1,0 +1,267 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** One weak hypothesis: h(x)_l = alpha * votes(l) * sign(x(featureIndex) > threshold).
+  * Mirrors the decision-stump base learner of AdaBoost.MH (Schapire & Singer
+  * 1999/2000; the MultiBoost package, JMLR 2012).
+  */
+case class DecisionStump(featureIndex: Int, threshold: Double,
+                         alpha: Double, votes: Array[Int])
+
+/** Multi-labeled training example: y(l) in {-1,+1}, one unnormalized weight
+  * per (example,label) pair kept packed in a single array — never exploded
+  * into (example x label) rows. */
+case class TrainPoint(id: Long, x: Array[Double], y: Array[Int], w: Array[Double])
+
+/** Multi-class/multi-label AdaBoost.MH over binned decision stumps.
+  *
+  * Scale design: each boosting round is ONE distributed pass building a flat
+  * (feature x bin x label) edge histogram per partition (64*16*10 doubles on
+  * the harness data), merged on the driver — the gradient-histogram pattern.
+  * No explode, no shuffle inside the loop. Weights stay UNNORMALIZED: the
+  * round's normalizer W falls out of the same histogram pass, so
+  * re-weighting needs no extra job (the classic boosting-on-Spark pitfall
+  * of one normalize action per round).
+  *
+  * Determinism: partition partials merge in partition-index order; edge
+  * argmax is computed on values rounded to 1e-9 with ties broken by
+  * (featureIndex, threshold) ascending (SURVEY §7.4 pin).
+  */
+object AdaBoostMH {
+
+  val NumLabels = 10 // label cardinality of the harness `embeddings` table
+
+  /** Per-dimension equi-width threshold grids from global min/max.
+    * (At 100 TB: same single aggregation; approx_percentile quantile bins
+    * would replace equi-width without changing anything downstream.) */
+  def thresholdGrid(df: DataFrame, numBins: Int): Array[Array[Double]] = {
+    val stats = df
+      .select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    stats.map { case (_, lo, hi) =>
+      (1 until numBins).map(b => lo + b * (hi - lo) / numBins).toArray
+    }
+  }
+
+  /** bin(x) = #thresholds strictly below x (binary search), in 0..numBins-1. */
+  private[ml] def binOf(ts: Array[Double], x: Double): Int = {
+    var lo = 0; var hi = ts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** One pass: flat hist[((j*numBins)+bin)*k + l] = sum of w*y over points
+    * falling in that bin, plus per-label totals S(l) and global mass W. */
+  private[ml] def histogramPass(rdd: RDD[TrainPoint], grids: Array[Array[Double]],
+                                numBins: Int, k: Int): (Array[Double], Array[Double], Double) = {
+    val dims = grids.length
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val hist = new Array[Double](dims * numBins * k)
+      val s = new Array[Double](k)
+      var wTot = 0.0
+      it.foreach { p =>
+        var l = 0
+        while (l < k) {
+          s(l) += p.w(l) * p.y(l)
+          wTot += p.w(l)
+          l += 1
+        }
+        var j = 0
+        while (j < dims) {
+          val base = (j * numBins + binOf(grids(j), p.x(j))) * k
+          var l2 = 0
+          while (l2 < k) {
+            hist(base + l2) += p.w(l2) * p.y(l2)
+            l2 += 1
+          }
+          j += 1
+        }
+      }
+      Iterator.single((pid, (hist, s, wTot)))
+    }.collect().sortBy(_._1).map(_._2) // merge in partition order: deterministic
+    val hist = new Array[Double](dims * numBins * k)
+    val s = new Array[Double](k)
+    var w = 0.0
+    partials.foreach { case (h, ps, pw) =>
+      var i = 0
+      while (i < hist.length) { hist(i) += h(i); i += 1 }
+      var l = 0
+      while (l < k) { s(l) += ps(l); l += 1 }
+      w += pw
+    }
+    (hist, s, w)
+  }
+
+  /** Driver-side argmax over the histogram: best stump for this round.
+    * gamma_l(j, theta_b) = (2 * sum_{x>theta_b} w*y - S_l) / W. */
+  private[ml] def bestStump(hist: Array[Double], s: Array[Double], wTot: Double,
+                            grids: Array[Array[Double]], numBins: Int, k: Int): DecisionStump = {
+    var best: DecisionStump = null
+    var bestGamma = Double.NegativeInfinity
+    val gammaL = new Array[Double](k)
+    for (j <- grids.indices) {
+      val acc = new Array[Double](k)
+      var b = grids(j).length - 1 // theta index, scanning top-down
+      while (b >= 0) {
+        val base = (j * numBins + (b + 1)) * k
+        var l = 0
+        while (l < k) { acc(l) += hist(base + l); l += 1 }
+        var g = 0.0
+        l = 0
+        while (l < k) {
+          gammaL(l) = (2.0 * acc(l) - s(l)) / wTot
+          g += math.abs(gammaL(l))
+          l += 1
+        }
+        val gr = math.rint(g * 1e9) / 1e9 // 1e-9 rounding: stable argmax
+        val theta = grids(j)(b)
+        // ties: (featureIndex, threshold) ascending; j already scans
+        // ascending but theta scans descending, so compare explicitly
+        val wins = gr > bestGamma || (gr == bestGamma && best != null &&
+          j == best.featureIndex && theta < best.threshold)
+        if (wins) {
+          bestGamma = gr
+          val votes = gammaL.map(gl => if (math.rint(gl * 1e9) >= 0) 1 else -1)
+          val gCap = math.min(g, 1.0 - 1e-12)
+          val alpha = 0.5 * math.log((1.0 + gCap) / (1.0 - gCap))
+          best = DecisionStump(j, theta, alpha, votes)
+        }
+        b -= 1
+      }
+    }
+    best
+  }
+
+  /** Generic boosting loop over arbitrary multi-labeled points. */
+  def trainCore(spark: SparkSession, points: RDD[TrainPoint],
+                grids: Array[Array[Double]], numBins: Int, k: Int,
+                numRounds: Int): Array[DecisionStump] = {
+    var rdd = points.persist(StorageLevel.MEMORY_AND_DISK)
+    val stumps = Array.newBuilder[DecisionStump]
+    for (t <- 1 to numRounds) {
+      val (hist, s, wTot) = histogramPass(rdd, grids, numBins, k)
+      val stump = bestStump(hist, s, wTot, grids, numBins, k)
+      stumps += stump
+      val bcast = spark.sparkContext.broadcast(stump)
+      val prev = rdd
+      rdd = prev.map { p =>
+        val st = bcast.value
+        val phi = if (p.x(st.featureIndex) > st.threshold) 1 else -1
+        val nw = new Array[Double](k)
+        var l = 0
+        while (l < k) {
+          nw(l) = p.w(l) * math.exp(-st.alpha * st.votes(l) * p.y(l) * phi)
+          l += 1
+        }
+        p.copy(w = nw)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      // cut lineage before it grows one lambda per round
+      if (t % 5 == 0) rdd.localCheckpoint()
+      rdd.count()
+      prev.unpersist(blocking = false)
+    }
+    rdd.unpersist(blocking = false)
+    stumps.result()
+  }
+
+  /** Train on the harness `embeddings` schema (one-vs-all label encoding). */
+  def train(spark: SparkSession, df: DataFrame, numRounds: Int,
+            numBins: Int = 16): Array[DecisionStump] = {
+    val grids = thresholdGrid(df, numBins)
+    val m = df.count()
+    val w0 = 1.0 / (m * NumLabels)
+    val points = df
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"),
+        col("label").cast("int"))
+      .rdd.map { r =>
+        val label = r.getInt(2)
+        TrainPoint(r.getLong(0), r.getSeq[Double](1).toArray,
+          Array.tabulate(NumLabels)(l => if (l == label) 1 else -1),
+          Array.fill(NumLabels)(w0))
+      }
+    trainCore(spark, points, grids, numBins, NumLabels, numRounds)
+  }
+
+  /** F(x)_l = sum_t alpha_t * v_tl * phi_t(x); argmax label, ties -> lowest. */
+  def scoreVector(stumps: Array[DecisionStump], x: Seq[Double], k: Int): Array[Double] = {
+    val f = new Array[Double](k)
+    stumps.foreach { st =>
+      val phi = if (x(st.featureIndex) > st.threshold) 1 else -1
+      var l = 0
+      while (l < k) { f(l) += st.alpha * st.votes(l) * phi; l += 1 }
+    }
+    f
+  }
+
+  def predictUdf(stumps: Array[DecisionStump]) = udf { x: Seq[Double] =>
+    val f = scoreVector(stumps, x, NumLabels)
+    var best = 0
+    var l = 1
+    while (l < NumLabels) { if (f(l) > f(best)) best = l; l += 1 }
+    best
+  }
+}
+
+/** ml.Pipeline-compatible wrapper around [[AdaBoostMH]]. */
+class AdaBoostMHClassifier(override val uid: String)
+  extends Estimator[AdaBoostMHModel] {
+
+  def this() = this(Identifiable.randomUID("adaboost_mh"))
+
+  val numRounds = new IntParam(this, "numRounds", "boosting rounds",
+    ParamValidators.gtEq(1))
+  setDefault(numRounds, 10)
+  def setNumRounds(v: Int): this.type = set(numRounds, v)
+
+  val numBins = new IntParam(this, "numBins", "threshold bins per feature",
+    ParamValidators.gtEq(2))
+  setDefault(numBins, 16)
+  def setNumBins(v: Int): this.type = set(numBins, v)
+
+  val predictionCol = new Param[String](this, "predictionCol", "output column")
+  setDefault(predictionCol, "pred_label")
+
+  override def fit(ds: Dataset[_]): AdaBoostMHModel = {
+    val df = ds.toDF()
+    val stumps = AdaBoostMH.train(df.sparkSession, df, $(numRounds), $(numBins))
+    new AdaBoostMHModel(uid, stumps).setParent(this)
+      .set(predictionCol, $(predictionCol))
+  }
+
+  override def copy(extra: ParamMap): AdaBoostMHClassifier = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField($(predictionCol), IntegerType, nullable = false))
+}
+
+class AdaBoostMHModel(override val uid: String, val stumps: Array[DecisionStump])
+  extends Model[AdaBoostMHModel] {
+
+  val predictionCol = new Param[String](this, "predictionCol", "output column")
+  setDefault(predictionCol, "pred_label")
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.toDF().withColumn($(predictionCol),
+      AdaBoostMH.predictUdf(stumps)(col("embedding").cast("array<double>")))
+
+  override def copy(extra: ParamMap): AdaBoostMHModel =
+    copyValues(new AdaBoostMHModel(uid, stumps).setParent(parent), extra)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add(StructField($(predictionCol), IntegerType, nullable = false))
+}

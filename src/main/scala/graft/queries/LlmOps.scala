@@ -97,33 +97,46 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
-    // MinHash (16 affine perms) -> LSH (4 bands x 4) -> candidate pairs ->
-    // exact token-Jaccard >= 0.9 verification. The candidate set — not the
-    // pair space — is what scales.
+    // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
+    // rows) -> candidate pairs -> exact shingle-Jaccard >= 0.8 verification:
+    // the LSH-accelerated twin of q_dedup_near. Shingles, not tokens: this
+    // corpus has a 31-word vocabulary, so token-level minhash degenerates
+    // (the globally-minimal-hash token appears in ~90% of docs -> one giant
+    // bucket, 7.7M candidate pairs measured at sf0.1). The 31^5 shingle
+    // space keeps buckets selective: J^4 per band (~0.41 at J=0.8, ~0 for
+    // unrelated pairs). Shingle ids come from a global sorted rank for
+    // DuckDB parity; at 100 TB use xxhash64(shingle) directly (no vocab).
     "q_dedup_minhash" -> ((s, d) => {
-      val dt = docTokenIds(s, d).cache()
-      val mh = dt.crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+      val svocab = sh.select("sh").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+      val ds = sh.join(svocab, "sh").select("doc_id", "sid").cache()
+      val mh = ds.crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
         .select(col("doc_id"), col("i"),
-          ((lit(11) + lit(7) * col("i")) * col("tokid") + lit(3) + lit(5) * col("i")) % 8191 as "h")
+          ((lit(7) + lit(11) * col("i")) * col("sid") + lit(3) + lit(17) * col("i")) % 1000003 as "h")
         .groupBy("doc_id", "i").agg(min(col("h")).as("m"))
       val bands = mh.withColumn("band", (col("i") / 4).cast("int"))
         .groupBy("doc_id", "band")
         .agg(array_join(transform(sort_array(collect_list(struct(col("i"), col("m")))),
-          x => x.getField("m").cast("string")), "-").as("key"))
+          x => x.getField("m").cast("string")), "-").as("bkey"))
       val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(dt.select(col("doc_id").as("d1"), col("tokid")), "d1")
-        .join(dt.select(col("doc_id").as("d2"), col("tokid")), Seq("d2", "tokid"))
+        .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
+        .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
         .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.9)
+        .filter(col("jaccard") >= 0.8)
         .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("d1", "d2")
     }),
@@ -146,13 +159,19 @@ object LlmOps {
     }),
 
     // Embedding-cosine near-dup pairs (brute force; IVF/LSH bucketing is the
-    // scale path — see q_ann_ivf).
+    // scale path — see q_ann_ivf). Norms and the double cast are computed
+    // once per vector BEFORE the O(n^2) join — recomputing them per pair
+    // measured 3x slower at sf0.1.
     "q_dedup_embed" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("d1"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("d2"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val a = e.select(col("vec_id").as("d1"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("d2"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), round(cosExpr("ea", "eb"), 4).as("cos_sim"))
+        .select(col("d1"), col("d2"),
+          round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
         .orderBy("d1", "d2")
     }),
@@ -305,24 +324,30 @@ object LlmOps {
         |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH $sqlDocTokens,
-         |mh AS (SELECT doc_id, i, min(((11 + 7*i) * tokid + 3 + 5*i) % 8191) AS m
-         |       FROM dt CROSS JOIN UNNEST(generate_series(0, 15)) AS t(i) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, i // 4 AS band,
-         |                 string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS key
-         |          FROM mh GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
-         |inter AS (SELECT c.d1, c.d2, count(*) AS inter
-         |          FROM cand c JOIN dt x ON x.doc_id = c.d1
-         |                      JOIN dt y ON y.doc_id = c.d2 AND x.tokid = y.tokid
-         |          GROUP BY 1, 2)
-         |SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.9
-         |ORDER BY 1, 2""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |svocab AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+        |           FROM (SELECT DISTINCT sh FROM sh)),
+        |ds AS (SELECT doc_id, sid FROM sh JOIN svocab USING (sh)),
+        |mh AS (SELECT doc_id, i, min(((7 + 11*i) * sid + 3 + 17*i) % 1000003) AS m
+        |       FROM ds CROSS JOIN UNNEST(generate_series(0, 15)) AS ti(i) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |                 string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS bkey
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+        |          FROM cand c JOIN ds x ON x.doc_id = c.d1
+        |                      JOIN ds y ON y.doc_id = c.d2 AND x.sid = y.sid
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $sqlDocTokens,
@@ -339,11 +364,16 @@ object LlmOps {
          |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_embed" ->
-      s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |       ROUND(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ROUND(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.4
-         |ORDER BY 1, 2""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT d1, d2, cos_sim FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
 
     "q_text_stats" ->
       """WITH base AS (

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.AdaBoostMHClassifier
+import dsl._
+
+/** The reference's own capability surface (AdaBoost.MH, SURVEY §2.1 R1-R8)
+  * re-expressed on the `embeddings` table. The SQL-expressible slices keep
+  * every edge sum in INTEGER arithmetic (weights are uniform, so the factor
+  * 1/(m*K) is applied once at the end) — argmax and vote signs are exact,
+  * never float-noise-dependent.
+  */
+object MlQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // R1: one-vs-all +-1 label encoding.
+    "q_ml_label_encode" -> ((s, d) => Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("array_join(transform(sequence(0, 9), k -> CASE WHEN label = k THEN '1' ELSE '-1' END), ',')")
+          .as("y"))
+      .orderBy("vec_id")),
+
+    // R2: uniform (example,label) weights, global mass check.
+    "q_ml_weight_init" -> ((s, d) => Tables(s, d, "embeddings")
+      .agg(count(lit(1)).as("m"))
+      .select(col("m"), lit(10L).as("k"),
+        round(lit(1.0) / (col("m") * 10), 10).as("w"),
+        round(col("m") * 10 * (lit(1.0) / (col("m") * 10)), 6).as("total"))),
+
+    // R3+R4 on one dimension: thresholds = distinct values of x0, best edge.
+    "q_ml_stump_search_1d" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("embedding").getItem(0).cast("double").as("x"), col("label"))
+      val th = e.select(col("x").as("theta")).distinct()
+      val mdf = e.agg(count(lit(1)).as("m"))
+      val edges = e.crossJoin(broadcast(th))
+        .withColumn("k", explode(sequence(lit(0), lit(9))))
+        .withColumn("contrib",
+          when(col("label") === col("k"), 1).otherwise(-1) *
+            when(col("x") > col("theta"), 1).otherwise(-1))
+        .groupBy("theta", "k").agg(sum("contrib").as("edge"))
+      val stumps = edges.groupBy("theta").agg(
+        sum(abs(col("edge"))).as("gi"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("k"), col("edge")))),
+          x => when(x.getField("edge") >= 0, "+").otherwise("-")), "").as("votes"))
+      stumps.orderBy(col("gi").desc, col("theta")).limit(1)
+        .crossJoin(mdf)
+        .select(round(col("theta"), 6).as("theta"), col("gi"),
+          round(col("gi").cast("double") / (col("m") * 10), 6).as("gamma"),
+          round(lit(0.5) * log(
+            (lit(1.0) + col("gi").cast("double") / (col("m") * 10)) /
+              (lit(1.0) - col("gi").cast("double") / (col("m") * 10))), 6).as("alpha"),
+          col("votes"))
+    }),
+
+    // R4 over all 64 dims with 15 equi-width binned thresholds per dim —
+    // the oracle-matching twin of AdaBoostMH.histogramPass's single-pass plan.
+    "q_ml_stump_best" -> ((s, d) => {
+      val ex = Tables(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("j", "xf")))
+        .select(col("label"), col("j"), col("xf").cast("double").as("x"))
+      val mdf = Tables(s, d, "embeddings").agg(count(lit(1)).as("m"))
+      val grid = ex.groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
+        .select(col("j"), explode(sequence(lit(1), lit(15))).as("b"), col("lo"), col("hi"))
+        .select(col("j"), (col("lo") + col("b") * (col("hi") - col("lo")) / 16).as("theta"))
+      val edges = ex.join(broadcast(grid), "j")
+        .withColumn("k", explode(sequence(lit(0), lit(9))))
+        .withColumn("contrib",
+          when(col("label") === col("k"), 1).otherwise(-1) *
+            when(col("x") > col("theta"), 1).otherwise(-1))
+        .groupBy("j", "theta", "k").agg(sum("contrib").as("edge"))
+      val stumps = edges.groupBy("j", "theta").agg(
+        sum(abs(col("edge"))).as("gi"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("k"), col("edge")))),
+          x => when(x.getField("edge") >= 0, "+").otherwise("-")), "").as("votes"))
+      stumps.orderBy(col("gi").desc, col("j"), col("theta")).limit(1)
+        .crossJoin(mdf)
+        .select(col("j").cast("long").as("j"), round(col("theta"), 6).as("theta"), col("gi"),
+          round(col("gi").cast("double") / (col("m") * 10), 6).as("gamma"),
+          col("votes"))
+    }),
+
+    // R5-R8: full boosting loop (T=10) + distributed prediction. Iterative,
+    // not SQL-expressible — correctness via AdaBoostMHSuite invariants
+    // (FIXTURES §3 goldens + loss-decrease property).
+    "q_ml_boost_train_predict" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val model = new AdaBoostMHClassifier().setNumRounds(10).fit(emb)
+      model.transform(emb)
+        .select(col("vec_id"), col("pred_label").cast("long").as("pred_label"))
+        .orderBy("vec_id")
+    }),
+
+    // R8: Hamming loss of the trivial hypothesis sign(x0) applied to every
+    // label, against one-vs-all encoding.
+    "q_ml_hamming_eval" -> ((s, d) => Tables(s, d, "embeddings")
+      .select(col("label"),
+        when(col("embedding").getItem(0) > 0, 1).otherwise(-1).as("p"))
+      .withColumn("k", explode(sequence(lit(0), lit(9))))
+      .withColumn("y", when(col("label") === col("k"), 1).otherwise(-1))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(when(col("p") =!= col("y"), 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("hamming"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ml_label_encode" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(generate_series(0, 9),
+        |    k -> CASE WHEN label = k THEN '1' ELSE '-1' END), ',') AS y
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ml_weight_init" ->
+      """SELECT m, CAST(10 AS BIGINT) AS k,
+        |  ROUND(CAST(1.0 AS DOUBLE) / (m * 10), 10) AS w,
+        |  ROUND(m * 10 * (CAST(1.0 AS DOUBLE) / (m * 10)), 6) AS total
+        |FROM (SELECT count(*) AS m FROM embeddings)""".stripMargin,
+
+    "q_ml_stump_search_1d" ->
+      """WITH e AS (SELECT CAST(embedding[1] AS DOUBLE) AS x, label FROM embeddings),
+        |m AS (SELECT count(*) AS m FROM e),
+        |th AS (SELECT DISTINCT x AS theta FROM e),
+        |edges AS (
+        |  SELECT theta, k,
+        |    SUM((CASE WHEN label = k THEN 1 ELSE -1 END)
+        |      * (CASE WHEN x > theta THEN 1 ELSE -1 END)) AS edge
+        |  FROM e CROSS JOIN th CROSS JOIN UNNEST(generate_series(0, 9)) AS t(k)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT theta, CAST(SUM(abs(edge)) AS BIGINT) AS gi,
+        |         string_agg(CASE WHEN edge >= 0 THEN '+' ELSE '-' END, '' ORDER BY k) AS votes
+        |  FROM edges GROUP BY 1)
+        |SELECT ROUND(theta, 6) AS theta, gi,
+        |  ROUND(CAST(gi AS DOUBLE) / (m * 10), 6) AS gamma,
+        |  ROUND(0.5 * ln((1 + CAST(gi AS DOUBLE) / (m * 10))
+        |               / (1 - CAST(gi AS DOUBLE) / (m * 10))), 6) AS alpha,
+        |  votes
+        |FROM st, m ORDER BY gi DESC, theta LIMIT 1""".stripMargin,
+
+    "q_ml_stump_best" ->
+      """WITH ex AS (
+        |  SELECT label, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+        |m AS (SELECT count(*) AS m FROM embeddings),
+        |grid AS (
+        |  SELECT j, lo + b * (hi - lo) / 16 AS theta
+        |  FROM (SELECT j, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1),
+        |       UNNEST(generate_series(1, 15)) AS tb(b)),
+        |edges AS (
+        |  SELECT ex.j, theta, k,
+        |    SUM((CASE WHEN label = k THEN 1 ELSE -1 END)
+        |      * (CASE WHEN x > theta THEN 1 ELSE -1 END)) AS edge
+        |  FROM ex JOIN grid ON ex.j = grid.j
+        |  CROSS JOIN UNNEST(generate_series(0, 9)) AS tk(k)
+        |  GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT j, theta, CAST(SUM(abs(edge)) AS BIGINT) AS gi,
+        |         string_agg(CASE WHEN edge >= 0 THEN '+' ELSE '-' END, '' ORDER BY k) AS votes
+        |  FROM edges GROUP BY 1, 2)
+        |SELECT CAST(j AS BIGINT) AS j, ROUND(theta, 6) AS theta, gi,
+        |  ROUND(CAST(gi AS DOUBLE) / (m * 10), 6) AS gamma, votes
+        |FROM st, m ORDER BY gi DESC, j, theta LIMIT 1""".stripMargin,
+
+    "q_ml_hamming_eval" ->
+      """SELECT count(*) AS n_pairs,
+        |  ROUND(CAST(SUM(CASE WHEN p != y THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hamming
+        |FROM (
+        |  SELECT CASE WHEN embedding[1] > 0 THEN 1 ELSE -1 END AS p,
+        |         CASE WHEN label = k THEN 1 ELSE -1 END AS y
+        |  FROM embeddings CROSS JOIN UNNEST(generate_series(0, 9)) AS t(k))""".stripMargin,
+  )
+}

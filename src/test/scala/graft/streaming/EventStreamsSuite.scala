@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream/batch equivalence and watermark semantics (SURVEY §2.3). */
+class EventStreamsSuite extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Event(1, ts("2024-01-01 10:05:00"), 1, "view", 10.0),
+    Event(2, ts("2024-01-01 10:20:00"), 1, "click", 5.0),
+    Event(3, ts("2024-01-01 10:40:00"), 2, "view", 7.5),
+    Event(4, ts("2024-01-01 11:10:00"), 1, "view", 2.5),
+    Event(5, ts("2024-01-01 12:55:00"), 2, "purchase", 99.0))
+
+  test("tumbling window: stream (complete mode) equals batch") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb_stream")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.tumblingCounts(rows.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows: 29-minute gap merges, 31-minute gap splits") {
+    import spark.implicits._
+    val boundary = Seq(
+      Event(1, ts("2024-01-01 08:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 08:29:00"), 7, "view", 1.0), // 29 min: same session
+      Event(3, ts("2024-01-01 09:00:00"), 7, "view", 1.0)) // 31 min: new session
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(boundary)
+      q.processAllAvailable()
+      val sessions = spark.table("sess_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(sessions === Set(
+        (7L, "2024-01-01 08:00:00", 2L),
+        (7L, "2024-01-01 09:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes the duplicate event_id") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows :+ Event(1, ts("2024-01-01 10:05:00"), 1, "view", 10.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window
+      input.addData(Seq(Event(2, ts("2024-01-01 13:00:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      // this event is 2.5 h behind the watermark: must be discarded
+      input.addData(Seq(Event(3, ts("2024-01-01 10:10:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(4, ts("2024-01-01 15:00:00"), 1, "view", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("late_stream")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(out("2024-01-01 10:00:00") === 1L, s"late row must not count: $out")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps a running per-user count across batches") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("counter_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(3)) // user 1: 2 events, user 2: 1
+      q.processAllAvailable()
+      input.addData(rows.drop(3)) // user 1: +1, user 2: +1
+      q.processAllAvailable()
+      val last = spark.table("counter_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
+      assert(last === Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+}
