@@ -199,6 +199,27 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_custkey"))
       .limit(10)),
 
+    // Scalar subquery: Catalyst rewrites the uncorrelated aggregate into a
+    // one-row join (RewriteCorrelatedScalarSubquery / subquery broadcast).
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables(s, d, "part").createOrReplaceTempView("sq_part")
+      s.sql("""
+        SELECT p_partkey, p_retailprice
+        FROM sq_part
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(22,6))) AS DOUBLE)
+                                      / COUNT(*) FROM sq_part)
+        ORDER BY p_partkey""")
+    }),
+
+    // Pivot with a FIXED value list (never pivot on discovered values at
+    // scale — that's a driver-side distinct scan before planning).
+    "q_pivot" -> ((s, d) => Tables(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")),
+
     // ---- set operations -------------------------------------------------
     "q_set_union" -> ((s, d) => Tables(s, d, "customer")
       .select(col("c_nationkey").as("nationkey"))
@@ -362,6 +383,22 @@ object Relational {
       s"""SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS revenue
          |FROM orders GROUP BY 1
          |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(22,6))) AS DOUBLE)
+        |                              / COUNT(*) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer

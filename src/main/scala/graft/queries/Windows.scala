@@ -54,6 +54,21 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Time-RANGE frame: per-user sum of value over the trailing 10 minutes.
+    // Spark's rangeBetween is numeric-only, so the ordering key is epoch
+    // micros; the DuckDB oracle uses the equivalent numeric range frame.
+    "q_window_range_time" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L) // 10 min in micros
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(22,6)")).over(w).cast("double").as("sum_10m"),
+          count(lit(1)).over(w).as("n_10m"))
+        .orderBy("event_id")
+    }),
+
     "q_window_ntile_analytic" -> ((s, d) => {
       val wo = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -98,6 +113,15 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_range_time" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS sum_10m,
+        |  COUNT(*) OVER w AS n_10m
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q_window_ntile_analytic" ->
