@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ml.AdaBoostMHClassifier
@@ -30,17 +31,27 @@ object MlQueries {
         round(col("m") * 10 * (lit(1.0) / (col("m") * 10)), 6).as("total"))),
 
     // R3+R4 on one dimension: thresholds = distinct values of x0, best edge.
+    // Sort-based prefix-sum search, O(m*K) + one window, instead of the
+    // naive thresholds x points cross join (O(m*T*K) = 40M rows, 4.2s at
+    // sf0.1): phi(x,theta) = +1 iff x > theta, so
+    // edge_k(theta) = S_k - 2 * R_k(theta), with R_k the running sum of y_k
+    // over distinct x ascending (x <= theta) and S_k the per-label total.
+    // Integer arithmetic throughout — bit-identical to the cross-join form
+    // (the DuckDB oracle keeps the naive shape as an independent witness).
     "q_ml_stump_search_1d" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
         .select(col("embedding").getItem(0).cast("double").as("x"), col("label"))
-      val th = e.select(col("x").as("theta")).distinct()
       val mdf = e.agg(count(lit(1)).as("m"))
-      val edges = e.crossJoin(broadcast(th))
+      val byX = e
         .withColumn("k", explode(sequence(lit(0), lit(9))))
-        .withColumn("contrib",
-          when(col("label") === col("k"), 1).otherwise(-1) *
-            when(col("x") > col("theta"), 1).otherwise(-1))
-        .groupBy("theta", "k").agg(sum("contrib").as("edge"))
+        .withColumn("y", when(col("label") === col("k"), 1).otherwise(-1))
+        .groupBy("x", "k").agg(sum("y").as("cy"))
+      val wRun = Window.partitionBy("k").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("k")
+      val edges = byX
+        .withColumn("edge", sum("cy").over(wAll) - lit(2) * sum("cy").over(wRun))
+        .select(col("x").as("theta"), col("k"), col("edge"))
       val stumps = edges.groupBy("theta").agg(
         sum(abs(col("edge"))).as("gi"),
         array_join(transform(
