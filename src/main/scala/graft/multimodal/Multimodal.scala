@@ -110,7 +110,7 @@ object Multimodal {
   /** Video frame sampling: one row per sampled frame timestamp — a
     * generator (posexplode over sequence), no UDF. */
   def frameSample(df: DataFrame, everyMs: Int): DataFrame =
-    df.filter(col("kind") === "video")
+    df.filter(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
         posexplode(sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs)))
           .as(Seq("frame_idx", "frame_ms")))

@@ -27,11 +27,12 @@ import dsl._
   */
 object LlmOps {
 
-  /** cosine(a, b) computed in double with sequential fold — mirrors sqlCos. */
+  /** cosine(a, b) over array<double> columns via the codegen'd graft_dot
+    * (same sequential fold order as the HOF form and DuckDB's list_sum, so
+    * oracle parity is unchanged — see functions.DotProduct). Callers must
+    * pre-cast inputs to array<double> and register the function. */
   private def cosExpr(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (s, v) -> s + v)
-       | / sqrt(aggregate($a, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-       |       * aggregate($b, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin)
+    s"graft_dot($a, $b) / sqrt(graft_dot($a, $a) * graft_dot($b, $b))")
 
   private def sqlCos(a: String, b: String): String =
     s"""(list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
@@ -42,6 +43,27 @@ object LlmOps {
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** (doc_id, sh): distinct 5-gram word shingles per document — the single
+    * definition shared by exact near-dup and its MinHash-LSH twin. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+
+  /** (d1, d2, inter) + per-doc set sizes -> Jaccard >= threshold pairs,
+    * rounded and deterministically ordered. */
+  private def jaccardPairs(inter: DataFrame, sizes: DataFrame,
+                           threshold: Double): DataFrame =
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
 
   /** (doc_id, tokid): tokens mapped through the global sorted-vocab rank. */
   private def docTokenIds(s: SparkSession, d: String): DataFrame = {
@@ -56,9 +78,11 @@ object LlmOps {
     * Ranking uses the ROUNDED score so sub-1e-4 float noise can never flip
     * an order across engines; ties break on candidate id. */
   private def simTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val c = e.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qe"))
+    val c = e.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"), col("v").as("ce"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
@@ -78,23 +102,13 @@ object LlmOps {
     // sharing a shingle), not O(n^2) — but still the small-SF oracle; the
     // LSH variant below is the scale path.
     "q_dedup_near" -> ((s, d) => {
-      val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(array_distinct(
-          expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+      val sh = docShingles(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
+      val inter = sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("d1", "d2")
+      jaccardPairs(inter, sizes, 0.8)
     }),
 
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
@@ -107,13 +121,11 @@ object LlmOps {
     // unrelated pairs). Shingle ids come from a global sorted rank for
     // DuckDB parity; at 100 TB use xxhash64(shingle) directly (no vocab).
     "q_dedup_minhash" -> ((s, d) => {
-      val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-        .select(col("doc_id"), explode(array_distinct(
-          expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+      val sh = docShingles(s, d)
       val svocab = sh.select("sh").distinct()
         .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+      // cached blocks are ~MBs (one (doc, shingle-id) long pair per shingle)
+      // and session-scoped; reused by 4 downstream joins
       val ds = sh.join(svocab, "sh").select("doc_id", "sid").cache()
       val mh = ds.crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
         .select(col("doc_id"), col("i"),
@@ -132,13 +144,7 @@ object LlmOps {
         .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
         .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("d1", "d2")
+      jaccardPairs(inter, sizes, 0.8)
     }),
 
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.
@@ -272,18 +278,20 @@ object LlmOps {
     // recall; the point here is the deterministic assign->probe->bounded-
     // search mechanics that IVF uses at cluster scale (cells = partitions).
     "q_ann_ivf" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
       val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cent = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+        .select(col("vec_id").as("cent_id"), col("v").as("centv"))
       val rest = e.filter(col("vec_id") >= 18)
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        .select(col("vec_id").as("c_id"), col("v").as("ce"))
       val wAssign = Window.partitionBy("c_id").orderBy(col("cc").desc, col("cent_id"))
       val assign = rest.crossJoin(broadcast(cent))
         .select(col("c_id"), col("ce"), col("cent_id"), round(cosExpr("ce", "centv"), 4).as("cc"))
         .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
         .select("c_id", "ce", "cent_id")
       val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 18)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("q_id"), col("v").as("qe"))
       val wProbe = Window.partitionBy("q_id").orderBy(col("qc").desc, col("cent_id"))
       val probes = q.crossJoin(broadcast(cent))
         .select(col("q_id"), col("qe"), col("cent_id"), round(cosExpr("qe", "centv"), 4).as("qc"))

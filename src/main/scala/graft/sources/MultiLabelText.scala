@@ -35,11 +35,14 @@ object MultiLabelText {
         l
       }
     val x = new Array[Double](dim)
+    val seen = new Array[Boolean](dim)
     parts.tail.foreach { kv =>
       val i = kv.indexOf(':')
       require(i > 0, s"expected idx:value, got '$kv' in: $line")
       val idx = kv.substring(0, i).toInt
       require(idx >= 0 && idx < dim, s"feature index $idx out of range [0,$dim) in: $line")
+      require(!seen(idx), s"duplicate feature index $idx in: $line")
+      seen(idx) = true
       x(idx) = kv.substring(i + 1).toDouble
     }
     Some(MultiLabeledPoint(labels, x))
@@ -55,6 +58,7 @@ object MultiLabelText {
   /** Adapter into the boosting core: +-1 label vectors, uniform weights. */
   def toTrainPoints(ds: Dataset[MultiLabeledPoint], numLabels: Int): RDD[TrainPoint] = {
     val m = ds.count()
+    require(m > 0, "empty training input: no parseable points (weights would be 1/0)")
     val w0 = 1.0 / (m * numLabels)
     ds.rdd.zipWithIndex().map { case (p, id) =>
       val pos = p.labels.toSet
