@@ -55,6 +55,24 @@ object AdaBoostMH {
     }
   }
 
+  /** Quantile threshold grids — the 100 TB path for skewed features: same
+    * single aggregation shape and the same downstream histogram (bestStump
+    * already iterates each dim's actual threshold count), but splits follow
+    * the data distribution. approx_percentile is a mergeable sketch, so
+    * this stays one pass at any scale. Not used by the oracle-matching
+    * queries (equi-width is exactly mirrorable in DuckDB; the sketch isn't). */
+  def thresholdGridQuantile(df: DataFrame, numBins: Int,
+                            accuracy: Int = 10000): Array[Array[Double]] = {
+    val probs = (1 until numBins).map(_.toDouble / numBins).mkString(", ")
+    df.select(posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(expr(s"approx_percentile(CAST(x AS DOUBLE), array($probs), $accuracy)").as("qs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray.distinct.sorted))
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
   /** bin(x) = #thresholds strictly below x (binary search), in 0..numBins-1. */
   private[ml] def binOf(ts: Array[Double], x: Double): Int = {
     var lo = 0; var hi = ts.length
@@ -181,8 +199,10 @@ object AdaBoostMH {
 
   /** Train on the harness `embeddings` schema (one-vs-all label encoding). */
   def train(spark: SparkSession, df: DataFrame, numRounds: Int,
-            numBins: Int = 16): Array[DecisionStump] = {
-    val grids = thresholdGrid(df, numBins)
+            numBins: Int = 16, quantileBins: Boolean = false): Array[DecisionStump] = {
+    val grids =
+      if (quantileBins) thresholdGridQuantile(df, numBins)
+      else thresholdGrid(df, numBins)
     val m = df.count()
     val w0 = 1.0 / (m * NumLabels)
     val points = df

@@ -178,6 +178,16 @@ object Relational {
         ORDER BY event_type, user_id""")
     }),
 
+    // Exact interpolated percentiles (SortAggregate path, unlike the hash
+    // aggregates above); both engines use the same (n-1)*p linear
+    // interpolation, rounded to absorb last-ulp differences.
+    "q_agg_percentile" -> ((s, d) => Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")),
+
     "q_agg_collect_sorted" -> ((s, d) => Tables(s, d, "customer")
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -367,6 +377,13 @@ object Relational {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id), ())
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_collect_sorted" ->
       """SELECT n_name, array_to_string(list_sort(list(c_custkey)), ',') AS custkeys

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured-Streaming surface of the engine (SURVEY §2.3). The reference
   * has no streaming; the harness compares static parquet, so these transforms
@@ -45,6 +46,31 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Running per-user counter on the 4.x transformWithState API: typed
+    * state variables via the processor handle (TTL-able, multiple state
+    * vars per key — the successor to flatMapGroupsWithState). */
+  class RunningCountProcessor extends StatefulProcessor[Long, Event, (Long, Long)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val next = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(next)
+      Iterator.single((user, next))
+    }
+  }
+
+  def runningUserCountsTWS(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Custom stateful op: running per-user event counter via
     * flatMapGroupsWithState (unbounded keys would use a TTL timeout). */

@@ -96,6 +96,21 @@ class AdaBoostMHSuite extends SparkSpec {
     assert(losses.last <= 0.102, s"regression vs pinned golden: ${losses.last}")
   }
 
+  test("quantile-bin grids: valid shape, deterministic, trainable") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val g1 = AdaBoostMH.thresholdGridQuantile(df, numBins = 16)
+    val g2 = AdaBoostMH.thresholdGridQuantile(df, numBins = 16)
+    assert(g1.length === 64)
+    g1.foreach { ts =>
+      assert(ts.nonEmpty && ts.length <= 15)
+      assert(ts.zip(ts.tail).forall { case (a, b) => a < b }, "strictly sorted")
+    }
+    assert(g1.map(_.toSeq).toSeq === g2.map(_.toSeq).toSeq) // sketch is deterministic
+    val stumps = AdaBoostMH.train(spark, df, numRounds = 3, quantileBins = true)
+    assert(stumps.length === 3)
+    assert(stumps.forall(_.alpha >= 0))
+  }
+
   test("determinism: two fits produce identical stumps") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val a = AdaBoostMH.train(spark, df, numRounds = 3)

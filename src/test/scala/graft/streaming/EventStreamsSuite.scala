@@ -94,6 +94,36 @@ class EventStreamsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps a running per-user count across batches") {
+    import spark.implicits._
+    // transformWithState needs multiple state column families -> RocksDB
+    // provider (ships with Spark; the HDFS-backed default rejects it)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.runningUserCountsTWS(input.toDS())
+      .writeStream.format("memory").queryName("tws_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(rows.take(3)) // user 1: 2 events, user 2: 1
+      q.processAllAvailable()
+      input.addData(rows.drop(3)) // user 1: +1, user 2: +1
+      q.processAllAvailable()
+      val last = spark.table("tws_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
+      assert(last === Map(1L -> 3L, 2L -> 2L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
