@@ -1,0 +1,69 @@
+package graft.operators
+
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleJoinsSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets tables across JVMs but the managed
+    // location persists; remove it so saveAsTable doesn't refuse
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
+
+  test("bucketed fact-fact join plans with zero exchanges") {
+    // warehouse.dir is static conf; the shared session's default (cwd
+    // spark-warehouse/, gitignored) is fine for this catalog write
+    Seq("b_lineitem", "b_orders").foreach(dropTable)
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val or = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    ScaleJoins.writeBucketed(li, "b_lineitem", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(or, "b_orders", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedEquiJoin(spark, "b_lineitem", "b_orders",
+        "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free plan:\n$plan")
+      // and it still computes the right thing
+      val expected = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join returns exactly the plain-join result under skew") {
+    import spark.implicits._
+    // pathological skew: 90% of the large side hits one key
+    val large = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (1900L, "cold"), (9999L, "unmatched")).toDF("sk", "name")
+    val plain = large.join(small, col("k") === col("sk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val salted = ScaleJoins.saltedJoin(large, small, "k", "sk", numSalts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.size === 1801) // 1800 hot + 1 cold
+  }
+
+  test("salted join is deterministic across runs") {
+    import spark.implicits._
+    val large = (1 to 500).map(i => (i.toLong % 7, i)).toDF("k", "v")
+    val small = (0L to 6L).map(k => (k, s"n$k")).toDF("sk", "name")
+    val a = ScaleJoins.saltedJoin(large, small, "k", "sk", 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val b = ScaleJoins.saltedJoin(large.repartition(13), small, "k", "sk", 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
