@@ -210,6 +210,11 @@ object AdaBoostMH {
         col("label").cast("int"))
       .rdd.map { r =>
         val label = r.getInt(2)
+        // fail loudly, like MultiLabelText.parseLine: an out-of-range label
+        // would otherwise silently become an all-negative label vector and
+        // corrupt the training weights
+        require(label >= 0 && label < NumLabels,
+          s"label $label out of range [0,$NumLabels) for vec_id ${r.getLong(0)}")
         TrainPoint(r.getLong(0), r.getSeq[Double](1).toArray,
           Array.tabulate(NumLabels)(l => if (l == label) 1 else -1),
           Array.fill(NumLabels)(w0))

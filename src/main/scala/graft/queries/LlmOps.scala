@@ -124,9 +124,14 @@ object LlmOps {
       val sh = docShingles(s, d)
       val svocab = sh.select("sh").distinct()
         .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
-      // cached blocks are ~MBs (one (doc, shingle-id) long pair per shingle)
-      // and session-scoped; reused by 4 downstream joins
-      val ds = sh.join(svocab, "sh").select("doc_id", "sid").cache()
+      // materialized once (~MBs: one (doc, shingle-id) long pair per shingle)
+      // and reused by 4 downstream joins. localCheckpoint, not cache(): the
+      // CacheManager would pin cache() blocks for the session's lifetime
+      // across repeated invocations (Bench loops, Verify, tests), whereas
+      // checkpoint blocks are released by the ContextCleaner once this plan
+      // is unreferenced. On a real cluster executor loss forfeits a
+      // localCheckpoint — acceptable for a recomputable intra-query temp.
+      val ds = sh.join(svocab, "sh").select("doc_id", "sid").localCheckpoint()
       val mh = ds.crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
         .select(col("doc_id"), col("i"),
           ((lit(7) + lit(11) * col("i")) * col("sid") + lit(3) + lit(17) * col("i")) % 1000003 as "h")

@@ -14,6 +14,27 @@ object TimeSeries {
 
   private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, microseconds
 
+  /** Gap-based sessionization over an events-shaped frame (ts, user_id,
+    * event_id). New session iff gap strictly greater than 30 min — the same
+    * boundary as streaming session_window, whose end-touching sessions MERGE
+    * (an event exactly 30:00 after its predecessor stays in the session;
+    * verified empirically at the boundary in EventStreamsSuite). */
+  def sessionize(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(wo) > GapUs, 1)
+          .when(lag(col("us"), 1).over(wo).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wc))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, Q] = Map(
 
     "q_ts_tumbling" -> ((s, d) => Tables(s, d, "events")
@@ -31,22 +52,7 @@ object TimeSeries {
         col("event_type"), col("n"))
       .orderBy("wstart", "event_type")),
 
-    "q_ts_sessionize_batch" -> ((s, d) => {
-      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, d, "events")
-        .withColumn("us", unix_micros(col("ts")))
-        // new session iff gap strictly greater than 30 min (FIXTURES §4 pin)
-        .withColumn("new_sess",
-          when(col("us") - lag(col("us"), 1).over(wo) > GapUs, 1)
-            .when(lag(col("us"), 1).over(wo).isNull, 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_sess")).over(wc))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          (max(col("us")) - min(col("us"))).as("duration_us"))
-        .orderBy("user_id", "session_id")
-    }),
+    "q_ts_sessionize_batch" -> ((s, d) => sessionize(Tables(s, d, "events"))),
   )
 
   val oracles: Map[String, String] = Map(

@@ -31,8 +31,11 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
 
   /** 30-minute-gap session windows per user — stream twin of
-    * q_ts_sessionize_batch (session_window closes a session when no event
-    * arrives within the gap, same strict-gap semantics). */
+    * q_ts_sessionize_batch. session_window merges end-touching sessions: an
+    * event exactly `gap` after the previous one stays in the SAME session
+    * (merge on gap <= 30 min, split on gap > 30 min), which is exactly the
+    * batch twin's strict-gap rule. Pinned empirically at the 30:00 boundary
+    * in EventStreamsSuite. */
   def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)

@@ -56,6 +56,33 @@ class EventStreamsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: exactly-30-minute gap MERGES in both stream and batch") {
+    import spark.implicits._
+    val boundary = Seq(
+      Event(1, ts("2024-01-01 08:00:00"), 7, "view", 1.0),
+      Event(2, ts("2024-01-01 08:30:00"), 7, "view", 1.0), // exactly gap: merges
+      Event(3, ts("2024-01-01 09:30:01"), 7, "view", 1.0)) // gap + 1s: splits
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess_edge_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(boundary)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_edge_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // session_window merges end-touching sessions: 08:30:00 extends the
+      // [08:00, 08:30) window rather than opening a new one
+      assert(streamed === Set(
+        (7L, "2024-01-01 08:00:00", 2L),
+        (7L, "2024-01-01 09:30:01", 1L)))
+      // batch twin (strict > gap split) must agree at the exact boundary
+      val batch = graft.queries.TimeSeries.sessionize(boundary.toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === Set((7L, 1L, 2L), (7L, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes the duplicate event_id") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)

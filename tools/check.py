@@ -50,6 +50,13 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
             failures += 1
             continue
+        # Normalize dtypes before the string compare: the two engines can
+        # materialize the same column differently (nullable BIGINT becomes
+        # float64 '1.0' in one frame and int64 '1' in the other; NaN-vs-<NA>
+        # spellings differ). convert_dtypes() maps both to pandas nullable
+        # dtypes so equal values stringify identically.
+        got = got.convert_dtypes()
+        exp = exp.convert_dtypes()
         bad = None
         for c in got.columns:
             a = got[c].astype(str).values
