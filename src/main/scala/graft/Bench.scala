@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config(Tables.NanosKey, "true") // events.ts is TIMESTAMP(NANOS)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

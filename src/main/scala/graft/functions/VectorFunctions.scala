@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * expression generates a tight primitive loop instead. Summation order is
   * the same sequential left-to-right fold as the HOF version and DuckDB's
   * list_sum, so oracle parity is unaffected.
+  *
+  * Null semantics match the HOF form: a null ELEMENT nulls the whole result
+  * (`x * null -> null`, `acc + null -> null` in the fold) — required so the
+  * RewriteHofDotProduct optimizer fusion is invisible. The per-element null
+  * check is emitted only when the input schema says elements can be null;
+  * for containsNull=false inputs the loop stays branch-free.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -32,26 +38,53 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  private lazy val leftElemNullable = elemNullable(left)
+  private lazy val rightElemNullable = elemNullable(right)
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || leftElemNullable || rightElemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if ((leftElemNullable && x.isNullAt(i)) ||
+          (rightElemNullable && y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, { (a, b) =>
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val leftCheck =
+        if (leftElemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
+      val rightCheck =
+        if (rightElemNullable) s"if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }" else ""
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $leftCheck
+         |  $rightCheck
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = s;
-       """.stripMargin)
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                 newRight: Expression): DotProduct =
@@ -60,7 +93,9 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
   /** Idempotently register graft_dot in the session's function registry so
-    * it is usable from expr("graft_dot(a, b)") / spark.sql. */
+    * it is usable from expr("graft_dot(a, b)") / spark.sql. Sessions built
+    * with spark.sql.extensions=graft.plans.GraftExtensions get this (plus
+    * the optimizer fusions) without any imperative call. */
   def register(spark: SparkSession): Unit = {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(

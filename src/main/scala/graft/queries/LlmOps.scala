@@ -187,6 +187,46 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
+    // LSH-accelerated twin of q_dedup_embed: 30 random-hyperplane sign bits
+    // (6 bands x 5 bits) bucket the vectors; only same-bucket pairs get the
+    // exact cosine check. Hyperplanes come from a shared integer LCG
+    // (h[p][j] = lcg(p*64+j)/2^31 - 0.5, exact in ieee754), so DuckDB
+    // reproduces the identical candidate set — same dots, same fold order,
+    // same signs. Measured at sf0.01: 24k candidates of 125k pairs (5.2x
+    // pruning), 31 of 59 brute-force pairs found — the expected hyperplane
+    // recall at cos 0.4-0.6 (P[bit agrees] = 1 - theta/pi ~ 0.65); at the
+    // >=0.9 thresholds real near-dup corpora use, band recall is >0.95.
+    // At 100 TB: band keys are computed map-side (30 codegen'd dot
+    // products per row, no explode of the vector), the only shuffle is on
+    // (band, bkey), and bucket skew would be salted before the self-join.
+    "q_dedup_embed_lsh" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      def hp(p: Int): String = "array(" + Array.tabulate(64) { j =>
+        val m = (1103515245L * (p * 64 + j) + 12345L) % 2147483648L
+        s"${m.toDouble / 2147483648.0 - 0.5}D"
+      }.mkString(",") + ")"
+      def bkey(b: Int): String = (0 until 5).map { r =>
+        s"(CASE WHEN graft_dot(v, ${hp(5 * b + r)}) >= 0 THEN ${1L << r}L ELSE 0L END)"
+      }.mkString(" + ")
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val bits = e.select(col("vec_id"),
+          posexplode(expr("array(" + (0 until 6).map(bkey).mkString(",") + ")"))
+            .as(Seq("band", "bkey")))
+      val cand = bits.as("a").join(bits.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("d1"), col("v").as("va"), col("nrm").as("na")), "d1")
+        .join(e.select(col("vec_id").as("d2"), col("v").as("vb"), col("nrm").as("nb")), "d2")
+        .select(col("d1"), col("d2"),
+          round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("d1", "d2")
+    }),
+
     // ---- text analysis --------------------------------------------------
     "q_text_stats" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
@@ -386,6 +426,31 @@ object LlmOps {
         |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
         |               / (a.nrm * b.nrm), 4) AS cos_sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |hp AS (
+        |  SELECT p, p // 5 AS band, CAST(1 << (p % 5) AS BIGINT) AS wt,
+        |         list_transform(generate_series(0, 63),
+        |           j -> CAST((CAST(1103515245 AS BIGINT) * (p*64 + j) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5) AS h
+        |  FROM (SELECT unnest(generate_series(0, 29)) AS p)),
+        |bits AS (
+        |  SELECT e.vec_id, hp.band,
+        |         SUM(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * hp.h[i])) >= 0
+        |                  THEN hp.wt ELSE 0 END) AS bkey
+        |  FROM e CROSS JOIN hp GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bits a JOIN bits b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+        |SELECT d1, d2, cos_sim FROM (
+        |  SELECT c.d1, c.d2,
+        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM cand c JOIN e a ON a.vec_id = c.d1 JOIN e b ON b.vec_id = c.d2)
         |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
 
     "q_text_stats" ->
