@@ -188,6 +188,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")),
 
+    // Statistical aggregates (corr / stddev / covar) from EXACT decimal
+    // moments, not the built-in streaming estimators: Welford-style merge
+    // order differs between engines and partitionings, but n, Σx, Σy, Σx²,
+    // Σy², Σxy as DECIMAL(18,4)-product sums are integer-exact and
+    // order-independent, so the final double formulas start from identical
+    // numbers in Spark, DuckDB, and ANY cluster partitioning. Same pattern
+    // scales to 100 TB (one partial+final hash agg, six counters per group).
+    // The (quantity, discount) pair is chosen so every moment stays WITHIN
+    // double's exact integer/decimal range (sxx <= ~1e9 integral, sxy <= 1e6
+    // at 6 dp) — with money-scale columns the 22-digit Σy² would depend on
+    // each engine's decimal->double rounding at the last ulp.
+    "q_agg_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,4)")
+      val y = col("l_discount").cast("decimal(18,4)")
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+            / (col("n") - 1), 4).as("covar_samp"),
+          round(sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)), 4).as("stddev_x"),
+          round(((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+            / (sqrt(col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              * sqrt(col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n")))), 4).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic sampling: a shared integer LCG on the key replaces
+    // rand()/TABLESAMPLE so the SAME 10% of rows is selected in both
+    // engines, on every run, under any partitioning. At scale the predicate
+    // is a pushed-down scan filter — no shuffle, no driver coordination.
+    "q_sample_hash" -> ((s, d) => Tables(s, d, "orders")
+      .filter(expr("pmod((o_orderkey * 1103515245 + 12345), 2147483648) % 100 < 10"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")),
+
     "q_agg_collect_sorted" -> ((s, d) => Tables(s, d, "customer")
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -388,6 +429,30 @@ object Relational {
     "q_agg_collect_sorted" ->
       """SELECT n_name, array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+        |    SUM(CAST(l_discount AS DECIMAL(18,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS sxx,
+        |    SUM(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1), 4) AS covar_samp,
+        |  ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS stddev_x,
+        |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |           * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS corr
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648 % 100 < 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sort_multikey" ->

@@ -28,6 +28,19 @@ object Scalars {
         element_at(split(col("p_name"), " "), 1).as("w0"))
       .orderBy("p_partkey")),
 
+    // String-similarity scalar: edit distance between the first and last
+    // word of p_name plus a normalized similarity ratio. Integer distance
+    // is engine-exact; the ratio is one int/int division (identical ieee).
+    "q_scalar_levenshtein" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"),
+        element_at(split(col("p_name"), " "), 1).as("wa"),
+        element_at(split(col("p_name"), " "), -1).as("wb"))
+      .select(col("p_partkey"), col("wa"), col("wb"),
+        levenshtein(col("wa"), col("wb")).cast("long").as("lev"))
+      .withColumn("sim",
+        round(lit(1.0) - col("lev") / greatest(length(col("wa")), length(col("wb"))), 4))
+      .orderBy("p_partkey")),
+
     "q_scalar_date" -> ((s, d) => Tables(s, d, "orders")
       .select(col("o_orderkey"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
@@ -90,6 +103,17 @@ object Scalars {
         |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
         |  string_split(p_name, ' ')[1] AS w0
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_levenshtein" ->
+      """SELECT p_partkey, wa, wb, lev,
+        |  ROUND(1.0 - CAST(lev AS DOUBLE) / greatest(length(wa), length(wb)), 4) AS sim
+        |FROM (
+        |  SELECT p_partkey,
+        |    string_split(p_name, ' ')[1] AS wa,
+        |    string_split(p_name, ' ')[-1] AS wb,
+        |    CAST(levenshtein(string_split(p_name, ' ')[1], string_split(p_name, ' ')[-1]) AS BIGINT) AS lev
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_scalar_date" ->
       """SELECT o_orderkey,

@@ -80,9 +80,31 @@ object Windows {
           last(col("c_custkey")).over(wf).as("poorest"))
         .orderBy("c_custkey")
     }),
+
+    // Relative-rank analytics: percent_rank = (rank-1)/(n-1) and
+    // cume_dist = peers<=current / n are the SAME division in both engines
+    // (identical ints -> identical ieee754 quotient); round(6) is belt-and-
+    // braces only.
+    "q_window_percent_rank" -> ((s, d) => {
+      val wo = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(wo), 6).as("pct_rank"),
+          round(cume_dist().over(wo), 6).as("cume"))
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ROUND(percent_rank() OVER wo, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER wo, 6) AS cume
+        |FROM customer
+        |WINDOW wo AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

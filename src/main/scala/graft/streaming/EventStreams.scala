@@ -45,6 +45,28 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream interval join: view -> purchase conversion pairs by the
+    * same user within (v.ts, v.ts + 5 min] — the streaming twin of
+    * q_join_range_theta. Both sides carry watermarks AND the join condition
+    * bounds event time on both sides, so each side's state store evicts
+    * rows once the other side's watermark passes v.ts + 5 min (unbounded
+    * state otherwise — Spark rejects append-mode stream-stream joins
+    * without such a constraint). */
+  def conversionPairs(views: DataFrame, purchases: DataFrame,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("view_id"), col("purchase_id"))
+  }
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import graft.streaming.EventStreams.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 
 /** Stream/batch equivalence and watermark semantics (SURVEY §2.3). */
 class EventStreamsSuite extends SparkSpec {
@@ -80,6 +81,45 @@ class EventStreamsSuite extends SparkSpec {
       val batch = graft.queries.TimeSeries.sessionize(boundary.toDF())
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(batch === Set((7L, 1L, 2L), (7L, 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch range-theta twin") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:03:00"), 1, "purchase", 9.0), // within 5 min: pair (1,2)
+      Event(3, ts("2024-01-01 10:05:00"), 1, "purchase", 9.0), // exactly 5 min: pair (1,3)
+      Event(4, ts("2024-01-01 10:06:00"), 1, "purchase", 9.0), // past 5 min: no pair
+      Event(5, ts("2024-01-01 10:00:00"), 2, "view", 1.0),
+      Event(6, ts("2024-01-01 10:04:00"), 3, "purchase", 9.0)) // other user: no pair
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.conversionPairs(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("conv_stream")
+      .outputMode("append").start()
+    try {
+      vIn.addData(events.filter(_.event_type == "view"))
+      pIn.addData(events.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so all joinable state is emitted
+      vIn.addData(Event(90, ts("2024-01-01 12:00:00"), 9, "view", 0.0))
+      pIn.addData(Event(91, ts("2024-01-01 12:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("conv_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === Set((1L, 2L), (1L, 3L)))
+      // batch twin on the same rows (same join condition, no watermarks)
+      val df = events.toDF()
+      val batch = df.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("vts"))
+        .join(df.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("pts")),
+          $"user_id" === $"p_user" && $"pts" > $"vts" &&
+            $"pts" <= $"vts" + expr("INTERVAL 5 MINUTES"))
+        .select("view_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
