@@ -132,14 +132,16 @@ object LlmOps {
       // is unreferenced. On a real cluster executor loss forfeits a
       // localCheckpoint — acceptable for a recomputable intra-query temp.
       val ds = sh.join(svocab, "sh").select("doc_id", "sid").localCheckpoint()
-      val mh = ds.crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
-        .select(col("doc_id"), col("i"),
-          ((lit(7) + lit(11) * col("i")) * col("sid") + lit(3) + lit(17) * col("i")) % 1000003 as "h")
-        .groupBy("doc_id", "i").agg(min(col("h")).as("m"))
-      val bands = mh.withColumn("band", (col("i") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(transform(sort_array(collect_list(struct(col("i"), col("m")))),
-          x => x.getField("m").cast("string")), "-").as("bkey"))
+      // all 16 permutation minima in ONE partial+final hash aggregation —
+      // no 16x row explosion, no per-(doc, i) shuffle, no collect_list
+      // band re-grouping; band keys are then a map-side string concat
+      val mins = (0 until 16).map(i =>
+        min((lit(7 + 11 * i) * col("sid") + lit(3 + 17 * i)) % 1000003).as(s"m$i"))
+      val mh = ds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = mh.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat_ws("-", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)): _*))
+          .as(Seq("band", "bkey")))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
