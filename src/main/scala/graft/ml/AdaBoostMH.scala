@@ -222,6 +222,27 @@ object AdaBoostMH {
     trainCore(spark, points, grids, numBins, NumLabels, numRounds)
   }
 
+  /** Persist a trained model as parquet: one row per boosting round, in
+    * round order (`t`). Parquet, not JSON/pickle: the model is data — it
+    * survives language/version changes, is splittable, and loads anywhere
+    * the engine runs. Doubles round-trip exactly through parquet. */
+  def saveModel(spark: SparkSession, stumps: Array[DecisionStump], path: String): Unit = {
+    import spark.implicits._
+    stumps.zipWithIndex.toSeq
+      .map { case (st, t) => (t, st.featureIndex, st.threshold, st.alpha, st.votes.toSeq) }
+      .toDF("t", "feature_index", "threshold", "alpha", "votes")
+      .repartition(1) // a model is KBs; never shard it
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Array[DecisionStump] =
+    spark.read.parquet(path)
+      .select("t", "feature_index", "threshold", "alpha", "votes")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => DecisionStump(r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getSeq[Int](4).toArray))
+
   /** F(x)_l = sum_t alpha_t * v_tl * phi_t(x); argmax label, ties -> lowest. */
   def scoreVector(stumps: Array[DecisionStump], x: Seq[Double], k: Int): Array[Double] = {
     val f = new Array[Double](k)

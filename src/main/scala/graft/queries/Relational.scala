@@ -122,6 +122,21 @@ object Relational {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")),
 
+    // Skew-salted equi join through operators.ScaleJoins: lineitem's hot
+    // orderkeys are spread over 8 deterministic salts, the small side is
+    // replicated per salt. The salt must be INVISIBLE in the result — the
+    // oracle is the plain equi join, which is the whole point.
+    "q_join_salted" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val ords = Tables(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus")
+      graft.operators.ScaleJoins.saltedJoin(li, ords, "l_orderkey", "o_orderkey", 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- aggregations ---------------------------------------------------
     "q_agg_q1" -> ((s, d) => Tables(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
@@ -373,6 +388,13 @@ object Relational {
 
     "q_join_cross_bounded" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2""",
+
+    "q_join_salted" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

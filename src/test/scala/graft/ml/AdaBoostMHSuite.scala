@@ -111,6 +111,29 @@ class AdaBoostMHSuite extends SparkSpec {
     assert(stumps.forall(_.alpha >= 0))
   }
 
+  test("model save/load round-trips stumps and predictions exactly") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val stumps = AdaBoostMH.train(spark, df, numRounds = 3)
+    val dir = java.nio.file.Files.createTempDirectory("boost_model").toString
+    AdaBoostMH.saveModel(spark, stumps, dir)
+    val loaded = AdaBoostMH.loadModel(spark, dir)
+    assert(loaded.length === stumps.length)
+    stumps.zip(loaded).foreach { case (a, b) =>
+      assert(a.featureIndex === b.featureIndex)
+      assert(a.threshold === b.threshold) // exact: parquet doubles round-trip
+      assert(a.alpha === b.alpha)
+      assert(a.votes.toSeq === b.votes.toSeq)
+    }
+    import org.apache.spark.sql.functions.col
+    val pOrig = df.select(col("vec_id"),
+        AdaBoostMH.predictUdf(stumps)(col("embedding").cast("array<double>")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pLoaded = df.select(col("vec_id"),
+        AdaBoostMH.predictUdf(loaded)(col("embedding").cast("array<double>")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pOrig === pLoaded)
+  }
+
   test("determinism: two fits produce identical stumps") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val a = AdaBoostMH.train(spark, df, numRounds = 3)
