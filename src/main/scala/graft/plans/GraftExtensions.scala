@@ -93,6 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
