@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues}
 
 /** Structured-Streaming surface of the engine (SURVEY §2.3). The reference
   * has no streaming; the harness compares static parquet, so these transforms
@@ -95,6 +96,57 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Timer-driven sessionization on transformWithState: per user, count
+    * events and (re-)arm an event-time timer at last_seen + 30 min; when the
+    * watermark passes it, handleExpiredTimer emits (user, n_events,
+    * session_end_ms) and clears state — the push-based session close that
+    * session_window cannot express (it only emits on the NEXT aggregation
+    * trigger). State per key is two longs + one timer: bounded regardless
+    * of stream length. */
+  class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, (Long, Long, Long)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        last = math.max(last, e.ts.getTime)
+      }
+      if (lastSeen.exists()) getHandle.deleteTimer(lastSeen.get() + gapMs)
+      count.update(n)
+      lastSeen.update(last)
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val out = (user, count.get(), expiredTimerInfo.getExpiryTimeInMs())
+      count.clear(); lastSeen.clear()
+      Iterator.single(out)
+    }
+  }
+
+  def sessionTimeouts(events: Dataset[Event],
+                      gapMs: Long = 30L * 60 * 1000,
+                      watermark: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Custom stateful op: running per-user event counter via

@@ -191,6 +191,39 @@ class EventStreamsSuite extends SparkSpec {
     }
   }
 
+  test("timer-driven sessionization emits on watermark passing the gap") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionTimeouts(input.toDS())
+      .writeStream.format("memory").queryName("timer_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0)))
+      q.processAllAvailable()
+      // no session closed yet: watermark is at 10:10, timer armed for 10:40
+      assert(spark.table("timer_stream").isEmpty)
+      // push the watermark past 10:40 -> user 7's session must close
+      input.addData(Seq(Event(3, ts("2024-01-01 12:00:00"), 9, "view", 1.0)))
+      q.processAllAvailable()
+      val sessions = spark.table("timer_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expiry = ts("2024-01-01 10:40:00").getTime
+      assert(sessions === Set((7L, 2L, expiry)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
