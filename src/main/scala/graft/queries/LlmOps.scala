@@ -39,6 +39,15 @@ object LlmOps {
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
        |       * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Mask URLs then emails with fixed tokens. Patterns stay inside the
+    * regex subset Java regex and RE2 agree on (character classes +
+    * quantifiers, no backrefs/lookaround), so DuckDB's regexp_replace with
+    * 'g' computes the identical result. */
+  def scrubText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://[a-zA-Z0-9./_-]+", "<URL>"),
+      "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+", "<EMAIL>")
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -251,6 +260,30 @@ object LlmOps {
       .withColumn("quality", round(
         least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
           (col("n_distinct").cast("double") / col("n_tokens")), 4))
+      .orderBy("doc_id")),
+
+    // Document chunking for LLM training: overlapping token windows of 32
+    // tokens with stride 24 (25% overlap), each chunk re-joined to text.
+    // Pure generator arithmetic (sequence -> slice), so it runs map-side
+    // with no shuffle — at 100 TB chunking is a flatMap over the corpus and
+    // the chunk count is ceil((n-overlap)/stride) per doc.
+    "q_text_chunk" -> ((s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(1, CAST(ceil((size(t) - 8) / 24.0) AS INT))), " +
+            "k -> array_join(slice(t, (k - 1) * 24 + 1, 32), ' '))"))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_tokens", size(split(col("chunk"), " ")).cast("long"))
+      .orderBy("doc_id", "chunk_id")),
+
+    // PII/URL scrubbing. The harness corpus contains no URLs/emails (the
+    // oracle exercises the identity path); LlmOpsScrubSuite masks crafted
+    // strings through the same scrubText expression.
+    "q_text_scrub" -> ((s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"), scrubText(col("text")).as("clean"))
+      .withColumn("n_urls", size(split(col("clean"), "<URL>", -1)).cast("long") - 1)
+      .withColumn("n_emails", size(split(col("clean"), "<EMAIL>", -1)).cast("long") - 1)
       .orderBy("doc_id")),
 
     // Token counting: whitespace split vs BPE-ish regex extraction.
@@ -476,6 +509,28 @@ object LlmOps {
         |  ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
         |        * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, k - 1 AS chunk_id,
+        |         array_to_string(t[(k-1)*24 + 1 : (k-1)*24 + 32], ' ') AS chunk
+        |  FROM t, UNNEST(generate_series(1,
+        |         greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS INT)))) AS u(k))
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id, clean,
+        |  CAST(len(string_split(clean, '<URL>')) - 1 AS BIGINT) AS n_urls,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_emails
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, 'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g'),
+        |                   '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS clean
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->

@@ -1,0 +1,25 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** scrubText on strings that actually contain URLs/emails (the harness
+  * corpus has none — q_text_scrub's oracle covers only the identity path). */
+class LlmOpsScrubSuite extends SparkSpec {
+
+  test("scrubText masks URLs and emails, leaves clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "visit https://example.com/a_b-c/d.html for details"),
+      (2L, "mail bob.smith_1@corp-mail.example.org today"),
+      (3L, "both http://x.io/p and alice@x.io here"),
+      (4L, "nothing to scrub at all"))
+    val got = rows.toDF("id", "text")
+      .select(col("id"), LlmOps.scrubText(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "visit <URL> for details")
+    assert(got(2L) === "mail <EMAIL> today")
+    assert(got(3L) === "both <URL> and <EMAIL> here")
+    assert(got(4L) === "nothing to scrub at all")
+  }
+}
