@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index with a deterministic Lloyd-refined coarse
+  * quantizer — the scale path for similarity search (q_ann_ivf in the t2
+  * contract keeps its fixed first-k quantizer because DuckDB must mirror
+  * it; this component is the real thing, exercised by IvfIndexSuite).
+  *
+  * Determinism (same model on every run, any partitioning, any cluster):
+  *  - init: centroids = the k lowest vec_ids (no RNG);
+  *  - assignment: argmin squared-L2 over L2-NORMALIZED vectors (= argmax
+  *    cosine), ties to the lowest cell id;
+  *  - update: per-dimension means from DECIMAL(28,12) sums — exact and
+  *    order-independent, so partition/merge order cannot perturb centroids
+  *    (double-sum means would drift between runs and cluster layouts).
+  *
+  * Scale shape: each Lloyd iteration is one broadcast (k×d doubles, KBs) +
+  * one map-side assignment + one (cell, dim) hash aggregation — no shuffle
+  * of the vectors themselves, ever. Search scans nprobe cells instead of
+  * the corpus: the candidate set shrinks by ~k/nprobe; cells are the
+  * natural partition key for a 100 TB layout (cluster-prune at the file
+  * level via PartitionedLayout on `cell`).
+  */
+object IvfIndex {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** L2-normalize the embedding column into `v`. */
+  private def normalized(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("v", expr("transform(e, x -> x / sqrt(graft_dot(e, e)))"))
+      .select("vec_id", "v")
+  }
+
+  private def nearestCellUdf(cents: Array[Array[Double]]) = udf { v: Seq[Double] =>
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd's k-means, `iters` rounds from the deterministic seed. */
+  def train(df: DataFrame, k: Int, iters: Int): Model = {
+    val vecs = normalized(df)
+    var cents: Array[Array[Double]] = vecs
+      .orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cell", nearestCellUdf(cents)(col("v")))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => // mean per dimension; empty cells keep centroid
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => cents(c)
+        }
+      }.toArray
+    }
+    Model(cents)
+  }
+
+  /** (vec_id, cell) assignment of the corpus under `model`. */
+  def assign(df: DataFrame, model: Model): DataFrame =
+    normalized(df).withColumn("cell", nearestCellUdf(model.centroids)(col("v")))
+      .select("vec_id", "v", "cell")
+
+  /** Top-k cosine neighbors per query, scanning only the nprobe nearest
+    * cells. nprobe = model.k degrades to exact brute force (suite-pinned). */
+  def search(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             model: Model, topK: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.k)
+    val assigned = assign(corpus, model)
+    // each query probes its nprobe nearest cells
+    val qcells = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("cell", explode(nearestCellsUdf(model.centroids, nprobe)(col("qv"))))
+    graft.functions.VectorFunctions.register(spark)
+    val scored = qcells.join(assigned.select(col("vec_id").as("c_id"),
+        col("v").as("cv"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", expr("graft_dot(qv, cv)")) // unit vectors: dot = cosine
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select("q_id", "rn", "c_id", "cos_sim")
+  }
+
+  private def nearestCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
+    udf { v: Seq[Double] =>
+      cents.indices.map { c =>
+        val ct = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+        (d, c)
+      }.sortBy(identity).take(nprobe).map(_._2) // ties to lowest cell id
+    }
+}

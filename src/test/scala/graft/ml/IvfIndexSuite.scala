@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def embeddings = Tables(spark, sf, "embeddings")
+  private def corpus = embeddings.filter(col("vec_id") >= 10)
+  private def queries = embeddings.filter(col("vec_id") < 10)
+
+  private def bruteTop5: Map[Long, Seq[Long]] = {
+    graft.functions.VectorFunctions.register(spark)
+    val e = embeddings.select(col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), x -> x / sqrt(graft_dot(CAST(embedding AS array<double>), CAST(embedding AS array<double>))))").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"), col("v").as("cv"))
+    q.crossJoin(c)
+      .withColumn("cos", expr("graft_dot(qv, cv)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rn") <= 5)
+      .select("q_id", "rn", "c_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+  }
+
+  test("training is deterministic across partitionings") {
+    val m1 = IvfIndex.train(corpus.repartition(1), k = 8, iters = 3)
+    val m2 = IvfIndex.train(corpus.repartition(32), k = 8, iters = 3)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq) // exact: decimal-mean updates
+    }
+  }
+
+  test("nprobe = k reproduces brute-force top-5 exactly") {
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val got = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got === bruteTop5)
+  }
+
+  test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val exact = bruteTop5
+    val recalls = exact.map { case (qid, top) =>
+      approx.get(qid).map(a => top.count(a.contains).toDouble / top.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@5 = $mean (per-query: $recalls)")
+    // Lloyd refinement must not be a no-op: centroids moved from the seed
+    val seed = IvfIndex.train(corpus, k = 8, iters = 0)
+    assert(model.centroids.flatten.toSeq !== seed.centroids.flatten.toSeq)
+  }
+}
