@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins the physical-plan properties the 100 TB design depends on — a
+  * regression gate, not a printer (tools.PlanAudit stays the human-readable
+  * version). String-level checks run on the pre-execution plan; markers are
+  * stable across AQE because the initial plan is embedded in toString. */
+class PlanQualitySuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange ".r.findAllIn(p).length
+
+  test("q_scan_pruned: shipdate predicate and column prune reach parquet") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // ReadSchema is the 4 projected columns, not all 16
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("l_comment") && !rs.contains("l_partkey"), rs)
+  }
+
+  test("q_join_broadcast: tiny dims use BroadcastHashJoin, zero big shuffles") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk_global: limit folds into TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_q1 and q_agg_stats: hash aggregation with partial pushdown") {
+    Seq("q_agg_q1", "q_agg_stats").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q must not sort-aggregate:\n$p")
+    }
+  }
+
+  test("q_sample_hash: deterministic sample is a scan-side filter, one shuffle") {
+    val p = plan("q_sample_hash")
+    assert(p.contains("Filter"), p)
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!rs.contains("o_comment") && !rs.contains("o_orderdate"), rs)
+    // one data shuffle (final agg) + one range shuffle ordering the tiny result
+    assert(exchanges(p) === 2, s"expected agg + output-order shuffles only:\n$p")
+  }
+
+  test("q_dedup_exact: one data shuffle (on the digest) + output ordering") {
+    val p = plan("q_dedup_exact")
+    assert(exchanges(p) === 2, p)
+  }
+
+  test("q_window_percent_rank: one shuffle feeding one Window + output ordering") {
+    val p = plan("q_window_percent_rank")
+    assert(exchanges(p) === 2, p)
+    assert("Window".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("q_sim_topk: the query side is broadcast — candidates never shuffle") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
