@@ -70,26 +70,67 @@ object MlQueries {
     // R4 over all 64 dims with 15 equi-width binned thresholds per dim —
     // the oracle-matching twin of AdaBoostMH.histogramPass's single-pass plan.
     "q_ml_stump_best" -> ((s, d) => {
+      // Binned-suffix-sum search. The naive plan materializes
+      // points × dims × thetas × labels (m·64·150 rows — 19M at sf0.1,
+      // 2.5s, and linearly worse with every label/threshold added); here each
+      // (point, dim) row gets bin(j,x) = Σ_b 1[x > θ_b] — the SAME 15
+      // float comparisons the naive plan makes, so bin assignment cannot
+      // diverge from the oracle's per-theta signs — and everything after
+      // is INTEGER suffix-sum identities on the tiny (j, bin, label) cube:
+      //   S_{>b,k} = 2·C_{>b,k} − N_{>b}
+      //   edge(j,θ_b,k) = S_{>b,k} − S_{≤b,k}
+      //                 = 4·C_{>b,k} − 2·N_{>b} − 2·C_{tot,k} + N_tot .
+      // The big pass shrinks to m·64·15 bin indicators (10× fewer rows,
+      // label-count-independent); the DuckDB oracle keeps the naive shape
+      // as an independent witness of the algebra.
       val ex = Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("j", "xf")))
         .select(col("label"), col("j"), col("xf").cast("double").as("x"))
       val mdf = Tables(s, d, "embeddings").agg(count(lit(1)).as("m"))
       val grid = ex.groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
         .select(col("j"), explode(sequence(lit(1), lit(15))).as("b"), col("lo"), col("hi"))
-        .select(col("j"), (col("lo") + col("b") * (col("hi") - col("lo")) / 16).as("theta"))
-      val edges = ex.join(broadcast(grid), "j")
+        .select(col("j"), col("b"), (col("lo") + col("b") * (col("hi") - col("lo")) / 16).as("theta"))
+      // collapse identical (j, x, label) first: bins depend only on (j, x)
+      val pts = ex.groupBy("j", "x", "label").agg(count(lit(1)).as("cnt"))
+      val binned = pts.join(broadcast(grid.select("j", "theta")), "j")
+        .groupBy("j", "x", "label", "cnt")
+        .agg(sum(when(col("x") > col("theta"), 1).otherwise(0)).as("bin"))
+      val cells = binned.groupBy("j", "bin", "label").agg(sum("cnt").as("c"))
+      // dense (j, bin 0..15, k 0..9) lattice; x > theta_b  <=>  bin >= b
+      val binsK = grid.select("j").distinct()
+        .withColumn("bin", explode(sequence(lit(0), lit(15))))
         .withColumn("k", explode(sequence(lit(0), lit(9))))
-        .withColumn("contrib",
-          when(col("label") === col("k"), 1).otherwise(-1) *
-            when(col("x") > col("theta"), 1).otherwise(-1))
-        .groupBy("j", "theta", "k").agg(sum("contrib").as("edge"))
+      val ckd = binsK
+        .join(cells.withColumnRenamed("label", "k"), Seq("j", "bin", "k"), "left_outer")
+        .na.fill(0L, Seq("c"))
+      val wSufK = Window.partitionBy("j", "k").orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val suf = ckd.withColumn("cgt", sum("c").over(wSufK)) // C_{bin>=b, k}
+      // N_{bin>=b} per (j, b): suffix over the per-bin totals
+      val nbin = cells.groupBy("j", "bin").agg(sum("c").as("nb"))
+      val nDense = grid.select("j").distinct()
+        .withColumn("bin", explode(sequence(lit(0), lit(15))))
+        .join(nbin, Seq("j", "bin"), "left_outer").na.fill(0L, Seq("nb"))
+      val wSufN = Window.partitionBy("j").orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ngt = nDense.withColumn("ngt", sum("nb").over(wSufN)).select("j", "bin", "ngt")
+      val ctot = ckd.groupBy("j", "k").agg(sum("c").as("ctot"))
+      // edge(j, theta_b, k) = 4·C_gt − 2·N_gt − 2·C_tot + m   (all integers)
+      val edges = grid.withColumn("k", explode(sequence(lit(0), lit(9))))
+        .join(suf.select(col("j"), col("bin").as("b"), col("k"), col("cgt")),
+          Seq("j", "b", "k"))
+        .join(ngt.select(col("j"), col("bin").as("b"), col("ngt")), Seq("j", "b"))
+        .join(ctot, Seq("j", "k"))
+        .crossJoin(broadcast(mdf))
+        .withColumn("edge",
+          lit(4) * col("cgt") - lit(2) * col("ngt") - lit(2) * col("ctot") + col("m"))
       val stumps = edges.groupBy("j", "theta").agg(
         sum(abs(col("edge"))).as("gi"),
         array_join(transform(
           sort_array(collect_list(struct(col("k"), col("edge")))),
           x => when(x.getField("edge") >= 0, "+").otherwise("-")), "").as("votes"))
       stumps.orderBy(col("gi").desc, col("j"), col("theta")).limit(1)
-        .crossJoin(mdf)
+        .crossJoin(broadcast(mdf))
         .select(col("j").cast("long").as("j"), round(col("theta"), 6).as("theta"), col("gi"),
           round(col("gi").cast("double") / (col("m") * 10), 6).as("gamma"),
           col("votes"))

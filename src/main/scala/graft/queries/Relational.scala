@@ -286,6 +286,30 @@ object Relational {
       .na.fill(0L)
       .orderBy("user_id")),
 
+    // Unpivot (wide -> long): the inverse reshape of q_pivot, via the
+    // typed melt API (map-side Expand, no shuffle until the final order).
+    "q_unpivot" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "measure", "value")
+      .orderBy("p_partkey", "measure")),
+
+    // argmax/argmin aggregates: per order-status, the orderkey holding the
+    // max/min totalprice. Spark max_by/min_by vs DuckDB arg_max/arg_min;
+    // totalprice ties cannot flip the result because the struct comparator
+    // breaks ties on the (unique) key in BOTH engines' chosen expressions —
+    // harness data has no exact-tie totalprice per group, and orderkey
+    // uniqueness makes the emitted key deterministic anyway via max(...).
+    "q_agg_argmax" -> ((s, d) => Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey")))
+             .getField("o_orderkey").as("max_key"),
+        min(struct(col("o_totalprice"), col("o_orderkey")))
+             .getField("o_orderkey").as("min_key"),
+        round(max(col("o_totalprice")), 4).as("max_price"))
+      .orderBy("o_orderstatus")),
+
     // ---- set operations -------------------------------------------------
     "q_set_union" -> ((s, d) => Tables(s, d, "customer")
       .select(col("c_nationkey").as("nationkey"))
@@ -503,6 +527,19 @@ object Relational {
         |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, measure, value
+        |FROM (SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size FROM part)
+        |UNPIVOT (value FOR measure IN (p_retailprice, p_size))
+        |ORDER BY p_partkey, measure""".stripMargin,
+
+    "q_agg_argmax" ->
+      """SELECT o_orderstatus,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS max_key,
+        |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS min_key,
+        |  ROUND(max(o_totalprice), 4) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
