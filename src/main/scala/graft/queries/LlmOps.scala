@@ -166,13 +166,17 @@ object LlmOps {
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.
     "q_dedup_simhash" -> ((s, d) => {
       val dt = docTokenIds(s, d)
-      val sh = dt.crossJoin(broadcast(s.range(0, 16).select(col("id").as("k"))))
-        .select(col("doc_id"), col("k"),
-          expr("CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, CAST(k AS INT)), 2) = 1 THEN 1 ELSE -1 END").as("v"))
-        .groupBy("doc_id", "k")
-        .agg(when(sum(col("v")) > 0, 1L).otherwise(0L).as("b"))
-        .groupBy("doc_id")
-        .agg(sum(expr("b * shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")).as("simhash"))
+      // all 16 bit-sums in ONE hash aggregation (no 16x crossJoin rows, one
+      // shuffle instead of two) — same trick as q_dedup_minhash; the bit-k
+      // vote and the final word assembly are map-side expressions
+      val bitSums = (0 until 16).map(k => sum(
+        expr(s"CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, $k), 2) = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$k"))
+      val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(k =>
+            when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
       sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
