@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join without the pair blowup.
+  *
+  * The window-over-pairs formulation (q_join_asof's oracle-friendly shape)
+  * joins every left row to ALL earlier right rows before ranking — O(pairs
+  * per key), quadratic under hot keys. This operator uses the union-merge
+  * formulation instead: tag both sides, union, one sort per key over
+  * (ts, tag, tiebreak), and `last(right, ignoreNulls)` over the running
+  * frame gives every left row its latest right row with ts <= left.ts.
+  * ONE shuffle + ONE sort, linear in rows — the shape that survives 100 TB
+  * (and exactly what a native merge-join as-of would do; Spark 4.1 has no
+  * built-in as-of, SURVEY §2.2).
+  *
+  * Right rows at exactly left.ts ARE visible (backward-inclusive), matching
+  * the pair formulation's `rts <= lts`. Among equal-ts right rows the
+  * winner is the LAST under `rightTieBreak` ascending — pass the mirror of
+  * the pair form's DESC ranking.
+  */
+object AsOfJoin {
+
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns
+    val rightCols = right.columns
+    val l = left.select(
+      col(key).as("_k"), col(leftTs).as("_t"), lit(1).as("_tag"),
+      lit(null).cast("long").as("_tie"),
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(right.select(struct(rightCols.map(col): _*)).schema.head.dataType)
+        .as("_r"))
+    val r = right.select(
+      col(key).as("_k"), col(rightTs).as("_t"), lit(0).as("_tag"),
+      col(rightTieBreak).cast("long").as("_tie"),
+      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
+        .as("_l"),
+      struct(rightCols.map(col): _*).as("_r"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_l").as("l"), col("_m").as("r"))
+      .select(leftCols.map(c => col(s"l.$c")) ++
+        rightCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+}

@@ -68,6 +68,26 @@ object EventStreams {
       .select(col("view_id"), col("purchase_id"))
   }
 
+  /** Left-outer variant of [[conversionPairs]]: views with no purchase in
+    * their 5-minute horizon are emitted with a null purchase_id once the
+    * purchase-side watermark proves none can arrive — the streaming
+    * "abandoned view" feed. Same bounded state as the inner form. */
+  def conversionPairsOuter(views: DataFrame, purchases: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    v.join(p, col("user_id") === col("p_user") &&
+        col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"),
+        "left_outer")
+      .select(col("view_id"), col("purchase_id"))
+  }
+
   /** Exactly-once-per-id dedup bounded by the watermark. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("union-merge as-of equals the pair-join formulation on events") {
+    val e = Tables(spark, sf, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+
+    // reference: pair join + rank (q_join_asof's shape)
+    val j = p.join(v.withColumnRenamed("user_id", "v_user"),
+      col("user_id") === col("v_user") && col("vts") <= col("pts"))
+    val w = Window.partitionBy("purchase_id").orderBy(col("vts").desc, col("view_id").desc)
+    val expected = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("purchase_id", "view_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // merge formulation: equal-ts ties broken by view_id ASC picking the
+    // LAST = highest view_id, mirroring the DESC rank above
+    val got = AsOfJoin.asofBackward(p, v, "user_id", "pts", "vts", "view_id")
+      .filter(col("r_view_id").isNotNull)
+      .select("purchase_id", "r_view_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("left rows with no prior right row survive with null match") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (2L, 50L, "b")).toDF("k", "t", "lv")
+    val r = Seq((1L, 90L, "x"), (1L, 100L, "y"), (2L, 60L, "z")).toDF("k", "t", "rv")
+    val got = AsOfJoin.asofBackward(l, r, "k", "t", "t", "t")
+      .select("k", "lv", "r_rv")
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSet
+    // k=1 at t=100: right 'y' at exactly t=100 is visible (backward-inclusive)
+    // k=2 at t=50: right 'z' is at t=60 (future) -> null
+    assert(got === Set((1L, "a", "y"), (2L, "b", null)))
+  }
+}

@@ -123,6 +123,31 @@ class EventStreamsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched views with null purchase") {
+    import spark.implicits._
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.conversionPairsOuter(vIn.toDF(), pIn.toDF())
+      .writeStream.format("memory").queryName("conv_outer_stream")
+      .outputMode("append").start()
+    try {
+      vIn.addData(Seq(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),  // converts (2)
+        Event(5, ts("2024-01-01 10:00:00"), 2, "view", 1.0))) // abandoned
+      pIn.addData(Seq(Event(2, ts("2024-01-01 10:03:00"), 1, "purchase", 9.0)))
+      q.processAllAvailable()
+      // advance both watermarks far enough to close view 5's horizon
+      vIn.addData(Event(90, ts("2024-01-01 12:00:00"), 9, "view", 0.0))
+      pIn.addData(Event(91, ts("2024-01-01 12:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("conv_outer_stream")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(rows.contains((1L, Some(2L))), s"matched pair missing: $rows")
+      assert(rows.contains((5L, None)), s"abandoned view missing: $rows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes the duplicate event_id") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
