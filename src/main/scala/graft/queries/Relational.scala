@@ -122,6 +122,22 @@ object Relational {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")),
 
+    // The union-merge as-of operator under the harness gate: same semantics
+    // as q_join_asof (latest view at-or-before each purchase, tie -> max
+    // view_id) but ONE sort per user instead of the per-key pair blowup —
+    // identical oracle SQL proves the formulations agree on real data.
+    "q_join_asof_merge" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      graft.operators.AsOfJoin.asofBackward(p, v, "user_id", "pts", "vts", "view_id")
+        .filter(col("r_view_id").isNotNull)
+        .select(col("purchase_id"), col("r_view_id").as("view_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Skew-salted equi join through operators.ScaleJoins: lineitem's hot
     // orderkeys are spread over 8 deterministic salts, the small side is
     // replicated per salt. The salt must be INVISIBLE in the result — the
@@ -398,6 +414,17 @@ object Relational {
         | AND CAST(p.ts AS TIMESTAMP) >  CAST(v.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_join_asof_merge" ->
+      """SELECT purchase_id, view_id FROM (
+        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND p.user_id = v.user_id
+        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT purchase_id, view_id FROM (
