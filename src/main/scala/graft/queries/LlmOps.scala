@@ -202,6 +202,46 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
+    // Broadcast block-nested-loop twin of q_dedup_embed — the mapPartitions
+    // tier of the custom-op ladder (SURVEY §7.3(d)), used ONLY because the
+    // O(n^2) pair loop is pure per-partition arithmetic with nothing for
+    // Catalyst to optimize. The candidate side is broadcast once (n·d
+    // doubles, MBs); each partition loops its rows against all higher ids
+    // in a primitive array loop — no 12.5M-row join relation, no codegen
+    // boundary per pair. Arithmetic mirrors the declarative form exactly:
+    // same left-to-right dot fold, norms from the same self-dot, and
+    // BigDecimal.valueOf HALF_UP rounding (what Spark's round() does), so
+    // it shares q_dedup_embed's oracle verbatim and must hash-match it.
+    "q_dedup_embed_block" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val all = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(all)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
+        s0
+      }
+      e.as[(Long, Array[Double])].mapPartitions { it =>
+        val cand = bc.value
+        val norms = cand.map { case (_, v) => math.sqrt(dot(v, v)) }
+        val idx = cand.map(_._1).zipWithIndex.toMap
+        it.flatMap { case (d1, va) =>
+          val na = math.sqrt(dot(va, va))
+          val from = idx(d1) + 1
+          (from until cand.length).iterator.flatMap { j =>
+            val (d2, vb) = cand(j)
+            val cos = java.math.BigDecimal.valueOf(dot(va, vb) / (na * norms(j)))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= 0.4) Some((d1, d2, cos)) else None
+          }
+        }
+      }.toDF("d1", "d2", "cos_sim")
+        .orderBy("d1", "d2")
+    }),
+
     // LSH-accelerated twin of q_dedup_embed: 30 random-hyperplane sign bits
     // (6 bands x 5 bits) bucket the vectors; only same-bucket pairs get the
     // exact cosine check. Hyperplanes come from a shared integer LCG
@@ -456,6 +496,19 @@ object LlmOps {
          |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT d1, d2, cos_sim FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    // same oracle as q_dedup_embed — the block loop must be invisible
+    "q_dedup_embed_block" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
         |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
