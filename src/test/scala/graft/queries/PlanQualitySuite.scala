@@ -68,4 +68,18 @@ class PlanQualitySuite extends SparkSpec {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_join_asof_merge: union-merge as-of has NO join operator at all") {
+    val p = plan("q_join_asof_merge")
+    assert(!p.contains("Join"), s"merge as-of must not plan a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_dedup_embed_block: pair loop shuffles only the tiny result") {
+    val p = plan("q_dedup_embed_block")
+    assert(!p.contains("Join"), s"block variant must not plan a join:\n$p")
+    // one range exchange ordering the ~hundreds-of-rows output; the 12.5M
+    // candidate pairs never hit a shuffle
+    assert(exchanges(p) === 1, p)
+  }
 }
