@@ -260,6 +260,16 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderstatus")),
 
+    // Boolean aggregates: per order-priority, did every/any order ship
+    // above a price floor. every/some compile to Min/Max over booleans —
+    // hash-aggregable, mergeable, no special handling at scale.
+    "q_agg_bool" -> ((s, d) => Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("every(o_totalprice > 1000.0)").as("all_above_1k"),
+        expr("some(o_totalprice > 250000.0)").as("any_above_250k"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")),
+
     "q_agg_collect_sorted" -> ((s, d) => Tables(s, d, "customer")
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -496,6 +506,13 @@ object Relational {
       """SELECT o_orderstatus,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_above_1k,
+        |  bool_or(o_totalprice > 250000.0) AS any_above_250k,
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 

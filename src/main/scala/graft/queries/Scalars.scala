@@ -41,6 +41,18 @@ object Scalars {
         round(lit(1.0) - col("lev") / greatest(length(col("wa")), length(col("wb"))), 4))
       .orderBy("p_partkey")),
 
+    // Bitwise scalars over integral keys — identical two's-complement
+    // semantics in both engines.
+    "q_scalar_bitwise" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"),
+        expr("p_partkey & 255").as("band"),
+        expr("p_partkey | 4096").as("bor"),
+        expr("p_partkey ^ 21845").as("bxor"),
+        expr("shiftleft(p_partkey, 3)").as("shl"),
+        expr("shiftright(p_partkey, 2)").as("shr"),
+        expr("CAST(bit_count(p_partkey) AS BIGINT)").as("popcnt"))
+      .orderBy("p_partkey")),
+
     "q_scalar_date" -> ((s, d) => Tables(s, d, "orders")
       .select(col("o_orderkey"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
@@ -114,6 +126,16 @@ object Scalars {
         |    CAST(levenshtein(string_split(p_name, ' ')[1], string_split(p_name, ' ')[-1]) AS BIGINT) AS lev
         |  FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band,
+        |  p_partkey | 4096 AS bor,
+        |  xor(p_partkey, 21845) AS bxor,
+        |  p_partkey << 3 AS shl,
+        |  p_partkey >> 2 AS shr,
+        |  CAST(bit_count(p_partkey) AS BIGINT) AS popcnt
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_scalar_date" ->
       """SELECT o_orderkey,
