@@ -56,6 +56,43 @@ class ScaleJoinsSuite extends SparkSpec {
     assert(plain.size === 1801) // 1800 hot + 1 cold
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // 95% of the left side hits one key; thresholds lowered so the local
+    // fixture trips the same skew handling a hot key trips at 100 TB
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val large = (1 to 200000).map(i => (if (i % 20 != 0) 1L else i.toLong, s"pad-$i-${"x" * 40}"))
+        .toDF("k", "v")
+      val right = (1L to 20000L).map(k => (k, s"r$k")).toDF("rk", "rv")
+      val joined = large.join(right, col("k") === col("rk"))
+      // execute THROUGH this DataFrame's own QueryExecution (count() would
+      // build a fresh one and leave this plan un-adapted)
+      val n = joined.collect().length
+      // 190000 hot rows match rk=1; cold keys are multiples of 20, of which
+      // those <= 20000 (1000 keys) match
+      assert(n === 190000 + 1000)
+      val adaptive = joined.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+      val finalPlan = adaptive.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a runtime skew-split join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join is deterministic across runs") {
     import spark.implicits._
     val large = (1 to 500).map(i => (i.toLong % 7, i)).toDF("k", "v")

@@ -34,6 +34,19 @@ class DelimitedSuite extends SparkSpec {
     assert(back.select("props").head().getString(0).startsWith("{"))
   }
 
+  test("ORC round-trip preserves rows and schema (columnar alt to parquet)") {
+    val dir = Files.createTempDirectory("orc_rt").toString
+    val src = events
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).orderBy("event_id")
+    assert(back.schema === src.schema)
+    assert(back.collect().map(_.toSeq).toSeq === src.collect().map(_.toSeq).toSeq)
+    // predicate pushdown reaches the ORC scan too
+    val plan = spark.read.orc(dir).filter(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"), plan)
+  }
+
   test("FAILFAST: malformed CSV row fails loudly instead of nulling") {
     val dir = Files.createTempDirectory("csv_bad")
     Files.writeString(dir.resolve("part.csv"),
