@@ -354,12 +354,17 @@ object LlmOps {
     // argmax profile overlap, ties alphabetical.
     "q_text_lang_id" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val words = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      // ONE tokenization pass feeds both the language profiles and the
+      // per-doc distinct tokens (the two consumers differ only in
+      // aggregation); localCheckpoint materializes the ~(tokens) rows once
+      // instead of re-exploding the corpus per consumer.
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w")).localCheckpoint()
       val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
-      val prof = words.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val prof = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 5)
         .select(col("lang").as("plang"), col("w"))
-      val dt = docTokens(s, d)
+      val dt = tok.select("doc_id", "w").distinct()
       val matches = dt.join(broadcast(prof), "w")
         .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_matches"))
       val langs = docs.select(col("lang").as("plang")).distinct()

@@ -43,6 +43,28 @@ class IvfIndexSuite extends SparkSpec {
     assert(got === bruteTop5)
   }
 
+  test("cells are a physical partition key: probe reads prune at file level") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val model = IvfIndex.train(corpus, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    graft.sources.PartitionedLayout.writePartitioned(
+      IvfIndex.assign(corpus, model).select("vec_id", "cell"), dir, "cell")
+    val probe = graft.sources.PartitionedLayout.read(spark, dir)
+      .filter(col("cell") === 2)
+    val plan = probe.queryExecution.executedPlan
+    val scan = (plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collectLeaves().collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.nonEmpty, scan.treeString)
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size === 1,
+      "a one-cell probe must touch exactly one of the k cell directories")
+    // and the partitioned copy is lossless
+    val total = graft.sources.PartitionedLayout.read(spark, dir).count()
+    assert(total === corpus.count())
+  }
+
   test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
     val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)
