@@ -73,6 +73,32 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly and respects window/stride") {
+    val rows = LlmOps.queries("q_text_chunk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val t = docs(docId)
+      val n = t.length
+      val expected = math.max(1, math.ceil((n - 8) / 24.0).toInt)
+      assert(chunks.length === expected, s"doc $docId: $n tokens")
+      chunks.foreach { case (_, cid, chunk, nTok) =>
+        val words = chunk.split(" ").toSeq
+        assert(nTok === words.length)
+        assert(words.length <= 32)
+        // chunk cid is exactly tokens [cid*24, cid*24+32) of the doc
+        assert(words === t.slice(cid * 24, cid * 24 + 32),
+          s"doc $docId chunk $cid misaligned")
+      }
+      // stride 24 < window 32: every token index is covered by some chunk
+      val covered = chunks.map(_._2).flatMap(cid => cid * 24 until (cid * 24 + 32))
+      assert((0 until n).forall(covered.contains), s"doc $docId: coverage gap")
+    }
+  }
+
   test("vector normalization produces unit-consistent components") {
     val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
     assert(normed.nonEmpty)
