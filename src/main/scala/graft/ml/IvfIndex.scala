@@ -33,8 +33,12 @@ object IvfIndex {
   /** L2-normalize the embedding column into `v`. */
   private def normalized(df: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    // hoist the norm out of the lambda: graft_dot(e, e) inside transform
+    // would re-run the full self-dot per ELEMENT (O(d^2) per vector, in
+    // the interpreted HOF path)
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("v", expr("transform(e, x -> x / sqrt(graft_dot(e, e)))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+      .withColumn("v", expr("transform(e, x -> x / nrm)"))
       .select("vec_id", "v")
   }
 

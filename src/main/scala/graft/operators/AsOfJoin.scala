@@ -26,6 +26,14 @@ object AsOfJoin {
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    rightTieBreak: String): DataFrame = {
+    // fail loudly: a non-integral tiebreak would silently cast to null and
+    // make equal-ts winners depend on shuffle order
+    right.schema(rightTieBreak).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"rightTieBreak '$rightTieBreak' must be an integral column, got ${other.sql}")
+    }
     val leftCols = left.columns
     val rightCols = right.columns
     val l = left.select(

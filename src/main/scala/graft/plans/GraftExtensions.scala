@@ -76,6 +76,10 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             merge: LambdaFunction,
             finish: LambdaFunction)
           if isDoubleArray(a) && isDoubleArray(b) &&
+            // the rewrite evaluates a and b twice (Size + DotProduct);
+            // duplicating a non-deterministic subexpression would change
+            // results, so bail out exactly as Catalyst's own rules do
+            a.deterministic && b.deterministic &&
             isPairwiseProduct(mult) && isSum(merge) && isIdentity(finish) =>
         If(EqualTo(Size(a), Size(b)), DotProduct(a, b), Literal(null, DoubleType))
     }
@@ -92,7 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, s"graft_dot(a, b) takes 2 arguments, got ${exprs.size}")
+        DotProduct(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),

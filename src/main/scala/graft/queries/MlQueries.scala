@@ -124,6 +124,11 @@ object MlQueries {
         .crossJoin(broadcast(mdf))
         .withColumn("edge",
           lit(4) * col("cgt") - lit(2) * col("ngt") - lit(2) * col("ctot") + col("m"))
+        // a constant dimension (hi == lo) collapses all 15 thetas to the
+        // same value; the oracle's GROUP BY (j, theta, k) then SUMS the
+        // duplicate-theta contributions into ONE row per k. Mirror that
+        // pre-aggregation or votes would collect 150 entries for such dims.
+        .groupBy("j", "theta", "k").agg(sum("edge").as("edge"))
       val stumps = edges.groupBy("j", "theta").agg(
         sum(abs(col("edge"))).as("gi"),
         array_join(transform(

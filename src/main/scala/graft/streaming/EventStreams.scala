@@ -54,26 +54,21 @@ object EventStreams {
     * state otherwise — Spark rejects append-mode stream-stream joins
     * without such a constraint). */
   def conversionPairs(views: DataFrame, purchases: DataFrame,
-                      watermark: String = "10 minutes"): DataFrame = {
-    val v = views
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
-      .withWatermark("vts", watermark)
-    val p = purchases
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("pts"))
-      .withWatermark("pts", watermark)
-    v.join(p, col("user_id") === col("p_user") &&
-        col("pts") > col("vts") &&
-        col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
-      .select(col("view_id"), col("purchase_id"))
-  }
+                      watermark: String = "10 minutes"): DataFrame =
+    conversionJoin(views, purchases, watermark, "inner")
 
   /** Left-outer variant of [[conversionPairs]]: views with no purchase in
     * their 5-minute horizon are emitted with a null purchase_id once the
     * purchase-side watermark proves none can arrive — the streaming
     * "abandoned view" feed. Same bounded state as the inner form. */
   def conversionPairsOuter(views: DataFrame, purchases: DataFrame,
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes"): DataFrame =
+    conversionJoin(views, purchases, watermark, "left_outer")
+
+  /** Shared core of the inner/outer conversion joins — one place owns the
+    * watermarks and the state-bounding time-range condition. */
+  private def conversionJoin(views: DataFrame, purchases: DataFrame,
+                             watermark: String, joinType: String): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
       .withWatermark("vts", watermark)
@@ -84,7 +79,7 @@ object EventStreams {
     v.join(p, col("user_id") === col("p_user") &&
         col("pts") > col("vts") &&
         col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"),
-        "left_outer")
+        joinType)
       .select(col("view_id"), col("purchase_id"))
   }
 
@@ -137,17 +132,28 @@ object EventStreams {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      // The timer only fires once the WATERMARK passes expiry; a prompt
+      // event can arrive with event-time gap > gapMs while the watermark
+      // still lags. Close expired sessions inline on the input path too —
+      // otherwise two sessions separated by hours would merge whenever the
+      // later event beats the watermark (EventStreamsSuite pins this).
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var n = if (count.exists()) count.get() else 0L
       var last = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
-      rows.foreach { e =>
+      if (lastSeen.exists()) getHandle.deleteTimer(last + gapMs)
+      rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (last != Long.MinValue && t - last > gapMs && n > 0) {
+          out += ((user, n, last + gapMs))
+          n = 0
+        }
         n += 1
-        last = math.max(last, e.ts.getTime)
+        last = math.max(last, t)
       }
-      if (lastSeen.exists()) getHandle.deleteTimer(lastSeen.get() + gapMs)
       count.update(n)
       lastSeen.update(last)
       getHandle.registerTimer(last + gapMs)
-      Iterator.empty
+      out.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,

@@ -249,6 +249,43 @@ class EventStreamsSuite extends SparkSpec {
     }
   }
 
+  test("timer sessionization closes an expired session even when the event beats the watermark") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionTimeouts(input.toDS())
+      .writeStream.format("memory").queryName("timer_edge_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0)))
+      q.processAllAvailable()
+      // 11:00 is > gap after 10:00, but the watermark (10:00) hasn't
+      // reached the 10:30 expiry yet — the input path must close session 1
+      input.addData(Seq(Event(2, ts("2024-01-01 11:00:00"), 7, "view", 1.0)))
+      q.processAllAvailable()
+      val afterInline = spark.table("timer_edge_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterInline === Set((7L, 1L, ts("2024-01-01 10:30:00").getTime)))
+      // then the timer closes session 2 once the watermark passes 11:30
+      input.addData(Seq(Event(3, ts("2024-01-01 13:00:00"), 9, "view", 1.0)))
+      q.processAllAvailable()
+      val all = spark.table("timer_edge_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all === Set(
+        (7L, 1L, ts("2024-01-01 10:30:00").getTime),
+        (7L, 1L, ts("2024-01-01 11:30:00").getTime)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)

@@ -54,7 +54,23 @@ def main():
         # materialize the same column differently (nullable BIGINT becomes
         # float64 '1.0' in one frame and int64 '1' in the other; NaN-vs-<NA>
         # spellings differ). convert_dtypes() maps both to pandas nullable
-        # dtypes so equal values stringify identically.
+        # dtypes so equal values stringify identically. BUT a float-vs-int
+        # kind mismatch with NO nulls on either side is a genuine engine
+        # type divergence (e.g. a lost cast emitting DOUBLE vs BIGINT) that
+        # normalization would mask — fail it before converting.
+        kind_bad = None
+        for c in got.columns:
+            ka, kb = got[c].dtype.kind, exp[c].dtype.kind
+            if {ka, kb} == {"f", "i"} and \
+                    not got[c].isna().any() and not exp[c].isna().any():
+                kind_bad = (c, got[c].dtype, exp[c].dtype)
+                break
+        if kind_bad:
+            print(f"FAIL {name}: col={kind_bad[0]} dtype {kind_bad[1]} vs "
+                  f"{kind_bad[2]} (no nulls: real type divergence, not a "
+                  f"nullable-int artifact)")
+            failures += 1
+            continue
         got = got.convert_dtypes()
         exp = exp.convert_dtypes()
         bad = None
