@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * the pair formulation's `rts <= lts`. Among equal-ts right rows the
   * winner is the LAST under `rightTieBreak` ascending — pass the mirror of
   * the pair form's DESC ranking.
+  *
+  * Skew: one pathological key (a single user with billions of rows) lands
+  * on one sort task. The running-frame window cannot be salted the way an
+  * equi join can (state crosses salt boundaries); the mitigation is range-
+  * splitting that key by time and stitching the last carry row of each
+  * range forward — only worth building when a profile shows the hot key.
   */
 object AsOfJoin {
 

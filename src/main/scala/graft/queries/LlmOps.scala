@@ -208,7 +208,10 @@ object LlmOps {
     // Catalyst to optimize. The candidate side is broadcast once (n·d
     // doubles, MBs); each partition loops its rows against all higher ids
     // in a primitive array loop — no 12.5M-row join relation, no codegen
-    // boundary per pair. Arithmetic mirrors the declarative form exactly:
+    // boundary per pair. At 100 TB the single broadcast stops fitting:
+    // chunk the candidate side into B broadcastable blocks and loop the
+    // same kernel per block (B passes over the rows), or go straight to
+    // the LSH twin — all-pairs at that scale is the wrong query anyway. Arithmetic mirrors the declarative form exactly:
     // same left-to-right dot fold, norms from the same self-dot, and
     // BigDecimal.valueOf HALF_UP rounding (what Spark's round() does), so
     // it shares q_dedup_embed's oracle verbatim and must hash-match it.
