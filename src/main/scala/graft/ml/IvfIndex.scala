@@ -42,15 +42,19 @@ object IvfIndex {
       .select("vec_id", "v")
   }
 
+  private def sqDist(v: Seq[Double], ct: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+    d
+  }
+
   private def nearestCellUdf(cents: Array[Array[Double]]) = udf { v: Seq[Double] =>
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
-      val ct = cents(c)
-      var d = 0.0
-      var j = 0
-      while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+      val d = sqDist(v, cents(c))
       if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest c
       c += 1
     }
@@ -110,12 +114,7 @@ object IvfIndex {
 
   private def nearestCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
     udf { v: Seq[Double] =>
-      cents.indices.map { c =>
-        val ct = cents(c)
-        var d = 0.0
-        var j = 0
-        while (j < ct.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
-        (d, c)
-      }.sortBy(identity).take(nprobe).map(_._2) // ties to lowest cell id
+      cents.indices.map(c => (sqDist(v, cents(c)), c))
+        .sortBy(identity).take(nprobe).map(_._2) // ties to lowest cell id
     }
 }

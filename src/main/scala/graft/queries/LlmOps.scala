@@ -446,6 +446,20 @@ object LlmOps {
       |          FROM (SELECT DISTINCT w FROM toks)),
       |dt AS (SELECT doc_id, tokid FROM toks JOIN vocab USING (w))""".stripMargin
 
+  /** Brute-force embedding-pair SQL — shared verbatim by q_dedup_embed and
+    * its block-loop twin (the loop must be invisible in results). */
+  private val embedPairsSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT d1, d2, cos_sim FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |               / (a.nrm * b.nrm), 4) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
@@ -503,30 +517,9 @@ object LlmOps {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY 1, 2""".stripMargin,
 
-    "q_dedup_embed" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
-        |SELECT d1, d2, cos_sim FROM (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-        |               / (a.nrm * b.nrm), 4) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_embed" -> embedPairsSql,
 
-    // same oracle as q_dedup_embed — the block loop must be invisible
-    "q_dedup_embed_block" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
-        |SELECT d1, d2, cos_sim FROM (
-        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |         ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-        |               / (a.nrm * b.nrm), 4) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_embed_block" -> embedPairsSql,
 
     "q_dedup_embed_lsh" ->
       """WITH e AS (

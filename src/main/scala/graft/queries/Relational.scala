@@ -360,6 +360,19 @@ object Relational {
       .orderBy("partkey")),
   )
 
+  /** Pair-form as-of SQL — shared by q_join_asof and q_join_asof_merge
+    * (the union-merge operator must produce identical results). */
+  private val asofSql: String =
+      """SELECT purchase_id, view_id FROM (
+        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |   AND p.user_id = v.user_id
+        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -428,27 +441,11 @@ object Relational {
         | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY 1, 2""".stripMargin,
 
-    "q_join_asof_merge" ->
-      """SELECT purchase_id, view_id FROM (
-        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
-        |  FROM events p JOIN events v
-        |    ON p.event_type = 'purchase' AND v.event_type = 'view'
-        |   AND p.user_id = v.user_id
-        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
-        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "q_join_asof" -> asofSql,
 
-    "q_join_asof" ->
-      """SELECT purchase_id, view_id FROM (
-        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |                            ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
-        |  FROM events p JOIN events v
-        |    ON p.event_type = 'purchase' AND v.event_type = 'view'
-        |   AND p.user_id = v.user_id
-        |   AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
-        |) WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // identical oracle by construction: the merge formulation must be
+    // indistinguishable from the pair formulation
+    "q_join_asof_merge" -> asofSql,
 
     "q_join_cross_bounded" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2""",

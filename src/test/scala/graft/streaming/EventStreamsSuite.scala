@@ -11,6 +11,21 @@ class EventStreamsSuite extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** transformWithState needs multiple state column families -> RocksDB
+    * provider (ships with Spark; the HDFS-backed default rejects it).
+    * Sets the provider for the body, restores the previous conf after. */
+  private def withRocksDBStateStore[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private val rows = Seq(
     Event(1, ts("2024-01-01 10:05:00"), 1, "view", 10.0),
     Event(2, ts("2024-01-01 10:20:00"), 1, "click", 5.0),
@@ -188,12 +203,7 @@ class EventStreamsSuite extends SparkSpec {
 
   test("transformWithState keeps a running per-user count across batches") {
     import spark.implicits._
-    // transformWithState needs multiple state column families -> RocksDB
-    // provider (ships with Spark; the HDFS-backed default rejects it)
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDBStateStore {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.runningUserCountsTWS(input.toDS())
       .writeStream.format("memory").queryName("tws_stream")
@@ -207,21 +217,13 @@ class EventStreamsSuite extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (u, vs) => (u, vs.map(_._2).max) }
       assert(last === Map(1L -> 3L, 2L -> 2L))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    } finally q.stop()
     }
   }
 
   test("timer-driven sessionization emits on watermark passing the gap") {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDBStateStore {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionTimeouts(input.toDS())
       .writeStream.format("memory").queryName("timer_stream")
@@ -240,21 +242,13 @@ class EventStreamsSuite extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val expiry = ts("2024-01-01 10:40:00").getTime
       assert(sessions === Set((7L, 2L, expiry)))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    } finally q.stop()
     }
   }
 
   test("timer sessionization closes an expired session even when the event beats the watermark") {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    withRocksDBStateStore {
     val input = MemoryStream[Event](spark)
     val q = EventStreams.sessionTimeouts(input.toDS())
       .writeStream.format("memory").queryName("timer_edge_stream")
@@ -277,12 +271,7 @@ class EventStreamsSuite extends SparkSpec {
       assert(all === Set(
         (7L, 1L, ts("2024-01-01 10:30:00").getTime),
         (7L, 1L, ts("2024-01-01 11:30:00").getTime)))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    } finally q.stop()
     }
   }
 
