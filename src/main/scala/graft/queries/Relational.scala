@@ -122,6 +122,19 @@ object Relational {
       .select("r_name", "n_name")
       .orderBy("r_name", "n_name")),
 
+    // FULL OUTER with unmatched rows on BOTH sides (overlapping custkey
+    // ranges); coalesce gives the single deterministic order key.
+    "q_join_full_outer" -> ((s, d) => {
+      val c = Tables(s, d, "customer").filter(col("c_custkey") <= 700)
+        .select("c_custkey", "c_name")
+      val o = Tables(s, d, "orders").filter(col("o_custkey") >= 400)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
+    }),
+
     // The union-merge as-of operator under the harness gate: same semantics
     // as q_join_asof (latest view at-or-before each purchase, tie -> max
     // view_id) but ONE sort per user instead of the per-key pair blowup —
@@ -449,6 +462,15 @@ object Relational {
 
     "q_join_cross_bounded" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2""",
+
+    "q_join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |       coalesce(n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700) c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |                 WHERE o_custkey >= 400 GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_join_salted" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
