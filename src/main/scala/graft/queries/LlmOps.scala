@@ -163,6 +163,42 @@ object LlmOps {
       jaccardPairs(inter, sizes, 0.8)
     }),
 
+    // The vocab-FREE MinHash twin — the true 100 TB shape (ROADMAP item):
+    // sid = xxhash64(shingle) directly, so there is NO global sorted-rank
+    // window, NO broadcast vocab join, NO checkpoint — one fully
+    // distributed pass: shingle -> hash map-side, one agg for the 16
+    // minima, band join, exact-Jaccard verify on shingle hashes (distinct
+    // shingles have distinct 64-bit hashes w.h.p., so |intersection| over
+    // hashes equals |intersection| over shingles). xxhash64 is not
+    // reproducible in DuckDB -> rows-only for the driver; scalatest pins
+    // soundness (every pair truly has Jaccard >= 0.8, a subset of
+    // q_dedup_near) and recall against the exact answer.
+    "q_dedup_minhash_xxh" -> ((s, d) => {
+      val ds = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+      // permutations run on pmod(sid, 1000003) — multiplying the raw signed
+      // 64-bit hash would overflow (ANSI mode throws); the REDUCED value
+      // only feeds the minima, while the verify join below intersects the
+      // full 64-bit sids, so bucket collisions cannot inflate Jaccard
+      val mins = (0 until 16).map(i =>
+        min(pmod(lit(7 + 11 * i) * pmod(col("sid"), lit(1000003L)) + lit(3 + 17 * i),
+          lit(1000003L))).as(s"m$i"))
+      val mh = ds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = mh.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          concat_ws("-", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)): _*))
+          .as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
+        .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      jaccardPairs(inter, sizes, 0.8)
+    }),
+
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.
     "q_dedup_simhash" -> ((s, d) => {
       val dt = docTokenIds(s, d)
