@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -83,12 +83,39 @@ object AdaBoostMH {
     lo
   }
 
+  private type HistPartial = (Array[Double], Array[Double], Double)
+
+  /** Executor-level tree fan-in: at P partitions the driver receives
+    * min(P, MergeBranch) partials (~82 KB each on the harness shape), not
+    * P — the difference between KBs and ~800 MB per round at 10k
+    * partitions. 16 keeps the tree one level deep up to 256 partitions. */
+  private[ml] val MergeBranch = 16
+
+  /** Add partial `b` into `a` (a is a fresh deserialized copy post-shuffle /
+    * post-collect, so in-place mutation is safe) — always called with the
+    * lower-partition-id side on the left, preserving the deterministic
+    * ascending-pid merge order at every tree level. */
+  private def mergePartial(a: HistPartial, b: HistPartial): HistPartial = {
+    val (ha, sa, wa) = a
+    val (hb, sb, wb) = b
+    var i = 0
+    while (i < ha.length) { ha(i) += hb(i); i += 1 }
+    var l = 0
+    while (l < sa.length) { sa(l) += sb(l); l += 1 }
+    (ha, sa, wa + wb)
+  }
+
   /** One pass: flat hist[((j*numBins)+bin)*k + l] = sum of w*y over points
-    * falling in that bin, plus per-label totals S(l) and global mass W. */
+    * falling in that bin, plus per-label totals S(l) and global mass W.
+    * Partials are merged through a deterministic tree (groups of
+    * MergeBranch consecutive partition ids per level, each group merged in
+    * ascending-pid order), so driver load is O(MergeBranch), not O(P),
+    * and the merge sequence — hence every stump — is identical on every
+    * run for a given partitioning. */
   private[ml] def histogramPass(rdd: RDD[TrainPoint], grids: Array[Array[Double]],
                                 numBins: Int, k: Int): (Array[Double], Array[Double], Double) = {
     val dims = grids.length
-    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+    var parts: RDD[(Int, HistPartial)] = rdd.mapPartitionsWithIndex { (pid, it) =>
       val hist = new Array[Double](dims * numBins * k)
       val s = new Array[Double](k)
       var wTot = 0.0
@@ -111,18 +138,18 @@ object AdaBoostMH {
         }
       }
       Iterator.single((pid, (hist, s, wTot)))
-    }.collect().sortBy(_._1).map(_._2) // merge in partition order: deterministic
-    val hist = new Array[Double](dims * numBins * k)
-    val s = new Array[Double](k)
-    var w = 0.0
-    partials.foreach { case (h, ps, pw) =>
-      var i = 0
-      while (i < hist.length) { hist(i) += h(i); i += 1 }
-      var l = 0
-      while (l < k) { s(l) += ps(l); l += 1 }
-      w += pw
     }
-    (hist, s, w)
+    var width = rdd.getNumPartitions
+    while (width > MergeBranch) {
+      parts = parts
+        .map { case (pid, p) => (pid / MergeBranch, (pid, p)) }
+        .groupByKey(math.max(1, width / MergeBranch))
+        .map { case (gid, group) =>
+          (gid, group.toArray.sortBy(_._1).map(_._2).reduceLeft(mergePartial))
+        }
+      width = (width + MergeBranch - 1) / MergeBranch
+    }
+    parts.collect().sortBy(_._1).map(_._2).reduceLeft(mergePartial)
   }
 
   /** Driver-side argmax over the histogram: best stump for this round.
@@ -261,6 +288,27 @@ object AdaBoostMH {
     while (l < NumLabels) { if (f(l) > f(best)) best = l; l += 1 }
     best
   }
+
+  /** Codegen'd column form of scoreVector + argmax — the hot scoring path.
+    * F_l(x) folds the stumps in round order with the same left-associated
+    * double additions as scoreVector (alpha_t·v_tl is one driver-side
+    * product, phi flips its IEEE sign exactly), and argmax resolves ties
+    * to the lowest label via array_position's first match — so predictions
+    * are identical to predictUdf on every input (AdaBoostMHSuite pins it).
+    * Unlike the UDF this stays inside whole-stage codegen: no
+    * serialization boundary per row, ~T·K fused when() branches. The UDF
+    * stays as the fallback for callers without a Column in hand. */
+  def predictColumn(stumps: Array[DecisionStump], v: Column): Column = {
+    val scores = (0 until NumLabels).map { l =>
+      stumps.map { st =>
+        val w = st.alpha * st.votes(l)
+        when(element_at(v, st.featureIndex + 1) > st.threshold, lit(w))
+          .otherwise(lit(-w))
+      }.reduceLeft(_ + _)
+    }
+    val f = array(scores: _*)
+    (array_position(f, array_max(f)) - 1).cast("int")
+  }
 }
 
 /** ml.Pipeline-compatible wrapper around [[AdaBoostMH]]. */
@@ -303,7 +351,7 @@ class AdaBoostMHModel(override val uid: String, val stumps: Array[DecisionStump]
 
   override def transform(ds: Dataset[_]): DataFrame =
     ds.toDF().withColumn($(predictionCol),
-      AdaBoostMH.predictUdf(stumps)(col("embedding").cast("array<double>")))
+      AdaBoostMH.predictColumn(stumps, col("embedding").cast("array<double>")))
 
   override def copy(extra: ParamMap): AdaBoostMHModel =
     copyValues(new AdaBoostMHModel(uid, stumps).setParent(parent), extra)

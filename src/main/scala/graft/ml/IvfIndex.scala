@@ -117,4 +117,37 @@ object IvfIndex {
       cents.indices.map(c => (sqDist(v, cents(c)), c))
         .sortBy(identity).take(nprobe).map(_._2) // ties to lowest cell id
     }
+
+  /** Materialize the corpus assignment as a `cell`-partitioned parquet
+    * layout (one directory per coarse cell, sources.PartitionedLayout) —
+    * the 100 TB on-disk shape where [[searchPartitioned]] prunes whole
+    * cell directories at file-listing time. */
+  def writeCells(df: DataFrame, model: Model, path: String): Unit =
+    graft.sources.PartitionedLayout.writePartitioned(assign(df, model), path, "cell")
+
+  /** [[search]] against a [[writeCells]] layout. The probed-cell union is
+    * collected driver-side (queries are the tiny side by construction) and
+    * pushed as an `isin` PARTITION filter, so Catalyst's file listing
+    * touches at most `nprobe` of the k cell directories per query — the
+    * corpus outside the probed cells is never read, not merely filtered.
+    * Results are identical to search() under the same model/nprobe
+    * (IvfIndexSuite pins both the equality and the pruned listing). */
+  def searchPartitioned(spark: SparkSession, path: String, queries: DataFrame,
+                        model: Model, topK: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.k)
+    val qcells = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("cell", explode(nearestCellsUdf(model.centroids, nprobe)(col("qv"))))
+    val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = graft.sources.PartitionedLayout.read(spark, path)
+      .filter(col("cell").isin(probed.toSeq: _*))
+    graft.functions.VectorFunctions.register(spark)
+    val scored = qcells.join(corpus.select(col("vec_id").as("c_id"),
+        col("v").as("cv"), col("cell")), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", expr("graft_dot(qv, cv)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select("q_id", "rn", "c_id", "cos_sim")
+  }
 }

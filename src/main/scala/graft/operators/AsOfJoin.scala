@@ -50,7 +50,14 @@ object AsOfJoin {
         .as("_r"))
     val r = right.select(
       col(key).as("_k"), col(rightTs).as("_t"), lit(0).as("_tag"),
-      col(rightTieBreak).cast("long").as("_tie"),
+      // and fail loudly at RUNTIME on a null tiebreak value: nulls sort
+      // first, so among equal-ts right rows two null-tiebreak rows would
+      // make the 'last' winner depend on shuffle order — exactly the
+      // nondeterminism this column exists to prevent
+      when(col(rightTieBreak).isNotNull, col(rightTieBreak).cast("long"))
+        .otherwise(raise_error(lit(
+          s"asofBackward: null value in tiebreak column '$rightTieBreak'")))
+        .as("_tie"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
         .as("_l"),
       struct(rightCols.map(col): _*).as("_r"))

@@ -46,7 +46,9 @@ object LlmOps {
   def scrubText(text: Column): Column =
     regexp_replace(
       regexp_replace(text, "https?://[a-zA-Z0-9./_-]+", "<URL>"),
-      "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+", "<EMAIL>")
+      // local part includes %+- : 'a+tag@x.io' / 'bob-smith@x.io' must not
+      // leave a partial-mask PII residue ('a+', 'bob-') before <EMAIL>
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>")
 
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
@@ -96,6 +98,54 @@ object LlmOps {
       .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+  }
+
+  /** Chunked all-pairs cosine kernel behind q_dedup_embed_block: candidate
+    * blocks (vec_id % numBlocks) are collected/broadcast one at a time —
+    * eager localCheckpoint of each block's pairs lets the broadcast be
+    * destroyed before the next block is loaded, bounding driver memory at
+    * one block regardless of corpus size. Results are independent of
+    * numBlocks (disjoint id blocks, identical per-pair arithmetic) —
+    * pinned by OperatorPropsSuite at B=1 vs B=3. */
+  def embedBlockPairs(s: SparkSession, d: String, numBlocks: Int): DataFrame = {
+    import s.implicits._
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ds = e.as[(Long, Array[Double])]
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val blockPairs = (0 until numBlocks).map { blk =>
+      val block = ds.filter(col("vec_id") % numBlocks === blk)
+        .collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(block)
+      val pairs = ds.mapPartitions { it =>
+        val cand = bc.value
+        val norms = cand.map { case (_, v) => math.sqrt(dot(v, v)) }
+        it.flatMap { case (d1, va) =>
+          val na = math.sqrt(dot(va, va))
+          // first candidate with id > d1 (cand is sorted by id)
+          var lo = 0; var hi = cand.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cand(mid)._1 <= d1) lo = mid + 1 else hi = mid
+          }
+          (lo until cand.length).iterator.flatMap { j =>
+            val (d2, vb) = cand(j)
+            val cos = java.math.BigDecimal.valueOf(dot(va, vb) / (na * norms(j)))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= 0.4) Some((d1, d2, cos)) else None
+          }
+        }
+      }.toDF("d1", "d2", "cos_sim")
+        .localCheckpoint() // eager: this block's pairs materialize NOW
+      bc.destroy()
+      pairs
+    }
+    blockPairs.reduce(_ unionByName _).orderBy("d1", "d2")
   }
 
   val queries: Map[String, Q] = Map(
@@ -199,7 +249,49 @@ object LlmOps {
       jaccardPairs(inter, sizes, 0.8)
     }),
 
+    // Sketch-form MinHash — the P=64 twin of q_dedup_minhash built on the
+    // mergeable graft_minhash TypedImperativeAggregate (functions.MinHashAgg)
+    // instead of 64 min() columns: ONE buffer of 64 longs per group, one
+    // fused update loop per row, elementwise-min partial merge — the shape
+    // a 100 TB near-dup pipeline runs at P=128..256 where the column form's
+    // quadratic plan size gives out. Same affine permutation family, so
+    // DuckDB mirrors the sketch exactly (generate_series to 63) and this is
+    // a full hash-match, not rows-only. 16 bands x 4 rows: band collision
+    // probability at J=0.8 is 1-(1-0.8^4)^16 ~ 0.9998 (vs 0.87 at 4 bands).
+    "q_dedup_minhash_sketch" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val svocab = sh.select("sh").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+      val ds = sh.join(svocab, "sh").select("doc_id", "sid").localCheckpoint()
+      val mh = ds.groupBy("doc_id").agg(expr("graft_minhash(sid, 64)").as("mh"))
+      val bandExpr = "transform(sequence(0, 15), b -> " +
+        (0 until 4).map(r => s"cast(element_at(mh, 4*b+${r + 1}) as string)")
+          .mkString(" || '-' || ") + ")"
+      val bands = mh.select(col("doc_id"),
+        posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
+        .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      jaccardPairs(inter, sizes, 0.8)
+    }),
+
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.
+    // Candidate generation is BANDED, not all-pairs: split the fingerprint
+    // into 4 disjoint 4-bit bands and equi-join on (band, bits). Lossless
+    // by pigeonhole — a pair with hamming <= 3 differs in at most 3 of the
+    // 4 bands, so it agrees EXACTLY on at least one band; the bit_count
+    // verify then keeps only true <= 3 pairs. Candidates are bounded by
+    // band-bucket collisions (one hash-partitioned equi join) instead of
+    // the O(n^2) theta self-join — the shape that survives 100 TB. At real
+    // scale the fingerprint is 64-bit with 8x8-bit bands (hamming <= 7
+    // lossless) and a hot bucket (a boilerplate-heavy simhash value) gets
+    // salted before the self-join.
     "q_dedup_simhash" -> ((s, d) => {
       val dt = docTokenIds(s, d)
       // all 16 bit-sums in ONE hash aggregation (no 16x crossJoin rows, one
@@ -208,14 +300,32 @@ object LlmOps {
       val bitSums = (0 until 16).map(k => sum(
         expr(s"CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, $k), 2) = 1 THEN 1 ELSE -1 END"))
         .as(s"s$k"))
+      // materialized once (checkpoint), then exploded into 4 (band, bits)
+      // rows per doc for the self-equi-join — the fingerprint RIDES the
+      // band rows, so hamming is computable right at the join output with
+      // no joins back and no distinct
       val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           (0 until 16).map(k =>
             when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .localCheckpoint()
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash, ${4 * b}) & 15")): _*)).as(Seq("band", "bits")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+          expr("a.simhash ^ b.simhash").as("x"), col("a.band").as("band"))
+        // emit each colliding pair from its FIRST colliding band only: a
+        // map-side filter that makes rows unique per pair (hash-identical
+        // docs collide in all 4 bands — without this the dense buckets of
+        // this low-vocab corpus ship 4x duplicates into a distinct shuffle)
+        .filter(col("band") === expr(
+          "CASE WHEN (x & 15) = 0 THEN 0 WHEN (shiftright(x, 4) & 15) = 0 THEN 1 " +
+            "WHEN (shiftright(x, 8) & 15) = 0 THEN 2 ELSE 3 END"))
+        .select(col("d1"), col("d2"), expr("bit_count(x)").cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("d1", "d2")
     }),
@@ -238,48 +348,23 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
-    // Broadcast block-nested-loop twin of q_dedup_embed — the mapPartitions
-    // tier of the custom-op ladder (SURVEY §7.3(d)), used ONLY because the
-    // O(n^2) pair loop is pure per-partition arithmetic with nothing for
-    // Catalyst to optimize. The candidate side is broadcast once (n·d
-    // doubles, MBs); each partition loops its rows against all higher ids
-    // in a primitive array loop — no 12.5M-row join relation, no codegen
-    // boundary per pair. At 100 TB the single broadcast stops fitting:
-    // chunk the candidate side into B broadcastable blocks and loop the
-    // same kernel per block (B passes over the rows), or go straight to
-    // the LSH twin — all-pairs at that scale is the wrong query anyway. Arithmetic mirrors the declarative form exactly:
-    // same left-to-right dot fold, norms from the same self-dot, and
-    // BigDecimal.valueOf HALF_UP rounding (what Spark's round() does), so
-    // it shares q_dedup_embed's oracle verbatim and must hash-match it.
-    "q_dedup_embed_block" -> ((s, d) => {
-      import s.implicits._
-      val e = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val all = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      val bc = s.sparkContext.broadcast(all)
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var s0 = 0.0; var i = 0
-        while (i < a.length && i < b.length) { s0 += a(i) * b(i); i += 1 }
-        s0
-      }
-      e.as[(Long, Array[Double])].mapPartitions { it =>
-        val cand = bc.value
-        val norms = cand.map { case (_, v) => math.sqrt(dot(v, v)) }
-        val idx = cand.map(_._1).zipWithIndex.toMap
-        it.flatMap { case (d1, va) =>
-          val na = math.sqrt(dot(va, va))
-          val from = idx(d1) + 1
-          (from until cand.length).iterator.flatMap { j =>
-            val (d2, vb) = cand(j)
-            val cos = java.math.BigDecimal.valueOf(dot(va, vb) / (na * norms(j)))
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (cos >= 0.4) Some((d1, d2, cos)) else None
-          }
-        }
-      }.toDF("d1", "d2", "cos_sim")
-        .orderBy("d1", "d2")
-    }),
+    // Chunked broadcast block-nested-loop twin of q_dedup_embed — the
+    // mapPartitions tier of the custom-op ladder (SURVEY §7.3(d)), used
+    // ONLY because the O(n^2) pair loop is pure per-partition arithmetic
+    // with nothing for Catalyst to optimize. The candidate side is split
+    // into B blocks by id hash; each block is collected, broadcast and
+    // joined against the full corpus in a primitive array loop, then its
+    // pair results are localCheckpointed EAGERLY and the broadcast is
+    // destroyed — so the driver holds ONE block at a time, never the whole
+    // table (the round-2 form's hard driver-memory ceiling). B passes over
+    // the rows, union of the per-block pair sets = all pairs. At 100 TB:
+    // B = ceil(n·d·8 / broadcast budget), or go straight to the LSH twin —
+    // all-pairs at that scale is the wrong query anyway. Arithmetic
+    // mirrors the declarative form exactly: same left-to-right dot fold,
+    // norms from the same self-dot, and BigDecimal.valueOf HALF_UP
+    // rounding (what Spark's round() does), so it shares q_dedup_embed's
+    // oracle verbatim and must hash-match it.
+    "q_dedup_embed_block" -> ((s, d) => embedBlockPairs(s, d, numBlocks = 2)),
 
     // LSH-accelerated twin of q_dedup_embed: 30 random-hyperplane sign bits
     // (6 bands x 5 bits) bucket the vectors; only same-bucket pairs get the
@@ -539,6 +624,34 @@ object LlmOps {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
+    // Mirrors the graft_minhash sketch: same 64 affine permutations, 16
+    // bands of 4 rows (band = i // 4), same exact-Jaccard verify.
+    "q_dedup_minhash_sketch" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |svocab AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+        |           FROM (SELECT DISTINCT sh FROM sh)),
+        |ds AS (SELECT doc_id, sid FROM sh JOIN svocab USING (sh)),
+        |mh AS (SELECT doc_id, i, min(((7 + 11*i) * sid + 3 + 17*i) % 1000003) AS m
+        |       FROM ds CROSS JOIN UNNEST(generate_series(0, 63)) AS ti(i) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band,
+        |                 string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS bkey
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+        |          FROM cand c JOIN ds x ON x.doc_id = c.d1
+        |                      JOIN ds y ON y.doc_id = c.d2 AND x.sid = y.sid
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH $sqlDocTokens,
          |bits AS (SELECT doc_id, k,
@@ -623,7 +736,7 @@ object LlmOps {
         |FROM (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(text, 'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g'),
-        |                   '[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS clean
+        |                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS clean
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -142,6 +142,82 @@ class AdaBoostMHSuite extends SparkSpec {
       b.map(s => (s.featureIndex, s.threshold, s.alpha, s.votes.toSeq)).toSeq)
   }
 
+  test("tree-merged histogram: partition count does not change the pass") {
+    // 40 > MergeBranch partitions exercises a full tree level; the fixture
+    // weights (0.125) are exact in binary, so partials must agree to 1e-12
+    val (h2, s2, w2) = AdaBoostMH.histogramPass(fixture, grids, numBins, k)
+    val (h40, s40, w40) =
+      AdaBoostMH.histogramPass(fixture.repartition(40), grids, numBins, k)
+    assert(math.abs(w2 - w40) < 1e-12)
+    s2.zip(s40).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    h2.zip(h40).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("tree-merged boosting: identical stumps at 2 and 40 partitions") {
+    val a = AdaBoostMH.trainCore(spark, fixture, grids, numBins, k, 3)
+    val b = AdaBoostMH.trainCore(spark, fixture.repartition(40), grids, numBins, k, 3)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      // argmax is pinned by the 1e-9 gamma rounding -> selection exact;
+      // alpha comes from the unrounded edge sum, allow merge-order ulps
+      assert(x.featureIndex === y.featureIndex)
+      assert(x.threshold === y.threshold)
+      assert(x.votes.toSeq === y.votes.toSeq)
+      assert(math.abs(x.alpha - y.alpha) < 1e-9)
+    }
+  }
+
+  test("predictColumn is identical to predictUdf on real embeddings") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val stumps = AdaBoostMH.train(spark, df, numRounds = 5)
+    val both = df.select(col("vec_id"),
+      AdaBoostMH.predictUdf(stumps)(col("embedding").cast("array<double>")).as("u"),
+      AdaBoostMH.predictColumn(stumps, col("embedding").cast("array<double>")).as("c"))
+    assert(both.filter(col("u") =!= col("c")).count() === 0L)
+    // and the model's plan carries no UDF node (scoring stays in codegen)
+    val model = new AdaBoostMHClassifier().setNumRounds(2).fit(df)
+    val plan = model.transform(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
+  test("holdout pipeline on a learnable corpus: test loss beats trivial 0.10") {
+    // The harness embeddings are label-independent Gaussians (see the next
+    // test), so generalization is demonstrated on a deterministic synthetic
+    // corpus where feature `label` is bumped by +2: a stump per label
+    // separates it, and held-out loss must crush the trivial all-negative
+    // hypothesis' 0.10.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), j ->
+                 CAST((((id * 37 + j * 17) % 101) - 50) / 50.0 AS DOUBLE)
+                 + CASE WHEN j = id % 10 THEN 2.0D ELSE 0.0D END)""").as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed = 42)
+    // 30 rounds: enough for the reweighting to cover all 10 label features
+    // (T=12 covers only 8 and holdout stalls at 0.113; T=30 -> 0.024)
+    val model = new AdaBoostMHClassifier().setNumRounds(30).fit(train)
+    val loss = new HammingLossEvaluator().evaluate(model.transform(test))
+    assert(loss < 0.10, s"holdout hamming $loss must beat the trivial 0.10")
+    assert(model.stumps.map(_.featureIndex).distinct.length === 10,
+      "boosting must have visited every label's separating feature")
+  }
+
+  test("holdout on harness embeddings: honest chance-band golden, pinned") {
+    // The embeddings table's labels are ~independent of the vectors, so
+    // held-out loss sits at the argmax-chance band (0.2 * err ~ 0.18), NOT
+    // below the 0.10 trivial bound — pinned as a determinism regression
+    // golden, not a learnability claim (training loss memorizes; this
+    // doesn't transfer, which is exactly what a holdout should reveal).
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed = 42)
+    val model = new AdaBoostMHClassifier().setNumRounds(8).fit(train)
+    val loss = new HammingLossEvaluator().evaluate(model.transform(test))
+    assert(math.abs(loss - 0.19189189189189165) < 1e-9,
+      s"pinned holdout golden moved: $loss")
+  }
+
   test("estimator/evaluator: pipeline fit-transform-evaluate beats chance") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val model = new AdaBoostMHClassifier().setNumRounds(5).fit(df)

@@ -65,6 +65,36 @@ class IvfIndexSuite extends SparkSpec {
     assert(total === corpus.count())
   }
 
+  test("searchPartitioned: IVF over the cell layout — same results, pruned listing") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    IvfIndex.writeCells(corpus, model, dir)
+    val oneQuery = queries.filter(col("vec_id") === 0L)
+    val got = IvfIndex.searchPartitioned(spark, dir, oneQuery, model, topK = 5, nprobe = 2)
+    val want = IvfIndex.search(spark, corpus, oneQuery, model, topK = 5, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(rows(got) === rows(want))
+    assert(rows(got).nonEmpty)
+    // the corpus scan carries the probed-cell partition filter and its
+    // file listing touches <= nprobe of the k cell directories
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val pruned = scans(got.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty, got.queryExecution.executedPlan.toString)
+    val listed = pruned.head.relation.location
+      .listFiles(pruned.head.partitionFilters, Nil).size
+    assert(listed <= 2, s"one query with nprobe=2 must list <= 2 cell dirs, got $listed")
+  }
+
   test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
     val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)

@@ -34,6 +34,21 @@ class AsOfJoinSuite extends SparkSpec {
     assert(got === expected)
   }
 
+  test("null tiebreak value fails loudly instead of shuffle-order winners") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
+    val r = Seq((1L, Some(90L), "x"), (1L, None, "y"))
+      .toDF("k", "tie", "rv")
+      .select(col("k"), lit(90L).as("t"), col("tie"), col("rv"))
+    val e = intercept[Exception] {
+      AsOfJoin.asofBackward(l, r, "k", "t", "t", "tie").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null value in tiebreak column")),
+      s"unexpected failure: $e")
+  }
+
   test("left rows with no prior right row survive with null match") {
     import spark.implicits._
     val l = Seq((1L, 100L, "a"), (2L, 50L, "b")).toDF("k", "t", "lv")

@@ -13,7 +13,9 @@ class LlmOpsScrubSuite extends SparkSpec {
       (1L, "visit https://example.com/a_b-c/d.html for details"),
       (2L, "mail bob.smith_1@corp-mail.example.org today"),
       (3L, "both http://x.io/p and alice@x.io here"),
-      (4L, "nothing to scrub at all"))
+      (4L, "nothing to scrub at all"),
+      // %+- in the local part must mask FULLY — no 'a+'/'bob-' PII residue
+      (5L, "plus-tagged a+tag@x.io and hyphenated bob-smith@x.io and pct b%c@x.io"))
     val got = rows.toDF("id", "text")
       .select(col("id"), LlmOps.scrubText(col("text")).as("clean"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -21,5 +23,6 @@ class LlmOpsScrubSuite extends SparkSpec {
     assert(got(2L) === "mail <EMAIL> today")
     assert(got(3L) === "both <URL> and <EMAIL> here")
     assert(got(4L) === "nothing to scrub at all")
+    assert(got(5L) === "plus-tagged <EMAIL> and hyphenated <EMAIL> and pct <EMAIL>")
   }
 }

@@ -99,6 +99,61 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("banded simhash equals the all-pairs theta join (pigeonhole lossless)") {
+    // independent witness: rebuild the 16-bit fingerprints and do the
+    // O(n^2) join the banded path replaced — result sets must be identical
+    val docs = Tables(spark, sf, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+    val vocab = toks.select("w").distinct().withColumn("tokid",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("w")))
+    val dt = toks.join(vocab, "w").select("doc_id", "tokid")
+    val bitSums = (0 until 16).map(k => sum(
+      expr(s"CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, $k), 2) = 1 THEN 1 ELSE -1 END"))
+      .as(s"s$k"))
+    val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(k =>
+          when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val allPairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = LlmOps.queries("q_dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allPairs.nonEmpty)
+    assert(banded === allPairs)
+  }
+
+  test("embedBlockPairs is independent of the block count (B=1 vs B=3)") {
+    def run(b: Int): Seq[(Long, Long, Double)] =
+      LlmOps.embedBlockPairs(spark, sf, numBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b1 = run(1)
+    val b3 = run(3)
+    assert(b1.nonEmpty)
+    assert(b1 === b3)
+    // and both equal the declarative brute-force witness
+    val brute = LlmOps.queries("q_dedup_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(b1 === brute)
+  }
+
+  test("sketch minhash is sound (subset of exact pairs) with near-total recall") {
+    val exact = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = LlmOps.queries("q_dedup_minhash_sketch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // soundness is structural (candidates are verified by exact Jaccard);
+    // recall at 16 bands x 4 rows is 1-(1-J^4)^16 >= 0.9998 at J=0.8
+    assert(sketch.subsetOf(exact), s"unsound pairs: ${sketch -- exact}")
+    assert(sketch.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${sketch.size}/${exact.size} below floor")
+  }
+
   test("vector normalization produces unit-consistent components") {
     val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
     assert(normed.nonEmpty)

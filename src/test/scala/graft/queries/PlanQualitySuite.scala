@@ -78,8 +78,27 @@ class PlanQualitySuite extends SparkSpec {
   test("q_dedup_embed_block: pair loop shuffles only the tiny result") {
     val p = plan("q_dedup_embed_block")
     assert(!p.contains("Join"), s"block variant must not plan a join:\n$p")
-    // one range exchange ordering the ~hundreds-of-rows output; the 12.5M
-    // candidate pairs never hit a shuffle
+    // one range exchange ordering the ~hundreds-of-rows output; the
+    // candidate pairs never hit a shuffle (per-block checkpointed scans
+    // union map-side)
     assert(exchanges(p) === 1, p)
+  }
+
+  test("q_dedup_simhash: banded candidates — no all-pairs join shape") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join shape:\n$p")
+  }
+
+  test("q_join_salted: salting must not add exchanges over the plain join") {
+    // the salt key rides the SAME shuffles the plain join already does
+    // (join + final agg + output order); replication is the only tax
+    assert(exchanges(plan("q_join_salted")) === exchanges(plan("q_join_shuffle")))
+  }
+
+  test("q_ml_boost_train_predict: scoring is a folded column expression, no UDF") {
+    val p = plan("q_ml_boost_train_predict")
+    assert(!p.contains("UDF"), s"scoring must stay inside codegen:\n$p")
+    assert(!p.contains("BatchEvalPython"), p)
   }
 }

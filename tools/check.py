@@ -61,10 +61,17 @@ def main():
         kind_bad = None
         for c in got.columns:
             ka, kb = got[c].dtype.kind, exp[c].dtype.kind
-            if {ka, kb} == {"f", "i"} and \
-                    not got[c].isna().any() and not exp[c].isna().any():
-                kind_bad = (c, got[c].dtype, exp[c].dtype)
-                break
+            if {ka, kb} == {"f", "i"}:
+                if not got[c].isna().any() and not exp[c].isna().any():
+                    kind_bad = (c, got[c].dtype, exp[c].dtype)
+                    break
+                # With nulls present the float side may just be pandas'
+                # nullable-int materialization — but it could ALSO be a lost
+                # cast whose integral-valued DOUBLEs normalize away below.
+                # Surface it so a genuine divergence is never silent.
+                print(f"warn {name}: col={c} dtype kind {ka} vs {kb} with "
+                      f"nulls present — normalized by convert_dtypes(); "
+                      f"verify the engine types if this column is new")
         if kind_bad:
             print(f"FAIL {name}: col={kind_bad[0]} dtype {kind_bad[1]} vs "
                   f"{kind_bad[2]} (no nulls: real type divergence, not a "
