@@ -330,6 +330,46 @@ object LlmOps {
         .orderBy("d1", "d2")
     }),
 
+    // Wide-fingerprint SimHash — the shape the 16-bit query's scaladoc
+    // promises for real corpora: 56 bits (four 14-bit affine hash words per
+    // token), 8 bands x 7 bits, near-dup = hamming <= 7 — lossless by the
+    // same pigeonhole (<= 7 differing bits touch <= 7 of 8 disjoint bands).
+    // 56 not 64: bit 63 would need 1<<63, which overflows DuckDB's BIGINT
+    // left-shift (and ANSI sum assembly); 56 bits keep every intermediate
+    // in-range in BOTH engines with zero semantic loss. Same banded
+    // candidate generation + first-colliding-band dedup as q_dedup_simhash;
+    // the oracle keeps the all-pairs witness shape.
+    "q_dedup_simhash64" -> ((s, d) => {
+      val dt = docTokenIds(s, d)
+      val A = Array(1103, 2671, 4391, 5987)
+      val B = Array(12289, 7681, 3217, 9973)
+      val bitSums = (0 until 56).map { k =>
+        val j = k / 14
+        sum(expr(s"CASE WHEN pmod(shiftright((${A(j)} * tokid + ${B(j)}) % 16384, ${k % 14}), 2) = 1 " +
+          "THEN 1 ELSE -1 END")).as(s"s$k")
+      }
+      val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 56).map(k =>
+            when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .localCheckpoint()
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 8).map(b =>
+          expr(s"shiftright(simhash, ${7 * b}) & 127")): _*)).as(Seq("band", "bits")))
+      val firstBand = "CASE " + (0 until 7).map(b =>
+        s"WHEN (shiftright(x, ${7 * b}) & 127) = 0 THEN $b").mkString(" ") + " ELSE 7 END"
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("a.simhash ^ b.simhash").as("x"), col("a.band").as("band"))
+        .filter(col("band") === expr(firstBand))
+        .select(col("d1"), col("d2"), expr("bit_count(x)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy("d1", "d2")
+    }),
+
     // Embedding-cosine near-dup pairs (brute force; IVF/LSH bucketing is the
     // scale path — see q_ann_ivf). Norms and the double cast are computed
     // once per vector BEFORE the O(n^2) join — recomputing them per pair
@@ -524,6 +564,24 @@ object LlmOps {
         round(col("embedding").getItem(2).cast("double") / col("nrm"), 4).as("c2"))
       .orderBy("vec_id")),
 
+    // The REAL IVF component under the driver's gate: deterministic
+    // Lloyd-trained coarse quantizer (ml.IvfIndex — decimal-mean centroid
+    // updates, id-seeded init), assign -> probe 2 of 8 cells -> bounded
+    // search. Not SQL-expressible (iterative k-means) -> rows-only for the
+    // driver; IvfIndexSuite pins determinism across partitionings,
+    // nprobe=k == brute force, recall floors, and cell-directory pruning
+    // on the partitioned layout. q_ann_ivf above keeps the fixed-quantizer
+    // twin that DuckDB mirrors exactly.
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val model = graft.ml.IvfIndex.train(corpus, k = 8, iters = 3)
+      graft.ml.IvfIndex.search(s, corpus, queries, model, topK = 5, nprobe = 2)
+        .withColumn("cos_sim", round(col("cos_sim"), 4))
+        .orderBy("q_id", "rn")
+    }),
+
     // IVF-style ANN: coarse cells = vectors 0..7, queries 8..17 probe their
     // 2 nearest cells, search only vectors assigned to those cells.
     // Measured recall@3 vs brute force is ~40% on this data — the testdata
@@ -664,6 +722,25 @@ object LlmOps {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    // All-pairs witness of the banded 56-bit form: same four 14-bit hash
+    // words, same majority votes, naive O(n^2) pair join.
+    "q_dedup_simhash64" ->
+      s"""WITH $sqlDocTokens,
+         |bits AS (SELECT doc_id, k,
+         |           CASE WHEN sum(CASE WHEN
+         |             (([1103, 2671, 4391, 5987][k // 14 + 1] * tokid
+         |               + [12289, 7681, 3217, 9973][k // 14 + 1]) % 16384
+         |              >> (k % 14)) % 2 = 1
+         |             THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+         |         FROM dt CROSS JOIN UNNEST(generate_series(0, 55)) AS t(k) GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, CAST(sum(b * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
          |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_embed" -> embedPairsSql,

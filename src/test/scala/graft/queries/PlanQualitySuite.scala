@@ -84,10 +84,12 @@ class PlanQualitySuite extends SparkSpec {
     assert(exchanges(p) === 1, p)
   }
 
-  test("q_dedup_simhash: banded candidates — no all-pairs join shape") {
-    val p = plan("q_dedup_simhash")
-    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta-join shape:\n$p")
+  test("q_dedup_simhash + 64: banded candidates — no all-pairs join shape") {
+    Seq("q_dedup_simhash", "q_dedup_simhash64").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q all-pairs cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q theta-join shape:\n$p")
+    }
   }
 
   test("q_join_salted: salting must not add exchanges over the plain join") {
