@@ -193,6 +193,20 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_suppkey")),
 
+    // No oracle (approximate); approx_percentile is a mergeable KLL-style
+    // sketch (order-independent merge -> deterministic under any
+    // partitioning) — the 100 TB quantile path, where exact percentile
+    // means a full sort. Rank-tolerance pinned in OperatorPropsSuite.
+    "q_agg_approx_quantile" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("qs"))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("q25"),
+        col("qs").getItem(1).as("q50"),
+        col("qs").getItem(2).as("q75"))
+      .orderBy("l_returnflag")),
+
     "q_agg_rollup" -> ((s, d) => Tables(s, d, "orders")
       .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))

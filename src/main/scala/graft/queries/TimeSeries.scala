@@ -53,6 +53,33 @@ object TimeSeries {
       .orderBy("wstart", "event_type")),
 
     "q_ts_sessionize_batch" -> ((s, d) => sessionize(Tables(s, d, "events"))),
+
+    // Resample + gap-fill: per-user hourly grid from the user's first to
+    // last observed hour, LOCF (last observation carried forward) of the
+    // rounded hourly mean. The grid is generator arithmetic (sequence ->
+    // explode, map-side); the fill is ONE running window per user — the
+    // standard time-series densification a feature pipeline runs before
+    // fixed-step models. Scale: output is sum of per-user spans; the only
+    // shuffles are the hourly agg and the per-user window, both on
+    // user_id. LOCF carries the ALREADY-ROUNDED dmean, so no float op
+    // happens after the fill — engines can't drift.
+    "q_ts_resample" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+        .groupBy("user_id", "hour").agg(dmean(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("v").isNull.cast("long"))
+        .select(col("user_id"), tstr(col("hour")).as("hour"),
+          col("v_filled"), col("is_gap"))
+        .orderBy("user_id", "hour")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +107,23 @@ object TimeSeries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       max(us) - min(us) AS duration_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_resample" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |         ${sqlMean("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1)),
+         |filled AS (
+         |  SELECT g.user_id, g.hour, h.v,
+         |         last_value(h.v IGNORE NULLS) OVER (
+         |           PARTITION BY g.user_id ORDER BY g.hour
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour)
+         |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+         |       v_filled, CAST(v IS NULL AS BIGINT) AS is_gap
+         |FROM filled ORDER BY user_id, hour""".stripMargin,
   )
 }

@@ -21,6 +21,41 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands inside the 1%-rank band of the exact quantile") {
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(l_quantity AS DOUBLE), array(0.24D, 0.26D, 0.49D, 0.51D, 0.74D, 0.76D))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val approx = Relational.queries("q_agg_approx_quantile")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet === approx.keySet)
+    approx.foreach { case (flag, qs) =>
+      val b = exact(flag)
+      Seq((qs(0), b(0), b(1), "q25"), (qs(1), b(2), b(3), "q50"),
+        (qs(2), b(4), b(5), "q75")).foreach { case (v, lo, hi, name) =>
+        assert(v >= lo && v <= hi, s"$flag $name=$v outside exact band [$lo, $hi]")
+      }
+    }
+  }
+
+  test("resample grid is dense per user and LOCF leaves no unfilled hour") {
+    val rows = TimeSeries.queries("q_ts_resample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val hours = g.map(_._2).sorted
+      // dense: consecutive grid hours are exactly 3600s apart
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      val ts = hours.map(h => java.time.LocalDateTime.parse(h, fmt)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+      ts.zip(ts.tail).foreach { case (a, b) => assert(b - a === 3600L, s"gap $a -> $b") }
+      // the first grid hour is observed, so LOCF never leaves a null
+      assert(g.forall(!_._3), "v_filled must never be null")
+      assert(g.map(_._4).min === 0L, "each user has at least one observed hour")
+    }
+  }
+
   test("cosine similarities lie in [-1, 1] and top-1 >= top-5 per query") {
     val rows = LlmOps.queries("q_sim_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
