@@ -249,6 +249,46 @@ object LlmOps {
       jaccardPairs(inter, sizes, 0.8)
     }),
 
+    // Winnowing dedup (rolling-hash document fingerprints, the MOSS
+    // scheme): POSITIONAL 5-gram shingles -> integer k-gram hashes ->
+    // minimum of each 4-hash sliding window -> the distinct window minima
+    // are the doc's fingerprint set; near-dup pairs share >= 3
+    // fingerprints via an equi-join on the fingerprint value. Winnowing
+    // guarantees every match of length >= w+k-1 tokens produces a shared
+    // fingerprint while keeping density ~2/(w+1) — the fingerprint set is
+    // ~4x smaller than the shingle set, so the candidate join is
+    // correspondingly lighter than the full shared-shingle join
+    // (q_dedup_near). All arithmetic is integer -> exact DuckDB parity.
+    // Scale: one window pass per doc (map-side after the per-doc sort),
+    // one equi-join shuffle on the fingerprint; a stop-fingerprint (shared
+    // boilerplate) would be dropped by a frequency cap before the join.
+    "q_dedup_winnow" -> ((s, d) => {
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+      val sh = t.select(col("doc_id"), posexplode(
+          expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))
+          .as(Seq("i", "sh")))
+      val svocab = sh.select("sh").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+      val hashed = sh.join(svocab, "sh")
+        .select(col("doc_id"), col("i"),
+          ((lit(2654435761L) * col("sid") + lit(40503L)) % 1048573L).as("h"))
+      val wMin = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.currentRow, 3)
+      val fps = hashed
+        .withColumn("m", min("h").over(wMin))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("i") <= col("n") - 4) // full 4-hash windows only
+        .select(col("doc_id"), col("m")).distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("d1", "d2")
+    }),
+
     // Sketch-form MinHash — the P=64 twin of q_dedup_minhash built on the
     // mergeable graft_minhash TypedImperativeAggregate (functions.MinHashAgg)
     // instead of 64 min() columns: ONE buffer of 64 longs per group, one
@@ -680,6 +720,30 @@ object LlmOps {
         |SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Mirror of the winnowing scheme: positional shingles (i is 0-based on
+    // both sides), same affine hash, same 4-hash window minima, same
+    // shared-fingerprint threshold.
+    "q_dedup_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |svocab AS (SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+        |           FROM (SELECT DISTINCT sh FROM sh)),
+        |hashed AS (SELECT doc_id, i, (2654435761 * sid + 40503) % 1048573 AS h
+        |           FROM sh JOIN svocab USING (sh)),
+        |fps AS (SELECT DISTINCT doc_id, m FROM (
+        |          SELECT doc_id, i,
+        |                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |                 count(*) OVER (PARTITION BY doc_id) AS n
+        |          FROM hashed)
+        |        WHERE i <= n - 4)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin,
 
     // Mirrors the graft_minhash sketch: same 64 affine permutations, 16

@@ -176,6 +176,24 @@ class OperatorPropsSuite extends SparkSpec {
     assert(b1 === brute)
   }
 
+  test("winnowing fingerprints recover the exact near-dup pairs") {
+    // winnowing guarantees any shared token run of >= w+k-1 = 8 tokens
+    // yields a shared fingerprint; J >= 0.8 pairs of ~50-token docs share
+    // long runs, so the exact near-dup set should be (almost) covered
+    val near = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = LlmOps.queries("q_dedup_winnow")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(near.nonEmpty && winnow.nonEmpty)
+    winnow.foreach { case (d1, d2, n) =>
+      assert(d1 < d2); assert(n >= 3L)
+    }
+    val wset = winnow.map(w => (w._1, w._2)).toSet
+    val covered = near.count(wset.contains)
+    assert(covered >= math.ceil(near.size * 0.9).toInt,
+      s"winnow covered $covered/${near.size} exact pairs")
+  }
+
   test("sketch minhash is sound (subset of exact pairs) with near-total recall") {
     val exact = LlmOps.queries("q_dedup_near")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
