@@ -92,6 +92,26 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("q_dedup_minhash_sketch: the sketch aggregate runs object-hash, not sort") {
+    val p = plan("q_dedup_minhash_sketch")
+    // a TypedImperativeAggregate that misses ObjectHashAggregate support
+    // silently degrades to SortAggregate (extra sort per group) — pin it
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q_dedup_winnow: fingerprint equi-join only — no all-pairs shape") {
+    val p = plan("q_dedup_winnow")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ts_resample: grid explode is map-side; fill is one window") {
+    val p = plan("q_ts_resample")
+    assert(p.contains("Generate explode"), p)
+    assert("Window".r.findAllIn(p).length === 1, p)
+  }
+
   test("q_join_salted: salting must not add exchanges over the plain join") {
     // the salt key rides the SAME shuffles the plain join already does
     // (join + final agg + output order); replication is the only tax
