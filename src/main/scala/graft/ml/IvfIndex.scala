@@ -63,7 +63,11 @@ object IvfIndex {
 
   /** Lloyd's k-means, `iters` rounds from the deterministic seed. */
   def train(df: DataFrame, k: Int, iters: Int): Model = {
-    val vecs = normalized(df)
+    // materialize the normalized vectors ONCE: every iteration (and the
+    // seed collect) would otherwise re-read the source and re-run the
+    // self-dot normalization per pass; values are unchanged so the
+    // determinism contract is unaffected
+    val vecs = normalized(df).localCheckpoint()
     var cents: Array[Array[Double]] = vecs
       .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)

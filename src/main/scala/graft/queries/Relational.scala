@@ -86,6 +86,7 @@ object Relational {
       .orderBy("c_custkey")),
 
     // Equi conjunct on user_id keeps this a shuffled equi join; the range
+    // window is 30 min (5 min was empty at sf0.001 — ROADMAP fragile list);
     // predicate is applied post-join (SMJ + filter). At 100 TB: range-bucket
     // the timestamp too, so candidate pairs stay bounded per bucket.
     "q_join_range_theta" -> ((s, d) => {
@@ -96,7 +97,7 @@ object Relational {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("pts"))
       v.join(p, col("user_id") === col("p_user") &&
           col("pts") > col("vts") &&
-          col("pts") <= col("vts") + expr("INTERVAL 5 MINUTES"))
+          col("pts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
         .select("view_id", "purchase_id")
         .orderBy("view_id", "purchase_id")
     }),
@@ -465,7 +466,7 @@ object Relational {
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND CAST(p.ts AS TIMESTAMP) >  CAST(v.ts AS TIMESTAMP)
-        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
         |ORDER BY 1, 2""".stripMargin,
 
     "q_join_asof" -> asofSql,

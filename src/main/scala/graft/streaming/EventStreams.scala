@@ -47,8 +47,10 @@ object EventStreams {
         col("n_events"))
 
   /** Stream-stream interval join: view -> purchase conversion pairs by the
-    * same user within (v.ts, v.ts + 5 min] — the streaming twin of
-    * q_join_range_theta. Both sides carry watermarks AND the join condition
+    * same user within (v.ts, v.ts + 5 min] — the streaming twin of the
+    * q_join_range_theta SHAPE (the batch query uses a 30-min window; the
+    * suite's batch-equality check pins this 5-min horizon on both forms).
+    * Both sides carry watermarks AND the join condition
     * bounds event time on both sides, so each side's state store evicts
     * rows once the other side's watermark passes v.ts + 5 min (unbounded
     * state otherwise — Spark rejects append-mode stream-stream joins
