@@ -23,17 +23,20 @@ object Bench {
     // stays sub-second (BASELINE.md variance note) — sub-second deltas then
     // mean plans, not weather.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val best =
-        try math.min(once(), once())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      // each run fails independently: one transient failure must not
+      // discard the other run's valid timing (a query that worked once is
+      // not "failed" — losing its time is the false regression signal this
+      // code exists to avoid)
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      name -> best
+      val times = Seq(once(), once()).flatten
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -294,10 +294,15 @@ object AdaBoostMH {
     * double additions as scoreVector (alpha_t·v_tl is one driver-side
     * product, phi flips its IEEE sign exactly), and argmax resolves ties
     * to the lowest label via array_position's first match — so predictions
-    * are identical to predictUdf on every input (AdaBoostMHSuite pins it).
-    * Unlike the UDF this stays inside whole-stage codegen: no
-    * serialization boundary per row, ~T·K fused when() branches. The UDF
-    * stays as the fallback for callers without a Column in hand. */
+    * are identical to predictUdf on every FINITE, fully-populated input
+    * (AdaBoostMHSuite pins it on real data). Edge semantics follow Spark
+    * SQL, which is the engine's contract now that transform uses this
+    * path: a NaN feature compares GREATER than any threshold (+w vote;
+    * the Scala UDF's `>` is false on NaN), and a null/short array yields
+    * a null comparison -> -w vote (the UDF would throw). Unlike the UDF
+    * this stays inside whole-stage codegen: no serialization boundary per
+    * row, ~T·K fused when() branches. The UDF stays as the fallback for
+    * callers without a Column in hand. */
   def predictColumn(stumps: Array[DecisionStump], v: Column): Column = {
     val scores = (0 until NumLabels).map { l =>
       stumps.map { st =>

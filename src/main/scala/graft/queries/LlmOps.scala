@@ -119,7 +119,9 @@ object LlmOps {
       s0
     }
     val blockPairs = (0 until numBlocks).map { blk =>
-      val block = ds.filter(col("vec_id") % numBlocks === blk)
+      // pmod, not %: a negative vec_id's % remainder is negative, so it
+      // would match NO block and silently vanish from the candidate side
+      val block = ds.filter(pmod(col("vec_id"), lit(numBlocks)) === blk)
         .collect().sortBy(_._1)
       val bc = s.sparkContext.broadcast(block)
       val pairs = ds.mapPartitions { it =>
@@ -146,6 +148,35 @@ object LlmOps {
       pairs
     }
     blockPairs.reduce(_ unionByName _).orderBy("d1", "d2")
+  }
+
+  /** Banded-LSH near-dup pairs over a (doc_id, simhash) fingerprint frame:
+    * numBands disjoint bands of bandBits bits, equi-join on (band, bits),
+    * each colliding pair emitted from its FIRST colliding band only (the
+    * fingerprint rides the band rows, so no distinct shuffle and no joins
+    * back — dense buckets of identical fingerprints would otherwise ship
+    * numBands duplicate candidates), then verify hamming <= maxHamming.
+    * Lossless by pigeonhole whenever maxHamming < numBands: <= maxHamming
+    * differing bits touch <= maxHamming bands, leaving >= 1 band identical. */
+  private def bandedSimhashPairs(sh: DataFrame, numBands: Int, bandBits: Int,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming < numBands, "pigeonhole needs maxHamming < numBands")
+    val mask = (1L << bandBits) - 1
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until numBands).map(b =>
+        expr(s"shiftright(simhash, ${bandBits * b}) & $mask")): _*)).as(Seq("band", "bits")))
+    val firstBand = "CASE " + (0 until numBands - 1).map(b =>
+      s"WHEN (shiftright(x, ${bandBits * b}) & $mask) = 0 THEN $b").mkString(" ") +
+      s" ELSE ${numBands - 1} END"
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("a.simhash ^ b.simhash").as("x"), col("a.band").as("band"))
+      .filter(col("band") === expr(firstBand))
+      .select(col("d1"), col("d2"), expr("bit_count(x)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
   }
 
   val queries: Map[String, Q] = Map(
@@ -340,34 +371,15 @@ object LlmOps {
       val bitSums = (0 until 16).map(k => sum(
         expr(s"CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, $k), 2) = 1 THEN 1 ELSE -1 END"))
         .as(s"s$k"))
-      // materialized once (checkpoint), then exploded into 4 (band, bits)
-      // rows per doc for the self-equi-join — the fingerprint RIDES the
-      // band rows, so hamming is computable right at the join output with
-      // no joins back and no distinct
+      // materialized once (checkpoint); candidate generation + verify live
+      // in bandedSimhashPairs (shared with the 56-bit twin)
       val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
           (0 until 16).map(k =>
             when(col(s"s$k") > 0, lit(1L) * (1L << k)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
         .localCheckpoint()
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          expr(s"shiftright(simhash, ${4 * b}) & 15")): _*)).as(Seq("band", "bits")))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("a.simhash ^ b.simhash").as("x"), col("a.band").as("band"))
-        // emit each colliding pair from its FIRST colliding band only: a
-        // map-side filter that makes rows unique per pair (hash-identical
-        // docs collide in all 4 bands — without this the dense buckets of
-        // this low-vocab corpus ship 4x duplicates into a distinct shuffle)
-        .filter(col("band") === expr(
-          "CASE WHEN (x & 15) = 0 THEN 0 WHEN (shiftright(x, 4) & 15) = 0 THEN 1 " +
-            "WHEN (shiftright(x, 8) & 15) = 0 THEN 2 ELSE 3 END"))
-        .select(col("d1"), col("d2"), expr("bit_count(x)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("d1", "d2")
+      bandedSimhashPairs(sh, numBands = 4, bandBits = 4, maxHamming = 3)
     }),
 
     // Wide-fingerprint SimHash — the shape the 16-bit query's scaladoc
@@ -394,20 +406,7 @@ object LlmOps {
             when(col(s"s$k") > 0, shiftleft(lit(1L), k)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
         .localCheckpoint()
-      val bands = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 8).map(b =>
-          expr(s"shiftright(simhash, ${7 * b}) & 127")): _*)).as(Seq("band", "bits")))
-      val firstBand = "CASE " + (0 until 7).map(b =>
-        s"WHEN (shiftright(x, ${7 * b}) & 127) = 0 THEN $b").mkString(" ") + " ELSE 7 END"
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("a.simhash ^ b.simhash").as("x"), col("a.band").as("band"))
-        .filter(col("band") === expr(firstBand))
-        .select(col("d1"), col("d2"), expr("bit_count(x)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 7)
-        .orderBy("d1", "d2")
+      bandedSimhashPairs(sh, numBands = 8, bandBits = 7, maxHamming = 7)
     }),
 
     // Embedding-cosine near-dup pairs (brute force; IVF/LSH bucketing is the

@@ -194,10 +194,14 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_suppkey")),
 
-    // No oracle (approximate); approx_percentile is a mergeable KLL-style
-    // sketch (order-independent merge -> deterministic under any
-    // partitioning) — the 100 TB quantile path, where exact percentile
-    // means a full sort. Rank-tolerance pinned in OperatorPropsSuite.
+    // No oracle (approximate, rows-only so the driver checks counts, not
+    // values). approx_percentile is Spark's Greenwald-Khanna quantile
+    // summary — mergeable, which is what matters at 100 TB (partial
+    // summaries per partition, no full sort), but NOT order-independent:
+    // GK compression makes merged summaries depend on merge order, so
+    // exact output values may vary across partitionings (unlike the HLL
+    // sketch above). The rank guarantee (within 1/accuracy of the true
+    // rank) holds regardless — pinned in OperatorPropsSuite's band test.
     "q_agg_approx_quantile" -> ((s, d) => Tables(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D), 10000)")
