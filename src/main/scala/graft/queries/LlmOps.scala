@@ -150,6 +150,18 @@ object LlmOps {
     blockPairs.reduce(_ unionByName _).orderBy("d1", "d2")
   }
 
+  /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
+    * and the clustering step built on top of it. */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardPairs(inter, sizes, 0.8)
+  }
+
   /** Banded-LSH near-dup pairs over a (doc_id, simhash) fingerprint frame:
     * numBands disjoint bands of bandBits bits, equi-join on (band, bits),
     * each colliding pair emitted from its FIRST colliding band only (the
@@ -191,14 +203,47 @@ object LlmOps {
     // Exact 5-gram-shingle Jaccard >= 0.8 via shingle self-join. O(pairs
     // sharing a shingle), not O(n^2) — but still the small-SF oracle; the
     // LSH variant below is the scale path.
-    "q_dedup_near" -> ((s, d) => {
-      val sh = docShingles(s, d)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      jaccardPairs(inter, sizes, 0.8)
+    "q_dedup_near" -> ((s, d) => nearDupPairs(s, d)),
+
+    // Dedup CLUSTERING — the step after pair generation that an actual
+    // dedup pipeline ships: connected components over the near-dup pair
+    // graph, one representative (min doc_id) per component, so "keep one
+    // copy per cluster" is a single filter. Iterative min-label
+    // propagation: each pass every doc takes the min of its own and its
+    // neighbors' labels, looped to a fixpoint (driver count check per
+    // pass, like the boosting loop) — the dup components here have tiny
+    // diameter so 2-3 passes converge. At 100 TB the same loop runs with
+    // large-star/small-star edge rewriting to cap the iteration count at
+    // O(log n) and keep per-key neighbor lists bounded; labels/edges are
+    // localCheckpointed per pass to cut the growing lineage. The DuckDB
+    // oracle computes the same components independently via a recursive
+    // transitive closure — a genuinely different algorithm agreeing on
+    // the result.
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d).select("d1", "d2").localCheckpoint()
+      val edges = pairs
+        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .select(col("d1").as("src"), col("d2").as("dst"))
+        .localCheckpoint()
+      var labels = Tables(s, d, "documents")
+        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val neigh = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("doc_id")).agg(min("nl").as("min_n"))
+        val next = labels.join(neigh, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("min_n"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels
+        .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+        .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
@@ -694,6 +739,32 @@ object LlmOps {
         |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+
+    // Independent witness of the min-label propagation: recursive
+    // transitive closure over the same pair graph, rep = min reachable id.
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |                     WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT d1, d2 FROM (
+        |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
+        |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+        |SELECT doc_id, cluster_rep, cluster_size
+        |FROM rep JOIN csz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -176,6 +176,25 @@ class OperatorPropsSuite extends SparkSpec {
     assert(b1 === brute)
   }
 
+  test("dedup clustering: pairs never split, reps are component minima") {
+    val pairs = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cl = LlmOps.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 === cl(b)._1, s"near-dup pair ($a,$b) split across clusters")
+    }
+    cl.foreach { case (doc, (rep, _)) =>
+      assert(rep <= doc, "representative must be the component minimum")
+      assert(cl(rep)._1 === rep, "a representative must be its own representative")
+    }
+    val bySize = cl.values.groupBy(_._1).map { case (rep, g) => rep -> g.size.toLong }
+    cl.foreach { case (_, (rep, size)) => assert(size === bySize(rep)) }
+    // and clusters actually merged something (planted dups exist)
+    assert(cl.count { case (doc, (rep, _)) => rep != doc } > 0)
+  }
+
   test("winnowing fingerprints recover the exact near-dup pairs") {
     // winnowing guarantees any shared token run of >= w+k-1 = 8 tokens
     // yields a shared fingerprint; J >= 0.8 pairs of ~50-token docs share
