@@ -625,6 +625,63 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF: top-3 terms per document by tf * ln((N+1)/(df+1)), ranked on
+    // the ROUNDED score (ties alphabetical) so libm last-ulp differences
+    // can never reorder across engines. One tokenize pass, term stats are
+    // broadcast-sized aggregates — at 100 TB this is two hash aggs and a
+    // broadcast join, no shuffle of the corpus.
+    "q_text_tfidf" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      val scored = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4))
+      val wr = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+      scored.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 3)
+        .select("doc_id", "rn", "w", "tfidf")
+        .orderBy("doc_id", "rn")
+    }),
+
+    // BM25 keyword search (k1=1.2, b=0.75): the "query" is the corpus's 3
+    // most frequent terms (deterministic, data-derived), scored over every
+    // document containing at least one of them; top-10 by rounded score.
+    // Float discipline: every per-term score is rounded to 6dp FIRST, the
+    // per-doc sum runs through DECIMAL (order-independent — a raw double
+    // sum of the term scores could differ across merge orders), and the
+    // final rank orders by the rounded total. avgdl is computed as one
+    // exact integer-sum divide mirrored token-for-token in the oracle.
+    "q_search_bm25" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val qterms = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(3).select("w")
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("len"))
+      val stats = lens.agg(count(lit(1)).as("n"),
+        sum(col("len").cast("decimal(22,6)")).cast("double").as("suml"))
+      val scoreT = tf.join(broadcast(qterms), "w")
+        .join(broadcast(dfreq), "w")
+        .join(lens, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("suml") / col("n"))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("score_t", round(
+          col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 6))
+      val ranked = scoreT.groupBy("doc_id")
+        .agg(round(sum(col("score_t").cast("decimal(18,6)")).cast("double"), 4).as("bm25"),
+          count(lit(1)).as("n_terms"))
+      val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
+      ranked.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+        .select("rn", "doc_id", "bm25", "n_terms")
+        .orderBy("rn")
+    }),
+
     // ---- similarity search / vectors -----------------------------------
     "q_sim_topk" -> ((s, d) => simTopK(s, d)
       .select("q_id", "rn", "c_id", "cos_sim")
@@ -990,6 +1047,48 @@ object LlmOps {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY n_matches DESC, plang) AS rn
         |  FROM all_pairs)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w, ROUND(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (w), n)
+        |SELECT doc_id, rn, w, tfidf FROM (
+        |  SELECT doc_id, w, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_search_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |qterms AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
+        |           ORDER BY cnt DESC, w LIMIT 3),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS len
+        |         FROM documents),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
+        |          FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+        |               / (tf + 1.2 * (0.25 + 0.75 * len / (suml / n))), 6) AS score_t
+        |  FROM tf JOIN qterms USING (w) JOIN dfq USING (w)
+        |       JOIN lens ON lens.doc_id = tf.doc_id, stats),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25,
+        |         count(*) AS n_terms
+        |  FROM scored GROUP BY 1)
+        |SELECT rn, doc_id, bm25, n_terms FROM (
+        |  SELECT doc_id, bm25, n_terms,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM ranked)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     "q_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
