@@ -7,8 +7,11 @@ import graft.Tables
 import dsl._
 
 /** LLM-training-data pipeline operators over `documents` and `embeddings`:
-  * exact/near/minhash/simhash dedup, text stats/quality/language-id/
-  * fingerprinting, vector similarity search (brute force + IVF) and kNN.
+  * dedup (exact / shingle-Jaccard / MinHash-LSH column+sketch+vocab-free /
+  * SimHash 16- and 56-bit banded / winnowing / embedding brute+block+LSH)
+  * with connected-component clustering, text stats/quality/language-id/
+  * fingerprinting/chunking/scrubbing, tf-idf and BM25 retrieval scoring,
+  * vector similarity search (brute force + IVF) and kNN.
   *
   * Scale design (100 TB):
   *  - exact dedup: hash-groupBy, one shuffle on the digest.
@@ -148,6 +151,32 @@ object LlmOps {
       pairs
     }
     blockPairs.reduce(_ unionByName _).orderBy("d1", "d2")
+  }
+
+  /** Distinct winnowing fingerprints per document of a (doc_id, text)
+    * frame: positional 5-token shingles -> affine k-gram hashes -> minimum
+    * of each 4-hash sliding window (full windows only) -> distinct minima.
+    * Factored out of q_dedup_winnow so the winnowing GUARANTEE — any
+    * shared token run of >= k+w-1 = 8 tokens yields a shared fingerprint —
+    * is unit-testable on crafted documents, not just corpus statistics. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+    val sh = t.select(col("doc_id"), posexplode(
+        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))
+        .as(Seq("i", "sh")))
+    val svocab = sh.select("sh").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+    val hashed = sh.join(svocab, "sh")
+      .select(col("doc_id"), col("i"),
+        ((lit(2654435761L) * col("sid") + lit(40503L)) % 1048573L).as("h"))
+    val wMin = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 3)
+    hashed
+      .withColumn("m", min("h").over(wMin))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("i") <= col("n") - 4) // full 4-hash windows only
+      .select(col("doc_id"), col("m")).distinct()
   }
 
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
@@ -339,24 +368,7 @@ object LlmOps {
     // one equi-join shuffle on the fingerprint; a stop-fingerprint (shared
     // boilerplate) would be dropped by a frequency cap before the join.
     "q_dedup_winnow" -> ((s, d) => {
-      val t = Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 5)
-      val sh = t.select(col("doc_id"), posexplode(
-          expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))
-          .as(Seq("i", "sh")))
-      val svocab = sh.select("sh").distinct()
-        .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
-      val hashed = sh.join(svocab, "sh")
-        .select(col("doc_id"), col("i"),
-          ((lit(2654435761L) * col("sid") + lit(40503L)) % 1048573L).as("h"))
-      val wMin = Window.partitionBy("doc_id").orderBy("i")
-        .rowsBetween(Window.currentRow, 3)
-      val fps = hashed
-        .withColumn("m", min("h").over(wMin))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(col("i") <= col("n") - 4) // full 4-hash windows only
-        .select(col("doc_id"), col("m")).distinct()
+      val fps = winnowFingerprints(Tables(s, d, "documents"))
       fps.as("a").join(fps.as("b"),
           col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

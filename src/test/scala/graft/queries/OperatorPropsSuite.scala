@@ -195,6 +195,22 @@ class OperatorPropsSuite extends SparkSpec {
     assert(cl.count { case (doc, (rep, _)) => rep != doc } > 0)
   }
 
+  test("winnowing guarantee: a shared 8-token run yields a shared fingerprint") {
+    import spark.implicits._
+    // doc 1 and 2 share exactly one 8-token run (>= k+w-1) embedded in
+    // otherwise-disjoint text; doc 3 shares nothing with either
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five $run aa bb cc dd ee"),
+      (2L, s"six seven eight nine ten $run ff gg hh ii jj"),
+      (3L, "kk ll mm nn oo pp qq rr ss tt uu vv ww xx yy zz")).toDF("doc_id", "text")
+    val fps = LlmOps.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must produce a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not collide")
+  }
+
   test("winnowing fingerprints recover the exact near-dup pairs") {
     // winnowing guarantees any shared token run of >= w+k-1 = 8 tokens
     // yields a shared fingerprint; J >= 0.8 pairs of ~50-token docs share
