@@ -694,6 +694,36 @@ object LlmOps {
         .orderBy("rn")
     }),
 
+    // One-pass column profiling (operators.Profiler) — the data-quality
+    // gate before/after every pipeline stage: one scan computes rows,
+    // nulls, exact distincts and min/max per column (all partial-
+    // aggregable; swap countDistinct for approx_count_distinct at PB
+    // scale). Exercised here over mixed types (long/double/string/ts).
+    "q_profile" -> ((s, d) => graft.operators.Profiler.profile(
+      Tables(s, d, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"))),
+
+    // The FLAGSHIP curation pipeline — what this engine exists for: keep
+    // documents that (a) pass the quality score, (b) self-classify to
+    // their labeled language, and (c) are their dup-cluster's
+    // representative (exactly one survivor per near-dup cluster). Built
+    // by COMPOSING three gated operators (q_text_quality, q_text_lang_id,
+    // q_dedup_cluster) as dataframe joins — operator outputs are just
+    // DataFrames, so curation is three equi-joins + a filter, and every
+    // stage keeps its own scale story. The oracle recomposes the same
+    // three oracle SQL bodies as CTEs.
+    "q_curate" -> ((s, d) => {
+      val quality = queries("q_text_quality")(s, d).select("doc_id", "quality")
+      val lang = queries("q_text_lang_id")(s, d).select("doc_id", "pred_lang")
+      val cluster = queries("q_dedup_cluster")(s, d)
+      Tables(s, d, "documents").select("doc_id", "lang")
+        .join(quality, "doc_id").join(lang, "doc_id").join(cluster, "doc_id")
+        .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
+          col("cluster_rep") === col("doc_id"))
+        .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search / vectors -----------------------------------
     "q_sim_topk" -> ((s, d) => simTopK(s, d)
       .select("q_id", "rn", "c_id", "cos_sim")
@@ -1059,6 +1089,96 @@ object LlmOps {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY n_matches DESC, plang) AS rn
         |  FROM all_pairs)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |         count(DISTINCT l_orderkey) AS n_distinct,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |         CAST(max(l_orderkey) AS VARCHAR) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*),
+        |         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT l_quantity),
+        |         CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT l_returnflag),
+        |         CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*),
+        |         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT l_shipdate),
+        |         CAST(min(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR),
+        |         CAST(max(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR)
+        |  FROM lineitem
+        |) ORDER BY "column"""".stripMargin,
+
+    // Recomposes the quality + lang-id + clustering oracle bodies as CTEs;
+    // the curation filter is the last SELECT.
+    "q_curate" ->
+      """WITH RECURSIVE
+        |qual AS (
+        |  SELECT doc_id,
+        |    ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
+        |          * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |words AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |prof AS (
+        |  SELECT lang AS plang, w FROM (
+        |    SELECT lang, w, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+        |    FROM words GROUP BY lang, w)
+        |  WHERE rn <= 5),
+        |ldt AS (SELECT DISTINCT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |lmatches AS (
+        |  SELECT doc_id, plang, count(*) AS n_matches
+        |  FROM ldt JOIN prof USING (w) GROUP BY 1, 2),
+        |all_pairs AS (
+        |  SELECT d.doc_id, l.plang, coalesce(m.n_matches, 0) AS n_matches
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT DISTINCT lang AS plang FROM documents) l
+        |  LEFT JOIN lmatches m USING (doc_id, plang)),
+        |pred AS (
+        |  SELECT doc_id, plang AS pred_lang FROM (
+        |    SELECT doc_id, plang,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY n_matches DESC, plang) AS rn
+        |    FROM all_pairs)
+        |  WHERE rn = 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT d1, d2 FROM (
+        |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
+        |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
+        |SELECT d.doc_id, q.quality, p.pred_lang, c.cluster_size
+        |FROM documents d
+        |JOIN qual q USING (doc_id)
+        |JOIN pred p USING (doc_id)
+        |JOIN rep r USING (doc_id)
+        |JOIN csz c ON c.cluster_rep = r.cluster_rep
+        |WHERE q.quality >= 0.3 AND p.pred_lang = d.lang AND r.cluster_rep = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
