@@ -688,8 +688,11 @@ object LlmOps {
       val ranked = scoreT.groupBy("doc_id")
         .agg(round(sum(col("score_t").cast("decimal(18,6)")).cast("double"), 4).as("bm25"),
           count(lit(1)).as("n_terms"))
+      // top-10 via distributed TakeOrderedAndProject FIRST; the global
+      // row_number window then runs over 10 rows, not the whole corpus
       val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
-      ranked.withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+      ranked.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(wr))
         .select("rn", "doc_id", "bm25", "n_terms")
         .orderBy("rn")
     }),
