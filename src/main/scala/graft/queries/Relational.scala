@@ -390,6 +390,46 @@ object Relational {
       .except(Tables(s, d, "lineitem").filter(col("l_quantity") > 45)
         .select(col("l_partkey").as("partkey")))
       .orderBy("partkey")),
+
+    // BAG-semantics set ops — multiplicity-preserving (each row of the
+    // left survives max(0, count_l - count_r) times): different operators
+    // from the distinct-set forms above, planned as an aggregated
+    // count-difference + generator replay (no row-by-row anti join).
+    // Duplicate output rows are indistinguishable, so orderBy on the
+    // value is fully deterministic.
+    "q_set_except_all" -> ((s, d) => Tables(s, d, "lineitem")
+      .filter(col("l_quantity") <= 3)
+      .select(col("l_partkey").as("partkey"))
+      .exceptAll(Tables(s, d, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")),
+
+    "q_set_intersect_all" -> ((s, d) => Tables(s, d, "lineitem")
+      .filter(col("l_quantity") <= 3)
+      .select(col("l_partkey").as("partkey"))
+      .intersectAll(Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("partkey")))
+      .orderBy("partkey")),
+
+    // Equi-width histogram of a numeric column — the distribution half of
+    // data profiling (operators.Profiler covers scalar stats): 12 bins
+    // over the exact [min, max] span, bucket arithmetic mirrored
+    // token-for-token in the oracle so floor() sees identical doubles.
+    // One agg for the bounds (broadcast) + one map-side bucket expression
+    // + one hash agg — no sort, no shuffle of the data beyond the agg.
+    "q_histogram" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(
+          floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 12.0)),
+          lit(11L)).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 4).as("bin_min"),
+          round(max(col("o_totalprice")), 4).as("bin_max"))
+        .orderBy("bin")
+    }),
   )
 
   /** Pair-form as-of SQL — shared by q_join_asof and q_join_asof_merge
@@ -643,5 +683,28 @@ object Relational {
         |EXCEPT
         |SELECT l_partkey FROM lineitem WHERE l_quantity > 45
         |ORDER BY 1""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT * FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity <= 3
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
+        |ORDER BY 1""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT * FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity <= 3
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 12.0)) AS BIGINT), 11) AS bin,
+        |       count(*) AS n,
+        |       ROUND(min(o_totalprice), 4) AS bin_min,
+        |       ROUND(max(o_totalprice), 4) AS bin_max
+        |FROM orders, bounds
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
