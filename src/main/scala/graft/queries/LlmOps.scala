@@ -672,8 +672,10 @@ object LlmOps {
       val qterms = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(3).select("w")
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      val lens = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("double").as("len"))
+      // doc length = sum of its term frequencies — derived from the tf
+      // frame already in hand, not a second full tokenization of the corpus
+      val lens = tf.groupBy("doc_id")
+        .agg(sum("tf").cast("double").as("len"))
       val stats = lens.agg(count(lit(1)).as("n"),
         sum(col("len").cast("decimal(22,6)")).cast("double").as("suml"))
       val scoreT = tf.join(broadcast(qterms), "w")
@@ -1203,8 +1205,7 @@ object LlmOps {
         |qterms AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)
         |           ORDER BY cnt DESC, w LIMIT 3),
         |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-        |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS len
-        |         FROM documents),
+        |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS len FROM tf GROUP BY 1),
         |stats AS (SELECT count(*) AS n,
         |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
         |          FROM lens),

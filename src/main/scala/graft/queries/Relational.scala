@@ -422,9 +422,12 @@ object Relational {
       val bounds = o.agg(min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
       o.crossJoin(broadcast(bounds))
-        .withColumn("bin", least(
+        // hi = lo (constant column / single row) would make the quotient
+        // 0/0 = NaN, where Spark's long cast and DuckDB's BIGINT cast
+        // DISAGREE (0 vs error) — pin bin 0 explicitly in both engines
+        .withColumn("bin", when(col("hi") === col("lo"), lit(0L)).otherwise(least(
           floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / 12.0)),
-          lit(11L)).cast("long"))
+          lit(11L)).cast("long")))
         .groupBy("bin").agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 4).as("bin_min"),
           round(max(col("o_totalprice")), 4).as("bin_max"))
@@ -700,7 +703,8 @@ object Relational {
 
     "q_histogram" ->
       """WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        |SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 12.0)) AS BIGINT), 11) AS bin,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |            ELSE least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 12.0)) AS BIGINT), 11) END AS bin,
         |       count(*) AS n,
         |       ROUND(min(o_totalprice), 4) AS bin_min,
         |       ROUND(max(o_totalprice), 4) AS bin_max
