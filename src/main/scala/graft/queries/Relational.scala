@@ -295,6 +295,24 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderstatus")),
 
+    // STRATIFIED deterministic sampling — the balanced-training-data op:
+    // per-stratum fractions (downsample even labels to 20%, odd to 40%)
+    // via the same shared LCG, so the SAME rows are kept in both engines
+    // under any partitioning. At scale this is a pushed-down scan filter
+    // exactly like the plain sample — per-class balance costs no shuffle,
+    // no per-stratum pass, no driver coordination (vs sampleBy's
+    // rand()-based, nondeterministic equivalent).
+    "q_sample_stratified" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .withColumn("pct",
+          expr("pmod((vec_id * 1103515245 + 12345), 2147483648) % 100"))
+        .filter((col("label") % 2 === 0 && col("pct") < 20) ||
+          (col("label") % 2 === 1 && col("pct") < 40))
+      e.groupBy("label").agg(count(lit(1)).as("n_sampled"),
+          min("vec_id").as("first_id"), max("vec_id").as("last_id"))
+        .orderBy("label")
+    }),
+
     // Boolean aggregates: per order-priority, did every/any order ship
     // above a price floor. every/some compile to Min/Max over booleans —
     // hash-aggregable, mergeable, no special handling at scale.
@@ -627,6 +645,15 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS revenue
         |FROM orders
         |WHERE (o_orderkey * 1103515245 + 12345) % 2147483648 % 100 < 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT label, count(*) AS n_sampled,
+        |       min(vec_id) AS first_id, max(vec_id) AS last_id
+        |FROM (SELECT label, vec_id,
+        |             (vec_id * 1103515245 + 12345) % 2147483648 % 100 AS pct
+        |      FROM embeddings)
+        |WHERE (label % 2 = 0 AND pct < 20) OR (label % 2 = 1 AND pct < 40)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sort_multikey" ->
