@@ -92,6 +92,17 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("q_sample_stratified: scan prunes to (vec_id, label) — embeddings never read") {
+    val p = plan("q_sample_stratified")
+    // check the ReadSchema struct itself, not the whole scan line (the
+    // file PATH contains "embeddings")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema:").last
+    assert(!rs.contains("embedding:"),
+      s"the 64-float embedding column must not be scanned for a sampling summary: $rs")
+    assert(p.contains("Filter"), p)
+  }
+
   test("q_dedup_minhash_sketch: the sketch aggregate runs object-hash, not sort") {
     val p = plan("q_dedup_minhash_sketch")
     // a TypedImperativeAggregate that misses ObjectHashAggregate support
