@@ -79,6 +79,36 @@ object LlmOps {
       .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("d1", "d2")
 
+  /** LSH band-join candidates of a (doc_id, mh: array<long>) sketch frame:
+    * numBands bands of `rows` consecutive sketch slots, band key = the
+    * '-'-joined slot values, candidates = same-(band, bkey) doc pairs.
+    * Shared by the vocab and xxh sketch forms (and the column-vs-sketch
+    * equality test), so "same banding" is true by construction. */
+  private[graft] def sketchBandCandidates(mh: DataFrame, numBands: Int,
+                                          rows: Int): DataFrame = {
+    val bandExpr = s"transform(sequence(0, ${numBands - 1}), b -> " +
+      (0 until rows).map(r => s"cast(element_at(mh, $rows*b+${r + 1}) as string)")
+        .mkString(" || '-' || ") + ")"
+    val bands = mh.select(col("doc_id"),
+      posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+  }
+
+  /** Exact-Jaccard >= 0.8 verification of LSH candidates against the
+    * (doc_id, sid) shingle-id frame — intersection sizes via two equi joins,
+    * then the shared jaccardPairs threshold/rounding/ordering. */
+  private def verifiedJaccardPairs(cand: DataFrame, ds: DataFrame): DataFrame = {
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
+      .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    jaccardPairs(inter, sizes, 0.8)
+  }
+
   /** (doc_id, tokid): tokens mapped through the global sorted-vocab rank. */
   private def docTokenIds(s: SparkSession, d: String): DataFrame = {
     val toks = docTokens(s, d)
@@ -160,16 +190,38 @@ object LlmOps {
     * shared token run of >= k+w-1 = 8 tokens yields a shared fingerprint —
     * is unit-testable on crafted documents, not just corpus statistics. */
   def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-    val sh = t.select(col("doc_id"), posexplode(
-        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))
-        .as(Seq("i", "sh")))
+    val sh = positionalShingles(docs)
     val svocab = sh.select("sh").distinct()
       .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
-    val hashed = sh.join(svocab, "sh")
+    winnowCore(sh.join(svocab, "sh")
       .select(col("doc_id"), col("i"),
-        ((lit(2654435761L) * col("sid") + lit(40503L)) % 1048573L).as("h"))
+        ((lit(2654435761L) * col("sid") + lit(40503L)) % 1048573L).as("h")))
+  }
+
+  /** Vocab-FREE winnowing fingerprints — the 100 TB shape: the k-gram hash
+    * is `pmod(xxhash64(shingle), 1048573)` computed MAP-SIDE, so there is no
+    * global sorted-vocab rank window (the single-partition corpus sort the
+    * vocab form pays for DuckDB parity), no vocab join, no checkpoint. The
+    * winnowing GUARANTEE is hash-agnostic (same shingle -> same hash -> a
+    * shared >= w+k-1 token run still yields a shared window minimum), so the
+    * same OperatorPropsSuite guarantee/recall tests pin this twin. */
+  def winnowFingerprintsXxh(docs: DataFrame): DataFrame =
+    winnowCore(positionalShingles(docs)
+      .select(col("doc_id"), col("i"),
+        pmod(xxhash64(col("sh")), lit(1048573L)).as("h")))
+
+  /** (doc_id, i, sh): POSITIONAL 5-token shingles (i is 0-based). */
+  private def positionalShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))
+        .as(Seq("i", "sh")))
+
+  /** Winnowing tail shared by the vocab and xxh forms: minimum of each
+    * 4-hash sliding window (full windows only) per doc -> distinct minima.
+    * Both windows are doc_id-partitioned — nothing here is corpus-scale. */
+  private def winnowCore(hashed: DataFrame): DataFrame = {
     val wMin = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.currentRow, 3)
     hashed
@@ -178,6 +230,16 @@ object LlmOps {
       .filter(col("i") <= col("n") - 4) // full 4-hash windows only
       .select(col("doc_id"), col("m")).distinct()
   }
+
+  /** Shared-fingerprint pair emission: docs sharing >= minShared winnowing
+    * fingerprints, via one equi-join shuffle on the fingerprint value. */
+  private def winnowPairs(fps: DataFrame, minShared: Int): DataFrame =
+    fps.as("a").join(fps.as("b"),
+        col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
 
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
     * and the clustering step built on top of it. */
@@ -367,15 +429,19 @@ object LlmOps {
     // Scale: one window pass per doc (map-side after the per-doc sort),
     // one equi-join shuffle on the fingerprint; a stop-fingerprint (shared
     // boilerplate) would be dropped by a frequency cap before the join.
-    "q_dedup_winnow" -> ((s, d) => {
-      val fps = winnowFingerprints(Tables(s, d, "documents"))
-      fps.as("a").join(fps.as("b"),
-          col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("d1", "d2")
-    }),
+    "q_dedup_winnow" -> ((s, d) =>
+      winnowPairs(winnowFingerprints(Tables(s, d, "documents")), minShared = 3)),
+
+    // Vocab-free winnowing — the production twin of q_dedup_winnow (the
+    // same relationship q_dedup_minhash_xxh has to q_dedup_minhash): k-gram
+    // hashes come straight from xxhash64(shingle) map-side, removing the
+    // corpus-scale single-partition vocab-rank sort. xxhash64 is not
+    // reproducible in DuckDB -> rows-only for the driver; OperatorPropsSuite
+    // pins the winnowing guarantee, disjoint-doc separation and recall of
+    // the exact near-dup pairs, and PlanQualitySuite pins that every Window
+    // in the plan is doc_id-partitioned (no global sort anywhere).
+    "q_dedup_winnow_xxh" -> ((s, d) =>
+      winnowPairs(winnowFingerprintsXxh(Tables(s, d, "documents")), minShared = 3)),
 
     // Sketch-form MinHash — the P=64 twin of q_dedup_minhash built on the
     // mergeable graft_minhash TypedImperativeAggregate (functions.MinHashAgg)
@@ -392,21 +458,25 @@ object LlmOps {
         .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
       val ds = sh.join(svocab, "sh").select("doc_id", "sid").localCheckpoint()
       val mh = ds.groupBy("doc_id").agg(expr("graft_minhash(sid, 64)").as("mh"))
-      val bandExpr = "transform(sequence(0, 15), b -> " +
-        (0 until 4).map(r => s"cast(element_at(mh, 4*b+${r + 1}) as string)")
-          .mkString(" || '-' || ") + ")"
-      val bands = mh.select(col("doc_id"),
-        posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-      val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(ds.select(col("doc_id").as("d1"), col("sid")), "d1")
-        .join(ds.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      jaccardPairs(inter, sizes, 0.8)
+      verifiedJaccardPairs(sketchBandCandidates(mh, numBands = 16, rows = 4), ds)
+    }),
+
+    // The xxh-fed sketch — the production twin of q_dedup_minhash_sketch
+    // (ROADMAP: every dedup operator gets a fully distributed shape): the
+    // mergeable graft_minhash aggregate consumes pmod(xxhash64(shingle),
+    // 1000003) ids computed MAP-SIDE, so the corpus-scale vocab-rank window
+    // and its checkpoint disappear — shingle -> hash -> one ObjectHash
+    // aggregation -> band join -> exact verify on the full 64-bit hashes
+    // (reduced ids only feed the minima; bucket collisions cannot inflate
+    // Jaccard). The reduced id is in [0, 1000003), so the aggregate's JVM
+    // `%` equals the column form's pmod arithmetic exactly — pinned by the
+    // candidate-set equality test in MinHashAggSuite. xxhash64 is not
+    // DuckDB-reproducible -> rows-only.
+    "q_dedup_minhash_sketch_xxh" -> ((s, d) => {
+      val ds = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+      val mh = ds.groupBy("doc_id")
+        .agg(expr("graft_minhash(pmod(sid, 1000003), 64)").as("mh"))
+      verifiedJaccardPairs(sketchBandCandidates(mh, numBands = 16, rows = 4), ds)
     }),
 
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.

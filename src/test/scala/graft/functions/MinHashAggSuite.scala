@@ -36,6 +36,47 @@ class MinHashAggSuite extends SparkSpec {
     assert(run(1) === run(32))
   }
 
+  test("xxh-fed sketch candidates equal the 64-min-column form over xxh ids") {
+    // the q_dedup_minhash_sketch_xxh contract: graft_minhash over
+    // pmod(xxhash64(sh), 1000003) must band to EXACTLY the candidate set of
+    // the column form computing the same 64 affine minima over the same
+    // reduced ids — both run through the shared sketchBandCandidates, so
+    // only the aggregation strategy differs
+    val sf = "/root/testdata/sf0.001"
+    val ds = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(1000003L)).as("sid"))
+    val sketchMh = ds.groupBy("doc_id").agg(expr("graft_minhash(sid, 64)").as("mh"))
+    val mins = (0 until 64).map(i =>
+      min(pmod(lit(7L + 11 * i) * col("sid") + lit(3L + 17 * i), lit(1000003L))).as(s"m$i"))
+    val colMh = ds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"m$i")): _*).as("mh"))
+    def cands(mh: org.apache.spark.sql.DataFrame) =
+      graft.queries.LlmOps.sketchBandCandidates(mh, numBands = 16, rows = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = cands(sketchMh)
+    val b = cands(colMh)
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
+  test("xxh-fed sketch pairs are sound (subset of exact) with near-total recall") {
+    import graft.queries.LlmOps
+    val sf = "/root/testdata/sf0.001"
+    def pairs(q: String) = LlmOps.queries(q)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q_dedup_near")
+    val xxh = pairs("q_dedup_minhash_sketch_xxh")
+    assert(exact.nonEmpty)
+    assert(xxh.subsetOf(exact), s"unsound pairs: ${xxh -- exact}")
+    // 16 bands x 4 rows at J >= 0.8: recall 1-(1-J^4)^16 ~ 0.9998
+    assert(xxh.size >= math.ceil(exact.size * 0.9).toInt,
+      s"recall ${xxh.size}/${exact.size} below floor")
+  }
+
   test("graft_minhash is callable from SQL via the extensions") {
     import spark.implicits._
     Seq((1L, 5L), (1L, 9L), (2L, 3L)).toDF("g", "sid")

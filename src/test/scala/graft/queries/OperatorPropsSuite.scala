@@ -229,6 +229,41 @@ class OperatorPropsSuite extends SparkSpec {
       s"winnow covered $covered/${near.size} exact pairs")
   }
 
+  test("xxh winnowing guarantee: a shared 8-token run yields a shared fingerprint") {
+    import spark.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three four five $run aa bb cc dd ee"),
+      (2L, s"six seven eight nine ten $run ff gg hh ii jj"),
+      (3L, "kk ll mm nn oo pp qq rr ss tt uu vv ww xx yy zz")).toDF("doc_id", "text")
+    val fps = LlmOps.winnowFingerprintsXxh(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must produce a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs must not collide")
+  }
+
+  test("xxh winnowing recovers the exact near-dup pairs like the vocab form") {
+    val near = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = LlmOps.queries("q_dedup_winnow_xxh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(near.nonEmpty && winnow.nonEmpty)
+    winnow.foreach { case (d1, d2, n) => assert(d1 < d2); assert(n >= 3L) }
+    val wset = winnow.map(w => (w._1, w._2)).toSet
+    val covered = near.count(wset.contains)
+    assert(covered >= math.ceil(near.size * 0.9).toInt,
+      s"xxh winnow covered $covered/${near.size} exact pairs")
+  }
+
+  test("xxh winnowing is deterministic across partitionings") {
+    val a = LlmOps.queries("q_dedup_winnow_xxh")(spark, sf)
+      .repartition(1).collect().map(_.toSeq).toSet
+    val b = LlmOps.queries("q_dedup_winnow_xxh")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("sketch minhash is sound (subset of exact pairs) with near-total recall") {
     val exact = LlmOps.queries("q_dedup_near")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

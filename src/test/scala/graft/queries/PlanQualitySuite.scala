@@ -117,6 +117,17 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_winnow_xxh: every Window is doc_id-partitioned — no global sort") {
+    val p = plan("q_dedup_winnow_xxh")
+    // the vocab form pays a partition-less rank window (a one-task corpus
+    // sort) for DuckDB parity; the production twin must have none
+    val windows = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("doc_id"),
+      s"partition-less Window in the production winnow plan:\n$w"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_ts_resample: grid explode is map-side; fill is one window") {
     val p = plan("q_ts_resample")
     assert(p.contains("Generate explode"), p)
