@@ -4,15 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
 /** Multimodal (image/audio/video) column handling for a training-data
   * pipeline: media payloads ride as opaque BINARY columns next to a typed
   * metadata struct; decode/feature-extraction runs batch-at-a-time inside
-  * mapPartitions so a real implementation can hand each batch to a native
-  * codec (or, in PySpark, to a pandas UDF via mapInPandas — identical batch
-  * shape). The decoders below are DETERMINISTIC STUBS: this container has no
-  * image/audio libraries, so the codec call is faked while every piece of
-  * Spark plumbing — schema, null handling, batching, partitioning, row
-  * expansion — is real and tested.
+  * mapPartitions so each batch can go to a codec (or, in PySpark, to a
+  * pandas UDF via mapInPandas — identical batch shape).
+  *
+  * PNG and WAV decode are REAL and pure-JVM: `javax.imageio` for PNG
+  * (any ImageIO-readable format, in fact) and a hand-rolled RIFF/PCM
+  * parser for WAV — no external libraries. Video decode stays a
+  * deterministic stub (no pure-JVM codec exists); its batching, null
+  * handling and schema plumbing are identical and tested.
   *
   * Scale notes (100 TB of media):
   *  - payloads are large: never groupBy/shuffle the binary column itself;
@@ -38,9 +43,93 @@ object Multimodal {
   val FeatureDim = 64
   val BatchSize = 64 // models the Arrow/pandas batch shape of mapInPandas
 
-  /** STUB decoder ("???"): a real build links an image/audio codec here and
-    * decodes payload -> pixels/samples. The fake derives FeatureDim floats
-    * deterministically from the payload bytes so tests can pin outputs. */
+  /** PNG (or any ImageIO format) -> 8x8 grid of mean luminance in [0, 1].
+    * None on undecodable bytes — the caller falls back to the stub so one
+    * corrupt payload can never fail a 100 TB extraction stage. */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](FeatureDim)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+            val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+            var sum = 0.0; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            out(gy * 8 + gx) = (sum / n / 255.0).toFloat
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }
+    } catch { case _: Exception => None }
+
+  /** WAV (RIFF, 16-bit PCM) -> 64 slices of mean |amplitude| in [0, 1].
+    * Manual chunk walk: fmt must be PCM/16-bit; multi-channel files read
+    * channel 0 via the fmt block's blockAlign stride. */
+  private[multimodal] def decodeWav(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      if (payload.length < 44) None
+      else {
+        val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+        def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+        if (tag(0) != "RIFF" || tag(8) != "WAVE") None
+        else {
+          var fmtOk = false; var blockAlign = 2
+          var dataOff = -1; var dataLen = 0
+          var off = 12
+          while (off + 8 <= payload.length) {
+            val id = tag(off); val size = bb.getInt(off + 4)
+            if (id == "fmt " && size >= 16) {
+              val audioFormat = bb.getShort(off + 8)
+              val bits = bb.getShort(off + 22)
+              blockAlign = math.max(2, bb.getShort(off + 20).toInt)
+              fmtOk = audioFormat == 1 && bits == 16
+            } else if (id == "data") { dataOff = off + 8; dataLen = size }
+            off += 8 + size + (size & 1) // RIFF chunks pad to even length
+          }
+          if (!fmtOk || dataOff < 0) None
+          else {
+            val n = math.min(dataLen, payload.length - dataOff) / blockAlign
+            if (n <= 0) Some(new Array[Float](FeatureDim))
+            else {
+              val out = new Array[Float](FeatureDim)
+              var k = 0
+              while (k < FeatureDim) {
+                val lo = k * n / FeatureDim
+                val hi = math.max(lo + 1, (k + 1) * n / FeatureDim)
+                var sum = 0.0; var j = lo
+                while (j < hi) {
+                  sum += math.abs(bb.getShort(dataOff + j * blockAlign).toInt)
+                  j += 1
+                }
+                out(k) = (sum / (hi - lo) / 32768.0).toFloat
+                k += 1
+              }
+              Some(out)
+            }
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder — the one deliberate fake left: video needs a real codec
+    * no pure JVM provides. Also the fallback for undecodable payloads, so
+    * extraction is total. Derives FeatureDim floats deterministically from
+    * the payload bytes so tests can pin outputs. */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     if (payload != null) {
@@ -53,17 +142,71 @@ object Multimodal {
     out
   }
 
+  /** Dispatch on (kind, format): real decoders for image + wav, stub for
+    * video; any decode failure falls back to the stub (never throws). */
+  private[multimodal] def decode(kind: String, format: String,
+                                 payload: Array[Byte]): Array[Float] =
+    if (payload == null) new Array[Float](FeatureDim)
+    else (kind, format) match {
+      case ("image", _)    => decodeImage(payload).getOrElse(decodeStub(payload))
+      case ("audio", "wav") => decodeWav(payload).getOrElse(decodeStub(payload))
+      case _               => decodeStub(payload)
+    }
+
+  /** Serialize 16-bit mono PCM to a canonical 44-byte-header WAV. */
+  private[multimodal] def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Render a deterministic grayscale image and encode it as real PNG. */
+  private[multimodal] def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (seed * 37 + x * 31 + y * 7) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table (tests only; the harness testdata
-    * has no media table). Payload bytes are a function of media_id. */
+    * has no media table). Image payloads are REAL PNGs, audio payloads are
+    * REAL 16-bit PCM WAVs; video payloads are opaque bytes for the stub. */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val payload = Array.tabulate[Byte](128 + (i % 64))(b => ((i * 31 + b * 7) % 251).toByte)
-      val meta = kind match {
-        case "image" => (Some(64 + i % 512), Some(48 + i % 256), None: Option[Int], None: Option[Int], Some("png"))
-        case "audio" => (None, None, Some(16000), Some(1000 + 10 * (i % 300)), Some("wav"))
-        case _       => (Some(320), Some(240), None, Some(2000 + 40 * (i % 500)), Some("mp4"))
+      val (payload, meta) = kind match {
+        case "image" =>
+          val (w, h) = (8 + i % 9, 8 + i % 5)
+          (pngBytes(w, h, i),
+            (Some(w), Some(h), None: Option[Int], None: Option[Int], Some("png")))
+        case "audio" =>
+          val durMs = 20 + i % 50
+          val samples = Array.tabulate[Short](16 * durMs)(j =>
+            ((((i * 73 + j * 11) % 4096) - 2048) * 8).toShort)
+          (wavBytes(samples, 16000),
+            (None, None, Some(16000), Some(durMs), Some("wav")))
+        case _ =>
+          (Array.tabulate[Byte](128 + (i % 64))(b => ((i * 31 + b * 7) % 251).toByte),
+            (Some(320), Some(240), None, Some(2000 + 40 * (i % 500)), Some("mp4")))
       }
       (i.toLong, kind, payload, meta)
     }
@@ -77,18 +220,19 @@ object Multimodal {
   /** payload -> features, batch-at-a-time. Output drops the heavy binary
     * column (the at-scale contract: features travel, payloads do not). */
   def extractFeatures(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    df.select("media_id", "kind", "payload")
+    df.select(col("media_id"), col("kind"), col("payload"),
+        col("meta.format").as("format"))
       .mapPartitions { it =>
         // batch the iterator exactly like an Arrow-based UDF would
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { r =>
-            val feats = decodeStub(r.getAs[Array[Byte]]("payload"))
+            val feats = decode(r.getString(1), r.getString(3),
+              r.getAs[Array[Byte]]("payload"))
             org.apache.spark.sql.Row(r.getLong(0), r.getString(1), feats.toSeq)
           }
         }

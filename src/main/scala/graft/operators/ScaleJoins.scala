@@ -33,6 +33,26 @@ object ScaleJoins {
     spark.table(leftTable)
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
 
+  /** Drop every row whose `keys`-group exceeds `cap` rows — the
+    * stop-shingle / stop-fingerprint / hot-bucket guard the LSH dedup band
+    * joins need before their self-join: a band bucket of B rows emits
+    * B·(B-1)/2 candidate pairs, so one boilerplate-heavy key (every doc
+    * sharing a licence header) turns the join quadratic. Hot keys are few
+    * by definition, so the over-cap key set broadcasts; the anti join adds
+    * no shuffle of `df` beyond the counting aggregation.
+    *
+    * Dropping, not salting: a self-join's output really is quadratic in
+    * the bucket — salting only spreads the same B²/2 pairs across tasks,
+    * which helps a skewed *task* but not a corpus where the pairs
+    * themselves are the cost. A key hot enough to hit the cap carries no
+    * dedup signal (it matches everything), exactly like a stopword. */
+  def dropHotKeys(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > cap).select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Skew-safe equi join: `large` keeps one row per input row (salt derived
     * from xxhash64 of the whole row — deterministic), `small` is exploded
     * to every salt. Result set is identical to the plain equi join. */

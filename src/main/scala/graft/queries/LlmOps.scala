@@ -18,8 +18,9 @@ import dsl._
   *  - near-dup: the exact shingle self-join is the correctness oracle at
   *    small SF; the scale path is MinHash+LSH (q_dedup_minhash) whose
   *    candidate set is bounded by band-bucket collisions instead of the
-  *    full O(n^2) pair space. Shingle->band keys partition evenly; skewed
-  *    buckets (stop-shingle) would be salted.
+  *    full O(n^2) pair space. Shingle->band keys partition evenly; a
+  *    boilerplate-hot bucket is dropped by the HotCap stop-key guard
+  *    (ScaleJoins.dropHotKeys) before the self-join in the xxh twins.
   *  - similarity: brute-force top-k broadcasts the (tiny) query set and
   *    streams candidates (no shuffle of the big side); the IVF variant
   *    (q_ann_ivf) prunes candidates to nprobe coarse cells, which is the
@@ -29,6 +30,17 @@ import dsl._
   *    directly (no vocab build, same affine-permutation MinHash on top).
   */
 object LlmOps {
+
+  /** Stop-key cap for the production (xxh) dedup twins: band buckets /
+    * fingerprints seen in more than this many docs are dropped before the
+    * candidate self-join (ScaleJoins.dropHotKeys). True near-dup clusters
+    * in any corpus this engine targets are orders of magnitude smaller, so
+    * the cap only fires on boilerplate; the harness corpora's largest
+    * bucket is 6 docs (max winnow fingerprint doc-freq at sf0.1; sketch
+    * band buckets peak at 4 — tools/FreqProbe), so at test SFs the capped
+    * and uncapped answers are identical — OperatorPropsSuite crafts a
+    * boilerplate corpus where the cap genuinely fires. */
+  private[graft] val HotCap = 64
 
   /** cosine(a, b) over array<double> columns via the codegen'd graft_dot
     * (same sequential fold order as the HOF form and DuckDB's list_sum, so
@@ -85,12 +97,18 @@ object LlmOps {
     * Shared by the vocab and xxh sketch forms (and the column-vs-sketch
     * equality test), so "same banding" is true by construction. */
   private[graft] def sketchBandCandidates(mh: DataFrame, numBands: Int,
-                                          rows: Int): DataFrame = {
+                                          rows: Int,
+                                          maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandExpr = s"transform(sequence(0, ${numBands - 1}), b -> " +
       (0 until rows).map(r => s"cast(element_at(mh, $rows*b+${r + 1}) as string)")
         .mkString(" || '-' || ") + ")"
-    val bands = mh.select(col("doc_id"),
+    val bands0 = mh.select(col("doc_id"),
       posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
+    // hot-bucket guard (production twins): a (band, bkey) bucket of B docs
+    // emits B²/2 candidates, so one boilerplate band key goes quadratic;
+    // over-cap buckets are dropped like stopwords BEFORE the self-join
+    val bands = if (maxBucket == Int.MaxValue) bands0
+      else graft.operators.ScaleJoins.dropHotKeys(bands0, Seq("band", "bkey"), maxBucket)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -232,14 +250,23 @@ object LlmOps {
   }
 
   /** Shared-fingerprint pair emission: docs sharing >= minShared winnowing
-    * fingerprints, via one equi-join shuffle on the fingerprint value. */
-  private def winnowPairs(fps: DataFrame, minShared: Int): DataFrame =
-    fps.as("a").join(fps.as("b"),
+    * fingerprints, via one equi-join shuffle on the fingerprint value.
+    * `maxDocFreq` is the stop-fingerprint cap: a fingerprint appearing in
+    * more than that many docs (shared boilerplate — a licence header, a
+    * template banner) contributes O(freq²) join rows while carrying no
+    * dedup signal, so the production twin drops it before the self-join
+    * (OperatorPropsSuite pins bounded candidates + unchanged pairs). */
+  private[graft] def winnowPairs(fps: DataFrame, minShared: Int,
+                                 maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val kept = if (maxDocFreq == Int.MaxValue) fps
+      else graft.operators.ScaleJoins.dropHotKeys(fps, Seq("m"), maxDocFreq)
+    kept.as("a").join(kept.as("b"),
         col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("d1", "d2")
+  }
 
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
     * and the clustering step built on top of it. */
@@ -299,38 +326,23 @@ object LlmOps {
     // Dedup CLUSTERING — the step after pair generation that an actual
     // dedup pipeline ships: connected components over the near-dup pair
     // graph, one representative (min doc_id) per component, so "keep one
-    // copy per cluster" is a single filter. Iterative min-label
-    // propagation: each pass every doc takes the min of its own and its
-    // neighbors' labels, looped to a fixpoint (driver count check per
-    // pass, like the boosting loop) — the dup components here have tiny
-    // diameter so 2-3 passes converge. At 100 TB the same loop runs with
-    // large-star/small-star edge rewriting to cap the iteration count at
-    // O(log n) and keep per-key neighbor lists bounded; labels/edges are
-    // localCheckpointed per pass to cut the growing lineage. The DuckDB
-    // oracle computes the same components independently via a recursive
-    // transitive closure — a genuinely different algorithm agreeing on
-    // the result.
+    // copy per cluster" is a single filter. Components come from
+    // alternating large-star/small-star edge rewriting
+    // (operators.ConnectedComponents): O(log n) rounds regardless of
+    // component diameter, vs one-hop-per-pass min-label propagation whose
+    // driver loop is O(diameter) — the difference between 2-3 and
+    // thousands of passes on a pathological near-dup chain at 100 TB
+    // (ConnectedComponentsSuite pins a 64-node chain at <= 6 rounds).
+    // The DuckDB oracle computes the same components independently via a
+    // recursive transitive closure — a genuinely different algorithm
+    // agreeing on the result.
     "q_dedup_cluster" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d).select("d1", "d2").localCheckpoint()
-      val edges = pairs
-        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .select(col("d1").as("src"), col("d2").as("dst"))
-        .localCheckpoint()
-      var labels = Tables(s, d, "documents")
-        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val neigh = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
-          .groupBy(col("src").as("doc_id")).agg(min("nl").as("min_n"))
-        val next = labels.join(neigh, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("min_n"), col("label"))).as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-      }
+      val pairs = nearDupPairs(s, d)
+        .select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
+      val labels = Tables(s, d, "documents").select("doc_id")
+        .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
       labels
         .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
         .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
@@ -400,10 +412,12 @@ object LlmOps {
         min(pmod(lit(7 + 11 * i) * pmod(col("sid"), lit(1000003L)) + lit(3 + 17 * i),
           lit(1000003L))).as(s"m$i"))
       val mh = ds.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val bands = mh.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b =>
-          concat_ws("-", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)): _*))
-          .as(Seq("band", "bkey")))
+      val bands = graft.operators.ScaleJoins.dropHotKeys(
+        mh.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            concat_ws("-", (0 until 4).map(r => col(s"m${4 * b + r}").cast("string")): _*)): _*))
+            .as(Seq("band", "bkey"))),
+        Seq("band", "bkey"), HotCap)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -427,8 +441,10 @@ object LlmOps {
     // correspondingly lighter than the full shared-shingle join
     // (q_dedup_near). All arithmetic is integer -> exact DuckDB parity.
     // Scale: one window pass per doc (map-side after the per-doc sort),
-    // one equi-join shuffle on the fingerprint; a stop-fingerprint (shared
-    // boilerplate) would be dropped by a frequency cap before the join.
+    // one equi-join shuffle on the fingerprint; the xxh production twin
+    // below drops stop-fingerprints (shared boilerplate) by the HotCap
+    // frequency guard before the join (this vocab form stays uncapped so
+    // the DuckDB oracle needn't model the cap).
     "q_dedup_winnow" -> ((s, d) =>
       winnowPairs(winnowFingerprints(Tables(s, d, "documents")), minShared = 3)),
 
@@ -441,7 +457,8 @@ object LlmOps {
     // the exact near-dup pairs, and PlanQualitySuite pins that every Window
     // in the plan is doc_id-partitioned (no global sort anywhere).
     "q_dedup_winnow_xxh" -> ((s, d) =>
-      winnowPairs(winnowFingerprintsXxh(Tables(s, d, "documents")), minShared = 3)),
+      winnowPairs(winnowFingerprintsXxh(Tables(s, d, "documents")), minShared = 3,
+        maxDocFreq = HotCap)),
 
     // Sketch-form MinHash — the P=64 twin of q_dedup_minhash built on the
     // mergeable graft_minhash TypedImperativeAggregate (functions.MinHashAgg)
@@ -476,7 +493,8 @@ object LlmOps {
       val ds = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
       val mh = ds.groupBy("doc_id")
         .agg(expr("graft_minhash(pmod(sid, 1000003), 64)").as("mh"))
-      verifiedJaccardPairs(sketchBandCandidates(mh, numBands = 16, rows = 4), ds)
+      verifiedJaccardPairs(
+        sketchBandCandidates(mh, numBands = 16, rows = 4, maxBucket = HotCap), ds)
     }),
 
     // 16-bit SimHash over token hashes; near-dup pairs = hamming <= 3.

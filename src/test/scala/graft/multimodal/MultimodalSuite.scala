@@ -40,6 +40,71 @@ class MultimodalSuite extends SparkSpec {
     assert(row.getSeq[Float](2).forall(_ == 0.0f))
   }
 
+  test("PNG decode golden: 8x8 grayscale image maps each pixel to its cell") {
+    // 8x8 image -> the 8x8 luminance grid is exactly per-pixel, so every
+    // feature is a hand-computable gray/255
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = (y * 8 + x) * 4
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feats = Multimodal.decodeImage(bos.toByteArray).get
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val want = ((y * 8 + x) * 4 / 255.0).toFloat
+      assert(math.abs(feats(y * 8 + x) - want) < 1e-6f,
+        s"cell ($x,$y): ${feats(y * 8 + x)} vs $want")
+    }
+  }
+
+  test("WAV decode golden: 64 samples map each sample to its slice") {
+    val samples = Array.tabulate[Short](64)(j => ((j - 32) * 1000).toShort)
+    val bytes = Multimodal.wavBytes(samples, 16000)
+    val feats = Multimodal.decodeWav(bytes).get
+    for (j <- 0 until 64) {
+      val want = (math.abs((j - 32) * 1000) / 32768.0).toFloat
+      assert(math.abs(feats(j) - want) < 1e-6f, s"slice $j: ${feats(j)} vs $want")
+    }
+  }
+
+  test("image features are real decode output (mean luminance in [0,1])") {
+    // the stub ACCUMULATES bytes (values routinely > 1); a real luminance
+    // mean cannot leave [0, 1] — so this separates decode paths
+    val feats = Multimodal.extractFeatures(media.filter(col("kind") === "image"))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val f = r.getSeq[Float](2)
+      assert(f.forall(v => v >= 0.0f && v <= 1.0f), s"media ${r.getLong(0)}")
+      assert(f.exists(_ > 0.0f))
+    }
+  }
+
+  test("audio features are real decode output and corrupt payloads fall back") {
+    val feats = Multimodal.extractFeatures(media.filter(col("kind") === "audio"))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val f = r.getSeq[Float](2)
+      assert(f.forall(v => v >= 0.0f && v <= 1.0f), s"media ${r.getLong(0)}")
+      assert(f.exists(_ > 0.0f))
+    }
+    // corrupt bytes under an image/png label: decodeImage fails, the stub
+    // fallback still yields a deterministic vector (extraction is total)
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val corrupt = Seq((0L, "image", junk, (Some(8), Some(8), Option.empty[Int],
+      Option.empty[Int], Some("png")))).toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("duration_ms"),
+          col("m._5").as("format")).as("meta"))
+    val got = Multimodal.extractFeatures(corrupt).collect().head.getSeq[Float](2)
+    assert(got === Multimodal.decodeStub(junk).toSeq)
+  }
+
   test("resize plan never upscales and preserves aspect ratio") {
     val plan = Multimodal.resizePlan(media, maxSide = 128).collect()
     assert(plan.nonEmpty)

@@ -43,6 +43,23 @@ class ScaleJoinsSuite extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dropHotKeys removes only over-cap groups and keeps everything else") {
+    import spark.implicits._
+    // key "hot" has 20 rows, "warm" exactly cap rows (kept: cap is
+    // inclusive), "cold" one row; compound key variant below
+    val df = ((1 to 20).map(i => ("hot", i)) ++ (1 to 5).map(i => ("warm", i)) ++
+      Seq(("cold", 99))).toDF("k", "v")
+    val kept = ScaleJoins.dropHotKeys(df, Seq("k"), cap = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(kept === ((1 to 5).map(i => ("warm", i)) ++ Seq(("cold", 99))).toSet)
+    // compound key: only the (1, "a") group exceeds the cap
+    val df2 = ((1 to 4).map(i => (1, "a", i)) ++ Seq((1, "b", 5), (2, "a", 6)))
+      .toDF("k1", "k2", "v")
+    val kept2 = ScaleJoins.dropHotKeys(df2, Seq("k1", "k2"), cap = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(kept2 === Set((1, "b", 5), (2, "a", 6)))
+  }
+
   test("salted join returns exactly the plain-join result under skew") {
     import spark.implicits._
     // pathological skew: 90% of the large side hits one key

@@ -277,6 +277,59 @@ class OperatorPropsSuite extends SparkSpec {
       s"recall ${sketch.size}/${exact.size} below floor")
   }
 
+  test("stop-fingerprint cap bounds boilerplate candidates with unchanged pairs") {
+    import spark.implicits._
+    // 30 docs share a 9-token boilerplate prefix (a licence header): every
+    // pair shares its 1-2 boilerplate window minima — below the minShared=3
+    // threshold, so NO final pair, but without a cap the self-join still
+    // pays ~C(30,2) candidate groups for them. Docs 1000/1001 are true
+    // dups (40-token shared run -> >= 3 shared fingerprints). Vocabularies
+    // are disjoint, so boilerplate docs cannot collide with the dup pair.
+    val bp = (0 until 9).map(i => s"bp$i").mkString(" ")
+    val run = (0 until 40).map(i => s"t$i").mkString(" ")
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, bp + " " + (0 until 30).map(j => s"d${i}u$j").mkString(" "))
+    } ++ Seq(
+      (1000L, run + " pa pb pc pd pe"),
+      (1001L, run + " qa qb qc qd qe"))).toDF("doc_id", "text")
+    val fps = LlmOps.winnowFingerprintsXxh(docs).localCheckpoint()
+
+    // the cap leaves the true-dup pair untouched...
+    val uncapped = LlmOps.winnowPairs(fps, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = LlmOps.winnowPairs(fps, minShared = 3, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1000L, 1001L)), s"uncapped pairs: $uncapped")
+    assert(capped === uncapped, "cap above the true-dup freq must not change pairs")
+
+    // ...while collapsing the boilerplate candidate explosion: at
+    // minShared=1 the uncapped join carries every boilerplate pair
+    val cand = LlmOps.winnowPairs(fps, minShared = 1).count()
+    val candCapped = LlmOps.winnowPairs(fps, minShared = 1, maxDocFreq = 10).count()
+    assert(cand >= 400, s"boilerplate must explode the uncapped join, got $cand")
+    assert(candCapped <= 10, s"capped candidates must stay bounded, got $candCapped")
+  }
+
+  test("hot band buckets are dropped before the sketch self-join") {
+    import spark.implicits._
+    // 50 docs with IDENTICAL sketches (one giant boilerplate bucket in
+    // every band) plus two genuine near-dup pairs with their own sketches:
+    // uncapped candidates pay C(50,2) for the hot bucket, capped keep
+    // exactly the two real pairs
+    val hot = (1L to 64L).toArray
+    val a = (101L to 164L).toArray
+    val b = (201L to 264L).toArray
+    val mh = ((0 until 50).map(i => (i.toLong, hot)) ++
+      Seq((100L, a), (101L, a), (200L, b), (201L, b)))
+      .toDF("doc_id", "mh")
+    val uncapped = LlmOps.sketchBandCandidates(mh, numBands = 16, rows = 4)
+    val capped = LlmOps.sketchBandCandidates(mh, numBands = 16, rows = 4,
+      maxBucket = 10)
+    assert(uncapped.count() === 50L * 49 / 2 + 2)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((100L, 101L), (200L, 201L)))
+  }
+
   test("vector normalization produces unit-consistent components") {
     val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
     assert(normed.nonEmpty)
