@@ -68,7 +68,14 @@ object AdaBoostMH {
       .groupBy("j")
       .agg(expr(s"approx_percentile(CAST(x AS DOUBLE), array($probs), $accuracy)").as("qs"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray.distinct.sorted))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray
+        // the sketch's merge order wobbles interpolated quantiles at the
+        // last ulp (~1e-13) across input partitionings; bin boundaries are
+        // approximate by construction, so round to 9dp and the trained
+        // model is partition-invariant (AdaBoostMHSuite pins it)
+        .map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+        .distinct.sorted))
       .sortBy(_._1)
       .map(_._2)
   }

@@ -268,6 +268,74 @@ object LlmOps {
       .orderBy("d1", "d2")
   }
 
+  /** Language-ID tail over a pre-tokenized (doc_id, lang, w) frame —
+    * shared by q_text_lang_id and the curation pipeline so the pipeline
+    * can feed quality AND lang-id from ONE tokenize pass. Profile = top-5
+    * tokens per lang, doc -> argmax profile overlap, ties alphabetical;
+    * docs x langs crossJoin keeps zero-match docs rankable. */
+  private def langIdFrom(docs: DataFrame, tok: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+    val prof = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 5)
+      .select(col("lang").as("plang"), col("w"))
+    val dt = tok.select("doc_id", "w").distinct()
+    val matches = dt.join(broadcast(prof), "w")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_matches"))
+    val langs = docs.select(col("lang").as("plang")).distinct()
+    val all = docs.select("doc_id").crossJoin(broadcast(langs))
+      .join(matches, Seq("doc_id", "plang"), "left_outer")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+    val wd = Window.partitionBy("doc_id").orderBy(col("n_matches").desc, col("plang"))
+    all.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("n_matches"))
+  }
+
+  /** BM25 scoring tail (k1=1.2, b=0.75) of a (doc_id, text) frame against
+    * a one-column (w) query-term frame: top-`topK` docs by rounded score.
+    * Float discipline (see q_search_bm25): per-term scores rounded to 6dp
+    * first, per-doc sums through DECIMAL, rank on the rounded total. */
+  private def bm25Scored(docs: DataFrame, qterms: DataFrame,
+                         topK: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // doc length = sum of its term frequencies — derived from the tf
+    // frame already in hand, not a second full tokenization of the corpus
+    val lens = tf.groupBy("doc_id")
+      .agg(sum("tf").cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      sum(col("len").cast("decimal(22,6)")).cast("double").as("suml"))
+    val scoreT = tf.join(broadcast(qterms), "w")
+      .join(broadcast(dfreq), "w")
+      .join(lens, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("suml") / col("n"))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t", round(
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 6))
+    val ranked = scoreT.groupBy("doc_id")
+      .agg(round(sum(col("score_t").cast("decimal(18,6)")).cast("double"), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    // top-K via distributed TakeOrderedAndProject FIRST; the global
+    // row_number window then runs over K rows, not the whole corpus
+    val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
+    ranked.orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+      .withColumn("rn", row_number().over(wr))
+      .select("rn", "doc_id", "bm25", "n_terms")
+      .orderBy("rn")
+  }
+
+  /** PUBLIC retrieval API: BM25 ranking of `docs` (doc_id, text) for an
+    * arbitrary user-supplied query-term set — the generalized operator
+    * behind q_search_bm25 (which instantiates it with the corpus's top-3
+    * terms). Bm25Suite pins hand-computed scores on a crafted corpus. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    import docs.sparkSession.implicits._
+    bm25Scored(docs, queryTerms.distinct.toDF("w"), topK)
+  }
+
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
     * and the clustering step built on top of it. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -708,21 +776,7 @@ object LlmOps {
       // instead of re-exploding the corpus per consumer.
       val tok = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w")).localCheckpoint()
-      val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
-      val prof = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 5)
-        .select(col("lang").as("plang"), col("w"))
-      val dt = tok.select("doc_id", "w").distinct()
-      val matches = dt.join(broadcast(prof), "w")
-        .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_matches"))
-      val langs = docs.select(col("lang").as("plang")).distinct()
-      val all = docs.select("doc_id").crossJoin(broadcast(langs))
-        .join(matches, Seq("doc_id", "plang"), "left_outer")
-        .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
-      val wd = Window.partitionBy("doc_id").orderBy(col("n_matches").desc, col("plang"))
-      all.withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("plang").as("pred_lang"), col("n_matches"))
-        .orderBy("doc_id")
+      langIdFrom(docs, tok).orderBy("doc_id")
     }),
 
     // TF-IDF: top-3 terms per document by tf * ln((N+1)/(df+1)), ranked on
@@ -755,36 +809,11 @@ object LlmOps {
     // exact integer-sum divide mirrored token-for-token in the oracle.
     "q_search_bm25" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val qterms = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val qterms = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(3).select("w")
-      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      // doc length = sum of its term frequencies — derived from the tf
-      // frame already in hand, not a second full tokenization of the corpus
-      val lens = tf.groupBy("doc_id")
-        .agg(sum("tf").cast("double").as("len"))
-      val stats = lens.agg(count(lit(1)).as("n"),
-        sum(col("len").cast("decimal(22,6)")).cast("double").as("suml"))
-      val scoreT = tf.join(broadcast(qterms), "w")
-        .join(broadcast(dfreq), "w")
-        .join(lens, "doc_id").crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("suml") / col("n"))
-        .withColumn("idf",
-          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("score_t", round(
-          col("idf") * (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avgdl"))), 6))
-      val ranked = scoreT.groupBy("doc_id")
-        .agg(round(sum(col("score_t").cast("decimal(18,6)")).cast("double"), 4).as("bm25"),
-          count(lit(1)).as("n_terms"))
-      // top-10 via distributed TakeOrderedAndProject FIRST; the global
-      // row_number window then runs over 10 rows, not the whole corpus
-      val wr = Window.orderBy(col("bm25").desc, col("doc_id"))
-      ranked.orderBy(col("bm25").desc, col("doc_id")).limit(10)
-        .withColumn("rn", row_number().over(wr))
-        .select("rn", "doc_id", "bm25", "n_terms")
-        .orderBy("rn")
+      bm25Scored(docs, qterms, topK = 10)
     }),
 
     // One-pass column profiling (operators.Profiler) — the data-quality
@@ -799,17 +828,31 @@ object LlmOps {
     // The FLAGSHIP curation pipeline — what this engine exists for: keep
     // documents that (a) pass the quality score, (b) self-classify to
     // their labeled language, and (c) are their dup-cluster's
-    // representative (exactly one survivor per near-dup cluster). Built
-    // by COMPOSING three gated operators (q_text_quality, q_text_lang_id,
-    // q_dedup_cluster) as dataframe joins — operator outputs are just
-    // DataFrames, so curation is three equi-joins + a filter, and every
-    // stage keeps its own scale story. The oracle recomposes the same
-    // three oracle SQL bodies as CTEs.
+    // representative (exactly one survivor per near-dup cluster).
+    // Composition with a SHARED SCAN: quality and lang-id both consume one
+    // checkpointed tokenize pass (they differ only in aggregation), so the
+    // corpus is exploded once, not once per component — at 100 TB the
+    // tokenize is the dominant scan, so composing operators by re-running
+    // each one's own scan doubles the bill. Clustering keeps its own
+    // (shingle) pass — shingles aren't derivable from the token bag.
+    // Results are bit-identical to composing the gated operators (same
+    // aggregation arithmetic), so the oracle — the same three oracle SQL
+    // bodies as CTEs — is unchanged.
     "q_curate" -> ((s, d) => {
-      val quality = queries("q_text_quality")(s, d).select("doc_id", "quality")
-      val lang = queries("q_text_lang_id")(s, d).select("doc_id", "pred_lang")
+      val docs = Tables(s, d, "documents")
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w")).localCheckpoint()
+      // quality over the shared tokens: count == size(split), distinct
+      // count == size(array_distinct), same double arithmetic as
+      // q_text_quality -> same 4dp values
+      val quality = tok.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+        .select(col("doc_id"), round(
+          least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
+            (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
+      val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
       val cluster = queries("q_dedup_cluster")(s, d)
-      Tables(s, d, "documents").select("doc_id", "lang")
+      docs.select("doc_id", "lang")
         .join(quality, "doc_id").join(lang, "doc_id").join(cluster, "doc_id")
         .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
           col("cluster_rep") === col("doc_id"))

@@ -111,6 +111,44 @@ class AdaBoostMHSuite extends SparkSpec {
     assert(stumps.forall(_.alpha >= 0))
   }
 
+  test("quantile-binned training: loss within tolerance of equi-width, partition-invariant") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pts = df.collect().map { r =>
+      val x = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      (x, r.getInt(r.fieldIndex("label")))
+    }
+    def loss(stumps: Array[DecisionStump]): Double = {
+      val errs = pts.map { case (x, label) =>
+        val f = AdaBoostMH.scoreVector(stumps, x, AdaBoostMH.NumLabels)
+        f.zipWithIndex.count { case (fl, l) =>
+          val y = if (l == label) 1 else -1
+          (if (fl > 0) 1 else -1) != y
+        }
+      }.sum
+      errs.toDouble / (pts.length * AdaBoostMH.NumLabels)
+    }
+    val sq = AdaBoostMH.train(spark, df, numRounds = 6, quantileBins = true)
+    val se = AdaBoostMH.train(spark, df, numRounds = 6)
+    assert(sq.length === 6 && sq.forall(_.alpha >= 0))
+    // quantile bins follow the data distribution; on these (symmetric
+    // Gaussian) features they should train to within noise of equi-width
+    assert(loss(sq) <= loss(se) + 0.02,
+      s"quantile-binned loss ${loss(sq)} vs equi-width ${loss(se)}")
+    // the trained MODEL must be reproducible across input partitionings:
+    // stump SELECTION is exact (1e-9 gamma rounding pins the argmax, and
+    // the sketch grid is 9dp-rounded so it cannot wobble either); alpha
+    // keeps the documented merge-order ulp allowance (see the 2-vs-40
+    // partitions test)
+    val sq2 = AdaBoostMH.train(spark, df.repartition(13), numRounds = 6,
+      quantileBins = true)
+    sq.zip(sq2).foreach { case (a, b) =>
+      assert(a.featureIndex === b.featureIndex)
+      assert(a.threshold === b.threshold)
+      assert(math.abs(a.alpha - b.alpha) < 1e-9)
+      assert(a.votes.toSeq === b.votes.toSeq)
+    }
+  }
+
   test("model save/load round-trips stumps and predictions exactly") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val stumps = AdaBoostMH.train(spark, df, numRounds = 3)

@@ -201,6 +201,44 @@ class EventStreamsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark boundary property: late-arrival sweep around the 10-minute delay") {
+    import spark.implicits._
+    // Property: with watermark = max-event-ts - 10 min, the [10:00, 11:00)
+    // window's state is evicted once the watermark REACHES the window end —
+    // i.e. once an event at 11:10 + d with d >= 0 has been seen. A late
+    // 10:30 arrival is therefore counted iff d < 0. Sweeping d in minutes
+    // across the boundary pins the inclusive/exclusive edge empirically
+    // (the same discipline as the 30:00 session-gap pin): d = 0 DROPS.
+    val results = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (d, idx) =>
+      val input = MemoryStream[Event](spark)
+      val name = s"wm_sweep_$idx"
+      val q = EventStreams.tumblingCounts(input.toDF(), watermark = "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0)))
+        q.processAllAvailable()
+        // advance max event time to 11:10 + d  ->  watermark = 11:00 + d
+        input.addData(Seq(Event(2,
+          new Timestamp(ts("2024-01-01 11:10:00").getTime + d * 60000L), 1, "view", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Event(3, ts("2024-01-01 10:30:00"), 1, "view", 1.0)))
+        q.processAllAvailable()
+        // flush every remaining window
+        input.addData(Seq(Event(4, ts("2024-01-01 20:00:00"), 1, "view", 1.0)))
+        q.processAllAvailable()
+        val n = spark.table(name).collect()
+          .filter(_.getString(0) == "2024-01-01 10:00:00").map(_.getLong(2)).sum
+        d -> n
+      } finally q.stop()
+    }
+    results.foreach { case (d, n) =>
+      val want = if (d < 0) 2L else 1L
+      assert(n === want, s"offset ${d}min: window count $n, expected $want " +
+        s"(late row ${if (d < 0) "kept" else "dropped"}); all: $results")
+    }
+  }
+
   test("transformWithState keeps a running per-user count across batches") {
     import spark.implicits._
     withRocksDBStateStore {
