@@ -816,6 +816,31 @@ object LlmOps {
       bm25Scored(docs, qterms, topK = 10)
     }),
 
+    // The USER-SUPPLIED-terms instance of the same scoring tail, under the
+    // gate: a fixed literal query through the public bm25() API — proving
+    // the parameterized path (arbitrary terms, not corpus-derived) against
+    // DuckDB. The three terms are in every harness corpus's vocabulary.
+    "q_search_bm25_param" -> ((s, d) =>
+      bm25(Tables(s, d, "documents"), Seq("window", "scan", "column"), topK = 10)),
+
+    // Top-3 bigrams per language by frequency (ties alphabetical) — the
+    // n-gram frequency profile a corpus-analysis pass ships next to
+    // lang-id. Bigram generation is map-side (transform over the token
+    // array); one hash aggregation + a per-lang top-k window.
+    "q_text_bigrams" -> ((s, d) => {
+      val bg = Tables(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> element_at(t, i) || ' ' || element_at(t, i + 1))"))
+          .as("bg"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bg"))
+      bg.groupBy("lang", "bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("lang", "rn", "bg", "cnt")
+        .orderBy("lang", "rn")
+    }),
+
     // One-pass column profiling (operators.Profiler) — the data-quality
     // gate before/after every pipeline stage: one scan computes rows,
     // nulls, exact distincts and min/max per column (all partial-
@@ -1329,6 +1354,44 @@ object LlmOps {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_search_bm25_param" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |qterms AS (SELECT unnest(['window', 'scan', 'column']) AS w),
+        |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS len FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
+        |          FROM lens),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+        |               / (tf + 1.2 * (0.25 + 0.75 * len / (suml / n))), 6) AS score_t
+        |  FROM tf JOIN qterms USING (w) JOIN dfq USING (w)
+        |       JOIN lens ON lens.doc_id = tf.doc_id, stats),
+        |ranked AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25,
+        |         count(*) AS n_terms
+        |  FROM scored GROUP BY 1)
+        |SELECT rn, doc_id, bm25, n_terms FROM (
+        |  SELECT doc_id, bm25, n_terms,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM ranked)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    "q_text_bigrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT lang, array_to_string(t[i:i+1], ' ') AS bg
+        |       FROM t, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+        |cnt AS (SELECT lang, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT lang, rn, bg, cnt FROM (
+        |  SELECT lang, bg, cnt,
+        |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg) AS rn
+        |  FROM cnt)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
 
     "q_search_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

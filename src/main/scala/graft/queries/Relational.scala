@@ -118,6 +118,24 @@ object Relational {
         .orderBy("purchase_id")
     }),
 
+    // FORWARD as-of — the other direction users need (next-event
+    // attribution: for each view, the EARLIEST purchase of the same user
+    // at or after it). Same equi-join + per-key window argmin shape as
+    // the backward form, so the scale story is identical.
+    "q_join_asof_forward" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("pts"))
+      val j = v.join(p, col("user_id") === col("p_user") && col("pts") >= col("vts"))
+      val w = Window.partitionBy("view_id").orderBy(col("pts"), col("purchase_id"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("view_id", "purchase_id")
+        .orderBy("view_id")
+    }),
+
     "q_join_cross_bounded" -> ((s, d) => Tables(s, d, "region")
       .crossJoin(Tables(s, d, "nation"))
       .select("r_name", "n_name")
@@ -539,6 +557,17 @@ object Relational {
     // identical oracle by construction: the merge formulation must be
     // indistinguishable from the pair formulation
     "q_join_asof_merge" -> asofSql,
+
+    "q_join_asof_forward" ->
+      """SELECT view_id, purchase_id FROM (
+        |  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |         row_number() OVER (PARTITION BY v.event_id
+        |                            ORDER BY CAST(p.ts AS TIMESTAMP), p.event_id) AS rn
+        |  FROM events v JOIN events p
+        |    ON v.event_type = 'view' AND p.event_type = 'purchase'
+        |   AND v.user_id = p.user_id
+        |   AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY view_id""".stripMargin,
 
     "q_join_cross_bounded" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2""",

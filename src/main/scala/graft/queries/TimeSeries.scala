@@ -80,6 +80,52 @@ object TimeSeries {
           col("v_filled"), col("is_gap"))
         .orderBy("user_id", "hour")
     }),
+
+    // Linear-interpolation gap fill — the resample twin for quantities
+    // where LOCF is wrong (sensor readings, prices between trades): each
+    // missing grid hour takes prev + (next - prev) * elapsed/span from the
+    // bracketing OBSERVED hours. The bracketing values/hours are two
+    // running windows per user (one forward, one backward-looking frame),
+    // so the plan shape and scale story are identical to q_ts_resample.
+    // Grid endpoints are observed by construction (h0/h1 = min/max), so
+    // every gap is interior and prev/next are always present. Float
+    // parity: prev/next are the ALREADY-4dp-rounded hourly means, so a
+    // half-span gap lands EXACTLY on the x.xxxx5 rounding boundary —
+    // where Spark's round() (decimal-string HALF_UP) and DuckDB's round()
+    // (binary) disagree by 1 ulp. The final rounding is therefore written
+    // as floor(x*1e4 + 0.5)/1e4 — the same ieee754 ops in both engines,
+    // bit-identical by construction at every value including boundaries.
+    "q_ts_interp" -> ((s, d) => {
+      val hourly = Tables(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+        .groupBy("user_id", "hour").agg(dmean(col("value")).as("v"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val wPast = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFut = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPast))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wFut))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wPast))
+        .withColumn("nh",
+          first(when(col("v").isNotNull, col("hour")), ignoreNulls = true).over(wFut))
+        .withColumn("v_interp",
+          when(col("v").isNotNull, col("v"))
+            .otherwise(
+              floor((col("pv") + (col("nv") - col("pv")) *
+                ((unix_timestamp(col("hour")) - unix_timestamp(col("ph"))).cast("double") /
+                  (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))))
+                * 10000.0 + 0.5) / 10000.0))
+        .withColumn("is_gap", col("v").isNull.cast("long"))
+        .select(col("user_id"), tstr(col("hour")).as("hour"),
+          col("v_interp"), col("is_gap"))
+        .orderBy("user_id", "hour")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +171,33 @@ object TimeSeries {
          |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
          |       v_filled, CAST(v IS NULL AS BIGINT) AS is_gap
          |FROM filled ORDER BY user_id, hour""".stripMargin,
+
+    "q_ts_interp" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         |         ${sqlMean("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1)),
+         |f AS (
+         |  SELECT g.user_id, g.hour, h.v,
+         |    last_value(h.v IGNORE NULLS) OVER wp AS pv,
+         |    first_value(h.v IGNORE NULLS) OVER wf AS nv,
+         |    last_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wp AS ph,
+         |    first_value(CASE WHEN h.v IS NOT NULL THEN g.hour END IGNORE NULLS) OVER wf AS nh
+         |  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+         |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.hour
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY g.user_id ORDER BY g.hour
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       ELSE FLOOR((pv + (nv - pv) *
+         |              (CAST(epoch(hour) - epoch(ph) AS DOUBLE) / (epoch(nh) - epoch(ph))))
+         |              * 10000.0 + 0.5) / 10000.0
+         |  END AS v_interp,
+         |  CAST(v IS NULL AS BIGINT) AS is_gap
+         |FROM f ORDER BY user_id, hour""".stripMargin,
   )
 }

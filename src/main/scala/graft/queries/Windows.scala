@@ -81,6 +81,21 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
+    // Positional analytics over the FULL partition frame: first/last/nth
+    // order per customer by date. nth_value(2) is null for single-order
+    // customers — both engines agree on the null.
+    "q_window_first_last" -> ((s, d) => {
+      val wo = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wf).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_order"),
+          last(col("o_orderkey")).over(wf).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Relative-rank analytics: percent_rank = (rank-1)/(n-1) and
     // cume_dist = peers<=current / n are the SAME division in both engines
     // (identical ints -> identical ieee754 quotient); round(6) is belt-and-
@@ -97,6 +112,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |  last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q_window_percent_rank" ->
       """SELECT c_custkey, c_mktsegment,
         |  ROUND(percent_rank() OVER wo, 6) AS pct_rank,
