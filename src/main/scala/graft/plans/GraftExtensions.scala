@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>
         graft.functions.MinHashAgg.fromArgs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TopKAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -900,6 +900,37 @@ object LlmOps {
         .orderBy("q_id")
     }),
 
+    // Confusion matrix of the kNN classifier — the evaluation step after
+    // q_knn_label: (true_label, pred_label) counts over the query set.
+    // Composition of a gated operator with a join + aggregation; the
+    // oracle recomposes the kNN SQL as a CTE.
+    "q_knn_confusion" -> ((s, d) => {
+      val preds = queries("q_knn_label")(s, d).select("q_id", "pred_label")
+      val truth = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").cast("long").as("true_label"))
+      preds.join(truth, "q_id")
+        .groupBy("true_label", "pred_label").agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
+    // Zipf profile: the corpus's top-20 tokens with rank and share — the
+    // frequency fingerprint a corpus-analysis pass reports (and the
+    // stopword candidates a retrieval stack prunes). Distributed top-k
+    // FIRST (TakeOrderedAndProject), then the tiny ranking window.
+    "q_text_zipf" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      val wr = Window.orderBy(col("cnt").desc, col("w"))
+      cnt.crossJoin(broadcast(total))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .withColumn("rank", row_number().over(wr))
+        .select(col("rank"), col("w"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        .orderBy("rank")
+    }),
+
     "q_vec_norm" -> ((s, d) => Tables(s, d, "embeddings")
       .withColumn("nrm", expr("sqrt(aggregate(embedding, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
       .select(col("vec_id"),
@@ -982,6 +1013,22 @@ object LlmOps {
         |               / (a.nrm * b.nrm), 4) AS cos_sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin
+
+  /** kNN-label SQL — shared by q_knn_label and the confusion-matrix
+    * recomposition (which must see the identical classifier). */
+  private val knnLabelSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, label FROM embeddings WHERE vec_id >= 10),
+       |scored AS (SELECT q_id, c_id, label, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
+       |ranked AS (SELECT q_id, c_id, label,
+       |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+       |           FROM scored),
+       |votes AS (SELECT q_id, label, count(*) AS cnt FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
+       |SELECT q_id, CAST(label AS BIGINT) AS pred_label, cnt FROM (
+       |  SELECT q_id, label, cnt,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, label) AS rn
+       |  FROM votes)
+       |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1429,19 +1476,26 @@ object LlmOps {
          |           FROM scored)
          |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
-    "q_knn_label" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS c_id, embedding AS ce, label FROM embeddings WHERE vec_id >= 10),
-         |scored AS (SELECT q_id, c_id, label, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
-         |ranked AS (SELECT q_id, c_id, label,
-         |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
-         |           FROM scored),
-         |votes AS (SELECT q_id, label, count(*) AS cnt FROM ranked WHERE rn <= 5 GROUP BY 1, 2)
-         |SELECT q_id, CAST(label AS BIGINT) AS pred_label, cnt FROM (
-         |  SELECT q_id, label, cnt,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, label) AS rn
-         |  FROM votes)
-         |WHERE rn = 1 ORDER BY q_id""".stripMargin,
+    "q_knn_label" -> knnLabelSql,
+
+    // recomposes the kNN oracle as a CTE and cross-tabs against truth
+    "q_knn_confusion" ->
+      s"""WITH knn AS ($knnLabelSql),
+         |truth AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS true_label
+         |          FROM embeddings WHERE vec_id < 10)
+         |SELECT true_label, pred_label, count(*) AS n
+         |FROM knn JOIN truth USING (q_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+        |total AS (SELECT count(*) AS total FROM tok)
+        |SELECT rank, w, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM (SELECT w, cnt, total,
+        |             row_number() OVER (ORDER BY cnt DESC, w) AS rank
+        |      FROM cnt, total)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_vec_norm" ->
       """SELECT vec_id,

@@ -303,6 +303,41 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Heavy-hitter profile — the skew DIAGNOSIS that picks the targets for
+    // every mitigation in this engine (ScaleJoins.dropHotKeys caps,
+    // saltedJoin salts, AQE thresholds): top-10 keys by row count with
+    // share of total. Exact form: one hash aggregation + distributed
+    // top-k (TakeOrderedAndProject), so the shuffle carries one row per
+    // distinct key — fine to millions of keys; beyond that the graft_topk
+    // sketch twin below bounds state at `capacity` counters regardless of
+    // key cardinality.
+    "q_heavy_hitters" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val cnt = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val total = li.agg(count(lit(1)).as("total"))
+      val wr = Window.orderBy(col("cnt").desc, col("l_partkey"))
+      cnt.crossJoin(broadcast(total))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+        .withColumn("rank", row_number().over(wr))
+        .select(col("rank"), col("l_partkey"), col("cnt"),
+          round(col("cnt").cast("double") / col("total"), 6).as("share"))
+        .orderBy("rank")
+    }),
+
+    // Misra-Gries sketch twin of q_heavy_hitters (functions.TopKAgg):
+    // bounded 4096-counter summary per partition, mergeable partials —
+    // the shape that still works when the key universe itself cannot be
+    // shuffled. capacity > distinct keys at the gated SFs, so counts are
+    // exact there (TopKAggSuite pins equality with the exact form AND the
+    // under-estimate/coverage bounds in the genuinely-evicting regime).
+    // No oracle: the summary type isn't SQL-expressible -> rows-only.
+    "q_heavy_hitters_sketch" -> ((s, d) => Tables(s, d, "lineitem")
+      .agg(expr("graft_topk(l_partkey, 10, 4096)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))
+      .orderBy("rank")),
+
     // Deterministic sampling: a shared integer LCG on the key replaces
     // rand()/TABLESAMPLE so the SAME 10% of rows is selected in both
     // engines, on every run, under any partitioning. At scale the predicate
@@ -668,6 +703,16 @@ object Relational {
         |        / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
         |           * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS corr
         |FROM m ORDER BY 1""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH cnt AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |total AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT rank, l_partkey, cnt,
+        |       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM (SELECT l_partkey, cnt, total,
+        |             row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
+        |      FROM cnt, total)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
