@@ -128,6 +128,43 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_heavy_hitters: distributed top-k via TakeOrderedAndProject, hash agg") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+  }
+
+  test("q_heavy_hitters_sketch: MG summary aggregates object-hash with partials") {
+    val p = plan("q_heavy_hitters_sketch")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // partial_topkagg proves the summary merges executor-side — the
+    // shuffle carries capacity counters per partition, not raw keys
+    assert(p.contains("partial_topkagg"), p)
+  }
+
+  test("dropHotKeys: the stop-key filter is a broadcast anti join, no extra big shuffle") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables(spark, sf, "lineitem").select("l_partkey")
+    val p = graft.operators.ScaleJoins.dropHotKeys(df, Seq("l_partkey"), 1000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), s"hot-key set must broadcast:\n$p")
+  }
+
+  test("q_ts_interp: both fill windows are user_id-partitioned — no global sort") {
+    val p = plan("q_ts_interp")
+    val windows = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("user_id"),
+      s"partition-less Window in the interp plan:\n$w"))
+  }
+
+  test("q_text_zipf: corpus-scale ranking goes through TakeOrderedAndProject") {
+    val p = plan("q_text_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ts_resample: grid explode is map-side; fill is one window") {
     val p = plan("q_ts_resample")
     assert(p.contains("Generate explode"), p)
