@@ -913,6 +913,38 @@ object LlmOps {
         .orderBy("true_label", "pred_label")
     }),
 
+    // Per-label precision/recall/F1 of the kNN classifier — the metric
+    // sheet an evaluation pass ships next to the confusion matrix. Label
+    // set = labels present in truth or predictions; a zero denominator
+    // reports 0.0 (explicit CASE in both engines). All three metrics are
+    // single divisions of exact integer counts, rounded to 6dp.
+    "q_knn_prf" -> ((s, d) => {
+      val preds = queries("q_knn_label")(s, d).select("q_id", "pred_label")
+      val truth = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("label").cast("long").as("true_label"))
+      val joined = preds.join(truth, "q_id").localCheckpoint()
+      val labels = joined.select(col("true_label").as("label"))
+        .unionByName(joined.select(col("pred_label").as("label"))).distinct()
+      val stats = labels.join(joined,
+          col("label") === col("true_label") || col("label") === col("pred_label"))
+        .groupBy("label").agg(
+          sum(when(col("pred_label") === col("label") &&
+            col("true_label") === col("label"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred_label") === col("label") &&
+            col("true_label") =!= col("label"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("true_label") === col("label") &&
+            col("pred_label") =!= col("label"), 1L).otherwise(0L)).as("fn"))
+      stats
+        .withColumn("precision", when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+        .withColumn("recall", when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+        .withColumn("f1", when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(round(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 6)))
+        .select("label", "tp", "fp", "fn", "precision", "recall", "f1")
+        .orderBy("label")
+    }),
+
     // Zipf profile: the corpus's top-20 tokens with rank and share — the
     // frequency fingerprint a corpus-analysis pass reports (and the
     // stopword candidates a retrieval stack prunes). Distributed top-k
@@ -1486,6 +1518,30 @@ object LlmOps {
          |SELECT true_label, pred_label, count(*) AS n
          |FROM knn JOIN truth USING (q_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_knn_prf" ->
+      s"""WITH knn AS ($knnLabelSql),
+         |truth AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS true_label
+         |          FROM embeddings WHERE vec_id < 10),
+         |j AS (SELECT k.q_id, k.pred_label, t.true_label
+         |      FROM knn k JOIN truth t USING (q_id)),
+         |labels AS (SELECT DISTINCT label FROM
+         |  (SELECT true_label AS label FROM j UNION ALL SELECT pred_label FROM j)),
+         |stats AS (
+         |  SELECT l.label,
+         |    CAST(SUM(CASE WHEN j.pred_label = l.label AND j.true_label = l.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN j.pred_label = l.label AND j.true_label <> l.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN j.true_label = l.label AND j.pred_label <> l.label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM labels l JOIN j ON l.label = j.true_label OR l.label = j.pred_label
+         |  GROUP BY 1)
+         |SELECT label, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+         |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
+         |       ELSE ROUND(2.0 * tp / (2*tp + fp + fn), 6) END AS f1
+         |FROM stats ORDER BY label""".stripMargin,
 
     "q_text_zipf" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -239,6 +239,35 @@ class EventStreamsSuite extends SparkSpec {
     }
   }
 
+  test("graft_topk aggregates under streaming complete mode and updates across batches") {
+    import spark.implicits._
+    // the MG summary is a TypedImperativeAggregate, so it runs in a
+    // streaming aggregation like any built-in: heavy-hitter monitoring
+    // over a live event stream with bounded state
+    val input = MemoryStream[Event](spark)
+    val q = input.toDF()
+      .selectExpr("user_id")
+      .agg(expr("graft_topk(user_id, 2, 64)").as("tk"))
+      .selectExpr("explode(tk) AS e").selectExpr("e.key AS k", "e.cnt AS c")
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 10).map(i =>
+        Event(i, ts("2024-01-01 10:00:00"), if (i <= 7) 1L else 2L, "view", 1.0)))
+      q.processAllAvailable()
+      val b1 = spark.table("topk_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(b1 === Map(1L -> 7L, 2L -> 3L))
+      // second batch flips the leader; complete mode re-emits the new top
+      input.addData((11 to 30).map(i =>
+        Event(i, ts("2024-01-01 10:01:00"), 2L, "view", 1.0)))
+      q.processAllAvailable()
+      val b2 = spark.table("topk_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(b2 === Map(2L -> 23L, 1L -> 7L))
+    } finally q.stop()
+  }
+
   test("transformWithState keeps a running per-user count across batches") {
     import spark.implicits._
     withRocksDBStateStore {
