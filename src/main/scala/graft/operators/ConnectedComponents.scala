@@ -27,7 +27,10 @@ object ConnectedComponents {
 
   /** Large-star: every node connects its strictly-LARGER neighbors to the
     * minimum of its closed neighborhood min(Γ(u) ∪ {u}). Runs on the
-    * symmetrized adjacency so both endpoints rewrite in one pass. */
+    * symmetrized adjacency so both endpoints rewrite in one pass.
+    * Emissions are NOT deduplicated here: duplicate edges cannot change a
+    * min, and the following smallStar ends in a distinct anyway — one
+    * less shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val m = sym.groupBy("u").agg(min("v").as("mn"))
@@ -36,7 +39,6 @@ object ConnectedComponents {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: edges oriented larger -> smaller; every node connects its
@@ -51,10 +53,24 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** True iff the canonical (u > v, distinct) edge set is a forest of
+    * stars: every source points at exactly one target and no node is both
+    * source and target. Both star operations preserve connectivity
+    * (Kiveris et al., Lemma 1-2), so the star state is the answer the
+    * moment it appears — testing for it directly replaces a whole
+    * confirmation star round (~8 shuffles) with two limit-1 probe jobs. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val singleTarget = e.groupBy("u").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).isEmpty
+    singleTarget && e.select("v").distinct()
+      .join(e.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+      .isEmpty
+  }
+
   /** Components of an undirected edge frame with columns (u, v).
     * Returns (labels, rounds): labels has one row per node that appears in
     * an edge, columns (u, label) with label = the component's minimum id;
-    * rounds is the number of large+small star rounds to the fixpoint.
+    * rounds is the number of large+small star rounds executed.
     * Isolated nodes never appear in `edges` and so not in the result —
     * callers left-join and coalesce to the node's own id. */
   def run(edges: DataFrame): (DataFrame, Int) = {
@@ -65,16 +81,11 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = e.isEmpty || isStarForest(e)
     while (!converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // emitted edges are canonical (u > v), so set equality is count
-      // equality + an empty one-sided difference
-      converged = next.count() == e.count() && next.except(e).isEmpty
-      // rounds counts CONTRACTING rounds; the final no-op confirmation
-      // pass is the fixpoint test, not part of the contraction bound
-      if (!converged) rounds += 1
-      e = next
+      e = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      converged = isStarForest(e)
     }
     // fixpoint is a forest of stars: every non-root points straight at its
     // component minimum; roots appear only on the v side
