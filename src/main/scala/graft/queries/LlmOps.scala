@@ -945,6 +945,35 @@ object LlmOps {
         .orderBy("label")
     }),
 
+    // Feature hashing (the "hashing trick"): each document's term counts
+    // folded into a fixed 16-dim signed vector — the map-side text->vector
+    // bridge that feeds this engine's OWN vector operators (LSH, IVF,
+    // cosine top-k) when no learned embedding exists. bucket and sign are
+    // affine hashes of the token id; the vector is L2-normalized with the
+    // norm from an exact integer sum-of-squares. Long format (doc_id, dim,
+    // v) — only nonzero buckets, so the output IS the sparse vector. At
+    // 100 TB: one tokenize + two hash aggregations, no vocab needed with
+    // xxhash64(token) in place of the rank (the same parity concession as
+    // the minhash family; the xxh swap is a one-line change).
+    "q_text_hash_embed" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tfc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val vocab = tok.select("w").distinct()
+        .withColumn("tokid", row_number().over(Window.orderBy("w")).cast("long"))
+      val hashed = tfc.join(broadcast(vocab), "w")
+        .withColumn("dim", (lit(1103L) * col("tokid") + 12289L) % 16)
+        .withColumn("sgn", pmod(lit(2671L) * col("tokid") + 7681L, lit(2L)) * 2 - 1)
+        .groupBy("doc_id", "dim").agg(sum(col("sgn") * col("tf")).as("val"))
+      val nrm = hashed.groupBy("doc_id")
+        .agg(sqrt(sum(col("val") * col("val")).cast("double")).as("nrm"))
+      hashed.join(nrm, "doc_id")
+        .select(col("doc_id"), col("dim"),
+          round(when(col("nrm") === 0, 0.0)
+            .otherwise(col("val").cast("double") / col("nrm")), 6).as("v"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // Zipf profile: the corpus's top-20 tokens with rank and share — the
     // frequency fingerprint a corpus-analysis pass reports (and the
     // stopword candidates a retrieval stack prunes). Distributed top-k
@@ -1542,6 +1571,21 @@ object LlmOps {
          |  CASE WHEN 2*tp + fp + fn = 0 THEN 0.0
          |       ELSE ROUND(2.0 * tp / (2*tp + fp + fn), 6) END AS f1
          |FROM stats ORDER BY label""".stripMargin,
+
+    "q_text_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tfc AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS tokid
+        |          FROM (SELECT DISTINCT w FROM tok)),
+        |hashed AS (
+        |  SELECT doc_id, (1103 * tokid + 12289) % 16 AS dim,
+        |         CAST(SUM((((2671 * tokid + 7681) % 2) * 2 - 1) * tf) AS BIGINT) AS val
+        |  FROM tfc JOIN vocab USING (w) GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+        |        FROM hashed GROUP BY 1)
+        |SELECT doc_id, dim,
+        |       ROUND(CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(val AS DOUBLE) / nrm END, 6) AS v
+        |FROM hashed JOIN nrm USING (doc_id) ORDER BY 1, 2""".stripMargin,
 
     "q_text_zipf" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

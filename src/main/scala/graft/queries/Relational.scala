@@ -303,6 +303,32 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // MERGE/upsert — dataset versioning's core move: apply a change batch
+    // (updates win by key, new keys insert) onto a snapshot, the thing a
+    // training-data pipeline runs every refresh cycle. Spark-first shape:
+    // one full-outer join on the key + coalesce(update, snapshot) per
+    // column — exactly what MERGE INTO compiles to without a transactional
+    // table format. The change batch is derived deterministically from the
+    // snapshot itself (keys %10 repriced, keys %1000 re-keyed as inserts)
+    // so both engines build the identical batch. At 100 TB: the join
+    // shuffles on the key once; recurring merges co-locate via bucketing
+    // (ScaleJoins.writeBucketed) so the snapshot never re-shuffles.
+    "q_merge_upsert" -> ((s, d) => {
+      val snap = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val upd = snap.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") + 100.0).as("u_price"), lit("U").as("u_status"))
+        .unionByName(snap.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 10000000L).as("u_key"),
+            col("o_totalprice").as("u_price"), lit("I").as("u_status")))
+      snap.join(upd, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(coalesce(col("o_orderkey"), col("u_key")).as("okey"),
+          round(coalesce(col("u_price"), col("o_totalprice")), 2).as("price"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"))
+        .orderBy("okey")
+    }),
+
     // Heavy-hitter profile — the skew DIAGNOSIS that picks the targets for
     // every mitigation in this engine (ScaleJoins.dropHotKeys caps,
     // saltedJoin salts, AQE thresholds): top-10 keys by row count with
@@ -703,6 +729,20 @@ object Relational {
         |        / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
         |           * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS corr
         |FROM m ORDER BY 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey AS u_key, o_totalprice + 100.0 AS u_price, 'U' AS u_status
+        |  FROM snap WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, 'I'
+        |  FROM snap WHERE o_orderkey % 1000 = 0)
+        |SELECT coalesce(o_orderkey, u_key) AS okey,
+        |       ROUND(coalesce(u_price, o_totalprice), 2) AS price,
+        |       coalesce(u_status, o_orderstatus) AS status
+        |FROM snap FULL OUTER JOIN upd ON o_orderkey = u_key
+        |ORDER BY okey""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH cnt AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),

@@ -330,6 +330,30 @@ class OperatorPropsSuite extends SparkSpec {
       === Set((100L, 101L), (200L, 201L)))
   }
 
+  test("hashed-TF vectors are unit-norm and identical for exact-duplicate docs") {
+    val emb = LlmOps.queries("q_text_hash_embed")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq }
+    assert(emb.nonEmpty)
+    // L2 norm 1 (within 6dp rounding of up-to-16 components)
+    emb.values.foreach { v =>
+      assert(math.abs(v.map(x => x._2 * x._2).sum - 1.0) < 1e-3, v)
+    }
+    // the text->vector bridge must respect similarity: shingle-Jaccard
+    // near-dup pairs (>= 0.8) map to high-cosine hashed vectors
+    val near = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty, "corpus must contain planted near-dups")
+    def cos(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Double = {
+      val bm = b.toMap
+      a.map { case (dim, v) => v * bm.getOrElse(dim, 0.0) }.sum // unit vectors
+    }
+    near.foreach { case (d1, d2) =>
+      val c = cos(emb(d1), emb(d2))
+      assert(c >= 0.5, s"near-dup pair ($d1, $d2) has hashed cosine $c")
+    }
+  }
+
   test("vector normalization produces unit-consistent components") {
     val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
     assert(normed.nonEmpty)
