@@ -126,6 +126,53 @@ object TimeSeries {
           col("v_interp"), col("is_gap"))
         .orderBy("user_id", "hour")
     }),
+
+    // Ordered funnel (view -> click -> purchase): a user converts a step
+    // only if it happens STRICTLY AFTER their first qualifying previous
+    // step — the product-analytics query every event pipeline ships.
+    // Three conditional min-aggregations over one scan + one shuffle on
+    // user_id; no self-joins (the naive k-way join form shuffles the
+    // events table once per step).
+    "q_ts_funnel" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("us"))).as("v_us"))
+      val withC = e.join(perUser, "user_id")
+        .groupBy("user_id").agg(
+          first(col("v_us")).as("v_us"),
+          min(when(col("event_type") === "click" && col("us") > col("v_us"),
+            col("us"))).as("c_us"))
+      val withP = e.join(withC, "user_id")
+        .groupBy("user_id").agg(
+          first(col("v_us")).as("v_us"), first(col("c_us")).as("c_us"),
+          min(when(col("event_type") === "purchase" && col("us") > col("c_us"),
+            col("us"))).as("p_us"))
+      withP.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("v_us").isNotNull, 1L).otherwise(0L)).as("step_view"),
+        sum(when(col("c_us").isNotNull, 1L).otherwise(0L)).as("step_click"),
+        sum(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("step_purchase"))
+    }),
+
+    // Cohort retention: users grouped by their first-activity DAY, then
+    // distinct-active-user counts at each day offset — the engagement
+    // matrix behind every retention curve. One pass for cohorts (min-ts
+    // agg), one equi join back, one distinct-count agg; all shuffles on
+    // user_id / (cohort, offset).
+    "q_ts_retention" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(dstr(col("cohort_day")).as("cohort_day"), col("offset_days"),
+          col("active_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +246,32 @@ object TimeSeries {
          |  END AS v_interp,
          |  CAST(v IS NULL AS BIGINT) AS is_gap
          |FROM f ORDER BY user_id, hour""".stripMargin,
+
+    "q_ts_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v_us
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT e.user_id, min(v.v_us) AS v_us,
+        |             min(CASE WHEN e.event_type = 'click' AND e.us > v.v_us THEN e.us END) AS c_us
+        |      FROM e JOIN v USING (user_id) GROUP BY 1),
+        |p AS (SELECT e.user_id, min(c.v_us) AS v_us, min(c.c_us) AS c_us,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.us > c.c_us THEN e.us END) AS p_us
+        |      FROM e JOIN c USING (user_id) GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+        |  CAST(SUM(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+        |  CAST(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+        |FROM p""".stripMargin,
+
+    "q_ts_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |m AS (SELECT e.user_id, c.cohort_day,
+        |             CAST(e.day - c.cohort_day AS BIGINT) AS offset_days
+        |      FROM e JOIN cohort c USING (user_id))
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, offset_days,
+        |       count(DISTINCT user_id) AS active_users
+        |FROM m GROUP BY m.cohort_day, offset_days
+        |ORDER BY 1, 2""".stripMargin,
   )
 }
