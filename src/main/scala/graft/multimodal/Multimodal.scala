@@ -90,18 +90,25 @@ object Multimodal {
         else {
           var fmtOk = false; var blockAlign = 2
           var dataOff = -1; var dataLen = 0
+          var corrupt = false
           var off = 12
-          while (off + 8 <= payload.length) {
+          while (!corrupt && off + 8 <= payload.length) {
             val id = tag(off); val size = bb.getInt(off + 4)
-            if (id == "fmt " && size >= 16) {
-              val audioFormat = bb.getShort(off + 8)
-              val bits = bb.getShort(off + 22)
-              blockAlign = math.max(2, bb.getShort(off + 20).toInt)
-              fmtOk = audioFormat == 1 && bits == 16
-            } else if (id == "data") { dataOff = off + 8; dataLen = size }
-            off += 8 + size + (size & 1) // RIFF chunks pad to even length
+            // a negative size field is corruption — and sizes -8/-9 would
+            // make the offset stop advancing (an infinite loop, which the
+            // try/catch fallback can never rescue); bail to the stub
+            if (size < 0) corrupt = true
+            else {
+              if (id == "fmt " && size >= 16) {
+                val audioFormat = bb.getShort(off + 8)
+                val bits = bb.getShort(off + 22)
+                blockAlign = math.max(2, bb.getShort(off + 20).toInt)
+                fmtOk = audioFormat == 1 && bits == 16
+              } else if (id == "data") { dataOff = off + 8; dataLen = size }
+              off += 8 + size + (size & 1) // RIFF chunks pad to even length
+            }
           }
-          if (!fmtOk || dataOff < 0) None
+          if (corrupt || !fmtOk || dataOff < 0) None
           else {
             val n = math.min(dataLen, payload.length - dataOff) / blockAlign
             if (n <= 0) Some(new Array[Float](FeatureDim))
@@ -109,8 +116,11 @@ object Multimodal {
               val out = new Array[Float](FeatureDim)
               var k = 0
               while (k < FeatureDim) {
-                val lo = k * n / FeatureDim
-                val hi = math.max(lo + 1, (k + 1) * n / FeatureDim)
+                // Long products: k*n overflows Int from ~34M frames
+                // (~68 MB of 16-bit mono), silently corrupting the last
+                // slices' bounds
+                val lo = (k.toLong * n / FeatureDim).toInt
+                val hi = math.max(lo + 1, ((k + 1).toLong * n / FeatureDim).toInt)
                 var sum = 0.0; var j = lo
                 while (j < hi) {
                   sum += math.abs(bb.getShort(dataOff + j * blockAlign).toInt)

@@ -106,9 +106,14 @@ object LlmOps {
       posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
     // hot-bucket guard (production twins): a (band, bkey) bucket of B docs
     // emits B²/2 candidates, so one boilerplate band key goes quadratic;
-    // over-cap buckets are dropped like stopwords BEFORE the self-join
+    // over-cap buckets are dropped like stopwords BEFORE the self-join.
+    // Checkpoint first: the guard's count aggregation is a different plan
+    // shape from the self-join, so without materialization the whole
+    // upstream sketch pipeline would run an extra time just to count
+    // bucket sizes.
     val bands = if (maxBucket == Int.MaxValue) bands0
-      else graft.operators.ScaleJoins.dropHotKeys(bands0, Seq("band", "bkey"), maxBucket)
+      else graft.operators.ScaleJoins.dropHotKeys(
+        bands0.localCheckpoint(), Seq("band", "bkey"), maxBucket)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -258,8 +263,12 @@ object LlmOps {
     * (OperatorPropsSuite pins bounded candidates + unchanged pairs). */
   private[graft] def winnowPairs(fps: DataFrame, minShared: Int,
                                  maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // checkpoint before the cap: its doc-frequency count is a different
+    // plan shape from the self-join, so uncheckpointed fingerprints would
+    // recompute the whole winnow pipeline once more just for the counts
     val kept = if (maxDocFreq == Int.MaxValue) fps
-      else graft.operators.ScaleJoins.dropHotKeys(fps, Seq("m"), maxDocFreq)
+      else graft.operators.ScaleJoins.dropHotKeys(
+        fps.localCheckpoint(), Seq("m"), maxDocFreq)
     kept.as("a").join(kept.as("b"),
         col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -965,6 +974,9 @@ object LlmOps {
         .withColumn("dim", (lit(1103L) * col("tokid") + 12289L) % 16)
         .withColumn("sgn", pmod(lit(2671L) * col("tokid") + 7681L, lit(2L)) * 2 - 1)
         .groupBy("doc_id", "dim").agg(sum(col("sgn") * col("tf")).as("val"))
+        // sign-cancelled buckets sum to 0 — drop them so row-presence IS
+        // the nonzero mask (they contribute nothing to the norm either)
+        .filter(col("val") =!= 0)
       val nrm = hashed.groupBy("doc_id")
         .agg(sqrt(sum(col("val") * col("val")).cast("double")).as("nrm"))
       hashed.join(nrm, "doc_id")
@@ -1578,9 +1590,11 @@ object LlmOps {
         |vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS tokid
         |          FROM (SELECT DISTINCT w FROM tok)),
         |hashed AS (
-        |  SELECT doc_id, (1103 * tokid + 12289) % 16 AS dim,
-        |         CAST(SUM((((2671 * tokid + 7681) % 2) * 2 - 1) * tf) AS BIGINT) AS val
-        |  FROM tfc JOIN vocab USING (w) GROUP BY 1, 2),
+        |  SELECT * FROM (
+        |    SELECT doc_id, (1103 * tokid + 12289) % 16 AS dim,
+        |           CAST(SUM((((2671 * tokid + 7681) % 2) * 2 - 1) * tf) AS BIGINT) AS val
+        |    FROM tfc JOIN vocab USING (w) GROUP BY 1, 2)
+        |  WHERE val <> 0),
         |nrm AS (SELECT doc_id, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
         |        FROM hashed GROUP BY 1)
         |SELECT doc_id, dim,

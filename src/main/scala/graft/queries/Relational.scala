@@ -309,18 +309,24 @@ object Relational {
     // one full-outer join on the key + coalesce(update, snapshot) per
     // column — exactly what MERGE INTO compiles to without a transactional
     // table format. The change batch is derived deterministically from the
-    // snapshot itself (keys %10 repriced, keys %1000 re-keyed as inserts)
-    // so both engines build the identical batch. At 100 TB: the join
-    // shuffles on the key once; recurring merges co-locate via bucketing
-    // (ScaleJoins.writeBucketed) so the snapshot never re-shuffles.
+    // snapshot itself (keys %10 repriced, keys %1000 re-keyed as inserts —
+    // insert keys offset by max(o_orderkey) + 1 so they can NEVER collide
+    // with a real key at any SF: keys here start at 0, so a bare max
+    // offset would map key 0 back onto the max key itself) so both
+    // engines build the identical batch.
+    // At 100 TB: the join shuffles on the key once; recurring merges
+    // co-locate via bucketing (ScaleJoins.writeBucketed) so the snapshot
+    // never re-shuffles.
     "q_merge_upsert" -> ((s, d) => {
       val snap = Tables(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val maxKey = snap.agg(max("o_orderkey").as("maxkey"))
       val upd = snap.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("u_key"),
           (col("o_totalprice") + 100.0).as("u_price"), lit("U").as("u_status"))
         .unionByName(snap.filter(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey") + 10000000L).as("u_key"),
+          .crossJoin(broadcast(maxKey))
+          .select((col("o_orderkey") + col("maxkey") + 1L).as("u_key"),
             col("o_totalprice").as("u_price"), lit("I").as("u_status")))
       snap.join(upd, col("o_orderkey") === col("u_key"), "full_outer")
         .select(coalesce(col("o_orderkey"), col("u_key")).as("okey"),
@@ -736,7 +742,7 @@ object Relational {
         |  SELECT o_orderkey AS u_key, o_totalprice + 100.0 AS u_price, 'U' AS u_status
         |  FROM snap WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_totalprice, 'I'
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM snap) + 1, o_totalprice, 'I'
         |  FROM snap WHERE o_orderkey % 1000 = 0)
         |SELECT coalesce(o_orderkey, u_key) AS okey,
         |       ROUND(coalesce(u_price, o_totalprice), 2) AS price,

@@ -105,6 +105,22 @@ class MultimodalSuite extends SparkSpec {
     assert(got === Multimodal.decodeStub(junk).toSeq)
   }
 
+  test("corrupt WAV chunk sizes fall back instead of hanging the chunk walk") {
+    // size field -8 makes `off += 8 + size + (size & 1)` advance by zero —
+    // without the negative-size guard this loops forever (and no exception
+    // fires, so the try/catch fallback can never rescue it)
+    val good = Multimodal.wavBytes(Array.tabulate[Short](64)(_.toByte), 16000)
+    val evil = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk size -> -8
+    assert(Multimodal.decodeWav(evil).isEmpty)
+    bb.putInt(16, -9)
+    assert(Multimodal.decodeWav(evil).isEmpty)
+    // truncated data chunk still decodes the frames that exist
+    val truncated = java.util.Arrays.copyOf(good, good.length - 10)
+    assert(Multimodal.decodeWav(truncated).isDefined)
+  }
+
   test("resize plan never upscales and preserves aspect ratio") {
     val plan = Multimodal.resizePlan(media, maxSide = 128).collect()
     assert(plan.nonEmpty)
