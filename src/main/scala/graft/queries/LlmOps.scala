@@ -909,6 +909,29 @@ object LlmOps {
         .orderBy("q_id")
     }),
 
+    // Sequence packing — the step between curation and writing training
+    // shards: concatenate documents (in deterministic doc_id order) and
+    // cut every `budget` tokens, recording for each doc which bin it
+    // starts in and at what offset. Sharded by pmod(doc_id, 8) so packing
+    // is embarrassingly parallel: ONE prefix-sum window per shard — at
+    // 100 TB shards are the write-task granularity and no global order is
+    // ever needed. Pure integer arithmetic -> exact DuckDB parity.
+    "q_text_pack" -> ((s, d) => {
+      val budget = 256
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("shard"),
+          (col("cum_before") / budget).cast("long").as("bin_id"),
+          (col("cum_before") % budget).as("bin_offset"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Confusion matrix of the kNN classifier — the evaluation step after
     // q_knn_label: (true_label, pred_label) counts over the query set.
     // Composition of a gated operator with a join + aggregation; the
@@ -1559,6 +1582,20 @@ object LlmOps {
          |SELECT true_label, pred_label, count(*) AS n
          |FROM knn JOIN truth USING (q_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM d)
+        |SELECT doc_id, shard, CAST(cum_before // 256 AS BIGINT) AS bin_id,
+        |       CAST(cum_before % 256 AS BIGINT) AS bin_offset, n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_knn_prf" ->
       s"""WITH knn AS ($knnLabelSql),
