@@ -118,13 +118,19 @@ class PlanQualitySuite extends SparkSpec {
   }
 
   test("q_dedup_winnow_xxh: every Window is doc_id-partitioned — no global sort") {
-    val p = plan("q_dedup_winnow_xxh")
     // the vocab form pays a partition-less rank window (a one-task corpus
-    // sort) for DuckDB parity; the production twin must have none
-    val windows = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
-    assert(windows.nonEmpty, p)
+    // sort) for DuckDB parity; the production twin must have none. The
+    // pair stage checkpoints the fingerprints (so its plan shows no
+    // Window at all) — assert on the fingerprint pipeline's own plan,
+    // where the winnow windows actually live
+    val fp = LlmOps.winnowFingerprintsXxh(graft.Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    val windows = fp.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(windows.nonEmpty, fp)
     windows.foreach(w => assert(w.contains("doc_id"),
       s"partition-less Window in the production winnow plan:\n$w"))
+    val p = plan("q_dedup_winnow_xxh")
+    assert(!p.matches("(?s).*\\bWindow\\b.*"), s"pair stage must carry no window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
