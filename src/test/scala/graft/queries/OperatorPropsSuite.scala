@@ -354,6 +354,71 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("funnel counts are monotone and bounded by the user universe") {
+    val r = TimeSeries.queries("q_ts_funnel")(spark, sf).collect().head
+    val (n, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= v && v >= c && c >= p,
+      s"funnel must narrow: users=$n view=$v click=$c purchase=$p")
+    assert(v > 0, "corpus has views")
+  }
+
+  test("retention offset-0 actives equal cohort sizes and never grow") {
+    val rows = TimeSeries.queries("q_ts_retention")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    // offset 0 = the cohort's own first-activity day: every member active
+    byCohort.foreach { case (cd, g) =>
+      val at0 = g.find(_._2 == 0L)
+      assert(at0.isDefined, s"cohort $cd missing offset 0")
+      g.foreach { case (_, _, active) =>
+        assert(active <= at0.get._3, s"cohort $cd: $active exceeds size ${at0.get._3}")
+      }
+    }
+  }
+
+  test("sequence packing: offsets chain exactly through each shard") {
+    val budget = 256L
+    val rows = LlmOps.queries("q_text_pack")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { shard =>
+      val sorted = shard.sortBy(_._1)
+      sorted.head match { case (_, _, bin, off, _) =>
+        assert(bin == 0L && off == 0L, "each shard starts at bin 0, offset 0") }
+      sorted.toList.sliding(2).foreach {
+        case List((_, _, b1, o1, n1), (_, _, b2, o2, _)) =>
+          val cum = b1 * budget + o1 + n1
+          assert(b2 === cum / budget && o2 === cum % budget,
+            s"pack chain broke: ($b1,$o1,+$n1) -> ($b2,$o2)")
+        case _ =>
+      }
+    }
+  }
+
+  test("merge upsert: updates repriced, inserts appended, the rest untouched") {
+    val snap = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val maxKey = snap.keys.max
+    val got = Relational.queries("q_merge_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.map(_._1).distinct.length === got.length, "keys must be unique")
+    got.foreach { case (k, price, status) =>
+      if (k > maxKey) {
+        val src = k - maxKey - 1
+        assert(status === "I" && src % 1000 == 0, s"insert $k from $src")
+        assert(math.abs(price - snap(src)._1) < 1e-9)
+      } else if (k % 10 == 0) {
+        assert(status === "U", s"key $k should be updated")
+        assert(math.abs(price - (snap(k)._1 + 100.0)) < 1e-6)
+      } else {
+        assert(status === snap(k)._2 && math.abs(price - snap(k)._1) < 1e-9)
+      }
+    }
+    assert(got.count(_._3 == "I") === snap.keys.count(_ % 1000 == 0))
+  }
+
   test("vector normalization produces unit-consistent components") {
     val normed = LlmOps.queries("q_vec_norm")(spark, sf).collect()
     assert(normed.nonEmpty)
