@@ -155,6 +155,57 @@ object TimeSeries {
         sum(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("step_purchase"))
     }),
 
+    // Rolling z-score anomaly ranking: each event scored against its
+    // user's trailing 20-event window (exact decimal moment sums — the
+    // q_agg_stats discipline — so mean/variance are bit-identical in both
+    // engines), top-20 by rounded |z|. A monitoring pass over quality
+    // metrics is exactly this query at 100 TB: one user_id shuffle, one
+    // running window, distributed top-k.
+    "q_ts_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      val x = col("value").cast("decimal(18,4)")
+      val scored = Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(x).over(w).cast("double"))
+        .withColumn("sxx", sum(x * x).over(w).cast("double"))
+        .filter(col("n") === 20) // full windows only
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+      val wr = Window.orderBy(abs(col("z")).desc, col("event_id"))
+      scored.orderBy(abs(col("z")).desc, col("event_id")).limit(20)
+        .withColumn("rank", row_number().over(wr))
+        .select(col("rank"), col("event_id"), col("user_id"), col("z"))
+        .orderBy("rank")
+    }),
+
+    // SCD Type-2 history: collapse each customer's order-status timeline
+    // into validity intervals — one row per status CHANGE with
+    // [valid_from, valid_to) bounds (open current interval = null). Two
+    // per-key windows (change detection via lag, interval close via lead
+    // on the change rows); the dimension-table versioning move every
+    // warehouse refresh performs.
+    "q_scd2" -> ((s, d) => {
+      val wo = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderstatus"), 1).over(wo))
+        .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      val wc = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      changes
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(wc))
+        // the change row's orderkey is the unique tiebreak: several status
+        // flips can share one (custkey, date) and row order must not be
+        // engine-dependent
+        .select(col("o_custkey"), col("o_orderkey").as("change_id"),
+          col("o_orderstatus").as("status"),
+          dstr(col("o_orderdate")).as("valid_from"), dstr(col("valid_to")).as("valid_to"))
+        .orderBy("o_custkey", "valid_from", "change_id")
+    }),
+
     // Cohort retention: users grouped by their first-activity DAY, then
     // distinct-active-user counts at each day offset — the engagement
     // matrix behind every retention curve. One pass for cohorts (min-ts
@@ -246,6 +297,41 @@ object TimeSeries {
          |  END AS v_interp,
          |  CAST(v IS NULL AS BIGINT) AS is_gap
          |FROM f ORDER BY user_id, hour""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH scored AS (
+        |  SELECT event_id, user_id, value,
+        |    count(*) OVER w AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_id, user_id,
+        |         ROUND((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
+        |  FROM scored WHERE n = 20)
+        |SELECT rank, event_id, user_id, z FROM (
+        |  SELECT event_id, user_id, z,
+        |         row_number() OVER (ORDER BY abs(z) DESC, event_id) AS rank
+        |  FROM z)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_scd2" ->
+      """WITH changes AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+        |  FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |           lag(o_orderstatus, 1) OVER w AS prev
+        |    FROM orders
+        |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderkey AS change_id, o_orderstatus AS status,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       strftime(lead(o_orderdate, 1) OVER w2, '%Y-%m-%d') AS valid_to
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, change_id""".stripMargin,
 
     "q_ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
