@@ -909,6 +909,34 @@ object LlmOps {
         .orderBy("q_id")
     }),
 
+    // Token co-occurrence with PMI — the corpus statistic embedding
+    // trainers (and collocation finders) consume: document-level pair
+    // frequencies vs marginal frequencies, top-20 pairs by rounded PMI.
+    // Pair generation is a per-doc distinct-token self-join (w1 < w2),
+    // bounded by per-doc vocabulary, not corpus size; the marginals
+    // broadcast. Ranking on the ROUNDED score with (w1, w2) ties keeps
+    // libm's ln ulps from reordering across engines.
+    "q_text_cooccur" -> ((s, d) => {
+      val dt = docTokens(s, d).localCheckpoint() // (doc_id, w) distinct
+      val n = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      val dfw = dt.groupBy("w").agg(count(lit(1)).as("dfw"))
+      val pairs = dt.as("a").join(dt.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("df12"))
+      val scored = pairs
+        .join(broadcast(dfw.select(col("w").as("w1"), col("dfw").as("df1"))), "w1")
+        .join(broadcast(dfw.select(col("w").as("w2"), col("dfw").as("df2"))), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi", round(
+          log(col("df12").cast("double") * col("n") / (col("df1") * col("df2"))), 4))
+      val wr = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+      scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+        .withColumn("rank", row_number().over(wr))
+        .select("rank", "w1", "w2", "df12", "pmi")
+        .orderBy("rank")
+    }),
+
     // Sequence packing — the step between curation and writing training
     // shards: concatenate documents (in deterministic doc_id order) and
     // cut every `budget` tokens, recording for each doc which bin it
@@ -1582,6 +1610,25 @@ object LlmOps {
          |SELECT true_label, pred_label, count(*) AS n
          |FROM knn JOIN truth USING (q_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_cooccur" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, w FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfw AS (SELECT w, count(*) AS dfw FROM dt GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2, count(*) AS df12
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT w1, w2, df12,
+        |         ROUND(ln(CAST(df12 AS DOUBLE) * n / (f1.dfw * f2.dfw)), 4) AS pmi
+        |  FROM pairs JOIN dfw f1 ON f1.w = w1 JOIN dfw f2 ON f2.w = w2, n)
+        |SELECT rank, w1, w2, df12, pmi FROM (
+        |  SELECT w1, w2, df12, pmi,
+        |         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+        |  FROM scored)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_text_pack" ->
       """WITH d AS (
