@@ -157,10 +157,16 @@ object TimeSeries {
 
     // Rolling z-score anomaly ranking: each event scored against its
     // user's trailing 20-event window (exact decimal moment sums — the
-    // q_agg_stats discipline — so mean/variance are bit-identical in both
-    // engines), top-20 by rounded |z|. A monitoring pass over quality
-    // metrics is exactly this query at 100 TB: one user_id shuffle, one
-    // running window, distributed top-k.
+    // q_agg_stats discipline, with its documented precondition: moments
+    // must stay inside double's exact range, true for this value scale;
+    // money/latency-magnitude metrics would widen the final rounding
+    // instead), top-20 by rounded |z|. Flatlined windows (variance <= 0,
+    // including tiny negative cancellation residue) are filtered BEFORE
+    // the sqrt/divide: Spark would yield NaN/Inf where DuckDB yields NULL
+    // division or a hard sqrt out-of-range error — the one place the two
+    // engines genuinely disagree. A monitoring pass over quality metrics
+    // is exactly this query at 100 TB: one user_id shuffle, one running
+    // window, distributed top-k.
     "q_ts_anomaly" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-19, Window.currentRow)
@@ -172,9 +178,10 @@ object TimeSeries {
         .withColumn("sxx", sum(x * x).over(w).cast("double"))
         .filter(col("n") === 20) // full windows only
         .withColumn("mean", col("sx") / col("n"))
-        .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-          / (col("n") - 1)))
-        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 4))
       val wr = Window.orderBy(abs(col("z")).desc, col("event_id"))
       scored.orderBy(abs(col("z")).desc, col("event_id")).limit(20)
         .withColumn("rank", row_number().over(wr))
@@ -307,10 +314,14 @@ object TimeSeries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT event_id, user_id, value, sx, n,
+        |         (sxx - sx * sx / n) / (n - 1) AS variance
+        |  FROM scored WHERE n = 20),
         |z AS (
         |  SELECT event_id, user_id,
-        |         ROUND((value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
-        |  FROM scored WHERE n = 20)
+        |         ROUND((value - sx / n) / sqrt(variance), 4) AS z
+        |  FROM v WHERE variance > 0)
         |SELECT rank, event_id, user_id, z FROM (
         |  SELECT event_id, user_id, z,
         |         row_number() OVER (ORDER BY abs(z) DESC, event_id) AS rank
