@@ -1037,6 +1037,31 @@ object LlmOps {
         .orderBy("doc_id", "dim")
     }),
 
+    // Vocab-free hashed-TF twin — the production shape of
+    // q_text_hash_embed (same relationship the xxh dedup twins have to
+    // their vocab forms): bucket and sign come straight from xxhash64 of
+    // the token, so there is NO vocab build, NO rank window, NO broadcast
+    // join — tokenize, two hash aggregations, done. xxhash64 isn't
+    // DuckDB-reproducible -> rows-only; OperatorPropsSuite pins the same
+    // unit-norm and near-dup-high-cosine properties as the vocab form.
+    "q_text_hash_embed_xxh" -> ((s, d) => {
+      val tfc = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val hashed = tfc
+        .withColumn("dim", pmod(xxhash64(col("w")), lit(16L)))
+        .withColumn("sgn", pmod(xxhash64(col("w"), lit(7L)), lit(2L)) * 2 - 1)
+        .groupBy("doc_id", "dim").agg(sum(col("sgn") * col("tf")).as("val"))
+        .filter(col("val") =!= 0)
+      val nrm = hashed.groupBy("doc_id")
+        .agg(sqrt(sum(col("val") * col("val")).cast("double")).as("nrm"))
+      hashed.join(nrm, "doc_id")
+        .select(col("doc_id"), col("dim"),
+          round(when(col("nrm") === 0, 0.0)
+            .otherwise(col("val").cast("double") / col("nrm")), 6).as("v"))
+        .orderBy("doc_id", "dim")
+    }),
+
     // Zipf profile: the corpus's top-20 tokens with rank and share — the
     // frequency fingerprint a corpus-analysis pass reports (and the
     // stopword candidates a retrieval stack prunes). Distributed top-k

@@ -354,6 +354,25 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("vocab-free hashed-TF twin keeps the unit-norm and near-dup-cosine properties") {
+    val emb = LlmOps.queries("q_text_hash_embed_xxh")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq }
+    assert(emb.nonEmpty)
+    emb.values.foreach { v =>
+      assert(math.abs(v.map(x => x._2 * x._2).sum - 1.0) < 1e-3, v)
+    }
+    val near = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def cos(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Double = {
+      val bm = b.toMap
+      a.map { case (dim, v) => v * bm.getOrElse(dim, 0.0) }.sum
+    }
+    near.foreach { case (d1, d2) =>
+      assert(cos(emb(d1), emb(d2)) >= 0.5, s"near-dup ($d1, $d2) low cosine")
+    }
+  }
+
   test("funnel counts are monotone and bounded by the user universe") {
     val r = TimeSeries.queries("q_ts_funnel")(spark, sf).collect().head
     val (n, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
