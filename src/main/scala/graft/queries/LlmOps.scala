@@ -426,6 +426,39 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Degree profile of the near-dup pair graph — the graph-shape
+    // diagnostic run before clustering (a high-degree doc is template
+    // boilerplate; degree distribution decides propagation vs star
+    // rewriting). One symmetrize + one count per node; isolated docs
+    // report 0 via the left join.
+    "q_graph_degree" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d).select("d1", "d2")
+      val deg = pairs.select(col("d1").as("doc_id"))
+        .unionByName(pairs.select(col("d2").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      Tables(s, d, "documents").select("doc_id")
+        .join(deg, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+        .orderBy("doc_id")
+    }),
+
+    // Triangle enumeration over the same graph (a < b < c): the local
+    // clustering signal — near-dup TRIADS are almost always one template
+    // with three instances, the strongest merge evidence clustering can
+    // get. Canonical ordered edges make this two equi joins, the standard
+    // distributed triangle shape (no node ever sees more than its
+    // neighborhood).
+    "q_graph_triangles" -> ((s, d) => {
+      val e = nearDupPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
+        .localCheckpoint()
+      e.as("e1")
+        .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+        .join(e.select(col("a").as("a2"), col("b").as("c2")).as("e3"),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    }),
+
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
     // rows) -> candidate pairs -> exact shingle-Jaccard >= 0.8 verification:
     // the LSH-accelerated twin of q_dedup_near. Shingles, not tokens: this
@@ -1163,6 +1196,21 @@ object LlmOps {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin
 
+  /** Near-dup pair CTE prelude (shingles -> Jaccard >= 0.8 `pairs`) —
+    * shared by the graph-analytics oracles so they provably run on the
+    * SAME pair graph as q_dedup_near. */
+  private val nearPairsCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT d1, d2 FROM (
+      |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)""".stripMargin
+
   /** kNN-label SQL — shared by q_knn_label and the confusion-matrix
     * recomposition (which must see the identical classifier). */
   private val knnLabelSql: String =
@@ -1635,6 +1683,24 @@ object LlmOps {
          |SELECT true_label, pred_label, count(*) AS n
          |FROM knn JOIN truth USING (q_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_graph_degree" ->
+      s"""WITH $nearPairsCte,
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |          SELECT d1 AS doc_id FROM pairs
+         |          UNION ALL SELECT d2 FROM pairs)
+         |        GROUP BY 1)
+         |SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+         |FROM documents d LEFT JOIN deg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_graph_triangles" ->
+      s"""WITH $nearPairsCte
+         |SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+         |FROM pairs e1
+         |JOIN pairs e2 ON e1.d2 = e2.d1
+         |JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_text_cooccur" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w FROM
