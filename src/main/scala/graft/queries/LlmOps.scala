@@ -60,10 +60,19 @@ object LlmOps {
     * 'g' computes the identical result. */
   def scrubText(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, "https?://[a-zA-Z0-9./_-]+", "<URL>"),
-      // local part includes %+- : 'a+tag@x.io' / 'bob-smith@x.io' must not
-      // leave a partial-mask PII residue ('a+', 'bob-') before <EMAIL>
-      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, "https?://[a-zA-Z0-9./_-]+", "<URL>"),
+          // local part includes %+- : 'a+tag@x.io' / 'bob-smith@x.io' must
+          // not leave a partial-mask PII residue ('a+', 'bob-') before
+          // <EMAIL>
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        // IPv4 after URL (URLs may embed dotted hosts); dotted quads in
+        // free text are network PII
+        "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+      // NANP-style phone numbers; deliberately narrow (three explicit
+      // groups with separators) so bare numeric prose never matches
+      "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
 
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
@@ -786,6 +795,8 @@ object LlmOps {
       .select(col("doc_id"), scrubText(col("text")).as("clean"))
       .withColumn("n_urls", size(split(col("clean"), "<URL>", -1)).cast("long") - 1)
       .withColumn("n_emails", size(split(col("clean"), "<EMAIL>", -1)).cast("long") - 1)
+      .withColumn("n_ips", size(split(col("clean"), "<IP>", -1)).cast("long") - 1)
+      .withColumn("n_phones", size(split(col("clean"), "<PHONE>", -1)).cast("long") - 1)
       .orderBy("doc_id")),
 
     // Token counting: whitespace split vs BPE-ish regex extraction.
@@ -1447,11 +1458,17 @@ object LlmOps {
     "q_text_scrub" ->
       """SELECT doc_id, clean,
         |  CAST(len(string_split(clean, '<URL>')) - 1 AS BIGINT) AS n_urls,
-        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_emails
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(clean, '<IP>')) - 1 AS BIGINT) AS n_ips,
+        |  CAST(len(string_split(clean, '<PHONE>')) - 1 AS BIGINT) AS n_phones
         |FROM (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(text, 'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g'),
-        |                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS clean
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(text, 'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g'),
+        |                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -15,7 +15,11 @@ class LlmOpsScrubSuite extends SparkSpec {
       (3L, "both http://x.io/p and alice@x.io here"),
       (4L, "nothing to scrub at all"),
       // %+- in the local part must mask FULLY — no 'a+'/'bob-' PII residue
-      (5L, "plus-tagged a+tag@x.io and hyphenated bob-smith@x.io and pct b%c@x.io"))
+      (5L, "plus-tagged a+tag@x.io and hyphenated bob-smith@x.io and pct b%c@x.io"),
+      (6L, "server 192.168.1.200 answered from 10.0.0.1 fast"),
+      (7L, "call 555-123-4567 or +1 555.987.6543 soon"),
+      // bare numeric prose must NOT be over-masked by the phone pattern
+      (8L, "sequence 12 34 567 stays and version 1.2.3 stays"))
     val got = rows.toDF("id", "text")
       .select(col("id"), LlmOps.scrubText(col("text")).as("clean"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -24,5 +28,8 @@ class LlmOpsScrubSuite extends SparkSpec {
     assert(got(3L) === "both <URL> and <EMAIL> here")
     assert(got(4L) === "nothing to scrub at all")
     assert(got(5L) === "plus-tagged <EMAIL> and hyphenated <EMAIL> and pct <EMAIL>")
+    assert(got(6L) === "server <IP> answered from <IP> fast")
+    assert(got(7L) === "call <PHONE> or +1 <PHONE> soon")
+    assert(got(8L) === "sequence 12 34 567 stays and version 1.2.3 stays")
   }
 }
