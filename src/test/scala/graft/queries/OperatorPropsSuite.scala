@@ -354,6 +354,23 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("graph analytics agree with the pair graph: degree handshake and triangle edges") {
+    val pairs = LlmOps.queries("q_dedup_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = LlmOps.queries("q_graph_degree")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // handshake lemma: degrees sum to twice the edge count, isolated docs 0
+    assert(deg.values.sum === 2L * pairs.size)
+    assert(deg.values.count(_ == 0L) === deg.size - pairs.flatMap(p => Seq(p._1, p._2)).size)
+    // every triangle is three genuine pair-graph edges, ordered a < b < c
+    val tris = LlmOps.queries("q_graph_triangles")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    tris.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(pairs((a, b)) && pairs((b, c)) && pairs((a, c)), s"($a,$b,$c)")
+    }
+  }
+
   test("vocab-free hashed-TF twin keeps the unit-norm and near-dup-cosine properties") {
     val emb = LlmOps.queries("q_text_hash_embed_xxh")(spark, sf).collect()
       .groupBy(_.getLong(0)).map { case (d, rs) =>

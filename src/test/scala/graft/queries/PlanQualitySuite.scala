@@ -171,6 +171,12 @@ class PlanQualitySuite extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_graph_triangles: two equi joins over canonical edges, no cartesian") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_ts_resample: grid explode is map-side; fill is one window") {
     val p = plan("q_ts_resample")
     assert(p.contains("Generate explode"), p)
