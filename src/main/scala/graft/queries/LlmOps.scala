@@ -773,6 +773,26 @@ object LlmOps {
           (col("n_distinct").cast("double") / col("n_tokens")), 4))
       .orderBy("doc_id")),
 
+    // Readability scoring (Flesch reading-ease with a vowel-group syllable
+    // heuristic) — the classic complement to q_text_quality's lexical
+    // signals in a corpus-filtering pipeline. Counts are regex
+    // extract-all lengths (identical RE2-safe patterns both engines);
+    // the score is three divisions/multiplies written in the same
+    // left-associated order, so doubles match bit-for-bit before the
+    // belt-and-braces round. Pure map-side scan: no shuffle at any scale.
+    "q_text_readability" -> ((s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS LONG)"),
+          lit(1L)).as("n_sentences"),
+        expr("CAST(size(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)) AS LONG)")
+          .as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .orderBy("doc_id")),
+
     // Document chunking for LLM training: overlapping token windows of 32
     // tokens with stride 24 (25% overlap), each chunk re-joined to text.
     // Pure generator arithmetic (sequence -> slice), so it runs map-side
@@ -1442,6 +1462,19 @@ object LlmOps {
         |  ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
         |        * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835
+        |        - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_chunk" ->

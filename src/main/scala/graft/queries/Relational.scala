@@ -536,6 +536,48 @@ object Relational {
           round(max(col("o_totalprice")), 4).as("bin_max"))
         .orderBy("bin")
     }),
+
+    // Deterministic MODE: most frequent l_quantity per returnflag, ties to
+    // the LOWEST value (Spark's builtin mode() leaves ties undefined, so
+    // it never appears here). Shape: one hash agg over (flag, qty) —
+    // the full data shuffle — then a row_number over the tiny
+    // (|flags| x |distinct qty|) counted frame. The heavy lifting happens
+    // in the partial-combining agg; the window never sees raw rows.
+    "q_agg_mode" -> ((s, d) => {
+      val cnt = Tables(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("freq").desc, col("l_quantity"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("freq"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Interval-overlap join: per-customer activity interval
+    // [first_order, first_order + 30d] against derived 10-day promo
+    // windows (one per distinct order month). Overlap predicate
+    // c0 <= p1 AND p0 <= c1 — a theta join, but the promo side is tiny by
+    // construction (one row per month in the data), so the Spark-first
+    // plan is an explicit broadcast nested-loop: the fact side never
+    // shuffles. With two LARGE interval sets the same operator would
+    // bucketize both sides onto an overlapping-month grid and equi-join
+    // on the bucket (the q_dedup band-join pattern); the month-derived
+    // promo table IS that grid here.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val orders = Tables(s, d, "orders")
+      val cust = orders.groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("c0"))
+        .withColumn("c1", date_add(col("c0"), 30))
+      val promos = orders
+        .select(to_date(date_trunc("month", col("o_orderdate"))).as("p0")).distinct()
+        .withColumn("p1", date_add(col("p0"), 9))
+      cust.join(broadcast(promos), col("c0") <= col("p1") && col("p0") <= col("c1"))
+        .groupBy("p0", "p1")
+        .agg(count(lit(1)).as("n_active"), min(col("o_custkey")).as("first_cust"))
+        .select(dstr(col("p0")).as("promo_start"), dstr(col("p1")).as("promo_end"),
+          col("n_active"), col("first_cust"))
+        .orderBy("promo_start")
+    }),
   )
 
   /** Pair-form as-of SQL — shared by q_join_asof and q_join_asof_merge
@@ -857,5 +899,29 @@ object Relational {
         |       ROUND(max(o_totalprice), 4) AS bin_max
         |FROM orders, bounds
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, mode_qty, freq FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, freq,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY freq DESC, l_quantity) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, count(*) AS freq
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_interval_overlap" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS c0,
+        |         min(CAST(o_orderdate AS DATE)) + 30 AS c1
+        |  FROM orders GROUP BY 1),
+        |promos AS (
+        |  SELECT p0, p0 + 9 AS p1 FROM (
+        |    SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS p0
+        |    FROM orders))
+        |SELECT strftime(p0, '%Y-%m-%d') AS promo_start,
+        |       strftime(p1, '%Y-%m-%d') AS promo_end,
+        |       count(*) AS n_active, min(o_custkey) AS first_cust
+        |FROM cust JOIN promos ON c0 <= p1 AND p0 <= c1
+        |GROUP BY p0, p1 ORDER BY 1""".stripMargin,
   )
 }

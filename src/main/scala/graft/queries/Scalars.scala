@@ -93,6 +93,18 @@ object Scalars {
         round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
       .orderBy("event_type")),
 
+    // Regex scalar coverage: extract-all (joined to one string so both
+    // engines hash a scalar), occurrence counting via extract-all length
+    // (identical RE2-safe patterns), boolean match cast to long, and
+    // global replace. All plain codegen'd expressions over the scan.
+    "q_scalar_regex" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"),
+        expr("array_join(regexp_extract_all(p_name, '[a-z]{4,}', 0), ' ')").as("long_words"),
+        expr("CAST(size(regexp_extract_all(p_name, '[aeiou]', 0)) AS LONG)").as("n_vowels"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("^STANDARD|^LARGE").cast("long").as("is_std_or_large"))
+      .orderBy("p_partkey")),
+
     "q_scalar_map" -> ((s, d) => Tables(s, d, "events")
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .groupBy("user_id")
@@ -172,6 +184,14 @@ object Scalars {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scalar_regex" ->
+      """SELECT p_partkey,
+        |  COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), ' '), '') AS long_words,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CAST(regexp_matches(p_type, '^STANDARD|^LARGE') AS BIGINT) AS is_std_or_large
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_scalar_map" ->
       """SELECT user_id,

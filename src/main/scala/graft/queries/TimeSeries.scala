@@ -231,6 +231,54 @@ object TimeSeries {
           col("active_users"))
         .orderBy("cohort_day", "offset_days")
     }),
+
+    // OHLC downsampling: per (day, event_type) open/high/low/close of
+    // `value` — the market-data candle / metrics-rollup shape. open/close
+    // are positional (first/last by (ts, event_id)) so they ride a full-
+    // frame window over the SAME keys the groupBy uses: one shuffle total,
+    // and the window state per key is O(1). Values are carried doubles
+    // (no float arithmetic), so parity is exact without rounding.
+    "q_ts_ohlc" -> ((s, d) => {
+      val wf = Window.partitionBy("day", "event_type")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+        .withColumn("open", first(col("value")).over(wf))
+        .withColumn("close", last(col("value")).over(wf))
+        .groupBy("day", "event_type")
+        .agg(min(col("open")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), min(col("close")).as("close"),
+          count(lit(1)).as("n"))
+        .select(dstr(col("day")).as("day"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Exponentially weighted moving average over the trailing 8 events per
+    // user (decay 0.5, weights normalized). Written as an explicit lag
+    // chain rather than a recursive state column: every term is
+    // whole-stage-codegen'd, the window shuffles once on user_id, and the
+    // 0.5^i weights are exact powers of two, so multiply-and-left-
+    // associated-add is the SAME ieee754 sequence in both engines —
+    // bit-identical before the belt-and-braces round(4). Full windows
+    // only (rn >= 8), mirroring q_ts_anomaly's discipline.
+    "q_ts_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val num = (0 until 8)
+        .map(i => lag(col("value"), i).over(w) * lit(math.pow(0.5, i)))
+        .reduceLeft(_ + _)
+      val den = (0 until 8).map(math.pow(0.5, _)).sum // 1.9921875, exact
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma_raw", num)
+        .filter(col("rn") >= 8)
+        .select(col("event_id"), col("user_id"),
+          round(col("ewma_raw") / lit(den), 4).as("ewma"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +418,35 @@ object TimeSeries {
         |       count(DISTINCT user_id) AS active_users
         |FROM m GROUP BY m.cohort_day, offset_days
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_ohlc" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT day, event_type, value,
+        |         first_value(value) OVER wf AS open,
+        |         last_value(value) OVER wf AS close
+        |  FROM e
+        |  WINDOW wf AS (PARTITION BY day, event_type ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+        |       min(open) AS open, max(value) AS high, min(value) AS low,
+        |       min(close) AS close, count(*) AS n
+        |FROM w GROUP BY day, event_type ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_ewma" ->
+      """SELECT event_id, user_id, ROUND(num / 1.9921875, 4) AS ewma FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER w AS rn,
+        |    value * 1.0 + lag(value, 1) OVER w * 0.5
+        |      + lag(value, 2) OVER w * 0.25 + lag(value, 3) OVER w * 0.125
+        |      + lag(value, 4) OVER w * 0.0625 + lag(value, 5) OVER w * 0.03125
+        |      + lag(value, 6) OVER w * 0.015625 + lag(value, 7) OVER w * 0.0078125
+        |      AS num
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |WHERE rn >= 8 ORDER BY event_id""".stripMargin,
   )
 }
