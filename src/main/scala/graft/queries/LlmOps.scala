@@ -793,6 +793,135 @@ object LlmOps {
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
       .orderBy("doc_id")),
 
+    // Benchmark decontamination: flag training docs sharing any 8-gram
+    // with the eval split (doc_id % 10 == 0 stands in for the benchmark
+    // suite). Both sides are distinct per-doc shingles; the eval side is
+    // pre-aggregated to (shingle -> min eval doc) before the equi-join on
+    // the shingle key. Here the derived eval split is corpus-scale, so
+    // the plan keeps the partitioned equi-join; against a real benchmark
+    // suite (MBs of n-grams) the eval side collapses to a broadcast —
+    // same operator, Catalyst picks the strategy from the stats.
+    "q_text_contamination" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))).as("sh"))
+      val ev = sh.filter(col("doc_id") % 10 === 0)
+        .groupBy("sh").agg(min("doc_id").as("eval_doc"))
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(ev, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("eval_doc").as("first_eval_doc"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition signals (the Gopher-rule family): top-word fraction and
+    // duplicate-bigram fraction per document. Everything is keyed by
+    // doc_id (or (doc_id, gram)) — no corpus-scale state, two partial-
+    // combining aggs per signal, so the operator scales with the corpus
+    // like a plain groupBy. The `repetitive` flag applies the published
+    // Gopher-style cuts to the ROUNDED fractions so both engines compare
+    // identical doubles.
+    "q_text_repetition" -> ((s, d) => {
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val wf = t.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"))
+      val bf = t.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(t) - 1), i -> array_join(slice(t, i, 2), ' '))")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_bi"))
+      wf.join(bf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_c").cast("double") / col("n_tokens"), 4).as("top_word_frac"),
+          round(coalesce(col("dup_bi").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+            .as("dup_bigram_frac"))
+        .withColumn("repetitive",
+          (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.5).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM quality proxy: per-doc mean negative log-likelihood under
+    // the corpus's own unigram model (the classic perplexity-filter
+    // signal, kept in nats — no exp(), one less libm call to keep parity
+    // exact). Corpus counts are one hash agg on the token; scoring is an
+    // equi-join on the token key (at 100 TB the count table is GBs —
+    // shuffle-join; a truncated top-vocab would broadcast). Determinism:
+    // each token's -ln p is rounded to 6 dp then summed as DECIMAL, so
+    // the per-doc sum is order-independent; only then one double divide.
+    "q_text_perplexity" -> ((s, d) => {
+      val w = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val cf = w.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = cf.agg(sum("cw").cast("double").as("tot"))
+      w.join(cf, "w")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(-log(col("cw").cast("double") / col("tot")), 6)
+            .cast("decimal(18,6)").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("nll").as("sum_nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_nll").cast("double") / col("n_tokens"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Word-level Shannon entropy per document (nats) — the lexical-
+    // diversity quality signal: low entropy = template/boilerplate text.
+    // Per-word terms -p*ln(p) are rounded to 9 dp and summed as DECIMAL so
+    // the per-doc sum is order-independent; both engines compute the same
+    // integral (c, n) pair, so the double p and its log agree bit-exact.
+    // Everything is keyed by (doc_id[, word]) — no corpus-scale state.
+    "q_text_entropy" -> ((s, d) => {
+      val wf = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val sz = wf.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+      wf.join(sz, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(-(col("c").cast("double") / col("n_tokens"))
+            * log(col("c").cast("double") / col("n_tokens")), 9)
+            .cast("decimal(18,9)").as("t"))
+        .groupBy("doc_id", "n_tokens", "n_types")
+        .agg(round(sum(col("t")).cast("double"), 4).as("entropy_nats"))
+        .orderBy("doc_id")
+    }),
+
+    // Type-token ratio + hapax-legomena fraction — the cheap companion
+    // diversity signals (a doc whose words mostly occur once reads as
+    // natural prose; heavy repetition drives both ratios down). One
+    // (doc_id, word) hash agg then one doc_id agg; fully map-combining.
+    "q_text_ttr" -> ((s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 4).as("hapax_frac"))
+      .orderBy("doc_id")),
+
+    // Normalized-form ("fuzzy exact") dedup — the C4/RefinedWeb first
+    // pass: lowercase, strip everything but [a-z0-9 ], collapse runs of
+    // spaces, trim, then hash-group like q_dedup_exact. Catches the
+    // casing/punctuation near-copies exact hashing misses at the SAME
+    // cost profile: one map-side normalize + one hash agg, no joins.
+    "q_dedup_norm" -> ((s, d) => Tables(s, d, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm"))
+      .groupBy(sha2(col("norm"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+      .orderBy("doc_id")),
+
     // Document chunking for LLM training: overlapping token windows of 32
     // tokens with stride 24 (25% overlap), each chunk re-joined to text.
     // Pure generator arithmetic (sequence -> slice), so it runs map-side
@@ -1476,6 +1605,81 @@ object LlmOps {
         |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |ev AS (SELECT sh, min(doc_id) AS eval_doc FROM sh WHERE doc_id % 10 = 0 GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_hits, min(ev.eval_doc) AS first_eval_doc
+        |FROM sh s JOIN ev ON s.sh = ev.sh
+        |WHERE s.doc_id % 10 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM t),
+        |wf AS (SELECT doc_id, count(*) AS c FROM w GROUP BY doc_id, w),
+        |wd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              CAST(max(c) AS BIGINT) AS top_c FROM wf GROUP BY doc_id),
+        |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b
+        |      FROM t, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |      WHERE len(t) >= 2),
+        |bf AS (SELECT doc_id, count(*) AS c FROM b GROUP BY doc_id, b),
+        |bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+        |       FROM bf GROUP BY doc_id),
+        |j AS (SELECT wd.doc_id, n_tokens,
+        |             ROUND(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_word_frac,
+        |             ROUND(COALESCE(CAST(dup_bi AS DOUBLE) / n_bigrams, 0.0), 4) AS dup_bigram_frac
+        |      FROM wd LEFT JOIN bd ON wd.doc_id = bd.doc_id)
+        |SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
+        |       CAST(top_word_frac > 0.2 OR dup_bigram_frac > 0.5 AS BIGINT) AS repetitive
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cf AS (SELECT w, count(*) AS cw FROM w GROUP BY w),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM cf),
+        |sc AS (SELECT doc_id,
+        |              CAST(ROUND(-ln(CAST(cw AS DOUBLE) / tot), 6) AS DECIMAL(18,6)) AS nll
+        |       FROM w JOIN cf ON w.w = cf.w, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH wf AS (SELECT doc_id, w, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) GROUP BY doc_id, w),
+        |sz AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_types FROM wf GROUP BY doc_id)
+        |SELECT wf.doc_id, n_tokens, n_types,
+        |       ROUND(CAST(sum(CAST(ROUND(
+        |         -(CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens),
+        |         9) AS DECIMAL(18,9))) AS DOUBLE), 4) AS entropy_nats
+        |FROM wf JOIN sz ON wf.doc_id = sz.doc_id
+        |GROUP BY wf.doc_id, n_tokens, n_types ORDER BY wf.doc_id""".stripMargin,
+
+    "q_text_ttr" ->
+      """WITH wf AS (SELECT doc_id, w, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) GROUP BY doc_id, w),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM wf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+        |       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM documents)
+        |GROUP BY sha256(norm) ORDER BY doc_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -279,6 +279,86 @@ object TimeSeries {
           round(col("ewma_raw") / lit(den), 4).as("ewma"))
         .orderBy("event_id")
     }),
+
+    // VWAP: per (day, event_type) volume-weighted mean of `value` with
+    // props.k as the volume. Both factors are exact in DECIMAL (value is
+    // 2-dp, k integral), so the weighted sums are order-independent and
+    // one double divide at the end is bit-identical in both engines. One
+    // partial-combining shuffle on the (day, type) key — the canonical
+    // market-bar / metrics-rollup shape at any scale.
+    "q_ts_vwap" -> ((s, d) => Tables(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("px"),
+        get_json_object(col("props"), "$.k").cast("decimal(18,0)").as("qty"))
+      .filter(col("qty") > 0)
+      .groupBy("day", "event_type")
+      .agg(sum(col("px") * col("qty")).as("pv"), sum(col("qty")).as("v"),
+        count(lit(1)).as("n"))
+      .select(dstr(col("day")).as("day"), col("event_type"),
+        round(col("pv").cast("double") / col("v").cast("double"), 4).as("vwap"),
+        col("n"))
+      .orderBy("day", "event_type")),
+
+    // Cumulative distinct users per day — the growth-dashboard staple.
+    // Distinctness is rewritten as "first-seen day per user" (one hash agg
+    // keyed by user), so no day ever re-scans history; the running total
+    // is a window over the per-day NEW-user counts, whose input is O(#days)
+    // rows — a partition-less window over a frame that small is fine at
+    // any corpus scale.
+    "q_ts_cum_distinct" -> ((s, d) => {
+      val firstSeen = Tables(s, d, "events")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(dstr(col("day")).as("day"), col("new_users"), col("cum_users"))
+        .orderBy("day")
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most recent
+    // preceding touch event (click/view/signup); purchases with no prior
+    // touch are 'direct'. ONE user-partitioned window (last ignoreNulls
+    // over unbounded..-1 preceding) — the same single shuffle any
+    // per-user sessionization pays, then a 5-row channel rollup. The
+    // (ts, event_id) order is a total order, so the credited touch is
+    // deterministic under any partitioning.
+    "q_ts_attribution" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "events")
+        .withColumn("touch",
+          when(col("event_type").isin("click", "view", "signup"), col("event_type")))
+        .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(wo))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("last_touch"), lit("direct")).as("channel"), col("user_id"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("channel")
+    }),
+
+    // Inter-event gap statistics per user — the arrival-process profile
+    // (bot detection, engagement scoring). Gaps are integral microsecond
+    // lag-diffs, so the sums are exact and the only doubles are the final
+    // divides. One user window + one user agg sharing the same key.
+    "q_ts_gap_stats" -> ((s, d) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wo))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_us").as("sum_us"),
+          max("gap_us").as("max_us"),
+          min("gap_us").as("min_us"))
+        .select(col("user_id"), col("n_gaps"),
+          round(col("sum_us").cast("double") / col("n_gaps") / lit(1e6), 4).as("avg_gap_s"),
+          round(col("max_us").cast("double") / lit(1e6), 4).as("max_gap_s"),
+          round(col("min_us").cast("double") / lit(1e6), 4).as("min_gap_s"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +528,55 @@ object TimeSeries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         |WHERE rn >= 8 ORDER BY event_id""".stripMargin,
+
+    "q_ts_vwap" ->
+      """SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+        |       ROUND(CAST(sum(px * qty) AS DOUBLE) / CAST(sum(qty) AS DOUBLE), 4) AS vwap,
+        |       count(*) AS n
+        |FROM (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |         CAST(value AS DECIMAL(18,4)) AS px,
+        |         CAST(json_extract_string(props, '$.k') AS DECIMAL(18,0)) AS qty
+        |  FROM events)
+        |WHERE qty > 0
+        |GROUP BY day, event_type ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_cum_distinct" ->
+      """WITH f AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |           FROM events GROUP BY user_id),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
+
+    "q_ts_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id,
+        |                  CASE WHEN event_type IN ('click','view','signup')
+        |                       THEN event_type END AS touch
+        |           FROM events),
+        |a AS (SELECT event_type, user_id,
+        |             last_value(touch IGNORE NULLS) OVER (
+        |               PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |      FROM e)
+        |SELECT COALESCE(last_touch, 'direct') AS channel,
+        |       count(*) AS n_purchases, count(DISTINCT user_id) AS n_users
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ts_gap_stats" ->
+      """WITH g AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP))
+        |                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |                        PARTITION BY user_id
+        |                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |           FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |       ROUND(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 4) AS avg_gap_s,
+        |       ROUND(CAST(max(gap_us) AS DOUBLE) / 1e6, 4) AS max_gap_s,
+        |       ROUND(CAST(min(gap_us) AS DOUBLE) / 1e6, 4) AS min_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed goldens for the round-4 analytics batch (OHLC candles,
+  * EWMA, deterministic mode, interval-overlap join, regex scalars, Flesch
+  * readability). The gated queries read `Tables(dir, name)`, so the crafted
+  * inputs are written as parquet into a temp sfDir and the REAL query
+  * closures run on them — the golden exercises the exact production plan,
+  * not a reimplementation. events.ts is written as raw int64 nanos, the
+  * same physical shape `nanosAsLong` gives the harness tables.
+  */
+class AnalyticsGoldenSuite extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    val s = spark
+    import s.implicits._
+
+    val ns = 1000000000L
+    val base = 1700000000L * ns // 2023-11-14 22:13:20 UTC
+    // user 1 / type a: values 1..10 one second apart; user 2 / type b:
+    // constant 5.0 — candles and EWMA are hand-derivable for both.
+    val ev =
+      (1 to 10).map(i => (i.toLong, base + i * ns, 1L, "a", i.toDouble, "{}")) ++
+        (1 to 9).map(i => (100L + i, base + i * ns, 2L, "b", 5.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+
+    Seq(
+      (1L, "Hello world. This is fun!", "en", "t", 25L),
+      (2L, "xyz qrst", "en", "t", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    Seq(
+      (1L, "azure frosted metallic", "B", "STANDARD BRUSHED", 1, 1.0),
+      (2L, "bolt", "B", "SMALL ANODIZED", 1, 1.0),
+      (3L, "a bc def", "B", "X", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.parquet(s"$d/part.parquet")
+    d
+  }
+
+  test("q_ts_ohlc: candles match hand-derived open/high/low/close") {
+    val got = TimeSeries.queries("q_ts_ohlc")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("2023-11-14", "a", 1.0, 10.0, 1.0, 10.0, 10L),
+      ("2023-11-14", "b", 5.0, 5.0, 5.0, 5.0, 9L)))
+  }
+
+  test("q_ts_ewma: trailing-8 decay-0.5 averages match exact hand arithmetic") {
+    // weights 0.5^i are exact powers of two and values are small integers,
+    // so num and den are exact doubles: num(v)=sum_{i<8}(v-i)*0.5^i and
+    // each +1 step adds exactly den=1.9921875. Expected values verified by
+    // hand: 14.0078125/den, 16/den, 17.9921875/den -> 7.0314/8.0314/9.0314.
+    val got = TimeSeries.queries("q_ts_ewma")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (8L, 1L, 7.0314), (9L, 1L, 8.0314), (10L, 1L, 9.0314),
+      (108L, 2L, 5.0), (109L, 2L, 5.0)))
+  }
+
+  test("q_text_readability: Flesch score matches hand-computed counts") {
+    val got = LlmOps.queries("q_text_readability")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      // 5 words, 2 sentences ('.'/'!'), 6 vowel groups:
+      // 206.835 - 1.015*2.5 - 84.6*1.2 = 102.7775
+      (1L, 5L, 2L, 6L, 102.7775),
+      // no sentence punctuation -> floor of 1; 'y' counts as a vowel group:
+      // 206.835 - 1.015*2 - 84.6*0.5 = 162.505
+      (2L, 2L, 1L, 1L, 162.505)))
+  }
+
+  test("q_scalar_regex: extract-all / count / replace / rlike goldens") {
+    val got = Scalars.queries("q_scalar_regex")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "azure frosted metallic", 8L, "_z_r_ fr_st_d m_t_ll_c", 1L),
+      (2L, "bolt", 1L, "b_lt", 0L),
+      (3L, "", 2L, "_ bc d_f", 0L)))
+  }
+}

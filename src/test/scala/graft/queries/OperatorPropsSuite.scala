@@ -462,4 +462,131 @@ class OperatorPropsSuite extends SparkSpec {
       (1 to 3).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9))
     }
   }
+
+  test("q_agg_mode: most frequent quantity per flag, ties to the LOWEST value") {
+    val raw = Tables(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = raw.groupBy(_._1).map { case (flag, rows) =>
+      val freq = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val top = freq.values.max
+      flag -> ((freq.filter(_._2 == top).keys.min, top))
+    }
+    val got = Relational.queries("q_agg_mode")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
+  test("q_join_interval_overlap: window counts match a driver interval sweep") {
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    // per-customer [first, first+30] intervals
+    val cust = orders.groupBy(_._1).map { case (k, rs) =>
+      val c0 = rs.map(_._2).min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      (k, c0, c0.plusDays(30))
+    }.toSeq
+    // 10-day promo windows, one per distinct order month
+    val promos = orders.map(_._2.withDayOfMonth(1)).distinct.map(p => (p, p.plusDays(9)))
+    val expect = promos.flatMap { case (p0, p1) =>
+      val hit = cust.filter { case (_, c0, c1) => !c0.isAfter(p1) && !p0.isAfter(c1) }
+      // inner-join semantics: promo windows nobody's interval overlaps
+      // don't appear in the result
+      if (hit.isEmpty) None
+      else Some((p0.toString, p1.toString) -> ((hit.size.toLong, hit.map(_._1).min)))
+    }.toMap
+    val got = Relational.queries("q_join_interval_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+  }
+
+  test("q_ts_attribution: channels match a driver replay of each user's stream") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val touches = Set("click", "view", "signup")
+    val credited = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastTouch: String = null
+      rows.sortBy(r => (r._3, r._4)).flatMap { case (u, et, _, _) =>
+        val out = if (et == "purchase")
+          Some((if (lastTouch == null) "direct" else lastTouch, u)) else None
+        if (touches(et)) lastTouch = et
+        out
+      }
+    }
+    val expect = credited.groupBy(_._1).view.mapValues(rs =>
+      (rs.size.toLong, rs.map(_._2).distinct.size.toLong)).toMap
+    val got = TimeSeries.queries("q_ts_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+    // every purchase is credited exactly once
+    assert(got.values.map(_._1).sum === ev.count(_._2 == "purchase"))
+  }
+
+  test("q_ts_gap_stats: telescoping identity and bounds per user") {
+    val spans = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span_us"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = TimeSeries.queries("q_ts_gap_stats")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, n, avg, mx, mn) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val (span, nEv) = spans(u)
+      assert(n === nEv - 1, s"user $u: gap count must be events-1")
+      // gaps telescope: avg * n == total span (to rounding)
+      assert(math.abs(avg * n - span / 1e6) < n * 1e-4 + 1e-6, s"user $u")
+      assert(mn >= 0 && mn <= avg + 1e-9 && avg <= mx + 1e-9, s"user $u")
+    }
+  }
+
+  test("q_text_entropy: bounded by ln(n_types), zero iff single-type") {
+    val got = LlmOps.queries("q_text_entropy")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (types, h) = (r.getLong(2), r.getDouble(3))
+      // the 4-dp output rounding can sit up to half a step above ln(types)
+      // (uniform docs hit the bound exactly, e.g. ln 16 -> 2.7726)
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 5.001e-5,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($types)]")
+      if (types == 1) assert(h === 0.0)
+    }
+  }
+
+  test("q_text_ttr: ratios recompute exactly from raw token counts") {
+    val expect = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .collect().map { r =>
+        val ws = r.getSeq[String](1)
+        val freq = ws.groupBy(identity).view.mapValues(_.size).toMap
+        r.getLong(0) -> ((ws.size.toLong, freq.size.toLong,
+          freq.count(_._2 == 1).toLong))
+      }.toMap
+    val got = LlmOps.queries("q_text_ttr")(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (tok, ty, hap) = expect(r.getLong(0))
+      assert(r.getLong(1) === tok && r.getLong(2) === ty)
+      assert(r.getDouble(3) ===
+        BigDecimal(ty.toDouble / tok).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(4) ===
+        BigDecimal(hap.toDouble / ty).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("q_dedup_norm: refines q_dedup_exact — groups only ever merge") {
+    val exact = LlmOps.queries("q_dedup_exact")(spark, sf).collect()
+    val norm = LlmOps.queries("q_dedup_norm")(spark, sf).collect()
+    val exactDocs = exact.map(_.getLong(0)).toSet
+    val normDocs = norm.map(_.getLong(0)).toSet
+    // a normalized group's representative is a representative of some
+    // exact group (min over a union of exact groups), and there are no
+    // more normalized groups than exact ones
+    assert(normDocs.subsetOf(exactDocs))
+    assert(norm.length <= exact.length)
+    assert(norm.map(_.getLong(1)).sum === exact.map(_.getLong(1)).sum,
+      "every document lands in exactly one normalized group")
+  }
 }

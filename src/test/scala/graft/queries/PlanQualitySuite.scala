@@ -194,4 +194,83 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("UDF"), s"scoring must stay inside codegen:\n$p")
     assert(!p.contains("BatchEvalPython"), p)
   }
+
+  test("q_ts_ohlc: candle window and agg share one (day, type) shuffle") {
+    val p = plan("q_ts_ohlc")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("event_type"),
+      s"open/close window must be (day, event_type)-partitioned:\n$p")
+    // window shuffle reused by the groupBy on the same keys + output order
+    assert(exchanges(p) === 2, p)
+  }
+
+  test("q_ts_ewma: lag chain rides ONE user_id window, all codegen") {
+    val p = plan("q_ts_ewma")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("user_id"), p)
+    assert(exchanges(p) === 2, s"user window + output order only:\n$p")
+    assert(!p.contains("UDF"), p)
+  }
+
+  test("q_agg_mode: raw rows only hit the hash agg; the window sees counts") {
+    val p = plan("q_agg_mode")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("l_returnflag"),
+      s"rank window must be flag-partitioned, never global:\n$p")
+    assert(p.contains("partial_count"), s"mode needs map-side combine:\n$p")
+  }
+
+  test("q_join_interval_overlap: theta join broadcasts the promo grid") {
+    val p = plan("q_join_interval_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ts_vwap: exact decimal sums in one partial-combining agg") {
+    val p = plan("q_ts_vwap")
+    assert(p.contains("partial_sum"), p)
+    assert(exchanges(p) === 2, s"(day, type) agg + output order only:\n$p")
+  }
+
+  test("q_text_contamination and q_text_perplexity: token joins stay equi") {
+    Seq("q_text_contamination", "q_text_perplexity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // the only nested-loop allowed is the broadcast of the 1-row total
+      if (q == "q_text_contamination")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_text_repetition: signals are doc-keyed aggs, no corpus-scale window") {
+    val p = plan("q_text_repetition")
+    assert(p.linesIterator.forall(!_.matches(""".*\bWindow\b.*""")), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_ts_attribution: one user window, never a global one") {
+    val p = plan("q_ts_attribution")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("user_id"),
+      s"attribution must ride a user-partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ts_gap_stats: lag window and agg share the user_id key") {
+    val p = plan("q_ts_gap_stats")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("user_id"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gap agg needs map-side combine:\n$p")
+  }
+
+  test("q_text_entropy / q_text_ttr / q_dedup_norm: doc-keyed, window-free") {
+    Seq("q_text_entropy", "q_text_ttr", "q_dedup_norm").foreach { q =>
+      val p = plan(q)
+      assert(p.linesIterator.forall(!_.matches(""".*\bWindow\b.*""")), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+        s"$q must stay codegen'd:\n$p")
+    }
+  }
 }
