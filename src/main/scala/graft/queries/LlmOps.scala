@@ -870,6 +870,52 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Containment-coefficient near-dup: |A∩B| / min(|A|,|B|) over the same
+    // 5-gram shingle sets as q_dedup_near. Containment catches the
+    // asymmetric cases Jaccard misses — a short doc quoted whole inside a
+    // long one scores ~1.0 here but low Jaccard (the union is dominated by
+    // the long doc). Same candidate generation (pairs sharing a shingle),
+    // so the LSH banding scale path applies unchanged.
+    "q_dedup_containment" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .withColumn("containment",
+          col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.9)
+        .select(col("d1"), col("d2"), round(col("containment"), 4).as("containment"))
+        .orderBy("d1", "d2")
+    }),
+
+    // Per-source keyword extraction: top-3 whitespace terms by TF-IDF
+    // (source-level tf × ln(#sources/df)). The rank window is partitioned
+    // by source — the standard top-k-per-group shape that scales with the
+    // number of groups; the source count rides a 1-row broadcast. Ties
+    // break on the rounded score then term text, so the top-3 is total-
+    // order deterministic in both engines.
+    "q_text_keywords" -> ((s, d) => {
+      val tf = Tables(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nsrc = tf.select("source").distinct().agg(count(lit(1)).as("ns"))
+      val wr = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("w"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(nsrc))
+        .withColumn("score",
+          round(col("tf") * log(col("ns").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("w"), col("score"))
+        .orderBy("source", "rn")
+    }),
+
     // Word-level Shannon entropy per document (nats) — the lexical-
     // diversity quality signal: low entropy = template/boilerplate text.
     // Per-word terms -p*ln(p) are rounded to 9 dp and summed as DECIMAL so
@@ -1648,6 +1694,35 @@ object LlmOps {
         |SELECT doc_id, count(*) AS n_tokens,
         |       ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |       ROUND(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+        |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q_text_keywords" ->
+      """WITH tf AS (SELECT source, w, count(*) AS tf
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) GROUP BY source, w),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |ns AS (SELECT count(DISTINCT source) AS ns FROM tf),
+        |sc AS (SELECT source, tf.w AS w,
+        |              ROUND(tf * ln(CAST(ns AS DOUBLE) / df), 6) AS score
+        |       FROM tf JOIN dfreq ON tf.w = dfreq.w, ns),
+        |rk AS (SELECT source, w, score,
+        |              row_number() OVER (PARTITION BY source
+        |                                 ORDER BY score DESC, w) AS rn
+        |       FROM sc)
+        |SELECT source, rn, w, score FROM rk WHERE rn <= 3
+        |ORDER BY source, rn""".stripMargin,
 
     "q_text_entropy" ->
       """WITH wf AS (SELECT doc_id, w, count(*) AS c

@@ -303,6 +303,36 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Higher exact moments: population skewness and excess kurtosis of
+    // l_quantity per flag. Quantities are integral (1..50), so the four
+    // power sums are exact BIGINTs (x^4 <= 6.25e6 — no overflow until
+    // ~1.5e12 rows, and the sums re-aggregate, so a 100 TB run partials
+    // map-side like any sum). The central-moment algebra then runs on
+    // identical doubles in both engines; m2^1.5 is written sqrt(m2*m2*m2)
+    // because sqrt is IEEE-correctly-rounded while pow() may differ
+    // between libm implementations.
+    "q_agg_skewkurt" -> ((s, d) => {
+      val x = col("l_quantity").cast("long")
+      val g = Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val n = g("n").cast("double")
+      val m1 = g("s1").cast("double") / n
+      val m2 = g("s2").cast("double") / n - m1 * m1
+      val m3 = g("s3").cast("double") / n - lit(3.0) * m1 * (g("s2").cast("double") / n) +
+        lit(2.0) * m1 * m1 * m1
+      val m4 = g("s4").cast("double") / n - lit(4.0) * m1 * (g("s3").cast("double") / n) +
+        lit(6.0) * m1 * m1 * (g("s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
+      // + 0.0 collapses IEEE -0.0 to +0.0 (a symmetric flag rounds to
+      // "-0.0" in DuckDB but "0.0" here — same value, different hash)
+      g.select(col("l_returnflag"), col("n"),
+          round(m1, 4).as("mean_qty"),
+          (round(m3 / sqrt(m2 * m2 * m2), 4) + lit(0.0)).as("skewness"),
+          (round(m4 / (m2 * m2) - lit(3.0), 4) + lit(0.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
     // MERGE/upsert — dataset versioning's core move: apply a change batch
     // (updates win by key, new keys insert) onto a snapshot, the thing a
     // training-data pipeline runs every refresh cycle. Spark-first shape:
@@ -777,6 +807,24 @@ object Relational {
         |        / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
         |           * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 4) AS corr
         |FROM m ORDER BY 1""".stripMargin,
+
+    "q_agg_skewkurt" ->
+      """WITH p AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_returnflag, n, s1/n AS m1, s2/n AS r2, s3/n AS r3, s4/n AS r4 FROM p),
+        |c AS (SELECT l_returnflag, n, m1, r2 - m1*m1 AS m2,
+        |             r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3,
+        |             r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4
+        |      FROM r)
+        |SELECT l_returnflag, n, ROUND(m1, 4) AS mean_qty,
+        |       ROUND(m3 / sqrt(m2*m2*m2), 4) + 0.0 AS skewness,
+        |       ROUND(m4 / (m2*m2) - 3.0, 4) + 0.0 AS kurtosis
+        |FROM c ORDER BY 1""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),

@@ -114,6 +114,32 @@ object Scalars {
           x => concat(x.getField("event_type"), lit(":"), x.getField("cnt").cast("string"))),
         ",").as("type_counts"))
       .orderBy("user_id")),
+
+    // Struct build / field access / positional equality — the nested-type
+    // scalar surface. All map-side expression work; outputs stay primitive
+    // so the hash compare is type-stable across engines.
+    "q_scalar_struct" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"),
+        struct(col("p_brand").as("brand"), col("p_size").as("size")).as("s"))
+      .select(col("p_partkey"),
+        col("s.brand").as("brand"),
+        (col("s.size") + 1).cast("long").as("size1"),
+        (col("s") === struct(lit("Brand#13").as("brand"), col("s.size").as("size")))
+          .cast("long").as("is_b13"))
+      .orderBy("p_partkey")),
+
+    // Cast semantics matrix: TRY_CAST null-on-failure, digit-string
+    // round-trips, and explicit floor-before-int (Spark truncates
+    // double->int, DuckDB rounds — floor() first pins ONE semantics
+    // instead of hiding the engine difference).
+    "q_scalar_cast" -> ((s, d) => Tables(s, d, "part")
+      .select(col("p_partkey"),
+        expr("try_cast(element_at(split(p_name, ' '), 1) AS BIGINT)").as("word_as_int"),
+        expr("try_cast(cast(p_size AS string) AS BIGINT)").as("size_roundtrip"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        expr("try_cast(concat('20', cast(p_size AS string)) AS BIGINT)").as("prefixed"),
+        expr("try_cast(p_brand AS date)").isNull.cast("long").as("bad_date"))
+      .orderBy("p_partkey")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +225,22 @@ object Scalars {
         |FROM (
         |  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
         |) GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_scalar_struct" ->
+      """SELECT p_partkey,
+        |  s.brand AS brand,
+        |  CAST(s.size + 1 AS BIGINT) AS size1,
+        |  CAST(s = {'brand': 'Brand#13', 'size': s.size} AS BIGINT) AS is_b13
+        |FROM (SELECT p_partkey, {'brand': p_brand, 'size': p_size} AS s FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_scalar_cast" ->
+      """SELECT p_partkey,
+        |  TRY_CAST(string_split(p_name, ' ')[1] AS BIGINT) AS word_as_int,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS size_roundtrip,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  TRY_CAST('20' || CAST(p_size AS VARCHAR) AS BIGINT) AS prefixed,
+        |  CAST(TRY_CAST(p_brand AS DATE) IS NULL AS BIGINT) AS bad_date
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }

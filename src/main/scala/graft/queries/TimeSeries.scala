@@ -359,6 +359,32 @@ object TimeSeries {
           round(col("min_us").cast("double") / lit(1e6), 4).as("min_gap_s"))
         .orderBy("user_id")
     }),
+
+    // Hourly event rate with share-of-hour per type: one (hour, type) hash
+    // agg, then the share window rides the already-tiny (hour, type) frame
+    // partitioned by hour — never the raw events. The integer/integer
+    // divide is the only double.
+    "q_ts_rate" -> ((s, d) => {
+      val wh = Window.partitionBy("hour")
+      Tables(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") / sum(col("n")).over(wh), 4))
+        .select(tstr(col("hour")).as("hour"), col("event_type"), col("n"), col("share"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Day-of-week × hour-of-day activity heatmap — the load-profile rollup
+    // behind every usage dashboard. 7×24 output keys, so the partial aggs
+    // collapse map-side almost entirely; the mean goes through the exact
+    // DECIMAL-sum contract. dow is ISO (1=Monday..7=Sunday) in both engines.
+    "q_ts_heatmap" -> ((s, d) => Tables(s, d, "events")
+      .select((weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"), col("value"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n"), dmean(col("value")).as("avg_value"))
+      .orderBy("dow", "hod")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -578,5 +604,19 @@ object TimeSeries {
         |       ROUND(CAST(min(gap_us) AS DOUBLE) / 1e6, 4) AS min_gap_s
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ts_rate" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |                  event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+        |       ROUND(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY hour), 4) AS share
+        |FROM h ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_heatmap" ->
+      s"""SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+         |       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+         |       count(*) AS n, ${sqlMean("value")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

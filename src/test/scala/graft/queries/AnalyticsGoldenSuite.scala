@@ -84,4 +84,30 @@ class AnalyticsGoldenSuite extends SparkSpec {
       (2L, "bolt", 1L, "b_lt", 0L),
       (3L, "", 2L, "_ bc d_f", 0L)))
   }
+
+  test("q_scalar_struct: field access and positional equality goldens") {
+    val got = Scalars.queries("q_scalar_struct")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // brand is "B" everywhere, never 'Brand#13'
+    assert(got.toSeq === Seq((1L, "B", 2L, 0L), (2L, "B", 2L, 0L), (3L, "B", 2L, 0L)))
+  }
+
+  test("q_scalar_cast: try_cast nulls, round-trips, and floor semantics") {
+    val got = Scalars.queries("q_scalar_cast")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // first words are alphabetic -> null; size 1 round-trips; price 1.0
+    // floors to 1; '20'+'1' -> 201; brand 'B' is never a date
+    assert(got.toSeq === Seq(
+      (1L, true, 1L, 1L, 201L, 1L),
+      (2L, true, 1L, 1L, 201L, 1L),
+      (3L, true, 1L, 1L, 201L, 1L)))
+  }
+
+  test("q_ts_attribution: crafted stream credits the hand-derived channels") {
+    // user 1 / type "a" and user 2 / type "b" contain no purchase/touch
+    // types at all -> attribution over this dir must be empty (no
+    // purchases), which pins the filter rather than silently passing
+    assert(TimeSeries.queries("q_ts_attribution")(spark, dir).collect().isEmpty)
+  }
 }

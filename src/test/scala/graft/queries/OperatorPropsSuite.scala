@@ -576,6 +576,76 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("q_agg_skewkurt: moments recompute exactly from integer power sums") {
+    val raw = Tables(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1).toLong))
+    val expect = raw.groupBy(_._1).map { case (flag, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.size.toDouble
+      val (s1, s2, s3, s4) = (xs.sum.toDouble, xs.map(x => x * x).sum.toDouble,
+        xs.map(x => x * x * x).sum.toDouble, xs.map(x => x * x * x * x).sum.toDouble)
+      val m1 = s1 / n
+      val m2 = s2 / n - m1 * m1
+      val m3 = s3 / n - 3.0 * m1 * (s2 / n) + 2.0 * m1 * m1 * m1
+      val m4 = s4 / n - 4.0 * m1 * (s3 / n) + 6.0 * m1 * m1 * (s2 / n) - 3.0 * m1 * m1 * m1 * m1
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      flag -> ((xs.size.toLong, r4(m1), r4(m3 / math.sqrt(m2 * m2 * m2)), r4(m4 / (m2 * m2) - 3.0)))
+    }
+    val got = Relational.queries("q_agg_skewkurt")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+  }
+
+  test("q_ts_rate: shares sum to 1 per hour and counts cover every event") {
+    val got = TimeSeries.queries("q_ts_rate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val total = Tables(spark, sf, "events").count()
+    assert(got.map(_._2).sum === total)
+    got.groupBy(_._1).foreach { case (h, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < rows.size * 5e-5 + 1e-9, s"hour $h")
+    }
+  }
+
+  test("q_ts_heatmap: 7x24 grid bounds and full coverage") {
+    val got = TimeSeries.queries("q_ts_heatmap")(spark, sf).collect()
+    assert(got.map(_.getLong(2)).sum === Tables(spark, sf, "events").count())
+    got.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+  }
+
+  test("q_text_keywords: 3 ranked terms per source, scores non-increasing") {
+    val got = LlmOps.queries("q_text_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val bySrc = got.groupBy(_._1)
+    val nSources = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(bySrc.size === nSources)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L), s"source $src")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"source $src")
+    }
+  }
+
+  test("q_dedup_containment: dominates Jaccard on the shared candidate pairs") {
+    val near = LlmOps.queries("q_dedup_near")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = LlmOps.queries("q_dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // containment >= jaccard always, so every j >= 0.9 pair must survive
+    // the 0.9 containment threshold
+    near.filter(_._2 >= 0.9).foreach { case (p, j) =>
+      assert(cont.contains(p), s"pair $p with jaccard $j missing")
+      assert(cont(p) >= j - 1e-4, s"pair $p")
+    }
+    cont.foreach { case (p, c) =>
+      near.get(p).foreach(j => assert(c >= j - 1e-4, s"pair $p"))
+    }
+  }
+
   test("q_dedup_norm: refines q_dedup_exact — groups only ever merge") {
     val exact = LlmOps.queries("q_dedup_exact")(spark, sf).collect()
     val norm = LlmOps.queries("q_dedup_norm")(spark, sf).collect()

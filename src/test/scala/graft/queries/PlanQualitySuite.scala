@@ -273,4 +273,46 @@ class PlanQualitySuite extends SparkSpec {
         s"$q must stay codegen'd:\n$p")
     }
   }
+
+  test("q_agg_skewkurt: exact power sums partial map-side, window-free") {
+    val p = plan("q_agg_skewkurt")
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    assert(p.linesIterator.forall(!_.matches(""".*\bWindow\b.*""")), p)
+    assert(exchanges(p) === 2, s"flag agg + output order only:\n$p")
+  }
+
+  test("q_ts_rate: share window rides the post-agg frame, hour-partitioned") {
+    val p = plan("q_ts_rate")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("hour"),
+      s"share window must be hour-partitioned:\n$p")
+    assert(p.contains("partial_count"), s"rate needs map-side combine:\n$p")
+  }
+
+  test("q_ts_heatmap: pure hash agg, 7x24 keys collapse map-side") {
+    val p = plan("q_ts_heatmap")
+    assert(p.contains("partial_count"), p)
+    assert(p.linesIterator.forall(!_.matches(""".*\bWindow\b.*""")), p)
+    assert(exchanges(p) === 2, p)
+  }
+
+  test("q_text_keywords: rank window source-partitioned; only the 1-row broadcast NLJ") {
+    val p = plan("q_text_keywords")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("source"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_containment: shingle equi-join, no cartesian") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_scalar_struct / q_scalar_cast: map-side only — zero exchanges beyond order") {
+    Seq("q_scalar_struct", "q_scalar_cast").foreach { q =>
+      val p = plan(q)
+      assert(exchanges(p) <= 1, s"$q must be scan + project + order:\n$p")
+      assert(!p.contains("UDF"), s"$q:\n$p")
+    }
+  }
 }
