@@ -177,6 +177,43 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Last-touch attribution state machine — streaming twin of the batch
+    * q_ts_attribution: per user, remember the most recent touch
+    * (click/view/signup); each purchase emits (channel, user) crediting
+    * that touch, 'direct' when none precedes it. State per key is ONE
+    * string, so a billion-user stream holds a billion short values — the
+    * same bound a running counter has (production would add a TTL).
+    * Within a micro-batch rows arrive unordered, so the batch's rows are
+    * sorted by (ts, event_id) before replay; across batches arrival order
+    * is the stream's order, as with every update-mode state machine here. */
+  class AttributionProcessor extends StatefulProcessor[Long, Event, (String, Long)] {
+    @transient private var lastTouch: org.apache.spark.sql.streaming.ValueState[String] = _
+    private val touches = Set("click", "view", "signup")
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTouch = getHandle.getValueState[String]("lastTouch", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[(String, Long)] = {
+      val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[(String, Long)]
+      ordered.foreach { e =>
+        if (e.event_type == "purchase")
+          out += ((if (lastTouch.exists()) lastTouch.get() else "direct", user))
+        if (touches(e.event_type)) lastTouch.update(e.event_type)
+      }
+      out.result().iterator
+    }
+  }
+
+  def attributionTWS(events: Dataset[Event]): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Custom stateful op: running per-user event counter via
     * flatMapGroupsWithState (unbounded keys would use a TTL timeout). */
   def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {

@@ -359,4 +359,50 @@ class EventStreamsSuite extends SparkSpec {
       assert(last === Map(1L -> 3L, 2L -> 2L))
     } finally q.stop()
   }
+
+  test("attribution state machine matches the batch query across batch splits") {
+    import spark.implicits._
+    // user 1: view -> purchase (credit view), click -> purchase (credit
+    // click, ACROSS the micro-batch boundary); user 2: purchase with no
+    // touch (direct); user 3: touches only, no purchase -> no output
+    val stream1 = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "purchase", 9.0),
+      Event(3, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Event(4, ts("2024-01-01 10:00:00"), 2, "purchase", 5.0),
+      Event(5, ts("2024-01-01 10:00:00"), 3, "signup", 1.0))
+    val stream2 = Seq(
+      Event(6, ts("2024-01-01 11:00:00"), 1, "purchase", 9.0),
+      Event(7, ts("2024-01-01 11:30:00"), 3, "view", 1.0))
+    withRocksDBStateStore {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.attributionTWS(input.toDS())
+        .writeStream.format("memory").queryName("attr_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(stream1)
+        q.processAllAvailable()
+        input.addData(stream2)
+        q.processAllAvailable()
+        val got = spark.table("attr_stream")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(got === Map(
+          ("view", 1L) -> 1L, ("click", 1L) -> 1L, ("direct", 2L) -> 1L))
+        // batch twin on the same rows, written as a parquet sfDir
+        val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+        (stream1 ++ stream2)
+          .map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id,
+            e.event_type, e.value, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(s"$dir/events.parquet")
+        val batch = graft.queries.TimeSeries.queries("q_ts_attribution")(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val streamedByChannel = spark.table("attr_stream")
+          .collect().map(_.getString(0))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(streamedByChannel === batch)
+      } finally q.stop()
+    }
+  }
 }
