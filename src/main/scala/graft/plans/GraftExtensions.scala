@@ -110,6 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk"),
       (exprs: Seq[Expression]) =>
         graft.functions.TopKAgg.fromArgs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.BloomAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

@@ -185,6 +185,36 @@ object Relational {
         .orderBy("o_orderstatus")
     }),
 
+    // Bloom-prefiltered join (semi-join reduction) — THE 100 TB join move:
+    // before shuffling the fact table, drop rows whose key cannot match.
+    // The dim keys fold into a graft_bloom bitset (mergeable OR — partials
+    // ship one 16 KB array per partition, never the keys), the single-row
+    // bitset broadcasts, and the membership probe is built-ins only
+    // (xxhash64/shiftright/element_at) so it runs inside WholeStageCodegen
+    // at scan speed. No false negatives (suite-pinned), so the exact join
+    // after the prefilter returns exactly the un-filtered result — the
+    // oracle is the PLAIN join, proving the probabilistic step invisible.
+    // At this SF the dim also broadcasts; at 100 TB (dim too big for a
+    // hash-set broadcast, fact >> dim) the bloom cuts the fact-side
+    // shuffle to matching+FP rows: (1-e^(-kn/m))^k ~ 3e-5 at n=10^4.
+    "q_join_bloom" -> ((s, d) => {
+      val m = 1 << 17
+      val k = 4
+      val dim = Tables(s, d, "orders")
+        .filter(col("o_orderstatus") === "P" && col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val bf = dim.agg(expr(s"graft_bloom(o_orderkey, $m, $k)").as("bf"))
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .join(broadcast(bf))
+        .filter(expr(graft.functions.BloomAgg.mightContainSql("l_orderkey", "bf", m, k)))
+        .drop("bf")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct("l_orderkey").as("n_orders"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+    }),
+
     // ---- aggregations ---------------------------------------------------
     "q_agg_q1" -> ((s, d) => Tables(s, d, "lineitem")
       .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
@@ -726,6 +756,13 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'""".stripMargin,
 
     "q_agg_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -315,4 +315,20 @@ class PlanQualitySuite extends SparkSpec {
       assert(!p.contains("UDF"), s"$q:\n$p")
     }
   }
+
+  test("q_join_bloom: codegen'd xxhash64 probe runs on the fact side BEFORE the join") {
+    val p = plan("q_join_bloom")
+    val lines = p.linesIterator.toSeq
+    // Catalyst fuses the probe predicate into the 1-row-bitset BNLJ's join
+    // condition — the probe line carries the xxhash64 double-hash and sits
+    // BELOW the exact BroadcastHashJoin in the tree (runs first)
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("xxhash64"))
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(probeIdx >= 0, s"bloom probe missing:\n$p")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe must be an input of the exact join, not after it:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("UDF"), s"probe must be built-ins only:\n$p")
+  }
 }
