@@ -435,6 +435,39 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Canonical-doc selection — the curation move AFTER clustering: keep
+    // the highest-quality doc per near-dup cluster (the q_text_quality
+    // score), not the arbitrary min-id. One row per cluster. The argmax
+    // is a single max(struct(quality, -doc_id)) hash aggregate — quality
+    // first, then max(-id) = min id as the deterministic tiebreak — so
+    // selection partial-aggregates map-side and adds ONE shuffle on
+    // cluster_rep beyond the component labels; no per-cluster window, no
+    // sort. The oracle picks the same doc via row_number() OVER
+    // (ORDER BY quality DESC, doc_id) on the recursive-closure clusters —
+    // an independent formulation agreeing on every cluster.
+    "q_dedup_canonical" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d)
+        .select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
+      val labels = Tables(s, d, "documents").select("doc_id")
+        .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      val qual = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), round(
+          least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
+            (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
+      labels.join(qual, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_rep"), col("cluster_size"),
+          (-col("m.nid")).as("kept_doc"), col("m.quality").as("kept_quality"))
+        .orderBy("cluster_rep")
+    }),
+
     // Degree profile of the near-dup pair graph — the graph-shape
     // diagnostic run before clustering (a high-degree doc is template
     // boilerplate; degree distribution decides propagation vs star
@@ -1475,6 +1508,42 @@ object LlmOps {
         |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
         |SELECT doc_id, cluster_rep, cluster_size
         |FROM rep JOIN csz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+
+    // Same recursive-closure clusters, then the kept doc by quality with
+    // a rank window — independent of the Spark side's struct-max argmax.
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |                     WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT d1, d2 FROM (
+        |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
+        |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1),
+        |qual AS (SELECT doc_id,
+        |           ROUND(least(CAST(len(t2) AS DOUBLE), 50.0) / 50.0
+        |                 * (CAST(len(list_distinct(t2)) AS DOUBLE) / len(t2)), 4) AS quality
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS t2 FROM documents)),
+        |ranked AS (SELECT r.doc_id, r.cluster_rep, q.quality,
+        |             row_number() OVER (PARTITION BY r.cluster_rep
+        |                                ORDER BY q.quality DESC, r.doc_id) AS rn
+        |           FROM rep r JOIN qual q USING (doc_id))
+        |SELECT k.cluster_rep, c.cluster_size, k.doc_id AS kept_doc,
+        |       k.quality AS kept_quality
+        |FROM ranked k JOIN csz c USING (cluster_rep)
+        |WHERE k.rn = 1 ORDER BY k.cluster_rep""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

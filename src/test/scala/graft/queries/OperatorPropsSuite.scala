@@ -646,6 +646,27 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("q_dedup_canonical: keeps the max-quality doc of every q_dedup_cluster cluster") {
+    val clusters = LlmOps.queries("q_dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)) // doc_id -> cluster_rep
+    val quality = LlmOps.queries("q_text_quality")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap // doc_id -> quality
+    val kept = LlmOps.queries("q_dedup_canonical")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // same cluster partition as q_dedup_cluster
+    val byRep = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    assert(kept.map(_._1).toSet === byRep.keySet)
+    kept.foreach { case (rep, size, keptDoc, keptQ) =>
+      val members = byRep(rep)
+      assert(size === members.size.toLong, s"cluster $rep size")
+      val maxQ = members.map(quality).max
+      assert(keptQ === maxQ, s"cluster $rep kept $keptDoc q=$keptQ, max=$maxQ")
+      // deterministic tiebreak: min doc_id among max-quality members
+      assert(keptDoc === members.filter(m => quality(m) == maxQ).min,
+        s"cluster $rep tiebreak")
+    }
+  }
+
   test("q_dedup_norm: refines q_dedup_exact — groups only ever merge") {
     val exact = LlmOps.queries("q_dedup_exact")(spark, sf).collect()
     val norm = LlmOps.queries("q_dedup_norm")(spark, sf).collect()
