@@ -501,6 +501,30 @@ object Relational {
         ORDER BY p_partkey""")
     }),
 
+    // CORRELATED scalar subquery — "each customer's orders above that
+    // customer's own average". Written Spark-first as ONE window over the
+    // correlation key instead of the textbook per-row subquery: Catalyst
+    // would decorrelate the subquery into an aggregate + self-join (two
+    // scans, two shuffles); the window form is one scan and one shuffle
+    // on o_custkey with bounded per-key state. The oracle keeps the
+    // correlated-subquery formulation, so DuckDB's decorrelator is an
+    // independent derivation agreeing row-for-row. The average is the
+    // exact decimal-sum / count divide in both engines, so the > filter
+    // decides identically at the last ulp.
+    "q_subquery_correlated" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables(s, d, "orders")
+        .withColumn("cust_avg",
+          sum(col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        // cust_avg itself is NOT emitted: a half-at-4dp boundary case rounds
+        // apart between the engines' ROUND implementations; the filter
+        // compares the identical unrounded doubles, which is the contract
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // Pivot with a FIXED value list (never pivot on discovered values at
     // scale — that's a driver-side distinct scan before planning).
     "q_pivot" -> ((s, d) => Tables(s, d, "events")
@@ -920,6 +944,14 @@ object Relational {
         |WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(22,6))) AS DOUBLE)
         |                              / COUNT(*) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+        |                             / COUNT(*)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
