@@ -214,6 +214,75 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** CDC snapshot maintenance — the sink-side half of streaming: a
+    * foreachBatch upsert that folds each micro-batch into a per-user
+    * latest-event snapshot (the streaming twin of the batch q_merge_upsert
+    * move, without a transactional table format). The winner per user is
+    * the max (ts, event_id) event GLOBALLY, not per arrival order, so the
+    * final snapshot is the batch argmax over all events — batch-split
+    * invariant, which the suite pins by replaying two different splits.
+    *
+    * Storage is versioned directories `v<batchId>`: each batch reads the
+    * latest version STRICTLY BELOW its own id and overwrites its own, so a
+    * failed-and-retried batch re-derives the identical snapshot instead of
+    * double-applying (idempotent exactly-once on top of at-least-once
+    * delivery). At 100 TB the shape is unchanged: one shuffle on user_id
+    * per batch for the in-batch argmax, one co-partitionable full-outer
+    * join against the snapshot (bucket both by user_id to make it
+    * shuffle-free), and old versions age out by retention. */
+  def latestPerUser(batch: Dataset[Event]): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+  private def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+                               stateDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+  }
+
+  /** One micro-batch of the CDC upsert (public so the retry-idempotence
+    * property is testable without driving a real stream). */
+  def applyCdcBatch(batch: Dataset[Event], stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val upd = latestPerUser(batch)
+    val prev = snapshotVersions(spark, stateDir).filter(_ < batchId).sorted.lastOption
+    val merged = prev match {
+      case None => upd
+      case Some(v) =>
+        val u = upd.select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("mu"))
+        val o = spark.read.parquet(s"$stateDir/v$v").select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("mo"))
+        u.join(o, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            when(col("mo").isNull, col("mu"))
+              .when(col("mu").isNull, col("mo"))
+              .when(col("mu") > col("mo"), col("mu")).otherwise(col("mo")).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"), col("m.value").as("value"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+  }
+
+  def cdcUpsertSink(events: Dataset[Event], stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((b: Dataset[Event], id: Long) => applyCdcBatch(b, stateDir, id))
+      .start()
+
+  /** The latest committed snapshot (empty schema-less read guarded by the
+    * caller; tests always write at least one batch first). */
+  def cdcSnapshot(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val vs = snapshotVersions(spark, stateDir)
+    require(vs.nonEmpty, s"no snapshot versions under $stateDir")
+    spark.read.parquet(s"$stateDir/v${vs.max}")
+  }
+
   /** Custom stateful op: running per-user event counter via
     * flatMapGroupsWithState (unbounded keys would use a TTL timeout). */
   def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {

@@ -360,6 +360,44 @@ class EventStreamsSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC upsert sink: batch-split invariant, retry-idempotent, equals the batch argmax") {
+    import spark.implicits._
+    val all = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 09:00:00"), 2, "view", 3.0),
+      Event(4, ts("2024-01-01 12:00:00"), 2, "purchase", 4.0),
+      // out-of-order ACROSS batches: user 1's latest event arrives in batch
+      // 1 of split A but batch 2 of split B — the global (ts, event_id)
+      // argmax must win either way
+      Event(5, ts("2024-01-01 13:00:00"), 1, "purchase", 5.0),
+      Event(6, ts("2024-01-01 08:00:00"), 3, "signup", 6.0))
+    val expected = Map(1L -> (5L, 5.0), 2L -> (4L, 4.0), 3L -> (6L, 6.0))
+
+    def runSplit(splits: Seq[Seq[Event]]): Map[Long, (Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.cdcUpsertSink(input.toDS(), dir)
+      try {
+        splits.foreach { s => input.addData(s); q.processAllAvailable() }
+      } finally q.stop()
+      val snap = EventStreams.cdcSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // retry-idempotence: re-applying the LAST batch with its batchId
+      // must leave the snapshot unchanged (reads only versions below it)
+      EventStreams.applyCdcBatch(splits.last.toDS(), dir, splits.size - 1L)
+      val again = EventStreams.cdcSnapshot(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(again === snap, "retry changed the snapshot")
+      snap
+    }
+
+    val a = runSplit(Seq(all.take(5), all.drop(5)))
+    val b = runSplit(Seq(all.take(2), all.slice(2, 4), all.drop(4)))
+    assert(a === expected)
+    assert(b === expected)
+  }
+
   test("attribution state machine matches the batch query across batch splits") {
     import spark.implicits._
     // user 1: view -> purchase (credit view), click -> purchase (credit
