@@ -261,6 +261,68 @@ object Multimodal {
         (col("meta.width") * col("scale")).cast("int").as("out_width"),
         (col("meta.height") * col("scale")).cast("int").as("out_height"))
 
+  /** Nearest-neighbor downsample of one decoded image; re-encoded as PNG.
+    * Deterministic by construction (explicit source-pixel formula
+    * sx = x*w/ow — no AWT interpolation, whose kernels vary by platform).
+    * None on undecodable bytes. */
+  private[multimodal] def resizeImage(payload: Array[Byte],
+                                      maxSide: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        // the identical scale/truncation arithmetic as resizePlan, so the
+        // physical output dims match the metadata plan row-for-row
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val ow = math.max(1, (w * scale).toInt)
+        val oh = math.max(1, (h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < oh) {
+          val sy = math.min(h - 1, (y.toLong * h / oh).toInt)
+          var x = 0
+          while (x < ow) {
+            val sx = math.min(w - 1, (x.toLong * w / ow).toInt)
+            out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (bos.toByteArray, ow, oh)
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL pixel resize over the image rows, batch-at-a-time like
+    * extractFeatures (same mapPartitions shape a mapInPandas codec stage
+    * has). Undecodable payloads yield null payload/dims rather than
+    * failing the stage — extraction stays total. Output payloads are
+    * resized PNGs ~scale^2 smaller; like features, they travel while the
+    * originals stay put. */
+  def resizeImages(df: DataFrame, maxSide: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("out_width", IntegerType, nullable = true),
+      StructField("out_height", IntegerType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { r =>
+            resizeImage(r.getAs[Array[Byte]](1), maxSide) match {
+              case Some((bytes, ow, oh)) =>
+                org.apache.spark.sql.Row(r.getLong(0), bytes, ow, oh)
+              case None =>
+                org.apache.spark.sql.Row(r.getLong(0), null, null, null)
+            }
+          }
+        }
+      }(encoder)
+  }
+
   /** Video frame sampling: one row per sampled frame timestamp — a
     * generator (posexplode over sequence), no UDF. */
   def frameSample(df: DataFrame, everyMs: Int): DataFrame =

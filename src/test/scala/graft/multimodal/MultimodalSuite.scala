@@ -132,6 +132,46 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("real resize: output dims equal the metadata plan, payloads are decodable PNGs") {
+    val resized = Multimodal.resizeImages(media, maxSide = 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val plan = Multimodal.resizePlan(media, maxSide = 8).collect()
+    assert(plan.nonEmpty && resized.size === plan.length)
+    plan.foreach { p =>
+      val r = resized(p.getLong(0))
+      assert(r.getInt(2) === p.getInt(4) && r.getInt(3) === p.getInt(5),
+        s"media ${p.getLong(0)} dims diverge from resizePlan")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      assert(img.getWidth === r.getInt(2) && img.getHeight === r.getInt(3))
+    }
+  }
+
+  test("real resize golden: nearest-neighbor picks the exact source pixels") {
+    // 4x2 gradient from pngBytes(4, 2, seed=5); downsample to maxSide=2 ->
+    // 2x1; nearest-neighbor x: sx = x*4/2 -> {0, 2}, y: sy = 0*2/1 -> {0}
+    val src = Multimodal.pngBytes(4, 2, 5)
+    val srcImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(src))
+    val Some((bytes, ow, oh)) = Multimodal.resizeImage(src, maxSide = 2)
+    assert((ow, oh) === ((2, 1)))
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert((out.getRGB(0, 0) & 0xffffff) === (srcImg.getRGB(0, 0) & 0xffffff))
+    assert((out.getRGB(1, 0) & 0xffffff) === (srcImg.getRGB(2, 0) & 0xffffff))
+  }
+
+  test("real resize: corrupt payloads yield null rows, never a stage failure") {
+    import spark.implicits._
+    val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "png"))
+      .toDF("media_id", "kind", "payload", "fmt")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("duration_ms"),
+          col("fmt").as("format")).as("meta"))
+    val rows = Multimodal.resizeImages(junk, maxSide = 8).collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(1) && rows.head.isNullAt(2) && rows.head.isNullAt(3))
+  }
+
   test("frame sampling expands to duration/step rows per video") {
     val frames = Multimodal.frameSample(media, everyMs = 500)
     val perVideo = frames.groupBy("media_id")
