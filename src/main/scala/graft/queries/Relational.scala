@@ -430,6 +430,23 @@ object Relational {
         col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))
       .orderBy("rank")),
 
+    // graft_topk under groupBy — per-group heavy hitters, the form a
+    // skew profiler actually runs (hot keys PER join column value / per
+    // tenant / per day). One ObjectHashAggregate: each group carries a
+    // bounded 4096-counter summary that partial-aggregates map-side, so
+    // the shuffle ships |groups| sketches instead of |groups × keys|
+    // count rows. capacity > per-group distinct keys at the gated SFs,
+    // so counts are exact and deterministic (cnt desc, key asc) — which
+    // is what makes a DuckDB rank-window oracle possible here, unlike
+    // the global sketch twin's documented rows-only stance.
+    "q_heavy_hitters_grouped" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("graft_topk(l_partkey, 5, 4096)").as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))
+      .orderBy("l_returnflag", "rank")),
+
     // Deterministic sampling: a shared integer LCG on the key replaces
     // rand()/TABLESAMPLE so the SAME 10% of rows is selected in both
     // engines, on every run, under any partitioning. At scale the predicate
@@ -910,6 +927,14 @@ object Relational {
         |             row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
         |      FROM cnt, total)
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_heavy_hitters_grouped" ->
+      """SELECT l_returnflag, CAST(rank AS INT) AS rank, l_partkey, cnt
+        |FROM (SELECT l_returnflag, l_partkey, count(*) AS cnt,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY count(*) DESC, l_partkey) AS rank
+        |      FROM lineitem GROUP BY 1, 2)
+        |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
