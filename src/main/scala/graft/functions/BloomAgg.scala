@@ -134,12 +134,18 @@ object BloomAgg {
   /** SQL predicate testing `key` against a bitset column `bf` built by
     * `graft_bloom(_, numBits, numHashes)` — built-ins only, so the probe
     * stays inside WholeStageCodegen. The position arithmetic mirrors
-    * [[BloomAgg.update]] exactly (same xxhash64 chain, same floorMod). */
+    * [[BloomAgg.update]] exactly (same xxhash64 chain, same floorMod).
+    * The key is cast to BIGINT first: update() widens IntegerType keys
+    * to long before hashing, while a bare xxhash64(int_col) would use
+    * Spark's INT hash path (hashInt) — different h1/h2, silent false
+    * negatives. The cast makes both sides hash long semantics for any
+    * integral key column. */
   def mightContainSql(key: String, bf: String, numBits: Int, numHashes: Int): String = {
     val m = s"cast($numBits as bigint)"
+    val k = s"cast($key as bigint)"
     (0 until numHashes).map { i =>
-      val pos = s"pmod(pmod(xxhash64($key), $m) + cast($i as bigint) * " +
-        s"pmod(xxhash64($key, $key), $m), $m)"
+      val pos = s"pmod(pmod(xxhash64($k), $m) + cast($i as bigint) * " +
+        s"pmod(xxhash64($k, $k), $m), $m)"
       s"((shiftright(element_at($bf, cast(shiftright($pos, 6) as int) + 1), " +
         s"cast(pmod($pos, 64) as int)) & 1) = 1)"
     }.mkString("(", " AND ", ")")

@@ -258,8 +258,11 @@ object Multimodal {
       .select(col("media_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         round(col("scale"), 4).as("scale"),
-        (col("meta.width") * col("scale")).cast("int").as("out_width"),
-        (col("meta.height") * col("scale")).cast("int").as("out_height"))
+        // the >=1 floor matches resizeImage's math.max(1, ...): an extreme
+        // aspect ratio (1x20 at maxSide 8) would otherwise plan a 0-pixel
+        // dimension no image can have
+        greatest(lit(1), (col("meta.width") * col("scale")).cast("int")).as("out_width"),
+        greatest(lit(1), (col("meta.height") * col("scale")).cast("int")).as("out_height"))
 
   /** Nearest-neighbor downsample of one decoded image; re-encoded as PNG.
     * Deterministic by construction (explicit source-pixel formula

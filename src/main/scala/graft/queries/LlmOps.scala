@@ -54,6 +54,16 @@ object LlmOps {
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
        |       * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** THE quality score — one definition for the three consumers
+    * (q_text_quality, q_curate's shared-scan aggregate, and
+    * q_dedup_canonical's kept-doc argmax): capped-length signal times
+    * lexical diversity, rounded to 4 dp. OperatorPropsSuite cross-checks
+    * canonical selection against q_text_quality, so these MUST stay one
+    * expression. */
+  private def qualityScore(nTokens: Column, nDistinct: Column): Column =
+    round(least(nTokens.cast("double"), lit(50.0)) / 50.0 *
+      (nDistinct.cast("double") / nTokens), 4)
+
   /** Mask URLs then emails with fixed tokens. Patterns stay inside the
     * regex subset Java regex and RE2 agree on (character classes +
     * quantifiers, no backrefs/lookaround), so DuckDB's regexp_replace with
@@ -456,9 +466,8 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
           size(array_distinct(col("t"))).cast("long").as("n_distinct"))
-        .select(col("doc_id"), round(
-          least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
-            (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
+        .select(col("doc_id"),
+          qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
       labels.join(qual, "doc_id")
         .groupBy("cluster_rep")
         .agg(count(lit(1)).as("cluster_size"),
@@ -801,9 +810,7 @@ object LlmOps {
         size(col("t")).cast("long").as("n_tokens"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct"))
       .withColumn("distinct_ratio", round(col("n_distinct").cast("double") / col("n_tokens"), 4))
-      .withColumn("quality", round(
-        least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
-          (col("n_distinct").cast("double") / col("n_tokens")), 4))
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_distinct")))
       .orderBy("doc_id")),
 
     // Readability scoring (Flesch reading-ease with a vowel-group syllable
@@ -1153,9 +1160,8 @@ object LlmOps {
       // q_text_quality -> same 4dp values
       val quality = tok.groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
-        .select(col("doc_id"), round(
-          least(col("n_tokens").cast("double"), lit(50.0)) / 50.0 *
-            (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
+        .select(col("doc_id"),
+          qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
       val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
       val cluster = queries("q_dedup_cluster")(s, d)
       docs.select("doc_id", "lang")

@@ -433,15 +433,17 @@ object Relational {
     // graft_topk under groupBy — per-group heavy hitters, the form a
     // skew profiler actually runs (hot keys PER join column value / per
     // tenant / per day). One ObjectHashAggregate: each group carries a
-    // bounded 4096-counter summary that partial-aggregates map-side, so
+    // bounded 32768-counter summary that partial-aggregates map-side, so
     // the shuffle ships |groups| sketches instead of |groups × keys|
-    // count rows. capacity > per-group distinct keys at the gated SFs,
+    // count rows. capacity 32768 exceeds the part-key universe at EVERY
+    // fixture SF (20k at sf0.1 — a 4096 cap would silently evict there
+    // and turn this contract into merge-schedule-dependent estimates),
     // so counts are exact and deterministic (cnt desc, key asc) — which
     // is what makes a DuckDB rank-window oracle possible here, unlike
     // the global sketch twin's documented rows-only stance.
     "q_heavy_hitters_grouped" -> ((s, d) => Tables(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("graft_topk(l_partkey, 5, 4096)").as("tk"))
+      .agg(expr("graft_topk(l_partkey, 5, 32768)").as("tk"))
       .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
         col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))

@@ -195,7 +195,10 @@ object EventStreams {
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[(String, Long)] = {
-      val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // full timestamp precision: getTime truncates to millis, which would
+      // diverge from the batch twin's microsecond (ts, event_id) order for
+      // same-millisecond pairs; getNanos carries the sub-second exactly
+      val ordered = rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
       val out = Seq.newBuilder[(String, Long)]
       ordered.foreach { e =>
         if (e.event_type == "purchase")

@@ -40,6 +40,16 @@ class BloomAggSuite extends SparkSpec {
     assert(probe(keys, bf, "key").count() === 5000L)
   }
 
+  test("IntegerType keys: build and probe agree (probe casts to bigint)") {
+    import spark.implicits._
+    // without the cast in mightContainSql, xxhash64(int_col) would use the
+    // INT hash path while update() hashes the widened long -> silent false
+    // negatives; this pins the widened-long contract for int columns
+    val keys = (1 to 3000).toDF("key") // IntegerType
+    val bf = keys.agg(expr(s"graft_bloom(key, $M, $K)").as("bf"))
+    assert(probe(keys, bf, "key").count() === 3000L)
+  }
+
   test("merge invariance: bitset identical under any partitioning (OR is commutative)") {
     import spark.implicits._
     val keys = (1L to 2000L).toDF("key")

@@ -159,6 +159,22 @@ class MultimodalSuite extends SparkSpec {
     assert((out.getRGB(1, 0) & 0xffffff) === (srcImg.getRGB(2, 0) & 0xffffff))
   }
 
+  test("extreme aspect ratio: plan and pixels agree on the >=1 dim floor") {
+    import spark.implicits._
+    // 1x20 at maxSide 8: scale 0.4 -> width truncates to 0 without the
+    // floor; both paths must say 1x8
+    val skinny = Seq((7L, "image", Multimodal.pngBytes(1, 20, 3), 1, 20))
+      .toDF("media_id", "kind", "payload", "w", "h")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("duration_ms"),
+          lit("png").as("format")).as("meta"))
+    val p = Multimodal.resizePlan(skinny, maxSide = 8).collect().head
+    assert((p.getInt(4), p.getInt(5)) === ((1, 8)))
+    val r = Multimodal.resizeImages(skinny, maxSide = 8).collect().head
+    assert((r.getInt(2), r.getInt(3)) === ((1, 8)))
+  }
+
   test("real resize: corrupt payloads yield null rows, never a stage failure") {
     import spark.implicits._
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "png"))

@@ -398,6 +398,34 @@ class EventStreamsSuite extends SparkSpec {
     assert(b === expected)
   }
 
+  test("attribution orders same-millisecond events by microsecond, like the batch twin") {
+    import spark.implicits._
+    // purchase at +100us precedes click at +900us INSIDE one millisecond:
+    // a getTime-based sort would see equal millis and replay by event_id
+    // (click first -> purchase credited 'click'); microsecond order must
+    // credit 'direct'
+    val t0 = ts("2024-01-01 10:00:00")
+    def at(micros: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(t0.getTime)
+      t.setNanos(micros * 1000)
+      t
+    }
+    withRocksDBStateStore {
+      val input = MemoryStream[Event](spark)
+      val q = EventStreams.attributionTWS(input.toDS())
+        .writeStream.format("memory").queryName("attr_us")
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(
+          Event(1, at(900), 1, "click", 1.0),
+          Event(2, at(100), 1, "purchase", 9.0)))
+        q.processAllAvailable()
+        val got = spark.table("attr_us").collect().map(_.getString(0)).toSeq
+        assert(got === Seq("direct"))
+      } finally q.stop()
+    }
+  }
+
   test("attribution state machine matches the batch query across batch splits") {
     import spark.implicits._
     // user 1: view -> purchase (credit view), click -> purchase (credit
