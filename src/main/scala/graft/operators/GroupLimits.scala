@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+
+import graft.plans.TopKPerKey
+
+/** Library API for the TopKPerKey custom operator (graft.plans): top-k
+  * rows per key without sorting each key's full row set. Sessions must
+  * carry `spark.sql.extensions=graft.plans.GraftExtensions` so the
+  * planner strategy is installed (all graft sessions do).
+  */
+object GroupLimits {
+
+  /** Top `k` rows per `keyCols` group in the order given by `order`
+    * (e.g. `Seq(col("price").desc, col("id"))`). Ties must be broken by
+    * the order itself for deterministic results — pass a unique final
+    * sort column, exactly as you would for a window rank. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    val keyAttrs = keyCols.map { n =>
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
+    }
+    val sortOrder = order.map(c => GraftSqlBridge.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    GraftSqlBridge.ofRows(df.sparkSession, TopKPerKey(keyAttrs, sortOrder, k, plan))
+  }
+}

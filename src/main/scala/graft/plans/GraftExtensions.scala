@@ -116,5 +116,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.BloomAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -430,6 +430,24 @@ object Relational {
         col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))
       .orderBy("rank")),
 
+    // The custom TopKPerKey WHOLE-OPERATOR plan (graft.plans: logical
+    // node + strategy + exec, injected via GraftExtensions) — "top 3
+    // orders per customer" with a bounded k-row heap per key instead of
+    // WindowExec's full per-key sort. Same single hash shuffle (planted
+    // by EnsureRequirements from the operator's required distribution),
+    // zero Sort operators in the plan (PlanQualitySuite pins this); at
+    // 100 TB the window form sorts the fact table to discard all but
+    // k rows per key, this one never materializes more than keys×k rows
+    // per partition. The oracle is the rank-window formulation — the
+    // independent witness that the heap operator implements exactly
+    // group-wise row_number() <= k.
+    "q_topk_per_key" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.operators.GroupLimits.topKPerKey(o, Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // graft_topk under groupBy — per-group heavy hitters, the form a
     // skew profiler actually runs (hot keys PER join column value / per
     // tenant / per day). One ObjectHashAggregate: each group carries a
@@ -929,6 +947,15 @@ object Relational {
         |             row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
         |      FROM cnt, total)
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_heavy_hitters_grouped" ->
       """SELECT l_returnflag, CAST(rank AS INT) AS rank, l_partkey, cnt

@@ -1,0 +1,80 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.GroupLimits
+import org.apache.spark.sql.functions._
+
+/** TopKPerKey custom operator: equivalence with the window formulation,
+  * partition invariance, small-group/tie edges, and the no-sort plan. */
+class TopKPerKeySuite extends SparkSpec {
+
+  private def crafted = {
+    val s = spark
+    import s.implicits._
+    // 3 keys: key 1 has 5 rows with a tie at value 30; key 2 has 2 rows
+    // (fewer than k); key 3 has 1 row
+    Seq(
+      (1L, 10L, 30.0), (1L, 11L, 30.0), (1L, 12L, 50.0), (1L, 13L, 20.0), (1L, 14L, 40.0),
+      (2L, 20L, 5.0), (2L, 21L, 7.0),
+      (3L, 30L, 1.0))
+      .toDF("k", "id", "v")
+  }
+
+  private def viaOperator(df: org.apache.spark.sql.DataFrame, k: Int) =
+    GroupLimits.topKPerKey(df, Seq("k"), Seq(col("v").desc, col("id")), k)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+  }
+
+  test("operator equals the rank-window formulation, ties broken by id") {
+    assert(viaOperator(crafted, 3) === viaWindow(crafted, 3))
+    // explicit golden: key 1 keeps (50, id 12), (40, id 14), then the
+    // 30-tie resolves to min id 10; key 2 and 3 keep everything
+    assert(viaOperator(crafted, 3) === Seq(
+      (1L, 12L, 50.0), (1L, 14L, 40.0), (1L, 10L, 30.0),
+      (2L, 21L, 7.0), (2L, 20L, 5.0),
+      (3L, 30L, 1.0)))
+  }
+
+  test("partition invariance: any input layout yields the identical result") {
+    val base = viaOperator(crafted, 2)
+    assert(viaOperator(crafted.repartition(1), 2) === base)
+    assert(viaOperator(crafted.repartition(7, col("id")), 2) === base)
+  }
+
+  test("k larger than every group degrades to the full input") {
+    assert(viaOperator(crafted, 100).size === 8)
+  }
+
+  test("plan: heap operator + one hash exchange, NO Sort or Window before output order") {
+    val df = GroupLimits.topKPerKey(
+      graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p)
+    assert(!p.contains("Sort "), s"heap operator must not sort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
+  test("matches the window form on real data at scale factor 0.001") {
+    val o = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val a = GroupLimits.topKPerKey(o, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val b = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
