@@ -316,6 +316,22 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("q_subquery_correlated: decorrelated to ONE user window — no self-join, no second scan") {
+    val p = plan("q_subquery_correlated")
+    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(wins.size === 1 && wins.head.contains("o_custkey"), p)
+    assert(!p.contains("Join"), s"window form must not re-join the table:\n$p")
+    assert("FileScan".r.findAllIn(p).length === 1, s"one scan only:\n$p")
+  }
+
+  test("q_topk_per_key: custom heap operator, zero Window/Sort before output order") {
+    val p = plan("q_topk_per_key")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("WindowExec"), p)
+    // the only Sort is the final output ordering
+    assert("Sort ".r.findAllIn(p).length <= 1, s"heap must not sort per key:\n$p")
+  }
+
   test("q_join_bloom: codegen'd xxhash64 probe runs on the fact side BEFORE the join") {
     val p = plan("q_join_bloom")
     val lines = p.linesIterator.toSeq
