@@ -342,6 +342,53 @@ object TimeSeries {
     // (bot detection, engagement scoring). Gaps are integral microsecond
     // lag-diffs, so the sums are exact and the only doubles are the final
     // divides. One user window + one user agg sharing the same key.
+    // LTTB-style visualization downsampling (largest-triangle-three-
+    // buckets, the parallel mean-anchor variant every TSDB ships for
+    // dashboard rendering): per (event_type, 6h bucket), keep the ONE
+    // point whose triangle against the NEIGHBOR BUCKETS' centroids has
+    // maximum area; edge buckets keep their extreme point (true LTTB
+    // anchors the raw endpoints). Sequential LTTB chains on the
+    // previously SELECTED point — unparallelizable; anchoring on bucket
+    // centroids makes every bucket independent: one centroid aggregate,
+    // one tiny lag/lead window over ~|buckets| rows, one argmax
+    // aggregate — all partitioned by event_type, no corpus-scale window.
+    // Centroids are exact (long ts sums, decimal value sums), the area
+    // algebra is the identical IEEE expression in both engines, and ties
+    // break on min event_id, so the DuckDB rank-window oracle
+    // hash-matches the struct-max argmax.
+    "q_ts_lttb" -> ((s, d) => {
+      val bucketUs = 6L * 3600 * 1000000L
+      val e = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bkt", expr(s"us DIV $bucketUs"))
+      val cent = e.groupBy("event_type", "bkt")
+        .agg(count(lit(1)).as("n"), sum(col("us")).as("sus"),
+          sum(col("value").cast("decimal(22,6)")).as("sval"))
+        .select(col("event_type"), col("bkt"),
+          (col("sus").cast("double") / col("n")).as("cx"),
+          (col("sval").cast("double") / col("n")).as("cy"))
+      val w = Window.partitionBy("event_type").orderBy("bkt")
+      val nb = cent
+        .withColumn("px", lag("cx", 1).over(w)).withColumn("py", lag("cy", 1).over(w))
+        .withColumn("nx", lead("cx", 1).over(w)).withColumn("ny", lead("cy", 1).over(w))
+      val x = col("us").cast("double")
+      val area = abs((col("px") - col("nx")) * (col("value") - col("py")) -
+        (col("px") - x) * (col("ny") - col("py")))
+      e.join(nb, Seq("event_type", "bkt"))
+        .withColumn("score",
+          when(col("px").isNull, -x).when(col("nx").isNull, x).otherwise(area))
+        .groupBy("event_type", "bkt")
+        .agg(max(struct(col("score"), (-col("event_id")).as("nid"),
+          col("us"), col("value"))).as("m"))
+        .select(col("event_type"),
+          tstr(timestamp_micros(col("bkt") * bucketUs)).as("bucket_start"),
+          (-col("m.nid")).as("event_id"),
+          tstr(timestamp_micros(col("m.us"))).as("ts"),
+          col("m.value").as("value"))
+        .orderBy("event_type", "bucket_start")
+    }),
+
     "q_ts_gap_stats" -> ((s, d) => {
       val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables(s, d, "events")
@@ -388,6 +435,41 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical centroid/area algebra; rank window (score DESC, event_id)
+    // = the Spark side's max(struct(score, -event_id)) tiebreak
+    "q_ts_lttb" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bkt
+        |           FROM events),
+        |cent AS (SELECT event_type, bkt,
+        |                CAST(SUM(us) AS DOUBLE) / COUNT(*) AS cx,
+        |                CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS cy
+        |         FROM e GROUP BY 1, 2),
+        |nb AS (SELECT event_type, bkt,
+        |              lag(cx) OVER (PARTITION BY event_type ORDER BY bkt) AS px,
+        |              lag(cy) OVER (PARTITION BY event_type ORDER BY bkt) AS py,
+        |              lead(cx) OVER (PARTITION BY event_type ORDER BY bkt) AS nx,
+        |              lead(cy) OVER (PARTITION BY event_type ORDER BY bkt) AS ny
+        |       FROM cent),
+        |scored AS (SELECT e.event_type, e.bkt, e.event_id, e.us, e.value,
+        |                  CASE WHEN px IS NULL THEN -CAST(e.us AS DOUBLE)
+        |                       WHEN nx IS NULL THEN CAST(e.us AS DOUBLE)
+        |                       ELSE ABS((px - nx) * (e.value - py)
+        |                                - (px - CAST(e.us AS DOUBLE)) * (ny - py))
+        |                  END AS score
+        |           FROM e JOIN nb USING (event_type, bkt)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type, bkt
+        |                                        ORDER BY score DESC, event_id) AS rn
+        |           FROM scored)
+        |SELECT event_type,
+        |       strftime(make_timestamp(bkt * 21600000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        |       event_id,
+        |       strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS ts,
+        |       value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY event_type, bucket_start""".stripMargin,
+
     "q_ts_tumbling" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,

@@ -52,6 +52,32 @@ class AnalyticsGoldenSuite extends SparkSpec {
       ("2023-11-14", "b", 5.0, 5.0, 5.0, 5.0, 9L)))
   }
 
+  test("q_ts_lttb: edge buckets anchor extremes, middle bucket keeps the spike") {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-lttb").toString
+    val ns = 1000000000L
+    val hour = 3600L * ns
+    val base = 1700006400L * ns // 2023-11-15 00:00:00 UTC — bucket-aligned
+    // one series, three 6h buckets; bucket 1 has an unmistakable spike
+    Seq(
+      (1L, base + 0 * hour, 1L, "a", 1.0, "{}"),
+      (2L, base + 1 * hour, 1L, "a", 2.0, "{}"),
+      (3L, base + 7 * hour, 1L, "a", 1.0, "{}"),
+      (4L, base + 8 * hour, 1L, "a", 50.0, "{}"), // spike
+      (5L, base + 9 * hour, 1L, "a", 1.0, "{}"),
+      (6L, base + 13 * hour, 1L, "a", 1.0, "{}"),
+      (7L, base + 14 * hour, 1L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = TimeSeries.queries("q_ts_lttb")(spark, d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2023-11-15 00:00:00", 1L, 1.0),   // first bucket: min-ts anchor
+      ("2023-11-15 06:00:00", 4L, 50.0),  // spike wins max triangle area
+      ("2023-11-15 12:00:00", 7L, 3.0)))  // last bucket: max-ts anchor
+  }
+
   test("q_ts_ewma: trailing-8 decay-0.5 averages match exact hand arithmetic") {
     // weights 0.5^i are exact powers of two and values are small integers,
     // so num and den are exact doubles: num(v)=sum_{i<8}(v-i)*0.5^i and
