@@ -467,6 +467,24 @@ object Relational {
         col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))
       .orderBy("l_returnflag", "rank")),
 
+    // Deterministic EXACTLY-k-per-group sampling — the "5 examples per
+    // class / per day" primitive every eval-set builder needs, where the
+    // fraction-based samplers can't promise a count. Rows are ranked by
+    // the engine's shared integer LCG (the q_sample_hash generator, so
+    // both engines compute the identical pseudo-random order) and the
+    // TopKPerKey heap operator keeps k per group — no per-group sort, no
+    // window, one hash exchange (its second production use after
+    // q_topk_per_key: sampling IS a group limit under a hash order).
+    "q_sample_k_per_group" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("pmod((o_orderkey * 1103515245 + 12345), 2147483648)").as("h"))
+      graft.operators.GroupLimits.topKPerKey(o, Seq("o_custkey"),
+          Seq(col("h"), col("o_orderkey")), 5)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Deterministic sampling: a shared integer LCG on the key replaces
     // rand()/TABLESAMPLE so the SAME 10% of rows is selected in both
     // engines, on every run, under any partitioning. At scale the predicate
@@ -964,6 +982,15 @@ object Relational {
         |                                ORDER BY count(*) DESC, l_partkey) AS rank
         |      FROM lineitem GROUP BY 1, 2)
         |WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "q_sample_k_per_group" ->
+      """SELECT o_custkey, o_orderkey
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY (o_orderkey * 1103515245 + 12345) % 2147483648, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
