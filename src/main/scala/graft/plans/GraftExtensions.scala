@@ -116,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.BloomAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteRankLimit)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

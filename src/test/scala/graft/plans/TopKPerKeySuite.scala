@@ -28,7 +28,9 @@ class TopKPerKeySuite extends SparkSpec {
   private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("v").desc, col("id"))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    // rn stays in the output so RewriteRankLimit CANNOT fire — this is
+    // the genuine WindowExec path, which is the point of the comparison
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .orderBy(col("k"), col("v").desc, col("id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
   }
@@ -73,8 +75,33 @@ class TopKPerKeySuite extends SparkSpec {
       .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val b = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
-      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+    val b = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq.init).toSeq
     assert(a === b)
+  }
+
+  test("RewriteRankLimit: rank-filter-drop pattern plans as the heap operator") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val rewritten = crafted
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("WindowExec"), p)
+    // and the rewritten result equals the unrewritten window path
+    val got = rewritten.orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === viaWindow(crafted, 2))
+  }
+
+  test("RewriteRankLimit: keeps its hands off when rn is emitted or the function is rank()") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val rnKept = crafted.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(rnKept.queryExecution.executedPlan.toString.contains("Window"),
+      "rn in output must keep the window")
+    val rankFn = crafted.withColumn("rn", rank().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(rankFn.queryExecution.executedPlan.toString.contains("Window"),
+      "rank() has tie semantics the heap does not implement")
   }
 }

@@ -212,11 +212,15 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("UDF"), p)
   }
 
-  test("q_agg_mode: raw rows only hit the hash agg; the window sees counts") {
+  test("q_agg_mode: raw rows only hit the hash agg; argmax rides the heap operator") {
     val p = plan("q_agg_mode")
-    val wins = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
-    assert(wins.size === 1 && wins.head.contains("l_returnflag"),
-      s"rank window must be flag-partitioned, never global:\n$p")
+    // RewriteRankLimit upgrades the old flag-partitioned rn=1 window to the
+    // TopKPerKey heap — pin the improved shape (keyed on the flag, no
+    // Window at all), and map-side combine on the raw rows stays
+    val topk = p.linesIterator.find(_.contains("TopKPerKey"))
+    assert(topk.exists(_.contains("l_returnflag")),
+      s"argmax must be the flag-keyed heap operator:\n$p")
+    assert(!p.contains("WindowExec"), p)
     assert(p.contains("partial_count"), s"mode needs map-side combine:\n$p")
   }
 
