@@ -143,11 +143,14 @@ object BloomAgg {
   def mightContainSql(key: String, bf: String, numBits: Int, numHashes: Int): String = {
     val m = s"cast($numBits as bigint)"
     val k = s"cast($key as bigint)"
-    (0 until numHashes).map { i =>
+    // NULL keys are "not contained", not "hash of the bare seed": xxhash64
+    // skips NULL inputs, so without this guard a NULL probe tests the fixed
+    // seed positions and can spuriously pass.
+    s"(($key IS NOT NULL) AND " + (0 until numHashes).map { i =>
       val pos = s"pmod(pmod(xxhash64($k), $m) + cast($i as bigint) * " +
         s"pmod(xxhash64($k, $k), $m), $m)"
       s"((shiftright(element_at($bf, cast(shiftright($pos, 6) as int) + 1), " +
         s"cast(pmod($pos, 64) as int)) & 1) = 1)"
-    }.mkString("(", " AND ", ")")
+    }.mkString("(", " AND ", "))")
   }
 }

@@ -18,8 +18,12 @@ object GroupLimits {
     * sort column, exactly as you would for a window rank. */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     val plan = df.queryExecution.analyzed
+    // resolve like Spark does (case-insensitive by default), not by exact
+    // string equality — topKPerKey(df, Seq("O_CUSTKEY"), ...) must work
+    // wherever df("O_CUSTKEY") does.
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyAttrs = keyCols.map { n =>
-      plan.output.find(_.name == n).getOrElse(
+      plan.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
           s"key column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
     }

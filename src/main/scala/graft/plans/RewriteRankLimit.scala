@@ -39,7 +39,9 @@ object RewriteRankLimit extends Rule[LogicalPlan] {
   /** rn-filter condition -> k. */
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    // k > MinValue: `rn < Int.MinValue` is constant-false and k-1 would wrap
+    // to MaxValue, turning an empty result into an all-rows-per-key rewrite.
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) && k > Int.MinValue => Some(k - 1)
     case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
     case EqualTo(IntegerLiteral(1), a: AttributeReference) if a.semanticEquals(rn) => Some(1)
     case _ => None

@@ -273,8 +273,15 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
   }
 
-  def cdcUpsertSink(events: Dataset[Event], stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** The checkpoint keeps batchIds monotonic across restarts: without it a
+    * restarted query re-numbers from 0, applyCdcBatch sees no "versions
+    * strictly below" and writes low-numbered snapshots that cdcSnapshot's
+    * max-version read would ignore. Checkpoint defaults to a sibling of
+    * stateDir so one stateDir == one monotonic version history. */
+  def cdcUpsertSink(events: Dataset[Event], stateDir: String,
+                    checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$stateDir.checkpoint"))
       .foreachBatch((b: Dataset[Event], id: Long) => applyCdcBatch(b, stateDir, id))
       .start()
 

@@ -70,6 +70,19 @@ class BloomAggSuite extends SparkSpec {
     assert(fp <= (5 * p * 20000).ceil.toLong, s"fp=$fp vs bound ${5 * p * 20000}")
   }
 
+  test("NULL probe key is 'not contained', never a spurious pass") {
+    import spark.implicits._
+    // xxhash64 skips NULL inputs and returns the seed, so an unguarded
+    // probe would test the fixed hash-of-seed positions — insert enough
+    // keys that those positions are likely set, then probe NULL
+    val keys = (1L to 5000L).toDF("key")
+    val bf = bloomOf(keys, "key")
+    val nulls = Seq[Option[Long]](None).toDF("key")
+    assert(probe(nulls, bf, "key").count() === 0L, "NULL key passed the filter")
+    // and non-null keys still probe true alongside the guard
+    assert(probe(keys, bf, "key").count() === 5000L)
+  }
+
   test("q_join_bloom prefilter is exact: bloom-then-join equals the plain join") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.queries.Relational.queries("q_join_bloom")(spark, sf).collect().head

@@ -94,6 +94,23 @@ class TopKPerKeySuite extends SparkSpec {
     assert(got === viaWindow(crafted, 2))
   }
 
+  test("RewriteRankLimit: rn < Int.MinValue is constant-false, not all-rows (no k-1 wrap)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val df = crafted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") < Int.MinValue).drop("rn")
+    // k-1 would wrap to Int.MaxValue and return every row per key; the
+    // guard must leave the (empty) original plan alone
+    assert(df.count() === 0L, "rn < Int.MinValue must yield zero rows")
+  }
+
+  test("GroupLimits resolves key columns case-insensitively, like Spark") {
+    val got = GroupLimits.topKPerKey(crafted, Seq("K"), Seq(col("v").desc, col("id")), 2)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === viaOperator(crafted, 2))
+  }
+
   test("RewriteRankLimit: keeps its hands off when rn is emitted or the function is rank()") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("v").desc, col("id"))

@@ -398,6 +398,32 @@ class EventStreamsSuite extends SparkSpec {
     assert(b === expected)
   }
 
+  test("CDC upsert sink: query restart keeps batchIds monotonic (checkpointed)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-restart").toString
+    val input = MemoryStream[Event](spark)
+    // run 1: two batches (versions v0, v1 under dir.checkpoint's numbering)
+    val q1 = EventStreams.cdcUpsertSink(input.toDS(), dir)
+    try {
+      input.addData(Seq(Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0)))
+      q1.processAllAvailable()
+      input.addData(Seq(Event(2, ts("2024-01-01 11:00:00"), 2, "view", 2.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2 against the SAME stateDir: without the checkpoint the new query
+    // would restart batchIds at 0, applyCdcBatch would read "versions below
+    // 0" (none) and the user-1/user-2 history would be dropped from v0'
+    val q2 = EventStreams.cdcUpsertSink(input.toDS(), dir)
+    try {
+      input.addData(Seq(Event(3, ts("2024-01-01 12:00:00"), 1, "click", 9.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val snap = EventStreams.cdcSnapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(snap === Map(1L -> (3L, 9.0), 2L -> (2L, 2.0)),
+      s"restart lost pre-restart state: $snap")
+  }
+
   test("attribution orders same-millisecond events by microsecond, like the batch twin") {
     import spark.implicits._
     // purchase at +100us precedes click at +900us INSIDE one millisecond:
