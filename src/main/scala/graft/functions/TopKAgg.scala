@@ -32,13 +32,22 @@ import org.apache.spark.sql.types._
   * eviction the estimates may depend on the merge schedule, which is the
   * documented price of boundedness (the error bound itself always holds).
   */
+/** MG counter table + a sticky eviction flag: once any update/merge step
+  * evicts or decrements, counts MAY be under-estimates — the flag is what
+  * lets `graft_topk_exact` turn "silently approximate" into a loud error. */
+final class MgSummary(initialCapacity: Int) {
+  val map = new java.util.HashMap[Long, Long](initialCapacity)
+  var evicted: Boolean = false
+}
+
 case class TopKAgg(
     child: Expression,
     k: Int,
     capacity: Int,
+    requireExact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+  extends TypedImperativeAggregate[MgSummary] {
 
   require(k > 0, s"k must be positive, got $k")
   require(capacity >= k && capacity <= (1 << 20),
@@ -56,25 +65,25 @@ case class TopKAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"graft_topk expects an integral key column, got ${child.dataType.sql}")
 
-  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
-    new java.util.HashMap[Long, Long](capacity * 2)
+  override def createAggregationBuffer(): MgSummary = new MgSummary(capacity * 2)
 
   /** Classic MG step: hit increments; miss inserts if below capacity,
     * otherwise decrements every counter (dropping zeros) — the "charge one
     * of each" move that yields the N/capacity error bound. */
-  override def update(buf: java.util.HashMap[Long, Long],
-                      input: InternalRow): java.util.HashMap[Long, Long] = {
+  override def update(buf: MgSummary, input: InternalRow): MgSummary = {
     val v = child.eval(input)
     if (v != null) {
       val key = v match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
       }
-      val cur = buf.getOrDefault(key, 0L) // counters are never stored at 0
-      if (cur != 0L) buf.put(key, cur + 1)
-      else if (buf.size < capacity) buf.put(key, 1L)
+      val m = buf.map
+      val cur = m.getOrDefault(key, 0L) // counters are never stored at 0
+      if (cur != 0L) m.put(key, cur + 1)
+      else if (m.size < capacity) m.put(key, 1L)
       else {
-        val it = buf.entrySet().iterator()
+        buf.evicted = true // decrement-all: counts are under-estimates now
+        val it = m.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
           if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1)
@@ -86,19 +95,21 @@ case class TopKAgg(
 
   /** Mergeable-summaries rule: add counters, then if over capacity subtract
     * the (capacity+1)-th largest value and drop non-positive counters. */
-  override def merge(buf: java.util.HashMap[Long, Long],
-                     other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
-    other.forEach { (key, cnt) =>
-      buf.put(key, buf.getOrDefault(key, 0L) + cnt)
+  override def merge(buf: MgSummary, other: MgSummary): MgSummary = {
+    buf.evicted ||= other.evicted
+    val m = buf.map
+    other.map.forEach { (key, cnt) =>
+      m.put(key, m.getOrDefault(key, 0L) + cnt)
     }
-    if (buf.size > capacity) {
-      val counts = new Array[Long](buf.size)
+    if (m.size > capacity) {
+      buf.evicted = true
+      val counts = new Array[Long](m.size)
       var i = 0
-      val it = buf.values().iterator()
+      val it = m.values().iterator()
       while (it.hasNext) { counts(i) = it.next(); i += 1 }
       java.util.Arrays.sort(counts)
-      val t = counts(buf.size - capacity - 1) // (capacity+1)-th largest
-      val eit = buf.entrySet().iterator()
+      val t = counts(m.size - capacity - 1) // (capacity+1)-th largest
+      val eit = m.entrySet().iterator()
       while (eit.hasNext) {
         val e = eit.next()
         if (e.getValue <= t) eit.remove() else e.setValue(e.getValue - t)
@@ -107,10 +118,14 @@ case class TopKAgg(
     buf
   }
 
-  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
-    val entries = new Array[(Long, Long)](buf.size)
+  override def eval(buf: MgSummary): Any = {
+    if (requireExact && buf.evicted) throw new IllegalStateException(
+      s"graft_topk_exact: capacity $capacity exceeded by the key universe - " +
+        "MG eviction occurred and counts would be approximate (merge-schedule-" +
+        "dependent). Raise capacity or switch to graft_topk (documented sketch).")
+    val entries = new Array[(Long, Long)](buf.map.size)
     var i = 0
-    val it = buf.entrySet().iterator()
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
     // count desc, key asc — deterministic for a given counter multiset
     val top = entries.sortBy { case (key, cnt) => (-cnt, key) }.take(k)
@@ -119,20 +134,22 @@ case class TopKAgg(
     })
   }
 
-  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
-    bb.putInt(buf.size)
-    buf.forEach { (key, cnt) => bb.putLong(key); bb.putLong(cnt) }
+  override def serialize(buf: MgSummary): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + 16 * buf.map.size)
+    bb.put(if (buf.evicted) 1.toByte else 0.toByte)
+    bb.putInt(buf.map.size)
+    buf.map.forEach { (key, cnt) => bb.putLong(key); bb.putLong(cnt) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+  override def deserialize(bytes: Array[Byte]): MgSummary = {
     val bb = ByteBuffer.wrap(bytes)
+    val s = new MgSummary(capacity * 2)
+    s.evicted = bb.get() == 1.toByte
     val n = bb.getInt
-    val m = new java.util.HashMap[Long, Long](capacity * 2)
     var i = 0
-    while (i < n) { m.put(bb.getLong, bb.getLong); i += 1 }
-    m
+    while (i < n) { s.map.put(bb.getLong, bb.getLong); i += 1 }
+    s
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
@@ -144,8 +161,9 @@ case class TopKAgg(
 }
 
 object TopKAgg {
-  /** Build from SQL-call arguments: graft_topk(key, k, capacity). */
-  def fromArgs(exprs: Seq[Expression]): TopKAgg = {
+  /** Build from SQL-call arguments: graft_topk(key, k, capacity) or (exact)
+    * graft_topk_exact(key, k, capacity). */
+  def fromArgs(exprs: Seq[Expression], requireExact: Boolean = false): TopKAgg = {
     require(exprs.size == 3,
       s"graft_topk(key, k, capacity) takes 3 args, got ${exprs.size}")
     def intLit(e: Expression, name: String): Int = e match {
@@ -153,6 +171,7 @@ object TopKAgg {
       case other => throw new IllegalArgumentException(
         s"graft_topk $name must be an integer literal, got $other")
     }
-    TopKAgg(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+    TopKAgg(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "capacity"),
+      requireExact = requireExact)
   }
 }

@@ -111,6 +111,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.TopKAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk_exact"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk_exact"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TopKAgg.fromArgs(exprs, requireExact = true).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom"),
       new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom"),
       (exprs: Seq[Expression]) =>

@@ -454,14 +454,16 @@ object Relational {
     // bounded 32768-counter summary that partial-aggregates map-side, so
     // the shuffle ships |groups| sketches instead of |groups × keys|
     // count rows. capacity 32768 exceeds the part-key universe at EVERY
-    // fixture SF (20k at sf0.1 — a 4096 cap would silently evict there
-    // and turn this contract into merge-schedule-dependent estimates),
-    // so counts are exact and deterministic (cnt desc, key asc) — which
-    // is what makes a DuckDB rank-window oracle possible here, unlike
-    // the global sketch twin's documented rows-only stance.
+    // fixture SF (20k at sf0.1), so counts are exact and deterministic
+    // (cnt desc, key asc) — which is what makes a DuckDB rank-window
+    // oracle possible here, unlike the global sketch twin's documented
+    // rows-only stance. graft_topk_exact ENFORCES that assumption: if a
+    // larger universe ever evicts (MG summary tracks it), the query fails
+    // loudly instead of silently serving merge-schedule-dependent
+    // estimates against an exact-rank oracle.
     "q_heavy_hitters_grouped" -> ((s, d) => Tables(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("graft_topk(l_partkey, 5, 32768)").as("tk"))
+      .agg(expr("graft_topk_exact(l_partkey, 5, 32768)").as("tk"))
       .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rank"),
         col("e.key").as("l_partkey"), col("e.cnt").as("cnt"))

@@ -60,6 +60,34 @@ class TopKAggSuite extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq.sorted.reverse === out.map(_.getLong(1)).toSeq)
   }
 
+  test("graft_topk_exact: fails loudly when the universe exceeds capacity") {
+    import spark.implicits._
+    // 5000 distinct keys vs capacity 32: eviction is certain, and the
+    // exact-contract variant must refuse to serve approximate counts
+    // (this is the q_heavy_hitters_grouped trap at 100x scale — the
+    // rank-window oracle assumes no eviction, so the engine enforces it)
+    val big = (1L to 5000L).toDF("key").repartition(8)
+    val e = intercept[Exception] {
+      big.agg(expr("graft_topk_exact(key, 5, 32)")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("graft_topk_exact")),
+      s"error must name the failed contract: ${e.getMessage}")
+    // the sketch variant serves the same data without error (documented
+    // approximate — with a uniform count-1 universe MG may legitimately
+    // report fewer than k survivors, since the N/capacity bound >= 1)
+    assert(sketchTop(big, "key", 5, 32).size <= 5)
+  }
+
+  test("graft_topk_exact: equals graft_topk when capacity covers the universe") {
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.agg(expr("graft_topk_exact(l_partkey, 10, 4096)").as("tk"))
+      .selectExpr("explode(tk) AS e").select("e.key", "e.cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact === sketchTop(li, "l_partkey", 10, 4096))
+  }
+
   test("nulls are ignored and k > distinct keys yields all keys") {
     import spark.implicits._
     val df = Seq[Option[Long]](Some(1L), Some(1L), Some(2L), None, None)
