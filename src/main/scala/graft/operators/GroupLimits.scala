@@ -13,10 +13,14 @@ import graft.plans.TopKPerKey
 object GroupLimits {
 
   /** Top `k` rows per `keyCols` group in the order given by `order`
-    * (e.g. `Seq(col("price").desc, col("id"))`). Ties must be broken by
-    * the order itself for deterministic results — pass a unique final
-    * sort column, exactly as you would for a window rank. */
-  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    * (e.g. `Seq(col("price").desc, col("id"))`). With `withTies = false`
+    * (row_number semantics) ties must be broken by the order itself for
+    * deterministic results — pass a unique final sort column, exactly as
+    * you would for a window rank. `withTies = true` gives rank()<=k
+    * semantics: all rows tying the k-th best are kept, a key-determined
+    * set that is deterministic under any order. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int,
+                 withTies: Boolean = false): DataFrame = {
     val plan = df.queryExecution.analyzed
     // resolve like Spark does (case-insensitive by default), not by exact
     // string equality — topKPerKey(df, Seq("O_CUSTKEY"), ...) must work
@@ -31,6 +35,6 @@ object GroupLimits {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)
     })
-    GraftSqlBridge.ofRows(df.sparkSession, TopKPerKey(keyAttrs, sortOrder, k, plan))
+    GraftSqlBridge.ofRows(df.sparkSession, TopKPerKey(keyAttrs, sortOrder, k, withTies, plan))
   }
 }

@@ -1,12 +1,14 @@
 package graft.plans
 
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparator
 
 /** Whole-operator custom plan: top-k rows PER KEY by a sort order — the
   * group-wise limit every "latest n per user" / "best n per cluster"
@@ -22,6 +24,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * sort runs. (Spark's own TakeOrderedAndProjectExec is this exact
   * design for the GLOBAL top-k; this is the per-key generalization.)
   *
+  * `withTies = true` implements the `rank() <= k` semantics instead of
+  * row_number's: every row whose sort key equals the k-th best row's key
+  * is kept. That row SET is fully determined by the sort keys — no
+  * arbitrary tie winner exists at all — so the rank rewrite is sound
+  * under ANY order, total or not. Memory: the heap stays k-bounded and
+  * only k-th-key ties buffer beyond it (exactly the rows the semantics
+  * obligate the operator to return).
+  *
   * Architecture note (SURVEY §2's preference ladder, rung c): logical
   * node + strategy + exec node, injected via GraftExtensions'
   * injectPlannerStrategy — the operator composes with Catalyst rather
@@ -33,6 +43,7 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    withTies: Boolean,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
@@ -40,10 +51,136 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+object TopKPerKey {
+  /** Per-partition distinct-key ceiling for the in-memory heap path of
+    * [[TopKPerKeyExec]]; past it the partition degrades to Spark's
+    * spillable external sorter (same result, memory-safe). */
+  val MaxKeysKey = "spark.graft.topKPerKey.maxKeysPerPartition"
+
+  /** Per-key retained state: the k-best heap plus (withTies only) the
+    * buffer of rows tying the current k-th best. */
+  private[plans] final class KeyState(cap: Int, cmp: java.util.Comparator[InternalRow]) {
+    val heap = new java.util.PriorityQueue[InternalRow](cap, cmp)
+    var ties: java.util.ArrayList[InternalRow] = null
+    def addTie(row: InternalRow): Unit = {
+      if (ties == null) ties = new java.util.ArrayList[InternalRow](4)
+      ties.add(row)
+    }
+    def clearTies(): Unit = if (ties != null) ties.clear()
+    def size: Int = heap.size + (if (ties == null) 0 else ties.size)
+  }
+
+  /** Lazily drain the per-key states: each key's rows emit best-first
+    * (ties of the k-th key last), never materializing more than one key's
+    * rows at a time (the old one-big-ArrayBuffer emission pinned a second
+    * copy of the entire output). */
+  private[plans] def drainHeaps(
+      heaps: java.util.HashMap[UnsafeRow, KeyState]): Iterator[InternalRow] = {
+    val keyIt = heaps.values().iterator()
+    new Iterator[InternalRow] {
+      private var cur: Array[InternalRow] = null
+      private var i = 0
+      override def hasNext: Boolean = {
+        while ((cur == null || i >= cur.length) && keyIt.hasNext) {
+          val st = keyIt.next()
+          val nTies = if (st.ties == null) 0 else st.ties.size
+          val rows = new Array[InternalRow](st.heap.size + nTies)
+          var j = st.heap.size - 1
+          // heap drains worst-first; fill backwards to emit in order
+          while (j >= 0) { rows(j) = st.heap.poll(); j -= 1 }
+          var t = 0
+          while (t < nTies) { rows(rows.length - nTies + t) = st.ties.get(t); t += 1 }
+          cur = rows; i = 0
+          keyIt.remove() // release the state as soon as it is drained
+        }
+        cur != null && i < cur.length
+      }
+      override def next(): InternalRow = { val r = cur(i); i += 1; r }
+    }
+  }
+
+  /** Memory-safe fallback: (key, order)-sort ALL buffered + remaining rows
+    * through Spark's spillable UnsafeExternalRowSorter, then stream the
+    * first k rows of each key group off the sorted iterator (plus k-th-key
+    * ties when withTies). Identical output set to the heap path (modulo
+    * cross-key emission order, which the operator does not promise). */
+  private[plans] def sortedGroupLimit(
+      rest: Iterator[InternalRow],
+      heaps: java.util.HashMap[UnsafeRow, KeyState],
+      keyExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      limit: Int,
+      withTies: Boolean,
+      childOutput: Seq[Attribute],
+      childSchema: org.apache.spark.sql.types.StructType): Iterator[InternalRow] = {
+    val fullOrder = keyExprs.map(SortOrder(_, Ascending)) ++ order
+    val ordering = GenerateOrdering.generate(fullOrder, childOutput)
+    // constant prefix: every comparison falls through to the full row
+    // ordering (radix off) — correctness over the last 20% of sort speed,
+    // and this path only runs once a partition is already degenerate
+    val prefixComparator = new PrefixComparator {
+      override def compare(a: Long, b: Long): Int = 0
+    }
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.isNull = false; p.value = 0L; p
+      }
+    }
+    val sorter = UnsafeExternalRowSorter.create(
+      childSchema, ordering, prefixComparator, prefixComputer,
+      SparkEnv.get.memoryManager.pageSizeBytes, false)
+    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+    def insert(row: InternalRow): Unit = row match {
+      case u: UnsafeRow => sorter.insertRow(u) // insertRow copies into sort pages
+      case r => sorter.insertRow(toUnsafe(r))
+    }
+    val stateIt = heaps.values().iterator()
+    while (stateIt.hasNext) {
+      val st = stateIt.next()
+      while (st.heap.size > 0) insert(st.heap.poll())
+      if (st.ties != null) { st.ties.forEach(insert(_)); st.ties.clear() }
+      stateIt.remove()
+    }
+    while (rest.hasNext) insert(rest.next())
+    val sorted = sorter.sort()
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    val orderOnly = GenerateOrdering.generate(order, childOutput)
+    new Iterator[InternalRow] {
+      private var curKey: UnsafeRow = null
+      private var taken = 0
+      private var kthRow: InternalRow = null // copy of the group's k-th row
+      private var pending: InternalRow = null
+      private def advance(): Unit = {
+        while (pending == null && sorted.hasNext) {
+          val row = sorted.next()
+          val key = keyProj(row)
+          if (curKey == null || !curKey.equals(key)) {
+            curKey = key.copy(); taken = 0; kthRow = null
+          }
+          if (taken < limit) {
+            taken += 1
+            if (withTies && taken == limit) kthRow = row.copy()
+            pending = row
+          } else if (withTies && kthRow != null &&
+                     orderOnly.compare(row, kthRow) == 0) {
+            pending = row // a rank tie of the k-th row (sorted -> contiguous)
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): InternalRow = {
+        advance(); val r = pending; pending = null; r
+      }
+    }
+  }
+}
+
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    withTies: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -59,39 +196,59 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val ties = withTies
     val childOutput = child.output
+    val childSchema = child.schema
+    // Past this many distinct keys in one partition the heap map stops
+    // being "bounded by k" in any useful sense (keys x k rows pinned on
+    // heap, no spill path) — hand the partition to Spark's spillable
+    // external sorter instead. Sized so the default only fires where the
+    // window plan would have been the right call anyway.
+    val maxKeysInMemory = conf.getConfString(
+      TopKPerKey.MaxKeysKey, (1 << 20).toString).toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // generated comparator: row "a before b" in the requested order
       // compares negative; the max-heap then keeps the WORST retained row
       // at its head, so admission is one compare against the head
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      val reversed = ordering.reversed() // java PQ head = LEAST -> reverse
+      val heaps = new java.util.HashMap[UnsafeRow, TopKPerKey.KeyState]()
+      // the row whose NEW key would push the map past the threshold; its
+      // arrival flips the partition to the spillable sorter path
+      var overflowRow: InternalRow = null
+      while (iter.hasNext && overflowRow == null) {
         val row = iter.next()
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit,
-            ordering.reversed()) // java PQ head = LEAST of the comparator -> reverse
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        var st = heaps.get(key)
+        if (st == null && heaps.size >= maxKeysInMemory) {
+          overflowRow = row.copy()
+        } else {
+          if (st == null) {
+            st = new TopKPerKey.KeyState(limit, reversed)
+            heaps.put(key.copy(), st)
+          }
+          if (st.heap.size < limit) st.heap.add(row.copy())
+          else {
+            val cmp = ordering.compare(row, st.heap.peek())
+            if (cmp < 0) {
+              val evicted = st.heap.poll()
+              st.heap.add(row.copy())
+              if (ties) {
+                // the evicted row stays IF it still ties the new k-th best
+                // (another equal row remains at the head); otherwise every
+                // buffered tie of the old head is out of rank too
+                if (ordering.compare(evicted, st.heap.peek()) == 0) st.addTie(evicted)
+                else st.clearTies()
+              }
+            } else if (ties && cmp == 0) st.addTie(row.copy())
+          }
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { h =>
-        val rows = new Array[InternalRow](h.size)
-        var i = 0
-        while (h.size > 0) { rows(i) = h.poll(); i += 1 }
-        // heap drains worst-first; reverse emits each key's rows in order
-        var j = rows.length - 1
-        while (j >= 0) { out += rows(j); j -= 1 }
-      }
-      out.iterator
+      if (overflowRow == null) TopKPerKey.drainHeaps(heaps)
+      else TopKPerKey.sortedGroupLimit(
+        Iterator.single(overflowRow) ++ iter, heaps, keyExprs, sortOrder,
+        limit, ties, childOutput, childSchema)
     }, preservesPartitioning = true)
   }
 
@@ -101,13 +258,13 @@ case class TopKPerKeyExec(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys, order, k, withTies, child) =>
       // rebuild the SortOrder nodes: ones converted from public Column
       // values carry a TreeNode tag referencing the non-serializable
       // internal ColumnNode, which would poison the task closure
       val cleanOrder = order.map(so =>
         SortOrder(so.child, so.direction, so.nullOrdering, Seq.empty))
-      TopKPerKeyExec(keys, cleanOrder, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, cleanOrder, k, withTies, planLater(child)) :: Nil
     case _ => Nil
   }
 }

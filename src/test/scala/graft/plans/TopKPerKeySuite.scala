@@ -80,6 +80,32 @@ class TopKPerKeySuite extends SparkSpec {
     assert(a === b)
   }
 
+  test("spill fallback: past the key threshold the sorter path equals the heap path") {
+    val key = graft.plans.TopKPerKey.MaxKeysKey
+    val o = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    def run() = GroupLimits.topKPerKey(o, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+    val heapPath = run()
+    spark.conf.set(key, "10") // ~1000 custkeys per partition >> 10 -> overflow
+    try {
+      val sorterPath = run()
+      assert(sorterPath === heapPath,
+        "spillable sorter fallback diverged from the in-memory heap path")
+    } finally spark.conf.unset(key)
+    // and a threshold of 1 (every partition overflows on its second key)
+    spark.conf.set(key, "1")
+    try assert(run() === heapPath) finally spark.conf.unset(key)
+  }
+
+  test("spill fallback on the crafted frame including ties") {
+    val key = graft.plans.TopKPerKey.MaxKeysKey
+    spark.conf.set(key, "1")
+    try assert(viaOperator(crafted, 3) === viaWindow(crafted, 3))
+    finally spark.conf.unset(key)
+  }
+
   test("RewriteRankLimit: rank-filter-drop pattern plans as the heap operator") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("v").desc, col("id"))
@@ -111,14 +137,69 @@ class TopKPerKeySuite extends SparkSpec {
     assert(got === viaOperator(crafted, 2))
   }
 
-  test("RewriteRankLimit: keeps its hands off when rn is emitted or the function is rank()") {
+  test("RewriteRankLimit: keeps its hands off when rn is emitted or the function is dense_rank()") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("k").orderBy(col("v").desc, col("id"))
     val rnKept = crafted.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
     assert(rnKept.queryExecution.executedPlan.toString.contains("Window"),
       "rn in output must keep the window")
-    val rankFn = crafted.withColumn("rn", rank().over(w)).filter(col("rn") <= 2).drop("rn")
-    assert(rankFn.queryExecution.executedPlan.toString.contains("Window"),
-      "rank() has tie semantics the heap does not implement")
+    val dr = crafted.withColumn("rn", dense_rank().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(dr.queryExecution.executedPlan.toString.contains("Window"),
+      "dense_rank (k smallest DISTINCT keys) is a different operator")
+  }
+
+  test("RewriteRankLimit: rank() <= k rewrites to the withTies heap, ties preserved") {
+    // order by v only — key 1 has a genuine 30.0 tie at ranks 3 AND 4,
+    // so rank()<=3 keeps BOTH (4 rows), which row_number could not
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("v").desc)
+    def rankForm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", rank().over(w)).filter(col("rn") <= 3).drop("rn")
+    val rewritten = rankForm(crafted)
+    val p = rewritten.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey") && !p.contains("WindowExec"), s"rank rewrite did not fire:\n$p")
+    val got = rewritten.orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // the genuine WindowExec path (rn kept in output -> no rewrite)
+    val wantRows = crafted.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === wantRows)
+    assert(got.count(t => t._1 == 1L && t._3 == 30.0) === 2, "both 30.0 ties must survive")
+    // spill path produces the same set
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysKey, "1")
+    try {
+      val spilled = rankForm(crafted).orderBy(col("k"), col("v").desc, col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(spilled === wantRows)
+    } finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysKey)
+  }
+
+  test("RewriteRankLimit: residual AND-conjuncts survive as a filter above the heap") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("id"))
+    val df = crafted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 && col("v") > 4.0).drop("rn")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey") && !p.contains("WindowExec"),
+      s"conjunction rewrite did not fire:\n$p")
+    val got = df.orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = crafted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).filter(col("v") > 4.0)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+  }
+
+  test("GroupLimits withTies: keeps every row tying the k-th best") {
+    val got = GroupLimits.topKPerKey(crafted, Seq("k"), Seq(col("v").desc), 3,
+        withTies = true)
+      .orderBy(col("k"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // key 1 ordered by v desc: 50, 40, 30, 30 (tie kept), 20 dropped
+    assert(got === Seq(
+      (1L, 12L, 50.0), (1L, 14L, 40.0), (1L, 10L, 30.0), (1L, 11L, 30.0),
+      (2L, 21L, 7.0), (2L, 20L, 5.0),
+      (3L, 30L, 1.0)))
   }
 }
