@@ -13,11 +13,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * mapPartitions so each batch can go to a codec (or, in PySpark, to a
   * pandas UDF via mapInPandas — identical batch shape).
   *
-  * PNG and WAV decode are REAL and pure-JVM: `javax.imageio` for PNG
-  * (any ImageIO-readable format, in fact) and a hand-rolled RIFF/PCM
-  * parser for WAV — no external libraries. Video decode stays a
-  * deterministic stub (no pure-JVM codec exists); its batching, null
-  * handling and schema plumbing are identical and tested.
+  * PNG, WAV and Y4M decode are REAL and pure-JVM: `javax.imageio` for
+  * PNG (any ImageIO-readable format, in fact), a hand-rolled RIFF/PCM
+  * parser for WAV, and a hand-rolled YUV4MPEG2 parser for uncompressed
+  * video — no external libraries. Compressed codecs (H.264 etc.) would
+  * need a native library; undecodable payloads fall back to a
+  * deterministic stub so extraction stays total either way.
   *
   * Scale notes (100 TB of media):
   *  - payloads are large: never groupBy/shuffle the binary column itself;
@@ -136,9 +137,113 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** STUB decoder — the one deliberate fake left: video needs a real codec
-    * no pure JVM provides. Also the fallback for undecodable payloads, so
-    * extraction is total. Derives FeatureDim floats deterministically from
+  /** Parsed Y4M stream: dimensions, frame rate, and the mean luminance of
+    * each frame's Y plane in [0, 1]. */
+  private[multimodal] case class Y4mVideo(
+      width: Int, height: Int, fpsNum: Int, fpsDen: Int, frameLuma: Array[Float])
+
+  /** YUV4MPEG2 (Y4M) -> per-frame mean luminance. Y4M is the uncompressed
+    * video container (header line `YUV4MPEG2 W.. H.. F..:.. C420`, then
+    * `FRAME\n` + raw planar YUV per frame) — the same class of pure-JVM
+    * parse as the RIFF/WAV walk above, and what closes the video-decode
+    * stub. None on any corruption (caller falls back; extraction stays
+    * total). Supports C420*, C422, C444, Cmono chroma layouts; only the Y
+    * plane is read for luminance. */
+  private[multimodal] def decodeY4mFrames(payload: Array[Byte]): Option[Y4mVideo] =
+    try {
+      val magic = "YUV4MPEG2".getBytes("US-ASCII")
+      if (payload == null || payload.length < magic.length + 1 ||
+          !payload.take(magic.length).sameElements(magic)) None
+      else {
+        val hdrEnd = payload.indexOf('\n'.toByte)
+        if (hdrEnd < 0 || hdrEnd > 512) None // header is one short ASCII line
+        else {
+          val header = new String(payload, 0, hdrEnd, "US-ASCII")
+          var w = -1; var h = -1; var fn = 25; var fd = 1; var chroma = "420"
+          header.split(' ').drop(1).foreach { tok =>
+            if (tok.nonEmpty) tok.charAt(0) match {
+              case 'W' => w = tok.drop(1).toInt
+              case 'H' => h = tok.drop(1).toInt
+              case 'F' => tok.drop(1).split(':') match {
+                case Array(a, b) => fn = a.toInt; fd = b.toInt
+                case _ => throw new NumberFormatException(tok)
+              }
+              case 'C' => chroma = tok.drop(1)
+              case _ => () // I (interlace), A (aspect), X (extensions): ignored
+            }
+          }
+          // dimension sanity: positive, bounded (a hostile header must not
+          // allocate gigabytes), and even where the chroma layout subsamples
+          val dimsOk = w > 0 && h > 0 && w <= 16384 && h <= 16384 && fn > 0 && fd > 0 &&
+            (chroma match {
+              case c if c.startsWith("420") => (w % 2 == 0) && (h % 2 == 0)
+              case "422" => w % 2 == 0
+              case "444" | "mono" => true
+              case _ => false
+            })
+          if (!dimsOk) None
+          else {
+            val ySize = w.toLong * h
+            val chromaSize = chroma match {
+              case c if c.startsWith("420") => (w / 2).toLong * (h / 2) * 2
+              case "422" => (w / 2).toLong * h * 2
+              case "444" => w.toLong * h * 2
+              case _ => 0L // mono
+            }
+            val frameBytes = ySize + chromaSize
+            val lumas = scala.collection.mutable.ArrayBuffer.empty[Float]
+            var off = hdrEnd + 1
+            var corrupt = false
+            val frameMagic = "FRAME".getBytes("US-ASCII")
+            while (!corrupt && off < payload.length) {
+              // each frame: "FRAME" [params] '\n' then raw planes
+              if (off + frameMagic.length > payload.length ||
+                  !java.util.Arrays.equals(
+                    payload, off, off + frameMagic.length,
+                    frameMagic, 0, frameMagic.length)) corrupt = true
+              else {
+                val nl = payload.indexOf('\n'.toByte, off)
+                if (nl < 0 || nl - off > 512 || nl + 1 + frameBytes > payload.length)
+                  corrupt = true
+                else {
+                  val yOff = nl + 1
+                  var sum = 0.0
+                  var j = 0
+                  while (j < ySize) { sum += (payload(yOff + j.toInt) & 0xff); j += 1 }
+                  lumas += (sum / ySize / 255.0).toFloat
+                  off = (yOff + frameBytes).toInt
+                }
+              }
+            }
+            if (corrupt || lumas.isEmpty) None
+            else Some(Y4mVideo(w, h, fn, fd, lumas.toArray))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Y4M -> FeatureDim floats: the per-frame luminance series resampled
+    * into 64 slices of mean, exactly how the WAV decoder treats its
+    * amplitude series — so all three modalities land in the same feature
+    * space shape. */
+  private[multimodal] def decodeY4m(payload: Array[Byte]): Option[Array[Float]] =
+    decodeY4mFrames(payload).map { v =>
+      val n = v.frameLuma.length
+      val out = new Array[Float](FeatureDim)
+      var k = 0
+      while (k < FeatureDim) {
+        val lo = (k.toLong * n / FeatureDim).toInt
+        val hi = math.max(lo + 1, ((k + 1).toLong * n / FeatureDim).toInt)
+        var sum = 0.0; var j = lo
+        while (j < math.min(hi, n)) { sum += v.frameLuma(j); j += 1 }
+        out(k) = (sum / math.max(1, math.min(hi, n) - lo)).toFloat
+        k += 1
+      }
+      out
+    }
+
+  /** Fallback decoder for undecodable payloads, so extraction is total.
+    * Derives FeatureDim floats deterministically from
     * the payload bytes so tests can pin outputs. */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
@@ -152,7 +257,7 @@ object Multimodal {
     out
   }
 
-  /** Dispatch on (kind, format): real decoders for image + wav, stub for
+  /** Dispatch on (kind, format): real decoders for image + wav + y4m
     * video; any decode failure falls back to the stub (never throws). */
   private[multimodal] def decode(kind: String, format: String,
                                  payload: Array[Byte]): Array[Float] =
@@ -160,6 +265,7 @@ object Multimodal {
     else (kind, format) match {
       case ("image", _)    => decodeImage(payload).getOrElse(decodeStub(payload))
       case ("audio", "wav") => decodeWav(payload).getOrElse(decodeStub(payload))
+      case ("video", "y4m") => decodeY4m(payload).getOrElse(decodeStub(payload))
       case _               => decodeStub(payload)
     }
 
@@ -174,6 +280,30 @@ object Multimodal {
       .putShort(2).putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Serialize a real YUV4MPEG2 stream (C420, 25 fps): every pixel of
+    * frame f carries luma `(seed * 37 + f * 11) % 256`, chroma neutral —
+    * so frame f's mean luminance is exactly that value / 255 (the test
+    * golden). */
+  private[multimodal] def y4mBytes(w: Int, h: Int, frames: Int, seed: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val frameBytes = w * h + (w / 2) * (h / 2) * 2
+    val bb = ByteBuffer.allocate(header.length + frames * (frameHdr.length + frameBytes))
+    bb.put(header)
+    var f = 0
+    while (f < frames) {
+      bb.put(frameHdr)
+      val y = ((seed * 37 + f * 11) % 256).toByte
+      var i = 0
+      while (i < w * h) { bb.put(y); i += 1 }
+      i = 0
+      while (i < (w / 2) * (h / 2) * 2) { bb.put(128.toByte); i += 1 }
+      f += 1
+    }
     bb.array()
   }
 
@@ -198,7 +328,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table (tests only; the harness testdata
     * has no media table). Image payloads are REAL PNGs, audio payloads are
-    * REAL 16-bit PCM WAVs; video payloads are opaque bytes for the stub. */
+    * REAL 16-bit PCM WAVs, video payloads are REAL Y4M streams — except
+    * every 6th video, which stays opaque bytes so the stub fallback path
+    * keeps coverage in every downstream test. */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
@@ -214,9 +346,14 @@ object Multimodal {
             ((((i * 73 + j * 11) % 4096) - 2048) * 8).toShort)
           (wavBytes(samples, 16000),
             (None, None, Some(16000), Some(durMs), Some("wav")))
-        case _ =>
+        case _ if i % 18 == 14 => // every 6th video row: undecodable -> stub
           (Array.tabulate[Byte](128 + (i % 64))(b => ((i * 31 + b * 7) % 251).toByte),
             (Some(320), Some(240), None, Some(2000 + 40 * (i % 500)), Some("mp4")))
+        case _ =>
+          val (w, h) = (16 + 2 * (i % 8), 8 + 2 * (i % 4))
+          val frames = 8 + i % 12 // 25 fps -> 40 ms per frame
+          (y4mBytes(w, h, frames, i),
+            (Some(w), Some(h), None, Some(frames * 40), Some("y4m")))
       }
       (i.toLong, kind, payload, meta)
     }
@@ -333,4 +470,42 @@ object Multimodal {
       .select(col("media_id"), col("meta.duration_ms").as("duration_ms"),
         posexplode(sequence(lit(0), col("meta.duration_ms") - 1, lit(everyMs)))
           .as(Seq("frame_idx", "frame_ms")))
+
+  /** Frame sampling with REAL decode: same (media_id, frame_idx, frame_ms)
+    * grid as [[frameSample]], plus the mean luminance of the Y4M frame
+    * nearest each sampled timestamp (`mean_luma`). Undecodable payloads
+    * keep their metadata-driven rows with a null luma — the stage is
+    * total, one corrupt video cannot fail a 100 TB extraction. Decode
+    * runs batch-at-a-time in mapPartitions (the codec-stage shape);
+    * each payload is decoded ONCE for all its sampled frames. */
+  def frameSampleFeatures(df: DataFrame, everyMs: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ms", IntegerType, nullable = false),
+      StructField("mean_luma", FloatType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.filter(col("kind") === "video" && col("meta.duration_ms") > 0)
+      .select(col("media_id"), col("payload"), col("meta.duration_ms").as("dur"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val dur = r.getInt(2)
+            val video = decodeY4mFrames(r.getAs[Array[Byte]](1))
+            (0 until dur by everyMs).zipWithIndex.map { case (ms, idx) =>
+              val luma = video match {
+                case Some(v) =>
+                  // frame at ms: floor(ms * fps / 1000), clamped into range
+                  val f = math.min(v.frameLuma.length - 1,
+                    (ms.toLong * v.fpsNum / (1000L * v.fpsDen)).toInt)
+                  java.lang.Float.valueOf(v.frameLuma(f))
+                case None => null.asInstanceOf[java.lang.Float]
+              }
+              org.apache.spark.sql.Row(id, idx, ms, luma)
+            }
+          }
+        }
+      }(encoder)
+  }
 }

@@ -198,4 +198,65 @@ class MultimodalSuite extends SparkSpec {
       assert(r.getLong(1) === expected.toLong, s"media ${r.getLong(0)}")
     }
   }
+
+  test("Y4M decode golden: per-frame mean luminance is exactly the painted value") {
+    // frame f of y4mBytes(_, _, _, seed) is solid luma (seed*37 + f*11) % 256
+    val v = Multimodal.decodeY4mFrames(Multimodal.y4mBytes(16, 8, 10, seed = 3)).get
+    assert(v.width === 16 && v.height === 8 && v.fpsNum === 25 && v.fpsDen === 1)
+    assert(v.frameLuma.length === 10)
+    (0 until 10).foreach { f =>
+      val expected = ((3 * 37 + f * 11) % 256) / 255.0f
+      assert(math.abs(v.frameLuma(f) - expected) < 1e-6f, s"frame $f")
+    }
+  }
+
+  test("Y4M corruption: truncated frames, bad magic, hostile dims all fall back") {
+    val good = Multimodal.y4mBytes(16, 8, 4, seed = 1)
+    assert(Multimodal.decodeY4mFrames(good.take(good.length - 10)).isEmpty,
+      "truncated last frame must be corruption, not a partial parse")
+    assert(Multimodal.decodeY4mFrames("JUNK4MPEG2 W16 H8\n".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mFrames(
+      "YUV4MPEG2 W999999999 H999999999 F25:1\n".getBytes).isEmpty,
+      "hostile dims must not allocate")
+    assert(Multimodal.decodeY4mFrames("YUV4MPEG2 W16 H8 F0:0\n".getBytes).isEmpty)
+    // and through the total dispatch they land on the stub, never a throw
+    val junk = good.take(good.length - 10)
+    val viaDecode = Multimodal.decodeY4m(junk)
+    assert(viaDecode.isEmpty)
+  }
+
+  test("video features are real Y4M decode output, resampled like WAV") {
+    // media_id 2 is video i=2: w=20 h=12, frames=10, seed=2 -> known lumas
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("media_id") === 2).collect().head.getSeq[Float](2)
+    val lumas = (0 until 10).map(f => ((2 * 37 + f * 11) % 256) / 255.0f)
+    // FeatureDim=64 slices over 10 frames: slice k covers [k*10/64, (k+1)*10/64)
+    // with the max(lo+1) floor -> each slice is one frame's luma
+    val expected = (0 until Multimodal.FeatureDim).map { k =>
+      lumas(math.min(9, k * 10 / Multimodal.FeatureDim))
+    }
+    feats.zip(expected).zipWithIndex.foreach { case ((got, exp), k) =>
+      assert(math.abs(got - exp) < 1e-6f, s"slice $k")
+    }
+  }
+
+  test("frameSampleFeatures: per-frame goldens on the sampled grid, nulls for corrupt") {
+    val out = Multimodal.frameSampleFeatures(media, everyMs = 100)
+    // same grid as the metadata-only sampler
+    val gridN = Multimodal.frameSample(media, everyMs = 100).count()
+    assert(out.count() === gridN)
+    // media_id 2: frames=10 at 25fps (40ms), duration 400ms -> samples at
+    // 0,100,...,300ms map to frames 0,2,5,7
+    val got = out.filter(col("media_id") === 2)
+      .orderBy("frame_ms").collect()
+      .map(r => (r.getInt(2), r.getFloat(3))).toSeq
+    val lumaOf = (f: Int) => ((2 * 37 + f * 11) % 256) / 255.0f
+    val expected = Seq(0 -> lumaOf(0), 100 -> lumaOf(2), 200 -> lumaOf(5), 300 -> lumaOf(7))
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-6f) }
+    // corrupt video rows (i%18==14, e.g. media_id 14) keep their grid rows with null luma
+    val corrupt = out.filter(col("media_id") === 14).collect()
+    assert(corrupt.nonEmpty)
+    assert(corrupt.forall(_.isNullAt(3)), "undecodable video must yield null luma, not drop rows")
+  }
 }
