@@ -54,6 +54,32 @@ object TimeSeries {
 
     "q_ts_sessionize_batch" -> ((s, d) => sessionize(Tables(s, d, "events"))),
 
+    // Batch replay of the streaming CDC upsert sink (streaming.
+    // EventStreams.applyCdcBatch): the events table arrives as THREE
+    // deterministic micro-batches (batch b = events with event_id % 3 = b,
+    // applied in id order), each batch merging its per-user (ts, event_id)
+    // argmax into a versioned parquet snapshot directory; the query
+    // returns the final committed snapshot. EventStreamsSuite proves the
+    // sink is batch-split invariant and retry-idempotent, so this replay
+    // IS the streaming result — and the DuckDB argmax oracle makes the
+    // streaming module driver-visible instead of suite-only. Timestamps
+    // travel as epoch micros (the snapshot's own storage precision).
+    "q_cdc_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc-replay").toString
+      (0L to 2L).foreach { b =>
+        graft.streaming.EventStreams.applyCdcBatch(
+          ev.filter(col("event_id") % 3 === b), stateDir, b)
+      }
+      graft.streaming.EventStreams.cdcSnapshot(s, stateDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy("user_id")
+    }),
+
     // Resample + gap-fill: per-user hourly grid from the user's first to
     // last observed hour, LOCF (last observation carried forward) of the
     // rounded hourly mean. The grid is generator arithmetic (sequence ->
@@ -475,6 +501,14 @@ object TimeSeries {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cdc_snapshot" ->
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
+        |FROM (SELECT user_id, ts, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_ts_sessionize_batch" ->
       """WITH e AS (
