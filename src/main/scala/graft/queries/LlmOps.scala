@@ -393,6 +393,11 @@ object LlmOps {
     pairGraphCache.computeIfAbsent((s, d),
       (k: (SparkSession, String)) => nearDupPairs(k._1, k._2).localCheckpoint())
 
+  /** Drop the memoized pair graphs (harness hygiene: Bench calls this in
+    * its per-query block sweep so one query's pinned blocks can never
+    * squeeze another query's execution memory). */
+  private[graft] def clearShared(): Unit = pairGraphCache.clear()
+
   /** Banded-LSH near-dup pairs over a (doc_id, simhash) fingerprint frame:
     * numBands disjoint bands of bandBits bits, equi-join on (band, bits),
     * each colliding pair emitted from its FIRST colliding band only (the
