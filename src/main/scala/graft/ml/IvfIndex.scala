@@ -129,6 +129,39 @@ object IvfIndex {
   def writeCells(df: DataFrame, model: Model, path: String): Unit =
     graft.sources.PartitionedLayout.writePartitioned(assign(df, model), path, "cell")
 
+  /** Persist the coarse quantizer (mirrors AdaBoostMH.saveModel: a model
+    * is KBs, never shard it). One row per centroid. */
+  def saveModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): Model =
+    Model(spark.read.parquet(path).select("cell", "centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+
+  /** Build THE persisted ANN index in one call: train the quantizer, save
+    * it under `path/model`, write the cell-partitioned corpus under
+    * `path/cells`. After this, [[searchIndex]] needs only the path — the
+    * index outlives the session, which is what "dedup/search against
+    * yesterday's corpus" actually requires. */
+  def buildIndex(df: DataFrame, k: Int, iters: Int, path: String): Model = {
+    val model = train(df, k, iters)
+    saveModel(df.sparkSession, model, s"$path/model")
+    writeCells(df, model, s"$path/cells")
+    model
+  }
+
+  /** [[searchPartitioned]] against a [[buildIndex]] layout, loading the
+    * quantizer from disk — no in-memory state from the building session. */
+  def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
+                  topK: Int, nprobe: Int): DataFrame =
+    searchPartitioned(spark, s"$path/cells", queries,
+      loadModel(spark, s"$path/model"), topK, nprobe)
+
   /** [[search]] against a [[writeCells]] layout. The probed-cell union is
     * collected driver-side (queries are the tiny side by construction) and
     * pushed as an `isin` PARTITION filter, so Catalyst's file listing

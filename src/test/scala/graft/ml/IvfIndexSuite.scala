@@ -95,6 +95,23 @@ class IvfIndexSuite extends SparkSpec {
     assert(listed <= 2, s"one query with nprobe=2 must list <= 2 cell dirs, got $listed")
   }
 
+  test("persisted index: buildIndex + searchIndex equals the in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val model = IvfIndex.buildIndex(corpus, k = 8, iters = 3, dir)
+    // model round-trips exactly (decimal-mean centroids are bit-stable)
+    val loaded = IvfIndex.loadModel(spark, s"$dir/model")
+    model.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    // a FRESH consumer with only the path gets identical results
+    val fromDisk = IvfIndex.searchIndex(spark, dir, queries, topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val inMemory = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(fromDisk === inMemory)
+    assert(fromDisk.nonEmpty)
+  }
+
   test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
     val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)
