@@ -97,6 +97,46 @@ class OperatorPropsSuite extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: TopKPerKey heap == spill == window on random frames (with and without ties)") {
+    import spark.implicits._
+    val spillKey = graft.plans.TopKPerKey.MaxKeysKey
+    val prop = Prop.forAll(
+      Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 9L))),
+      Gen.chooseNum(1, 5)) { (rows: List[(Long, Long)], k: Int) =>
+      // values 0..9 over 60 rows force genuine ties inside most keys
+      val df = rows.zipWithIndex.map { case ((key, v), i) => (key, i.toLong, v) }
+        .toDF("k", "id", "v").repartition(5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc, col("id"))
+      def collectSet(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // row_number semantics: total order, heap == window exactly
+      val viaWindow = collectSet(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("k", "id", "v"))
+      val viaHeap = collectSet(graft.operators.GroupLimits.topKPerKey(
+        df, Seq("k"), Seq(col("v").desc, col("id")), k))
+      spark.conf.set(spillKey, "1")
+      val viaSpill = try collectSet(graft.operators.GroupLimits.topKPerKey(
+        df, Seq("k"), Seq(col("v").desc, col("id")), k))
+      finally spark.conf.unset(spillKey)
+      // rank semantics: ties of the k-th kept, key-determined set
+      val wTies = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc)
+      val viaRank = collectSet(df.withColumn("rn", rank().over(wTies))
+        .filter(col("rn") <= k).select("k", "id", "v"))
+      val viaTiesHeap = collectSet(graft.operators.GroupLimits.topKPerKey(
+        df, Seq("k"), Seq(col("v").desc), k, withTies = true))
+      spark.conf.set(spillKey, "1")
+      val viaTiesSpill = try collectSet(graft.operators.GroupLimits.topKPerKey(
+        df, Seq("k"), Seq(col("v").desc), k, withTies = true))
+      finally spark.conf.unset(spillKey)
+      viaHeap == viaWindow && viaSpill == viaWindow &&
+        viaTiesHeap == viaRank && viaTiesSpill == viaRank
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sessionization splits strictly above the 30-minute gap") {
     // 29-minute gap stays one session; exactly 30 stays; 30:00.000001 splits
     val out = TimeSeries.queries("q_ts_sessionize_batch")(spark, sf).collect()

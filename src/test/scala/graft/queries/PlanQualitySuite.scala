@@ -336,6 +336,21 @@ class PlanQualitySuite extends SparkSpec {
     assert("Sort ".r.findAllIn(p).length <= 1, s"heap must not sort per key:\n$p")
   }
 
+  test("q_cdc_snapshot: the replayed snapshot read is an argmax agg, no window") {
+    val p = plan("q_cdc_snapshot")
+    // the per-batch merges already happened at plan-build time; the final
+    // read must stay a plain scan + output order, never a corpus window
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_incremental: band equi-joins only — no cartesian, no all-pairs") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi join:\n$p")
+  }
+
   test("q_join_bloom: codegen'd xxhash64 probe runs on the fact side BEFORE the join") {
     val p = plan("q_join_bloom")
     val lines = p.linesIterator.toSeq
