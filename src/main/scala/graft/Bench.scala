@@ -90,7 +90,16 @@ object Bench {
       graft.queries.LlmOps.clearShared()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       qIdx += 1
-      if (qIdx % 8 == 0) sentinelSamples += spin()
+      if (qIdx % 8 == 0) {
+        sentinelSamples += spin()
+        // Drain the ContextCleaner: shuffle files, broadcasts and the
+        // swept blocks above are only released after a GC collects their
+        // weak references. 450 query executions build a backlog that
+        // otherwise forces ad-hoc full GCs mid-query (the residual hump
+        // the block sweep alone did not remove). The spin sample is taken
+        // FIRST so the sentinel still sees the pre-GC state.
+        System.gc()
+      }
       name -> (if (times.isEmpty) -1.0 else median(times))
     }
     sentinelSamples += spin()
