@@ -1403,6 +1403,28 @@ object LlmOps {
         round(col("embedding").getItem(2).cast("double") / col("nrm"), 4).as("c2"))
       .orderBy("vec_id")),
 
+    // Symmetric int8 quantization per embedding — the 4x storage shrink a
+    // 100 TB embedding store runs before anything else: scale = maxabs/127,
+    // q_i = round(x_i/scale) in [-127, 127] (no clipping by construction).
+    // All in HOFs over one scan, no shuffle beyond the per-vector agg
+    // shape. The checkable outputs are INTEGER-exact (sum and L1 of the
+    // quantized codes) plus the max reconstruction error (bounded by
+    // scale/2; rounded 6dp) — so the oracle verifies both the codes and
+    // the dequantization contract, not just shapes. Zero vectors quantize
+    // to zero codes with scale 0 (guarded identically in both engines).
+    "q_vec_quantize" -> ((s, d) => Tables(s, d, "embeddings")
+      .withColumn("v", expr("CAST(embedding AS array<double>)"))
+      .withColumn("scale",
+        expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x))) / 127"))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(round(CASE WHEN scale = 0D THEN 0D ELSE x / scale END) AS INT))"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        round(expr("aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * scale)), 0D, (a, e) -> greatest(a, e))"), 6)
+          .as("max_err"))
+      .orderBy("vec_id")),
+
     // The REAL IVF component under the driver's gate: deterministic
     // Lloyd-trained coarse quantizer (ml.IvfIndex — decimal-mean centroid
     // updates, id-seeded init), assign -> probe 2 of 8 cells -> bounded
@@ -2226,6 +2248,19 @@ object LlmOps {
         |             row_number() OVER (ORDER BY cnt DESC, w) AS rank
         |      FROM cnt, total)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM e GROUP BY 1),
+        |q AS (SELECT e.vec_id, x, scale,
+        |        CAST(round(CASE WHEN scale = 0 THEN 0 ELSE x / scale END) AS INT) AS qi
+        |      FROM e JOIN s USING (vec_id))
+        |SELECT vec_id, ROUND(any_value(scale), 6) AS scale,
+        |  CAST(SUM(qi) AS BIGINT) AS q_sum,
+        |  CAST(SUM(ABS(qi)) AS BIGINT) AS q_l1,
+        |  ROUND(MAX(ABS(x - qi * scale)), 6) AS max_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_vec_norm" ->
       """SELECT vec_id,
