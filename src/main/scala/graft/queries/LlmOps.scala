@@ -1214,6 +1214,37 @@ object LlmOps {
       .select("q_id", "rn", "c_id", "cos_sim")
       .orderBy("q_id", "rn")),
 
+    // Similarity search over the int8-QUANTIZED store (the q_vec_quantize
+    // codes): dot(a, b) ~ scale_a * scale_b * SUM(qa_i * qb_i), where the
+    // code dot is INTEGER arithmetic — exactly reproducible across
+    // engines, partitionings and at any scale, which is what makes a
+    // full-rank oracle possible for an approximate-similarity operator.
+    // This is the memory-bandwidth shape a 100 TB vector store actually
+    // scans (4 bytes -> 1 byte per dim; the float corpus never loads).
+    // Ranking ties break on c_id, deterministic in both engines.
+    "q_sim_topk_quant" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .withColumn("v", expr("CAST(embedding AS array<double>)"))
+        .withColumn("scale",
+          expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x))) / 127"))
+        .withColumn("q", expr(
+          "transform(v, x -> CAST(round(CASE WHEN scale = 0D THEN 0D ELSE x / scale END) AS INT))"))
+        .select(col("vec_id"), col("scale"), col("q"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("scale").as("qs"), col("q").as("qq"))
+      val cs = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("scale").as("cs"), col("q").as("cq"))
+      val scored = cs.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("c_id"),
+          // integer code dot (exact) scaled back to float space
+          round(expr("aggregate(zip_with(qq, cq, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
+            * col("qs") * col("cs"), 6).as("dot_q"))
+      val w = Window.partitionBy("q_id").orderBy(col("dot_q").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("q_id", "rn", "c_id", "dot_q")
+        .orderBy("q_id", "rn")
+    }),
+
     "q_knn_label" -> ((s, d) => {
       val nb = simTopK(s, d)
       val lab = Tables(s, d, "embeddings").select(col("vec_id").as("c_id"), col("label"))
@@ -2135,6 +2166,23 @@ object LlmOps {
          |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
          |           FROM scored)
          |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q_sim_topk_quant" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings),
+        |qc AS (SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CAST(round(
+        |      CASE WHEN scale = 0 THEN 0 ELSE CAST(x AS DOUBLE) / scale END) AS INT)) AS q
+        |  FROM s),
+        |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        |    ROUND(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.q[i] AS BIGINT) * b.q[i])) * a.scale * b.scale, 6) AS dot_q
+        |  FROM qc a, qc b WHERE a.vec_id < 10 AND b.vec_id >= 10)
+        |SELECT q_id, rn, c_id, dot_q FROM (
+        |  SELECT q_id, c_id, dot_q,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id) AS rn
+        |  FROM scored) WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q_knn_label" -> knnLabelSql,
 
