@@ -43,8 +43,10 @@ object TimeSeries {
       .select(tstr(col("w.start")).as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")),
 
-    // No oracle (overlapping windows are brittle to emulate in SQL);
-    // covered by a scalatest golden + batch-vs-stream equivalence test.
+    // Oracle since round 5: each event of a 1h-window/30min-slide belongs
+    // to EXACTLY the two windows starting at slide_floor(ts) and
+    // slide_floor(ts) - 30min, so DuckDB emulates the generator with an
+    // UNNEST([0,1]) per event — no brittle window arithmetic left.
     "q_ts_sliding" -> ((s, d) => Tables(s, d, "events")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -501,6 +503,15 @@ object TimeSeries {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_sliding" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events),
+        |w AS (SELECT (us // 1800000000 - k) * 1800000000 AS ws_us, event_type
+        |      FROM e, UNNEST([0, 1]) AS t(k))
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       strftime(make_timestamp(ws_us + 3600000000), '%Y-%m-%d %H:%M:%S') AS wend,
+        |       event_type, count(*) AS n
+        |FROM w GROUP BY ws_us, event_type ORDER BY wstart, event_type""".stripMargin,
 
     "q_cdc_snapshot" ->
       """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
