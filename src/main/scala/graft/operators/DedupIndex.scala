@@ -46,25 +46,20 @@ object DedupIndex {
       maxBucket: Int = 64)
 
   /** (doc_id, sid): distinct xxhash64 ids of 5-gram word shingles — the
-    * same shingle definition as every dedup query in graft.queries. */
+    * SHARED LlmOps shingle definition, so the incremental==batch contract
+    * cannot drift from the batch queries' shingling. */
   private def shingleIds(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+    graft.queries.LlmOps.docShinglesOf(docs)
       .select(col("doc_id"), xxhash64(col("sh")).as("sid"))
 
-  /** (doc_id, band, bkey) from the mergeable sketch — identical band-key
-    * construction to LlmOps.sketchBandCandidates. */
-  private def bandsOf(ds: DataFrame, p: Params): DataFrame = {
-    val mh = ds.groupBy("doc_id")
+  /** (doc_id, band, bkey) from the mergeable sketch — the SHARED LlmOps
+    * band-key expression, same no-drift contract. */
+  private def bandsOf(ds: DataFrame, p: Params): DataFrame =
+    ds.groupBy("doc_id")
       .agg(expr(s"graft_minhash(pmod(sid, ${p.modulus}), ${p.numPerms})").as("mh"))
-    val bandExpr = s"transform(sequence(0, ${p.numBands - 1}), b -> " +
-      (0 until p.rowsPerBand)
-        .map(r => s"cast(element_at(mh, ${p.rowsPerBand}*b+${r + 1}) as string)")
-        .mkString(" || '-' || ") + ")"
-    mh.select(col("doc_id"), posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
-  }
+      .select(col("doc_id"), posexplode(
+        expr(graft.queries.LlmOps.bandKeyExpr(p.numBands, p.rowsPerBand)))
+        .as(Seq("band", "bkey")))
 
   private def writeTables(ds: DataFrame, p: Params, path: String, mode: String): Unit = {
     bandsOf(ds, p).write.mode(mode).parquet(s"$path/bands")

@@ -24,12 +24,21 @@ object GroupLimits {
     val plan = df.queryExecution.analyzed
     // resolve like Spark does (case-insensitive by default), not by exact
     // string equality — topKPerKey(df, Seq("O_CUSTKEY"), ...) must work
-    // wherever df("O_CUSTKEY") does.
+    // wherever df("O_CUSTKEY") does. Exact name wins first (a frame with
+    // both KEY and key must not silently group on the wrong one), and an
+    // ambiguous case-variant set without an exact match errors like
+    // Spark's own resolution would.
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     val keyAttrs = keyCols.map { n =>
-      plan.output.find(a => resolver(a.name, n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"key column '$n' not in ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.find(_.name == n).getOrElse {
+        plan.output.filter(a => resolver(a.name, n)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"key column '$n' not in ${plan.output.map(_.name).mkString(", ")}")
+          case many => throw new IllegalArgumentException(
+            s"key column '$n' is ambiguous among ${many.map(_.name).mkString(", ")}")
+        }
+      }
     }
     val sortOrder = order.map(c => GraftSqlBridge.expression(c) match {
       case so: SortOrder => so

@@ -57,6 +57,13 @@ object TopKPerKey {
     * spillable external sorter (same result, memory-safe). */
   val MaxKeysKey = "spark.graft.topKPerKey.maxKeysPerPartition"
 
+  /** Per-key ceiling on the withTies buffer: rank() semantics can
+    * obligate unbounded tying rows (a low-cardinality sort key), and the
+    * buffer is plain JVM heap — past this, the partition flips to the
+    * spillable sorter, which streams ties off the sorted run instead of
+    * holding them. */
+  val MaxTiesKey = "spark.graft.topKPerKey.maxTiesPerKey"
+
   /** Per-key retained state: the k-best heap plus (withTies only) the
     * buffer of rows tying the current k-th best. */
   private[plans] final class KeyState(cap: Int, cmp: java.util.Comparator[InternalRow]) {
@@ -206,6 +213,8 @@ case class TopKPerKeyExec(
     // window plan would have been the right call anyway.
     val maxKeysInMemory = conf.getConfString(
       TopKPerKey.MaxKeysKey, (1 << 20).toString).toInt
+    val maxTiesPerKey = conf.getConfString(
+      TopKPerKey.MaxTiesKey, (1 << 13).toString).toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // generated comparator: row "a before b" in the requested order
@@ -215,9 +224,12 @@ case class TopKPerKeyExec(
       val reversed = ordering.reversed() // java PQ head = LEAST -> reverse
       val heaps = new java.util.HashMap[UnsafeRow, TopKPerKey.KeyState]()
       // the row whose NEW key would push the map past the threshold; its
-      // arrival flips the partition to the spillable sorter path
+      // arrival flips the partition to the spillable sorter path. A ties
+      // buffer past its own ceiling flips the same way (the row is already
+      // buffered, so no carry row is needed).
       var overflowRow: InternalRow = null
-      while (iter.hasNext && overflowRow == null) {
+      var tiesOverflow = false
+      while (iter.hasNext && overflowRow == null && !tiesOverflow) {
         val row = iter.next()
         val key = keyProj(row)
         var st = heaps.get(key)
@@ -242,12 +254,14 @@ case class TopKPerKeyExec(
                 else st.clearTies()
               }
             } else if (ties && cmp == 0) st.addTie(row.copy())
+            if (ties && st.ties != null && st.ties.size > maxTiesPerKey)
+              tiesOverflow = true
           }
         }
       }
-      if (overflowRow == null) TopKPerKey.drainHeaps(heaps)
+      if (overflowRow == null && !tiesOverflow) TopKPerKey.drainHeaps(heaps)
       else TopKPerKey.sortedGroupLimit(
-        Iterator.single(overflowRow) ++ iter, heaps, keyExprs, sortOrder,
+        Option(overflowRow).iterator ++ iter, heaps, keyExprs, sortOrder,
         limit, ties, childOutput, childSchema)
     }, preservesPartitioning = true)
   }

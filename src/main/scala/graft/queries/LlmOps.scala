@@ -92,11 +92,25 @@ object LlmOps {
   /** (doc_id, sh): distinct 5-gram word shingles per document — the single
     * definition shared by exact near-dup and its MinHash-LSH twin. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
+    docShinglesOf(Tables(s, d, "documents"))
+
+  /** The ONE 5-gram shingle definition — shared with operators.DedupIndex
+    * so the persisted index's incremental==batch contract cannot drift
+    * from the batch queries' shingling. */
+  private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
+
+  /** The ONE band-key expression (numBands bands of `rows` consecutive
+    * sketch slots, '-'-joined) — shared by sketchBandCandidates and
+    * operators.DedupIndex for the same no-drift reason. */
+  private[graft] def bandKeyExpr(numBands: Int, rows: Int): String =
+    s"transform(sequence(0, ${numBands - 1}), b -> " +
+      (0 until rows).map(r => s"cast(element_at(mh, $rows*b+${r + 1}) as string)")
+        .mkString(" || '-' || ") + ")"
 
   /** (d1, d2, inter) + per-doc set sizes -> Jaccard >= threshold pairs,
     * rounded and deterministically ordered. */
@@ -118,11 +132,8 @@ object LlmOps {
   private[graft] def sketchBandCandidates(mh: DataFrame, numBands: Int,
                                           rows: Int,
                                           maxBucket: Int = Int.MaxValue): DataFrame = {
-    val bandExpr = s"transform(sequence(0, ${numBands - 1}), b -> " +
-      (0 until rows).map(r => s"cast(element_at(mh, $rows*b+${r + 1}) as string)")
-        .mkString(" || '-' || ") + ")"
     val bands0 = mh.select(col("doc_id"),
-      posexplode(expr(bandExpr)).as(Seq("band", "bkey")))
+      posexplode(expr(bandKeyExpr(numBands, rows))).as(Seq("band", "bkey")))
     // hot-bucket guard (production twins): a (band, bkey) bucket of B docs
     // emits B²/2 candidates, so one boilerplate band key goes quadratic;
     // over-cap buckets are dropped like stopwords BEFORE the self-join.
@@ -390,8 +401,21 @@ object LlmOps {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
-    pairGraphCache.computeIfAbsent((s, d),
-      (k: (SparkSession, String)) => nearDupPairs(k._1, k._2).localCheckpoint())
+    pairGraphCache.synchronized {
+      val key = (s, d)
+      val cached = pairGraphCache.get(key)
+      if (cached != null) cached
+      else {
+        // at most ONE graph is ever pinned per JVM: switching corpus or
+        // session drops the previous entry, so stopped sessions and stale
+        // checkpoints cannot accumulate in long-lived JVMs that never call
+        // clearShared()
+        pairGraphCache.clear()
+        val df = nearDupPairs(s, d).localCheckpoint()
+        pairGraphCache.put(key, df)
+        df
+      }
+    }
 
   /** Drop the memoized pair graphs (harness hygiene: Bench calls this in
     * its per-query block sweep so one query's pinned blocks can never
@@ -964,7 +988,11 @@ object LlmOps {
     // justification as every _xxh twin — not reproducible in DuckDB).
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables(s, d, "documents").select("doc_id", "text")
-      val path = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+      // deterministic per-(session, corpus) path + overwrite writes: Bench
+      // invokes this 3+ times per run, and fresh createTempDirectory dirs
+      // would accumulate a full index copy per invocation
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index-" +
+        s"${s.sparkContext.applicationId}-${math.abs(d.hashCode)}"
       graft.operators.DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), path)
       graft.operators.DedupIndex.dedupAgainst(path, docs.filter(col("doc_id") % 5 === 0))
     }),

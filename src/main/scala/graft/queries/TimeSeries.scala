@@ -71,7 +71,11 @@ object TimeSeries {
       val ev = Tables(s, d, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
-      val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc-replay").toString
+      // deterministic per-(session, corpus) dir: replays overwrite the same
+      // three v<id> snapshot versions instead of leaking a directory per
+      // invocation (Bench runs this 3+ times per bench)
+      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-replay-" +
+        s"${s.sparkContext.applicationId}-${math.abs(d.hashCode)}"
       (0L to 2L).foreach { b =>
         graft.streaming.EventStreams.applyCdcBatch(
           ev.filter(col("event_id") % 3 === b), stateDir, b)
@@ -514,10 +518,10 @@ object TimeSeries {
         |FROM w GROUP BY ws_us, event_type ORDER BY wstart, event_type""".stripMargin,
 
     "q_cdc_snapshot" ->
-      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value
-        |FROM (SELECT user_id, ts, event_id, value,
+      """SELECT user_id, epoch_us(ts_us) AS ts_us, event_id, value
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts_us, event_id, value,
         |        row_number() OVER (PARTITION BY user_id
-        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |                           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 

@@ -191,6 +191,46 @@ class TopKPerKeySuite extends SparkSpec {
     assert(got === want)
   }
 
+  test("withTies: a ties buffer past its ceiling flips to the sorter, same set") {
+    val s = spark
+    import s.implicits._
+    // 40 rows tie the top value in one key: rank()<=1 must return all 40,
+    // and with the ties ceiling at 4 the partition must take the sorter
+    // path rather than buffer them on heap
+    val df = ((1 to 40).map(i => (1L, i.toLong, 9.0)) ++
+      Seq((1L, 99L, 1.0), (2L, 50L, 5.0), (2L, 51L, 4.0)))
+      .toDF("k", "id", "v").repartition(3)
+    def run() = GroupLimits.topKPerKey(df, Seq("k"), Seq(col("v").desc), 1,
+        withTies = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = run()
+    assert(unbounded.count(_._1 == 1L) === 40 && unbounded.count(_._1 == 2L) === 1)
+    spark.conf.set(graft.plans.TopKPerKey.MaxTiesKey, "4")
+    try assert(run() === unbounded, "sorter ties path diverged")
+    finally spark.conf.unset(graft.plans.TopKPerKey.MaxTiesKey)
+  }
+
+  test("GroupLimits: exact name beats case-variants; true ambiguity errors") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 3L, 5.0)).toDF("k", "id", "v")
+    // output carries BOTH `K` (constant -> would collapse groups) and `k`:
+    // asking for "k" must resolve the exact column, not first-match
+    val both = base.select(lit(0L).as("K"), col("k"), col("id"), col("v"))
+    // (read k/id by position — a by-name select of "k" would itself be
+    // ambiguous to Spark's resolver with both K and k in the output)
+    val got = GroupLimits.topKPerKey(both, Seq("k"), Seq(col("v").desc), 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L), (2L, 3L)), s"grouped on the wrong case-variant: $got")
+    // no exact match + two case-variants -> explicit ambiguity error
+    val err = intercept[IllegalArgumentException] {
+      GroupLimits.topKPerKey(
+        base.select(col("k").as("KEY"), col("k").as("kEy"), col("id"), col("v")),
+        Seq("key"), Seq(col("v").desc), 1)
+    }
+    assert(err.getMessage.contains("ambiguous"), err.getMessage)
+  }
+
   test("GroupLimits withTies: keeps every row tying the k-th best") {
     val got = GroupLimits.topKPerKey(crafted, Seq("k"), Seq(col("v").desc), 3,
         withTies = true)
