@@ -162,14 +162,17 @@ case class TopKAgg(
 
 object TopKAgg {
   /** Build from SQL-call arguments: graft_topk(key, k, capacity) or (exact)
-    * graft_topk_exact(key, k, capacity). */
+    * graft_topk_exact(key, k, capacity). `fnName` is the registered name
+    * the user actually called, threaded into every validation message so
+    * graft_topk_exact errors don't misdirect to graft_topk. */
   def fromArgs(exprs: Seq[Expression], requireExact: Boolean = false): TopKAgg = {
+    val fnName = if (requireExact) "graft_topk_exact" else "graft_topk"
     require(exprs.size == 3,
-      s"graft_topk(key, k, capacity) takes 3 args, got ${exprs.size}")
+      s"$fnName(key, k, capacity) takes 3 args, got ${exprs.size}")
     def intLit(e: Expression, name: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
-        s"graft_topk $name must be an integer literal, got $other")
+        s"$fnName $name must be an integer literal, got $other")
     }
     TopKAgg(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "capacity"),
       requireExact = requireExact)

@@ -5,6 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
@@ -63,6 +64,19 @@ object TopKPerKey {
     * spillable sorter, which streams ties off the sorted run instead of
     * holding them. */
   val MaxTiesKey = "spark.graft.topKPerKey.maxTiesPerKey"
+
+  /** -0.0 -> 0.0 and NaN -> canonical NaN for top-level float/double key
+    * expressions, so byte equality (hash-map keys, spill-path group
+    * detection) coincides with ordering equality and with the Window
+    * semantics the rank rewrite replaces. Nested float keys (array/struct
+    * of float) are left as-is — they are not hash-map keys anywhere in
+    * this repo's call sites, and UnsafeWriter already canonicalizes NaN
+    * bits on write. */
+  private[plans] def normalizeFloatKey(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => NormalizeNaNAndZero(e)
+    case _ => e
+  }
 
   /** Per-key retained state: the k-best heap plus (withTies only) the
     * buffer of rows tying the current k-th best. */
@@ -278,7 +292,16 @@ object TopKPerKeyStrategy extends SparkStrategy {
       // internal ColumnNode, which would poison the task closure
       val cleanOrder = order.map(so =>
         SortOrder(so.child, so.direction, so.nullOrdering, Seq.empty))
-      TopKPerKeyExec(keys, cleanOrder, k, withTies, planLater(child)) :: Nil
+      // Floating-point keys must be normalized (-0.0 -> 0.0, NaN -> the
+      // canonical NaN) exactly as NormalizeFloatingNumbers does for Window
+      // partition specs — this custom node is never visited by that rule
+      // (its normalize() is private[sql]; NormalizeNaNAndZero, the
+      // expression it plants for top-level float/double, is public).
+      // Without it the heap path's byte-keyed hash map and the spill
+      // path's byte-equality group detection both split ordering-equal
+      // keys, emitting up to k rows per bit pattern instead of per key.
+      val cleanKeys = keys.map(TopKPerKey.normalizeFloatKey)
+      TopKPerKeyExec(cleanKeys, cleanOrder, k, withTies, planLater(child)) :: Nil
     case _ => Nil
   }
 }

@@ -399,28 +399,49 @@ object LlmOps {
     * is tiny relative to the corpus (near-dup pairs only), and entries
     * are keyed by session so a stopped session's blocks are never read. */
   private val pairGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, Set[Int])]()
   private[graft] def nearDupPairsShared(s: SparkSession, d: String): DataFrame =
     pairGraphCache.synchronized {
       val key = (s, d)
       val cached = pairGraphCache.get(key)
-      if (cached != null) cached
+      if (cached != null) cached._1
       else {
         // at most ONE graph is ever pinned per JVM: switching corpus or
         // session drops the previous entry, so stopped sessions and stale
         // checkpoints cannot accumulate in long-lived JVMs that never call
         // clearShared()
-        pairGraphCache.clear()
+        dropShared()
+        // record which persistent-RDD ids the localCheckpoint pins, so
+        // eviction can unpersist them EAGERLY — dropping the DataFrame
+        // alone leaves the MEMORY_AND_DISK blocks to a GC-driven
+        // ContextCleaner pass, the exact block-backlog mechanism
+        // BASELINE.md's bench root-cause documents
+        val before = s.sparkContext.getPersistentRDDs.keySet
         val df = nearDupPairs(s, d).localCheckpoint()
-        pairGraphCache.put(key, df)
+        val pinned = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+        pairGraphCache.put(key, (df, pinned.toSet))
         df
       }
     }
 
+  /** Unpersist every cached graph's checkpoint blocks, then drop the memo.
+    * Caller must hold the pairGraphCache monitor. */
+  private def dropShared(): Unit = {
+    pairGraphCache.forEach { (key, value) =>
+      val sc = key._1.sparkContext
+      if (!sc.isStopped) {
+        val live = sc.getPersistentRDDs
+        value._2.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      }
+    }
+    pairGraphCache.clear()
+  }
+
   /** Drop the memoized pair graphs (harness hygiene: Bench calls this in
     * its per-query block sweep so one query's pinned blocks can never
     * squeeze another query's execution memory). */
-  private[graft] def clearShared(): Unit = pairGraphCache.clear()
+  private[graft] def clearShared(): Unit =
+    pairGraphCache.synchronized { dropShared() }
 
   /** Banded-LSH near-dup pairs over a (doc_id, simhash) fingerprint frame:
     * numBands disjoint bands of bandBits bits, equi-join on (band, bits),
@@ -990,9 +1011,10 @@ object LlmOps {
       val docs = Tables(s, d, "documents").select("doc_id", "text")
       // deterministic per-(session, corpus) path + overwrite writes: Bench
       // invokes this 3+ times per run, and fresh createTempDirectory dirs
-      // would accumulate a full index copy per invocation
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index-" +
-        s"${s.sparkContext.applicationId}-${math.abs(d.hashCode)}"
+      // would accumulate a full index copy per invocation; Scratch sweeps
+      // the directory at JVM exit so runs don't stack up in /tmp
+      val path = graft.operators.Scratch.dir(
+        "graft-dedup-index", s.sparkContext.applicationId, d)
       graft.operators.DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), path)
       graft.operators.DedupIndex.dedupAgainst(path, docs.filter(col("doc_id") % 5 === 0))
     }),

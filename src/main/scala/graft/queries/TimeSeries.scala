@@ -74,8 +74,8 @@ object TimeSeries {
       // deterministic per-(session, corpus) dir: replays overwrite the same
       // three v<id> snapshot versions instead of leaking a directory per
       // invocation (Bench runs this 3+ times per bench)
-      val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft-cdc-replay-" +
-        s"${s.sparkContext.applicationId}-${math.abs(d.hashCode)}"
+      val stateDir = graft.operators.Scratch.dir(
+        "graft-cdc-replay", s.sparkContext.applicationId, d)
       (0L to 2L).foreach { b =>
         graft.streaming.EventStreams.applyCdcBatch(
           ev.filter(col("event_id") % 3 === b), stateDir, b)

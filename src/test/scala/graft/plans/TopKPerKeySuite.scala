@@ -231,6 +231,29 @@ class TopKPerKeySuite extends SparkSpec {
     assert(err.getMessage.contains("ambiguous"), err.getMessage)
   }
 
+  test("float keys: -0.0/0.0 and NaN are ONE key each, heap and spill paths") {
+    val s = spark
+    import s.implicits._
+    // Window partition keys get NormalizeFloatingNumbers; the custom node
+    // must agree or the rank rewrite silently changes results on float keys
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L),
+      (Double.NaN, 5L), (Double.NaN, 6L)).toDF("k", "id").repartition(3)
+    def run() = GroupLimits.topKPerKey(df, Seq("k"), Seq(col("id")), 1)
+      .collect().map(_.getLong(1)).toSet
+    // one row per semantic key: the zero key keeps id 1, the NaN key id 5
+    assert(run() === Set(1L, 5L),
+      "-0.0/0.0 or NaN bit patterns split into separate keys (heap path)")
+    spark.conf.set(graft.plans.TopKPerKey.MaxKeysKey, "1")
+    try assert(run() === Set(1L, 5L),
+      "-0.0/0.0 or NaN bit patterns split into separate keys (spill path)")
+    finally spark.conf.unset(graft.plans.TopKPerKey.MaxKeysKey)
+    // and the genuine WindowExec path agrees (rn kept -> no rewrite)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(win === Set(1L, 5L))
+  }
+
   test("GroupLimits withTies: keeps every row tying the k-th best") {
     val got = GroupLimits.topKPerKey(crafted, Seq("k"), Seq(col("v").desc), 3,
         withTies = true)
