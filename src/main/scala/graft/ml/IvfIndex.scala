@@ -145,14 +145,73 @@ object IvfIndex {
 
   /** Build THE persisted ANN index in one call: train the quantizer, save
     * it under `path/model`, write the cell-partitioned corpus under
-    * `path/cells`. After this, [[searchIndex]] needs only the path — the
-    * index outlives the session, which is what "dedup/search against
-    * yesterday's corpus" actually requires. */
+    * `path/cells`, and record the build-time assignment tightness under
+    * `path/meta` (the reference point [[staleness]] compares against).
+    * After this, [[searchIndex]] needs only the path — the index outlives
+    * the session, which is what "dedup/search against yesterday's corpus"
+    * actually requires. */
   def buildIndex(df: DataFrame, k: Int, iters: Int, path: String): Model = {
     val model = train(df, k, iters)
     saveModel(df.sparkSession, model, s"$path/model")
     writeCells(df, model, s"$path/cells")
+    val (n, meanD) = assignmentTightness(df.sparkSession, s"$path/cells", model)
+    writeMeta(df.sparkSession, s"$path/meta", n, meanD)
     model
+  }
+
+  /** Add a batch to an EXISTING index without retraining: assign the new
+    * vectors to the nearest existing cells and append them to the cell
+    * directories. The quantizer and `path/meta` stay frozen at build time —
+    * that freeze is what makes [[staleness]] meaningful, and it is also
+    * the correctness contract: a vector's cell depends only on the model,
+    * so append(A, B) produces the exact layout writeCells(A ∪ B) under
+    * model(A) would (suite-pinned), and searches at any nprobe return
+    * identical results on either. Daily shape at 100 TB: one map-side
+    * assignment + one partitioned append, no shuffle of the stored corpus.
+    * Returns the number of vectors appended. */
+  def appendToIndex(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
+    val model = loadModel(spark, s"$path/model")
+    val assigned = assign(newVecs, model)
+    graft.sources.PartitionedLayout.appendPartitions(assigned, s"$path/cells", "cell")
+    assigned.count()
+  }
+
+  /** Index drift report: (vectorsAtBuild, vectorsNow, meanSqDistAtBuild,
+    * meanSqDistNow, ratio). The mean squared L2 distance of each stored
+    * (normalized) vector to its assigned centroid is the IVF tightness
+    * measure; appended batches from a drifted distribution push the
+    * current mean above the build-time mean, and ratio >> 1 is the
+    * "retrain the quantizer" signal a daily pipeline alarms on. */
+  def staleness(spark: SparkSession, path: String): (Long, Long, Double, Double, Double) = {
+    val model = loadModel(spark, s"$path/model")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val (buildN, buildMean) = (meta.getLong(0), meta.getDouble(1))
+    val (nowN, nowMean) = assignmentTightness(spark, s"$path/cells", model)
+    (buildN, nowN, buildMean, nowMean, nowMean / buildMean)
+  }
+
+  /** (count, mean squared L2 distance to assigned centroid) over a cells
+    * layout — one broadcast of the KB-scale centroids, one map-side
+    * distance, one scalar aggregate; DECIMAL sum so the mean is exact and
+    * partition-order independent (same contract as train()'s updates). */
+  private def assignmentTightness(spark: SparkSession, cellsPath: String,
+                                  model: Model): (Long, Double) = {
+    val cents = model.centroids
+    val distUdf = udf { (v: Seq[Double], cell: Int) => sqDist(v, cents(cell)) }
+    val r = graft.sources.PartitionedLayout.read(spark, cellsPath)
+      .select(distUdf(col("v"), col("cell")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(28,12)")).cast("double").as("sd"))
+      .collect()(0)
+    val n = r.getLong(0)
+    (n, if (n == 0) 0.0 else r.getDouble(1) / n)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, n: Long,
+                        meanSqDist: Double): Unit = {
+    import spark.implicits._
+    Seq((n, meanSqDist)).toDF("n", "mean_sq_dist")
+      .repartition(1).write.mode("overwrite").parquet(path)
   }
 
   /** [[searchPartitioned]] against a [[buildIndex]] layout, loading the

@@ -1524,6 +1524,30 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // INCREMENTAL ANN — the daily-vector-store shape (mirrors
+    // q_dedup_incremental for the dedup index): build the persisted IVF
+    // index on 80% of the corpus, appendToIndex the remaining 20% with the
+    // quantizer FROZEN (one map-side assignment + partitioned append, no
+    // retrain, no shuffle of the stored corpus), then answer queries from
+    // the path alone. buildIndex overwrites and the append batch is fixed,
+    // so re-invocation is idempotent. Rows-only for the driver (iterative
+    // k-means, same justification as q_ann_ivf_trained); IvfIndexSuite
+    // pins append == rebuild at every nprobe and nprobe=k == brute force
+    // over the UNION — proof the appended vectors are genuinely searched.
+    "q_ann_ivf_append" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val path = graft.operators.Scratch.dir(
+        "graft-ivf-append", s.sparkContext.applicationId, d)
+      graft.ml.IvfIndex.buildIndex(
+        corpus.filter(col("vec_id") % 5 =!= 0), k = 8, iters = 3, path)
+      graft.ml.IvfIndex.appendToIndex(s, path, corpus.filter(col("vec_id") % 5 === 0))
+      graft.ml.IvfIndex.searchIndex(s, path, queries, topK = 5, nprobe = 2)
+        .withColumn("cos_sim", round(col("cos_sim"), 4))
+        .orderBy("q_id", "rn")
+    }),
+
     // IVF-style ANN: coarse cells = vectors 0..7, queries 8..17 probe their
     // 2 nearest cells, search only vectors assigned to those cells.
     // Measured recall@3 vs brute force is ~40% on this data — the testdata

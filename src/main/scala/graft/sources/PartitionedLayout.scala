@@ -32,6 +32,17 @@ object PartitionedLayout {
       .partitionBy(cols: _*)
       .parquet(path)
 
+  /** Append `df` into an existing partitioned layout (new files land in
+    * their partition directories; existing files are untouched). The
+    * DAILY-ADD primitive: unlike [[overwritePartitions]] it is NOT
+    * idempotent — re-running the same batch duplicates it — so callers
+    * own dedup/versioning (e.g. IvfIndex.appendToIndex's batch contract). */
+  def appendPartitions(df: DataFrame, path: String, cols: String*): Unit =
+    df.repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Append)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
   /** Overwrite ONLY the partitions present in `df` (idempotent re-load). */
   def overwritePartitions(df: DataFrame, path: String, cols: String*): Unit = {
     val spark = df.sparkSession

@@ -112,6 +112,52 @@ class IvfIndexSuite extends SparkSpec {
     assert(fromDisk.nonEmpty)
   }
 
+  test("appendToIndex: append(A, B) IS the index writeCells(A ∪ B) would build — no retrain") {
+    val dirAppend = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    val a = corpus.filter(col("vec_id") % 5 =!= 0)
+    val b = corpus.filter(col("vec_id") % 5 === 0)
+    val model = IvfIndex.buildIndex(a, k = 8, iters = 3, dirAppend)
+    val appended = IvfIndex.appendToIndex(spark, dirAppend, b)
+    assert(appended === b.count())
+    // reference: FULL corpus assigned under the SAME model (the append
+    // contract is model-frozen assignment, not retraining)
+    IvfIndex.saveModel(spark, model, s"$dirFull/model")
+    IvfIndex.writeCells(corpus, model, s"$dirFull/cells")
+    def layout(p: String) = graft.sources.PartitionedLayout.read(spark, s"$p/cells")
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(layout(dirAppend) === layout(dirFull), "appended layout diverged from rebuild")
+    // and searches agree at every nprobe, including the exact nprobe=k path
+    for (np <- Seq(2, 8)) {
+      def top(p: String) = IvfIndex.searchIndex(spark, p, queries, topK = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      assert(top(dirAppend) === top(dirFull), s"nprobe=$np")
+    }
+    // nprobe=k after append == brute force over A ∪ B (search sees B)
+    val exactIds = IvfIndex.searchIndex(spark, dirAppend, queries, topK = 5, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(exactIds === bruteTop5)
+  }
+
+  test("staleness: frozen at ratio 1.0 until appends drift the stored distribution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    val a = corpus.filter(col("vec_id") % 5 =!= 0)
+    val b = corpus.filter(col("vec_id") % 5 === 0)
+    IvfIndex.buildIndex(a, k = 8, iters = 3, dir)
+    val (n0, nNow0, _, _, r0) = IvfIndex.staleness(spark, dir)
+    assert(n0 === a.count() && nNow0 === n0)
+    assert(math.abs(r0 - 1.0) < 1e-9, s"no appends -> ratio must be exactly 1.0, got $r0")
+    IvfIndex.appendToIndex(spark, dir, b)
+    val (nBuild, nNow, meanBuild, meanNow, ratio) = IvfIndex.staleness(spark, dir)
+    assert(nBuild === a.count() && nNow === corpus.count(),
+      "meta must stay frozen at build time while the layout grows")
+    assert(meanBuild > 0 && meanNow > 0 && ratio > 0)
+    // same-distribution appends land NEAR the build-time tightness; a
+    // drifted batch is exactly what pushes this ratio away from 1
+    assert(ratio > 0.5 && ratio < 2.0, s"ratio $ratio")
+  }
+
   test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
     val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)
