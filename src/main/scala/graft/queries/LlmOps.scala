@@ -1121,6 +1121,34 @@ object LlmOps {
       .withColumn("n_phones", size(split(col("clean"), "<PHONE>", -1)).cast("long") - 1)
       .orderBy("doc_id")),
 
+    // q_text_scrub where masking GENUINELY FIRES under the oracle: the
+    // harness corpus contains no PII, so the base query's hash-match only
+    // proves the identity path. This twin unions seven deterministic
+    // synthetic PII rows (negative doc_ids, disjoint from the corpus) into
+    // the SAME scrub pipeline; DuckDB constructs the identical rows via
+    // VALUES, so the hash-match covers real URL/email/IP/phone masking —
+    // including the %+- local-part and no-overmasking edges the scalatest
+    // fixtures pin (LlmOpsScrubSuite).
+    "q_text_scrub_fixture" -> ((s, d) => {
+      import s.implicits._
+      val pii = Seq(
+        (-7L, "visit https://example.com/a_b-c/d.html for details"),
+        (-6L, "mail bob.smith_1@corp-mail.example.org today"),
+        (-5L, "both http://x.io/p and alice@x.io here"),
+        (-4L, "plus-tagged a+tag@x.io and hyphenated bob-smith@x.io and pct b%c@x.io"),
+        (-3L, "server 192.168.1.200 answered from 10.0.0.1 fast"),
+        (-2L, "call 555-123-4567 or +1 555.987.6543 soon"),
+        (-1L, "sequence 12 34 567 stays and version 1.2.3 stays"))
+        .toDF("doc_id", "text")
+      Tables(s, d, "documents").select("doc_id", "text").unionByName(pii)
+        .select(col("doc_id"), scrubText(col("text")).as("clean"))
+        .withColumn("n_urls", size(split(col("clean"), "<URL>", -1)).cast("long") - 1)
+        .withColumn("n_emails", size(split(col("clean"), "<EMAIL>", -1)).cast("long") - 1)
+        .withColumn("n_ips", size(split(col("clean"), "<IP>", -1)).cast("long") - 1)
+        .withColumn("n_phones", size(split(col("clean"), "<PHONE>", -1)).cast("long") - 1)
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"),
@@ -2021,6 +2049,34 @@ object LlmOps {
         |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |      '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
         |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub_fixture" ->
+      """SELECT doc_id, clean,
+        |  CAST(len(string_split(clean, '<URL>')) - 1 AS BIGINT) AS n_urls,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+        |  CAST(len(string_split(clean, '<IP>')) - 1 AS BIGINT) AS n_ips,
+        |  CAST(len(string_split(clean, '<PHONE>')) - 1 AS BIGINT) AS n_phones
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(text, 'https?://[a-zA-Z0-9./_-]+', '<URL>', 'g'),
+        |                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean
+        |  FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT * FROM (VALUES
+        |      (CAST(-7 AS BIGINT), 'visit https://example.com/a_b-c/d.html for details'),
+        |      (CAST(-6 AS BIGINT), 'mail bob.smith_1@corp-mail.example.org today'),
+        |      (CAST(-5 AS BIGINT), 'both http://x.io/p and alice@x.io here'),
+        |      (CAST(-4 AS BIGINT), 'plus-tagged a+tag@x.io and hyphenated bob-smith@x.io and pct b%c@x.io'),
+        |      (CAST(-3 AS BIGINT), 'server 192.168.1.200 answered from 10.0.0.1 fast'),
+        |      (CAST(-2 AS BIGINT), 'call 555-123-4567 or +1 555.987.6543 soon'),
+        |      (CAST(-1 AS BIGINT), 'sequence 12 34 567 stays and version 1.2.3 stays')
+        |    ) t(doc_id, text)))
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
