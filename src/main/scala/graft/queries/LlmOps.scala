@@ -1576,6 +1576,50 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // QUERY-SET similarity through the IVF index JOIN — the shape q_sim_topk
+    // cannot take: there the query side is a fixed 10-vector broadcast; here
+    // it is a TABLE-SCALE side (every label-0 vector, ~1% of any corpus at
+    // 100 TB) that flows through the cell equi-join like any fact table.
+    // Fixed first-8 quantizer so DuckDB mirrors assignment + probing exactly
+    // (same reason q_ann_ivf does); corpus = label != 0 assigned to its
+    // nearest cell, each query probes its 2 nearest cells, candidates come
+    // from probes JOIN assign ON cent_id — one hash shuffle on the cell id,
+    // never an all-pairs product, and never a collect of the query side.
+    // At 100 TB the assign side is the persisted cell-partitioned layout
+    // (IvfIndex.searchIndex) and the same join prunes cell directories at
+    // listing time — suite-pinned; this gated twin keeps the DuckDB-
+    // mirrorable in-query form. Full hash oracle, nprobe=2 genuinely
+    // approximate (not the nprobe=k degenerate case).
+    "q_sim_topk_queryset" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+      val corpus = e.filter(col("vec_id") >= 8 && col("label") =!= 0)
+        .select(col("vec_id").as("c_id"), col("v").as("ce"))
+      val wAssign = Window.partitionBy("c_id").orderBy(col("cc").desc, col("cent_id"))
+      val assign = corpus.crossJoin(broadcast(cent))
+        .select(col("c_id"), col("ce"), col("cent_id"),
+          round(cosExpr("ce", "centv"), 4).as("cc"))
+        .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+        .select("c_id", "ce", "cent_id")
+      val q = e.filter(col("vec_id") >= 8 && col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qe"))
+      val wProbe = Window.partitionBy("q_id").orderBy(col("qc").desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("qe"), col("cent_id"),
+          round(cosExpr("qe", "centv"), 4).as("qc"))
+        .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+        .select("q_id", "qe", "cent_id")
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+      probes.join(assign, "cent_id")
+        .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 5)
+        .select("q_id", "rn", "c_id", "cos_sim")
+        .orderBy("q_id", "rn")
+    }),
+
     // IVF-style ANN: coarse cells = vectors 0..7, queries 8..17 probe their
     // 2 nearest cells, search only vectors assigned to those cells.
     // Measured recall@3 vs brute force is ~40% on this data — the testdata
@@ -2449,6 +2493,31 @@ object LlmOps {
         |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_sim_topk_queryset" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8),
+         |rest AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 8 AND label <> 0),
+         |assign AS (
+         |  SELECT c_id, ce, cent_id FROM (
+         |    SELECT c_id, ce, cent_id,
+         |           row_number() OVER (PARTITION BY c_id
+         |             ORDER BY ROUND(${sqlCos("ce", "centv")}, 4) DESC, cent_id) AS rn
+         |    FROM rest, cent)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id >= 8 AND label = 0),
+         |probes AS (
+         |  SELECT q_id, qe, cent_id FROM (
+         |    SELECT q_id, qe, cent_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY ROUND(${sqlCos("qe", "centv")}, 4) DESC, cent_id) AS rn
+         |    FROM q, cent)
+         |  WHERE rn <= 2)
+         |SELECT q_id, rn, c_id, cos_sim FROM (
+         |  SELECT p.q_id, a.c_id, ROUND(${sqlCos("p.qe", "a.ce")}, 4) AS cos_sim,
+         |         row_number() OVER (PARTITION BY p.q_id
+         |           ORDER BY ROUND(${sqlCos("p.qe", "a.ce")}, 4) DESC, a.c_id) AS rn
+         |  FROM probes p JOIN assign a USING (cent_id))
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8),
