@@ -120,6 +120,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BloomAgg].getName, "graft_bloom"),
       (exprs: Seq[Expression]) =>
         graft.functions.BloomAgg.fromArgs(exprs).toAggregateExpression()))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_topk_per_key"),
+      new ExpressionInfo(classOf[TopKPerKey].getName, "graft_topk_per_key"),
+      SqlSurface.topKPerKeyBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof_backward"),
+      new ExpressionInfo(classOf[AsOfBackwardPlaceholder].getName, "graft_asof_backward"),
+      SqlSurface.asofBackwardBuilder _))
+    ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteRankLimit)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

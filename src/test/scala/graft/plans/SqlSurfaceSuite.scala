@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.{AsOfJoin, GroupLimits}
+import org.apache.spark.sql.functions._
+
+/** SQL table-valued access to the whole operators: the SQL round trip must
+  * equal the Scala API exactly, plan the same custom exec, and reject bad
+  * arguments with messages naming the SQL function. */
+class SqlSurfaceSuite extends SparkSpec {
+
+  private def orders = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  test("graft_topk_per_key: TABLE(...) form equals the Scala API, plans the heap exec") {
+    orders.createOrReplaceTempView("sql_orders")
+    val sql = spark.sql(
+      """SELECT * FROM graft_topk_per_key(
+        |  TABLE(SELECT * FROM sql_orders), 'o_custkey', 'o_totalprice DESC, o_orderkey', 3)
+        |""".stripMargin)
+    assert(sql.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      sql.queryExecution.executedPlan.toString)
+    val scala0 = GroupLimits.topKPerKey(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    assert(sql.orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq ===
+      scala0.orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("graft_topk_per_key: table-name string form and with_ties") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 10L, 30.0), (1L, 11L, 30.0), (1L, 12L, 50.0), (1L, 13L, 20.0),
+      (2L, 20L, 5.0)).toDF("k", "id", "v").createOrReplaceTempView("sql_ties")
+    val sql = spark.sql(
+      "SELECT * FROM graft_topk_per_key('sql_ties', 'k', 'v DESC', 2, true)")
+    // rank()<=2 keeps BOTH 30.0 ties in key 1
+    val got = sql.orderBy("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)))
+  }
+
+  test("graft_asof_backward: SQL round trip equals the Scala operator") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 90L, 7L, 1.0), (1L, 200L, 8L, 2.0), (2L, 160L, 9L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    left.createOrReplaceTempView("sql_asof_l")
+    right.createOrReplaceTempView("sql_asof_r")
+    val sql = spark.sql(
+      """SELECT * FROM graft_asof_backward(
+        |  TABLE(SELECT * FROM sql_asof_l), TABLE(SELECT * FROM sql_asof_r),
+        |  'user_id', 'ts', 'ts', 'event_id')""".stripMargin)
+    val api = AsOfJoin.asofBackward(left, right, "user_id", "ts", "ts", "event_id")
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    assert(sql.orderBy("user_id", "ts").collect().map(_.toSeq).toSeq ===
+      api.orderBy("user_id", "ts").collect().map(_.toSeq).toSeq)
+    // backward-inclusive semantics spot check: left (1, 200) sees right ts=200
+    val m = sql.filter(col("user_id") === 1 && col("ts") === 200).collect()(0)
+    assert(m.getAs[Long]("r_event_id") === 8L)
+    // left (2, 150) has no right row at or before 150 -> nulls
+    val none = sql.filter(col("user_id") === 2).collect()(0)
+    assert(none.isNullAt(none.fieldIndex("r_event_id")))
+  }
+
+  test("argument validation names the SQL function") {
+    orders.createOrReplaceTempView("sql_orders")
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_topk_per_key(TABLE(SELECT * FROM sql_orders), 'o_custkey', 'o_totalprice SIDEWAYS', 3)").collect())
+    assert(e1.getMessage.contains("graft_topk_per_key"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_backward('sql_orders', 'sql_orders', 'o_custkey', 'o_orderkey')").collect())
+    assert(e2.getMessage.contains("graft_asof_backward"), e2.getMessage)
+  }
+}
