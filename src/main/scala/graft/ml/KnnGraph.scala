@@ -1,0 +1,183 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-NN graph construction by NN-Descent (Dong, Moses,
+  * Li — "Efficient k-nearest neighbor graph construction for generic
+  * similarity measures", WWW 2011) — the graph-ANN rung above the IVF
+  * index: the k-NN graph is the substrate graph indexes (HNSW-class)
+  * search over, and a first-class training-data operator in its own
+  * right (semantic dedup thresholds, diversity sampling, label
+  * propagation all start from "every item's k nearest").
+  *
+  * Why NN-Descent and not HNSW here: HNSW's insert loop is inherently
+  * sequential (every insert greedy-searches the graph built so far) — on
+  * a cluster it serializes through the driver or shards into disconnected
+  * subgraphs. NN-Descent is the JOIN-SHAPED formulation of the same
+  * "neighbors of neighbors are likely neighbors" principle: every
+  * iteration is (a) one self-join of the bounded-degree graph to produce
+  * neighbor-of-neighbor candidate pairs, (b) one gather of the two
+  * vectors per candidate, (c) one top-k-per-node reduction — all
+  * hash-partitioned equi-joins plus this repo's own TopKPerKey heap
+  * operator, no driver state, no sequential insert order. Work per
+  * iteration is O(n·k²) candidates regardless of corpus size.
+  *
+  * Determinism: the LSH seeding uses the same integer-LCG hyperplanes as
+  * q_dedup_embed_lsh (exact in ieee754), every score is the codegen'd
+  * graft_dot on L2-normalized vectors, and all ranking ties break on the
+  * neighbor id — so the graph is identical across partitionings and
+  * clusters (suite-pinned).
+  *
+  * Scale: candidate generation never touches the n² pair space — LSH
+  * buckets are hot-capped (the boilerplate/degenerate-direction guard),
+  * per-iteration candidates are degree-bounded, and the only shuffles are
+  * on node id / bucket key. The output graph is n·k rows — linear state.
+  */
+object KnnGraph {
+
+  /** Same deterministic hyperplane family as q_dedup_embed_lsh: LCG-seeded
+    * 64-dim double arrays, exact in ieee754 across engines and runs. */
+  private def hyperplane(p: Int): String = "array(" + Array.tabulate(64) { j =>
+    val m = (1103515245L * (p * 64 + j) + 12345L) % 2147483648L
+    s"${m.toDouble / 2147483648.0 - 0.5}D"
+  }.mkString(",") + ")"
+
+  /** L2-normalize `embedding` into `v` keyed by vec_id. */
+  private def normalized(emb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+      .withColumn("v", expr("transform(e, x -> x / nrm)"))
+      .select("vec_id", "v")
+  }
+
+  /** Candidate pairs (a < b) from LSH bucket collisions: `bands` bands of
+    * `bits` sign bits each, hot buckets capped. The SEED graph's candidate
+    * source — recall comes from the descent iterations, not from here. */
+  private def lshSeedPairs(vecs: DataFrame, bands: Int, bits: Int,
+                           hotCap: Int): DataFrame = {
+    def bkey(b: Int): String = (0 until bits).map { r =>
+      s"(CASE WHEN graft_dot(v, ${hyperplane(bits * b + r)}) >= 0 THEN ${1L << r}L ELSE 0L END)"
+    }.mkString(" + ")
+    val buckets = graft.operators.ScaleJoins.dropHotKeys(
+      vecs.select(col("vec_id"),
+        posexplode(expr("array(" + (0 until bands).map(bkey).mkString(",") + ")"))
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), hotCap)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+      .distinct()
+  }
+
+  /** Score pairs with cosine (dot of unit vectors) and emit BOTH
+    * directions, deduped: (id, nbr, sim). The vector gather joins a
+    * candidate set that is many times larger than the vector table at
+    * harness scale — but `vecs` is a checkpointed RDD scan whose stats
+    * Catalyst reports as unknown-large, so auto-broadcast never fires and
+    * both gathers become candidate-set shuffles. `smallVecs` (decided
+    * once per build from the actual row count) hints the broadcast
+    * explicitly; at corpus sizes past the threshold the hint is withheld
+    * and the gathers fall back to the id-hash shuffle join, which is the
+    * correct 100 TB shape (candidates are linear in n, vectors shuffle
+    * once per side). */
+  private def scoreBoth(pairs: DataFrame, vecs: DataFrame,
+                        smallVecs: Boolean): DataFrame = {
+    def side(name: String, out: String) = {
+      val s = vecs.select(col("vec_id").as(name), col("v").as(out))
+      if (smallVecs) broadcast(s) else s
+    }
+    pairs
+      .join(side("a", "va"), "a")
+      .join(side("b", "vb"), "b")
+      .withColumn("sim", expr("graft_dot(va, vb)"))
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Keep each node's k best (sim desc, nbr asc) via the TopKPerKey heap
+    * operator — this repo's own group-limit, no per-node sort. Callers
+    * guarantee (id, nbr) uniqueness BY CONSTRUCTION (distinct pair sets,
+    * existing edges anti-joined out of each round's candidates): a
+    * duplicate edge would occupy two of the k slots, and a dedupe
+    * aggregation here would re-shuffle the full edge set every round —
+    * the suite's structure test would catch a violated guarantee. */
+  private def topK(edges: DataFrame, k: Int): DataFrame =
+    graft.operators.GroupLimits.topKPerKey(
+      edges, Seq("id"), Seq(col("sim").desc, col("nbr")), k)
+
+  /** The k-NN graph: (id, nbr, sim), exactly <= k rows per id, cosine
+    * similarity, deterministic. `iters` NN-Descent rounds over an LSH
+    * seed; recall against the brute-force graph rises with `iters`
+    * (suite-pinned floors).
+    *
+    * `searchK` is the INTERNAL neighborhood width (default 3k): the
+    * descent keeps searchK candidates per node and emits the top k at the
+    * end. Oversampling is the standard NN-Descent lever for
+    * weak-structure metrics — neighbor-of-neighbor signal compounds with
+    * the square of the retained degree, which is exactly what
+    * structureless (e.g. Gaussian-noise) regions of an embedding space
+    * need; on manifold-structured real corpora searchK = k already
+    * converges. */
+  def build(emb: DataFrame, k: Int, iters: Int,
+            seedBands: Int = 6, seedBits: Int = 5,
+            hotCap: Int = 256, searchK: Int = 0): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    val kk = if (searchK > 0) searchK else 3 * k
+    require(kk >= k, s"searchK must be >= k; got $searchK < $k")
+    val vecs = normalized(emb).localCheckpoint()
+    // one count on the checkpointed vectors decides the gather shape for
+    // the whole build: 64 dims x 8 bytes -> broadcast under ~64 MB
+    val smallVecs = vecs.count() * 64L * 8L < 64L * 1024 * 1024
+    val seeded = scoreBoth(lshSeedPairs(vecs, seedBands, seedBits, hotCap), vecs, smallVecs)
+    var g = topK(seeded.select(col("a").as("id"), col("b").as("nbr"), col("sim"))
+      .unionByName(seeded.select(col("b").as("id"), col("a").as("nbr"), col("sim"))), kk)
+    for (_ <- 1 to iters) {
+      // materialize the incoming graph ONCE per round: it feeds three
+      // consumers below (adjacency, known-pair anti join, edge union) and
+      // is itself the previous round's full pipeline — without this the
+      // seed/previous round recomputes per consumer and the loop's plan
+      // depth grows exponentially. n·searchK rows, KBs per thousand nodes.
+      g = g.localCheckpoint()
+      // undirected adjacency: a node's candidates are its neighbors' full
+      // neighborhoods in BOTH edge directions (the NN-Descent join)
+      val adj = g.select(col("id"), col("nbr"))
+        .unionByName(g.select(col("nbr").as("id"), col("id").as("nbr")))
+        .distinct()
+      val cand = adj.as("x").join(adj.as("y"), "id")
+        .filter(col("x.nbr") < col("y.nbr"))
+        .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+        .distinct()
+      // drop pairs already in the graph: no rescoring of known edges, and
+      // the union below stays (id, nbr)-unique without a dedupe shuffle
+      val known = g.select(least(col("id"), col("nbr")).as("a"),
+        greatest(col("id"), col("nbr")).as("b")).distinct()
+      val fresh = cand.join(known, Seq("a", "b"), "left_anti")
+      val scored = scoreBoth(fresh, vecs, smallVecs)
+      val edges = g.unionByName(
+        scored.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
+        .unionByName(
+          scored.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
+      // the round's own result stays un-checkpointed: the next round (or
+      // the final topK below) materializes it, and the returned frame's
+      // plan remains inspectable (callers reusing it repeatedly can
+      // checkpoint it themselves)
+      g = topK(edges, kk)
+    }
+    if (kk == k) g else topK(g, k)
+  }
+
+  /** Brute-force k-NN graph — the exact witness the suite measures
+    * [[build]]'s recall against. O(n²); testdata scales only. */
+  def bruteForce(emb: DataFrame, k: Int): DataFrame = {
+    val vecs = normalized(emb)
+    val pairs = vecs.select(col("vec_id").as("a"), col("v").as("va"))
+      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")),
+        col("a") < col("b"))
+      .withColumn("sim", expr("graft_dot(va, vb)"))
+      .select("a", "b", "sim")
+    topK(pairs.select(col("a").as("id"), col("b").as("nbr"), col("sim"))
+      .unionByName(pairs.select(col("b").as("id"), col("a").as("nbr"), col("sim"))), k)
+  }
+}
