@@ -113,7 +113,18 @@ object Bench {
       if (sentinelSamples.isEmpty) 0.0
       else sentinelSamples.map(s => math.abs(s - spinBase) / spinBase * 100).max
     val sent = sentinelSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct}}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct}}"""
+    println(json)
+    // Also persist the COMPLETE artifact to the repo: the driver records
+    // only a truncated stdout tail (~57 of 150+ per-query timings survived
+    // in BENCH_r06.json), so the committed file is the full per-query
+    // record the ≤2x-of-baseline bar is judged against. Overwritten per
+    // run; committed per round alongside the BASELINE.md row.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -3,6 +3,8 @@ package graft.ml
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.operators.GroupLimits
+
 /** Distributed k-NN graph construction by NN-Descent (Dong, Moses,
   * Li — "Efficient k-nearest neighbor graph construction for generic
   * similarity measures", WWW 2011) — the graph-ANN rung above the IVF
@@ -107,6 +109,25 @@ object KnnGraph {
     graft.operators.GroupLimits.topKPerKey(
       edges, Seq("id"), Seq(col("sim").desc, col("nbr")), k)
 
+  /** Eagerly localCheckpoint `df`, then unpersist the blocks a superseded
+    * round pinned (ADVICE r6): round i's checkpoint blocks are released as
+    * soon as round i+1's materialize, so repeated [[build]]/[[search]]
+    * calls in a long-lived JVM cannot accumulate the block-manager backlog
+    * docs/long-lived-spark-jvm-hygiene.md documents. Returns the
+    * checkpointed frame plus the persistent-RDD ids it pinned (the next
+    * round's `prev`). The FINAL round's blocks — and the `vecs`/`q`
+    * checkpoints the returned plan still reads — stay pinned until the
+    * caller sweeps (Bench's per-query sweep, or `SparkContext`'s cleaner). */
+  private def checkpointReplacing(df: DataFrame, prev: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint() // eager: materialized before prev is dropped
+    val pinned = sc.getPersistentRDDs.keySet.diff(before).toSet
+    val live = sc.getPersistentRDDs
+    prev.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    (out, pinned)
+  }
+
   /** The k-NN graph: (id, nbr, sim), exactly <= k rows per id, cosine
     * similarity, deterministic. `iters` NN-Descent rounds over an LSH
     * seed; recall against the brute-force graph rises with `iters`
@@ -133,13 +154,16 @@ object KnnGraph {
     val seeded = scoreBoth(lshSeedPairs(vecs, seedBands, seedBits, hotCap), vecs, smallVecs)
     var g = topK(seeded.select(col("a").as("id"), col("b").as("nbr"), col("sim"))
       .unionByName(seeded.select(col("b").as("id"), col("a").as("nbr"), col("sim"))), kk)
+    var pinned = Set.empty[Int]
     for (_ <- 1 to iters) {
       // materialize the incoming graph ONCE per round: it feeds three
       // consumers below (adjacency, known-pair anti join, edge union) and
       // is itself the previous round's full pipeline — without this the
       // seed/previous round recomputes per consumer and the loop's plan
       // depth grows exponentially. n·searchK rows, KBs per thousand nodes.
-      g = g.localCheckpoint()
+      // The superseded round's checkpoint blocks are dropped eagerly.
+      val (cg, p) = checkpointReplacing(g, pinned)
+      g = cg; pinned = p
       // undirected adjacency: a node's candidates are its neighbors' full
       // neighborhoods in BOTH edge directions (the NN-Descent join)
       val adj = g.select(col("id"), col("nbr"))
@@ -166,6 +190,117 @@ object KnnGraph {
       g = topK(edges, kk)
     }
     if (kk == k) g else topK(g, k)
+  }
+
+  /** Graph-ANN SEARCH: top-k corpus neighbors for each (possibly
+    * out-of-corpus) query vector by iterative BEAM descent over a prebuilt
+    * [[build]] graph — the serving half that turns the k-NN graph from a
+    * dataset into an index (the role greedy search plays in HNSW-class
+    * structures, formulated join-shaped like the rest of this module).
+    *
+    * Shape per round — every step an equi-join or this repo's TopKPerKey
+    * heap, nothing touches the n·m pair space:
+    *   1. expand: current beam (q_id, id) ⋈ undirected adjacency on id →
+    *      candidate (q_id, nbr) pairs, bounded by |beam|·degree per query;
+    *   2. dedup + anti-join the visited set (each candidate is scored at
+    *      most once per query — eviction from the beam cannot cause
+    *      rescoring loops);
+    *   3. gather + score: candidates ⋈ corpus vectors on id (broadcast
+    *      under the measured 64 MB bound, else id-hash shuffle) ⋈ query
+    *      vectors on q_id, sim = graft_dot of unit vectors;
+    *   4. reduce: beam = top `beam` of (old beam ∪ fresh) per q_id via
+    *      TopKPerKey, ties to the lower id.
+    *
+    * Entry points are the `entries` highest-undirected-degree graph nodes
+    * (hubs reach the most of the graph in one hop — the role HNSW's upper
+    * layers give their entry point), ties to the lower id; they reach the
+    * driver as an O(entries) collect and reach each query map-side via
+    * explode — no cross join anywhere in the plan (suite-pinned).
+    *
+    * The query side is TABLE-SCALE: queries flow through the expand/score
+    * joins hash-partitioned on q_id like any fact table — no collect, no
+    * per-query driver loop. Work per round is O(|Q|·beam·degree) scored
+    * candidates; state is the beam (|Q|·beam rows) plus the visited set
+    * (grows by the candidates actually scored — linear per round).
+    *
+    * Deterministic: LCG-free (entry choice, scoring, and every tie-break
+    * are order-fixed), so results are identical across partitionings
+    * (suite-pinned). Recall vs the brute witness rises with `beam` and
+    * `rounds` (suite-pinned floors); `beam` defaults to 3k — the same
+    * oversampling lever [[build]]'s searchK uses, for the same
+    * weak-structure reason. */
+  def search(graph: DataFrame, emb: DataFrame, queries: DataFrame,
+             k: Int, beam: Int = 0, rounds: Int = 2,
+             entries: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 0 && entries >= 1,
+      s"need k >= 1, rounds >= 0, entries >= 1; got k=$k rounds=$rounds entries=$entries")
+    val b = if (beam > 0) beam else 3 * k
+    require(b >= k, s"beam must be >= k; got $beam < $k")
+    val sc = graph.sparkSession.sparkContext
+    val vecs = normalized(emb).localCheckpoint()
+    val smallVecs = vecs.count() * 64L * 8L < 64L * 1024 * 1024
+    val q = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")).localCheckpoint()
+    val smallQ = q.count() * 64L * 8L < 64L * 1024 * 1024
+    // undirected adjacency, materialized once: every round's expand joins it
+    val adj = graph.select(col("id"), col("nbr"))
+      .unionByName(graph.select(col("nbr").as("id"), col("id").as("nbr")))
+      .distinct().localCheckpoint()
+    val entryIds: Array[Long] = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id")).limit(entries)
+      .collect().map(_.getLong(0))
+    def score(cand: DataFrame): DataFrame = {
+      val corpusSide = {
+        val s = vecs.select(col("vec_id").as("id"), col("v"))
+        if (smallVecs) broadcast(s) else s
+      }
+      cand.join(corpusSide, "id")
+        .join(if (smallQ) broadcast(q) else q, "q_id")
+        .withColumn("sim", expr("graft_dot(qv, v)"))
+        .select(col("q_id"), col("id"), col("sim"))
+    }
+    def topB(df: DataFrame, n: Int): DataFrame =
+      GroupLimits.topKPerKey(df, Seq("q_id"), Seq(col("sim").desc, col("id")), n)
+    val entry = q.select(col("q_id"))
+      .withColumn("id", explode(typedlit(entryIds.toSeq)))
+    var bm = topB(score(entry), b)
+    var visited = entry
+    var pinned = Set.empty[Int]
+    for (_ <- 1 to rounds) {
+      // checkpoint BOTH round states before dropping either superseded
+      // checkpoint: the visited plan references the previous beam's blocks
+      // (through the candidate anti-join), so a one-at-a-time
+      // replace-and-drop would unpersist blocks the other frame still reads
+      val before = sc.getPersistentRDDs.keySet
+      bm = bm.localCheckpoint()
+      visited = visited.localCheckpoint()
+      val fresh = sc.getPersistentRDDs.keySet.diff(before).toSet
+      val live = sc.getPersistentRDDs
+      pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      pinned = fresh
+      val cand = bm.select(col("q_id"), col("id")).join(adj, "id")
+        .select(col("q_id"), col("nbr").as("id")).distinct()
+        .join(visited, Seq("q_id", "id"), "left_anti")
+      bm = topB(bm.unionByName(score(cand)), b)
+      visited = visited.unionByName(cand)
+    }
+    // the returned plan reads only this final checkpoint (made here so the
+    // final topK doesn't re-run the last round per action) plus vecs/q;
+    // the last round's beam/visited blocks are dead state — release them
+    val (fin, _) = checkpointReplacing(bm, pinned)
+    topB(fin, k).select(col("q_id"), col("id").as("nbr"), col("sim"))
+  }
+
+  /** Brute-force search witness: exact top-k corpus neighbors per query,
+    * O(n·m); testdata scales only. Same output shape/tie rule as
+    * [[search]]. */
+  def bruteForceSearch(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(normalized(emb).select(col("vec_id").as("nbr"), col("v")))
+      .withColumn("sim", expr("graft_dot(qv, v)"))
+      .select(col("q_id"), col("nbr"), col("sim"))
+    GroupLimits.topKPerKey(pairs, Seq("q_id"), Seq(col("sim").desc, col("nbr")), k)
   }
 
   /** Brute-force k-NN graph — the exact witness the suite measures

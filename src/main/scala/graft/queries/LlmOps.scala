@@ -1588,10 +1588,34 @@ object LlmOps {
     // path vs the brute-force witness (0.36 seed -> 0.88+ at 2 descents).
     "q_knn_graph" -> ((s, d) => {
       val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr"))
-      graft.ml.KnnGraph.build(Tables(s, d, "embeddings"), k = 5, iters = 1)
+      graft.ml.KnnGraph.build(Tables(s, d, "embeddings"), k = 5, iters = 2)
         .withColumn("rn", row_number().over(w).cast("long"))
         .select(col("id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
         .orderBy("id", "rn")
+    }),
+
+    // Graph-ANN SEARCH (ml.KnnGraph.search): beam descent over the k-NN
+    // graph — the serving half that makes the graph an INDEX (the greedy-
+    // search role in HNSW-class structures), join-shaped: expand the beam
+    // through the adjacency equi-join, score via graft_dot, reduce via the
+    // TopKPerKey heap, visited-set anti-join so nothing is rescored. The
+    // graph is built WITHOUT the query vectors (vec_id < 50 held out), so
+    // every answered neighbor was reached through graph traversal alone.
+    // Iterative (checkpointed rounds) -> not SQL-expressible -> rows-only;
+    // KnnGraphSuite pins the recall-vs-rounds/beam path against the brute
+    // witness (0.04 seed -> 0.62 at beam=15, 0.88 at beam=40 on
+    // unclustered Gaussians), determinism across partitionings, and the
+    // no-cartesian plan shape.
+    "q_knn_graph_search" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 50)
+      val qs = emb.filter(col("vec_id") < 50)
+      val g = graft.ml.KnnGraph.build(corpus, k = 5, iters = 1)
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr"))
+      graft.ml.KnnGraph.search(g, corpus, qs, k = 5, beam = 40, rounds = 3)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("q_id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rn")
     }),
 
     // QUERY-SET similarity through the IVF index JOIN — the shape q_sim_topk

@@ -48,7 +48,9 @@ class KnnGraphSuite extends SparkSpec {
     assert(r(0) < r(2), s"descent did nothing: recall path $r")
     assert(r(1) >= r(0) - 0.02 && r(2) >= r(1) - 0.02 && r(3) >= r(2) - 0.02,
       s"recall path not ~monotone: $r")
-    assert(r(2) >= 0.8, s"recall@5 after 2 iters = ${r(2)} (path $r)")
+    // iters=2 is the GATED q_knn_graph configuration (VERDICT r6 item 4:
+    // the gate must run the operator in its quality regime) — pin >= 0.85
+    assert(r(2) >= 0.85, s"recall@5 after 2 iters (the gated config) = ${r(2)} (path $r)")
     assert(r(3) >= 0.88, s"recall@5 after 3 iters = ${r(3)} (path $r)")
   }
 
@@ -60,6 +62,58 @@ class KnnGraphSuite extends SparkSpec {
     val base = run(emb)
     assert(run(emb.repartition(1)) === base)
     assert(run(emb.repartition(13, col("vec_id"))) === base)
+  }
+
+  // ---- search (beam descent over the built graph) ----
+
+  // out-of-corpus split: the graph is built WITHOUT the query vectors, so
+  // search must reach each query's true neighbors through the graph alone
+  private def corpus = emb.filter(col("vec_id") >= 50)
+  private def queries = emb.filter(col("vec_id") < 50)
+
+  test("search: recall@5 vs brute force rises with descent rounds and beam width") {
+    val g = KnnGraph.build(corpus, k = 5, iters = 2)
+    val exact = asMap(KnnGraph.bruteForceSearch(corpus, queries, k = 5))
+    val byRounds = (0 to 3).map { r =>
+      recallVs(asMap(KnnGraph.search(g, corpus, queries, k = 5, rounds = r)), exact)
+    }
+    assert(byRounds(0) < byRounds(2), s"descent did nothing: recall path $byRounds")
+    assert((1 to 3).forall(i => byRounds(i) >= byRounds(i - 1) - 0.02),
+      s"recall path not ~monotone: $byRounds")
+    val wideBeam = recallVs(
+      asMap(KnnGraph.search(g, corpus, queries, k = 5, beam = 40, rounds = 3)), exact)
+    assert(wideBeam >= byRounds(3) - 0.02,
+      s"widening the beam lost recall: beam=15 -> ${byRounds(3)}, beam=40 -> $wideBeam")
+    // floors carry margin under the measured path (beam=15: 0.04 -> 0.24
+    // -> 0.49 -> 0.62 by rounds; beam=40 rounds=3: 0.88) — unclustered
+    // Gaussians have the worst navigability a greedy descent can face, and
+    // the BEAM is the lever that buys recall back (0.62 -> 0.88 here);
+    // manifold-structured real corpora descend far faster
+    info(s"recall by rounds (beam=15): $byRounds; beam=40 rounds=3: $wideBeam")
+    assert(byRounds(2) >= 0.38, s"recall@5 after 2 rounds = ${byRounds(2)} (path $byRounds)")
+    assert(byRounds(3) >= 0.5, s"recall@5 after 3 rounds = ${byRounds(3)} (path $byRounds)")
+    assert(wideBeam >= 0.78, s"recall@5 at beam=40 rounds=3 = $wideBeam")
+  }
+
+  test("search: deterministic across partitionings") {
+    val g = KnnGraph.build(corpus, k = 5, iters = 1)
+    def run(c: DataFrame, q: DataFrame) =
+      KnnGraph.search(g, c, q, k = 5, rounds = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val base = run(corpus, queries)
+    assert(run(corpus.repartition(1), queries.repartition(1)) === base)
+    assert(run(corpus.repartition(13, col("vec_id")),
+      queries.repartition(7, col("vec_id"))) === base)
+  }
+
+  test("search: plan is equi-joins + the heap operator, no cartesian shapes") {
+    val g = KnnGraph.build(corpus, k = 5, iters = 1)
+    val res = KnnGraph.search(g, corpus, queries, k = 5, rounds = 1)
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"n·m join shape in the search plan:\n$p")
   }
 
   test("plan: descent iteration is equi-joins + the heap operator, no cartesian shapes") {
