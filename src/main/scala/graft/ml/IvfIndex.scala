@@ -184,10 +184,21 @@ object IvfIndex {
     * "retrain the quantizer" signal a daily pipeline alarms on. */
   def staleness(spark: SparkSession, path: String): (Long, Long, Double, Double, Double) = {
     val model = loadModel(spark, s"$path/model")
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val metaRows = spark.read.parquet(s"$path/meta").collect()
+    require(metaRows.length == 1,
+      s"corrupt index meta at $path/meta: expected exactly 1 row, found ${metaRows.length}")
+    val meta = metaRows(0)
     val (buildN, buildMean) = (meta.getLong(0), meta.getDouble(1))
     val (nowN, nowMean) = assignmentTightness(spark, s"$path/cells", model)
-    (buildN, nowN, buildMean, nowMean, nowMean / buildMean)
+    // a degenerate build (empty corpus, or every vector exactly on its
+    // centroid) has buildMean 0: 0/0 would report NaN (which fails EVERY
+    // threshold comparison) — report the no-drift ratio 1.0 when the index
+    // is still equally tight, and let any real post-append spread alarm as
+    // +Infinity (deliberate: any finite threshold fires)
+    val ratio =
+      if (buildMean == 0.0) { if (nowMean == 0.0) 1.0 else Double.PositiveInfinity }
+      else nowMean / buildMean
+    (buildN, nowN, buildMean, nowMean, ratio)
   }
 
   /** (count, mean squared L2 distance to assigned centroid) over a cells

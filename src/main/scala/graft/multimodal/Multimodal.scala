@@ -326,6 +326,83 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Render a deterministic 4x4-BLOCK pattern image as real PNG: the image
+    * divides into 16 blocks, each a flat gray level hashed from (seed,
+    * block) — LOW-frequency structure, so the 8x8 mean-luminance grid sees
+    * well-separated cell values and the aHash bits are stable (the
+    * sawtooth `pngBytes` pattern averages to mid-gray everywhere, which is
+    * exactly the degenerate input for a mean-threshold hash). `delta`
+    * brightens the single block (1, 2) (clamped): a NEAR-duplicate — only
+    * the <= 4 grid cells overlapping that block (plus a delta/16 global
+    * mean shift) can flip, so crafted variants land at small hamming while
+    * distinct seeds redraw all 16 blocks independently (~32 expected). */
+  private[multimodal] def pngBlockBytes(w: Int, h: Int, seed: Int,
+                                        delta: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bx = x * 4 / w; val by = y * 4 / h
+        // splitmix64-style finalizer per (seed, block): a LINEAR block hash
+        // would make two seeds differ by a near-constant gray shift across
+        // all 16 blocks — which aHash (correctly) ignores as brightness —
+        // so distinct groups must get genuinely independent block values
+        var z = seed * 0x9E3779B97F4A7C15L + (bx * 4 + by + 1) * 0xBF58476D1CE4E5B9L
+        z ^= z >>> 30; z *= 0x94D049BB133111EBL; z ^= z >>> 31
+        val base = ((z >>> 16) % 256L).toInt
+        val g0 = if (bx == 1 && by == 2) base + delta else base
+        val g = math.max(0, math.min(255, g0))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic image-dedup corpus, generated ON EXECUTORS (the at-scale
+    * shape: payloads are born distributed and never collect to the driver):
+    * `groups` pattern groups x 3 rows each — the base rendering, a
+    * byte-identical re-encode (exact duplicate), and a one-block
+    * brightness perturbation (near-duplicate). Distinct groups render
+    * independent block patterns. Schema matches [[MediaSchema]]'s columns
+    * [[extractFeatures]] consumes. */
+  def syntheticImages(spark: SparkSession, groups: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(groups * 3L).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id / 3).toInt
+        val v = (id % 3).toInt
+        val (w, h) = (16 + g % 9, 12 + g % 7)
+        (id, pngBlockBytes(w, h, 1000 + g * 17, if (v == 2) 14 else 0))
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(null).cast("int").as("duration_ms"),
+          lit("png").as("format")).as("meta"))
+  }
+
+  /** 64-bit average-hash (aHash) fingerprint over an [[extractFeatures]]
+    * frame: bit i is set iff 8x8-grid cell i is brighter than the image's
+    * OWN mean — globally brightness-invariant, locally structure-
+    * sensitive, the classic perceptual near-dup fingerprint. Computed with
+    * codegen'd HOFs only (bitwise OR accumulation — no UDF, no overflow
+    * even at bit 63), so it feeds the same banded-LSH + hamming machinery
+    * the text simhash families use. */
+  def aHash(features: DataFrame): DataFrame =
+    features
+      .withColumn("mu",
+        expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) / 64.0"))
+      .withColumn("phash",
+        expr("aggregate(sequence(0, 63), 0L, (a, i) -> " +
+          "a | IF(CAST(element_at(features, i + 1) AS DOUBLE) > mu, shiftleft(1L, i), 0L))"))
+      .drop("mu")
+
   /** Deterministic synthetic media table (tests only; the harness testdata
     * has no media table). Image payloads are REAL PNGs, audio payloads are
     * REAL 16-bit PCM WAVs, video payloads are REAL Y4M streams — except

@@ -22,11 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SqlSurface {
 
-  /** A table argument: TABLE(...) subquery or a 'name' string literal. */
+  /** A table argument: TABLE(...) subquery or a 'name' string literal. The
+    * string form goes through the real SQL identifier parser (ADVICE r6:
+    * a naive '.'-split mis-resolved quoted names like `` `my.view` `` as
+    * two-part identifiers), so backticks and dotted parts behave exactly
+    * as they would in a FROM clause. */
   private def tableArg(fn: String, pos: String, e: Expression): LogicalPlan = e match {
     case f: FunctionTableSubqueryArgumentExpression => f.plan
     case Literal(s: UTF8String, StringType) =>
-      UnresolvedRelation(s.toString.split('.').toSeq)
+      UnresolvedRelation(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseMultipartIdentifier(s.toString))
     case other => throw new IllegalArgumentException(
       s"$fn: $pos argument must be TABLE(...) or a table-name string, got $other")
   }

@@ -425,7 +425,20 @@ object LlmOps {
     }
 
   /** Unpersist every cached graph's checkpoint blocks, then drop the memo.
-    * Caller must hold the pairGraphCache monitor. */
+    * Caller must hold the pairGraphCache monitor.
+    *
+    * Failure-mode note (ADVICE r6): eager eviction SHARPENS what happens
+    * to a caller that kept a reference to the old shared graph across a
+    * corpus/session switch — a localCheckpoint'd plan cannot be recomputed,
+    * so reading the stale frame now fails fast with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of silently resurrecting
+    * under the GC-deferred cleaner. That trade is intentional: the shared
+    * graph's contract is "valid until the next corpus switch / sweep", the
+    * harness (Bench/Verify) is single-threaded and re-requests the graph
+    * per query, and a loud immediate error beats the block backlog the
+    * deferred path accumulates (see docs/long-lived-spark-jvm-hygiene.md).
+    * Library callers who need the frame across switches must copy it
+    * (e.g. write to parquet) before switching. */
   private def dropShared(): Unit = {
     pairGraphCache.forEach { (key, value) =>
       val sc = key._1.sparkContext
@@ -1592,6 +1605,30 @@ object LlmOps {
         .withColumn("rn", row_number().over(w).cast("long"))
         .select(col("id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
         .orderBy("id", "rn")
+    }),
+
+    // PERCEPTUAL-HASH IMAGE DEDUP — the image half of "dedup at 100 TB"
+    // every training-data pipeline runs: real PNG decode (javax.imageio,
+    // batch-at-a-time mapPartitions) -> 8x8 mean-luminance grid -> 64-bit
+    // aHash (each cell thresholded against the image's own mean, bitwise-OR
+    // HOF accumulation, no UDF) -> the SAME banded-LSH + hamming-verify
+    // machinery as q_dedup_simhash64, at 8 bands x 8 bits so hamming <= 7
+    // is lossless by pigeonhole. The harness testdata has no media table,
+    // so the corpus is deterministic synthetic PNGs generated ON EXECUTORS
+    // (q_text_scrub_fixture's fixture discipline, distributed): 60 pattern
+    // groups x {base, byte-identical re-encode, one-block brightness
+    // perturbation} — exact dups land at hamming 0, crafted near-dups at
+    // <= 7, distinct patterns stay unpaired. Binary payloads cannot reach
+    // DuckDB -> rows-only; MultimodalSuite pins the fixture separation,
+    // aHash brightness invariance, and the no-all-pairs plan shape.
+    "q_dedup_image" -> ((s, _) => {
+      val imgs = graft.multimodal.Multimodal.syntheticImages(s, 60)
+      val ah = graft.multimodal.Multimodal
+        .aHash(graft.multimodal.Multimodal.extractFeatures(imgs))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      bandedSimhashPairs(ah, numBands = 8, bandBits = 8, maxHamming = 7)
+        .select(col("d1").as("m1"), col("d2").as("m2"), col("hamming"))
+        .orderBy("m1", "m2")
     }),
 
     // Graph-ANN SEARCH (ml.KnnGraph.search): beam descent over the k-NN

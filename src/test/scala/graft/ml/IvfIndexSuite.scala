@@ -158,6 +158,86 @@ class IvfIndexSuite extends SparkSpec {
     assert(ratio > 0.5 && ratio < 2.0, s"ratio $ratio")
   }
 
+  /** Clustered synthetic vectors for the drift drill: cluster centers are
+    * deterministic LCG unit-ish directions; each point is its cluster
+    * center plus small LCG noise. The harness embeddings are UNCLUSTERED
+    * Gaussians whose build-time tightness is already near the random
+    * ceiling (measured mean sq dist 0.92 of a ~1.1 max) — no append can
+    * meaningfully raise that mean, so a drill needs a corpus where
+    * tightness is real. `idBase` separates batches; `centerSeed` moves the
+    * cluster centers (the drift). */
+  private def clustered(n: Int, idBase: Long, centerSeed: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    val dims = 64
+    val centers = Array.tabulate(8, dims) { (j, d) =>
+      var z = lcg(centerSeed * 1000L + j * 64L + d)
+      z = lcg(z)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    (0 until n).map { i =>
+      val j = i % 8
+      val noise = Array.tabulate(dims) { d =>
+        var z = lcg(idBase + i * 64L + d + 7)
+        z = lcg(z)
+        0.06 * ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+      }
+      val v = Array.tabulate(dims)(d => (centers(j)(d) + noise(d)).toFloat)
+      (idBase + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("drift drill: a shifted-distribution append fires the staleness alarm, in-distribution appends do not") {
+    val a = clustered(1600, idBase = 0, centerSeed = 1)
+    // weekly shape, week 1: an append drawn from the SAME distribution
+    val inDist = clustered(400, idBase = 10000, centerSeed = 1)
+    val dirIn = java.nio.file.Files.createTempDirectory("graft-ivf-drift-in").toString
+    IvfIndex.buildIndex(a, k = 8, iters = 3, dirIn)
+    IvfIndex.appendToIndex(spark, dirIn, inDist)
+    val (_, _, _, _, inDistRatio) = IvfIndex.staleness(spark, dirIn)
+    // week N: the upstream distribution moved — same generator, DIFFERENT
+    // cluster centers; the frozen quantizer assigns the new mass to cells
+    // whose centroids are nowhere near it
+    val drifted = clustered(400, idBase = 20000, centerSeed = 99)
+    val dirDrift = java.nio.file.Files.createTempDirectory("graft-ivf-drift-out").toString
+    IvfIndex.buildIndex(a, k = 8, iters = 3, dirDrift)
+    IvfIndex.appendToIndex(spark, dirDrift, drifted)
+    val (_, _, meanBuild, meanDrift, driftRatio) = IvfIndex.staleness(spark, dirDrift)
+    info(s"in-distribution ratio: $inDistRatio; drifted ratio: $driftRatio " +
+      s"(build mean $meanBuild -> drifted mean $meanDrift)")
+    assert(inDistRatio > 0.8 && inDistRatio < 1.2,
+      s"in-distribution append must NOT alarm: ratio $inDistRatio")
+    assert(driftRatio > 2.0, s"drifted append must alarm: ratio $driftRatio")
+    assert(driftRatio > 2 * inDistRatio,
+      s"alarm separation too weak: drift $driftRatio vs in-dist $inDistRatio")
+
+    // recall at the drifted state: queries FROM the drifted distribution
+    // against the stale quantizer at nprobe=2 — the degradation the alarm
+    // exists to catch before users do (numbers recorded in BASELINE.md)
+    val driftedQueries = clustered(40, idBase = 30000, centerSeed = 99)
+    val inQueries = clustered(40, idBase = 40000, centerSeed = 1)
+    def recallAt(path: String, qs: org.apache.spark.sql.DataFrame,
+                 stored: org.apache.spark.sql.DataFrame): Double = {
+      val brute = KnnGraph.bruteForceSearch(stored, qs, k = 5)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+      val got = IvfIndex.searchIndex(spark, path, qs, topK = 5, nprobe = 2)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      brute.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty).count(ids).toDouble / ids.size }.sum / brute.size
+    }
+    val recallInQ = recallAt(dirIn, inQueries, a.unionByName(inDist))
+    val recallDriftedQ = recallAt(dirDrift, driftedQueries, a.unionByName(drifted))
+    info(s"recall@5 nprobe=2 — in-distribution queries: $recallInQ; " +
+      s"drifted queries on the stale index: $recallDriftedQ")
+    // in-distribution stays near-exact on clustered data; the drifted
+    // regime visibly degrades — the alarm and the degradation co-occur
+    assert(recallInQ >= 0.9, s"in-distribution recall collapsed: $recallInQ")
+    assert(recallDriftedQ <= recallInQ,
+      s"drifted recall $recallDriftedQ should not beat in-distribution $recallInQ")
+  }
+
   test("nprobe = 2 of 8 keeps useful recall while scanning ~1/4 of cells") {
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
     val approx = IvfIndex.search(spark, corpus, queries, model, topK = 5, nprobe = 2)

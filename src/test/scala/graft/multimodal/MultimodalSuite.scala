@@ -259,4 +259,47 @@ class MultimodalSuite extends SparkSpec {
     assert(corrupt.nonEmpty)
     assert(corrupt.forall(_.isNullAt(3)), "undecodable video must yield null luma, not drop rows")
   }
+
+  // ---- perceptual-hash image dedup (aHash + banded LSH) ----
+
+  test("aHash golden: mean-threshold bits, sign-bit safe, brightness-invariant") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => i / 64.0f)           // mean 31.5/64
+    val bright = base.map(_ + 0.3f)                         // constant shift
+    val df = Seq((0L, base.toSeq), (1L, bright.toSeq)).toDF("media_id", "features")
+    val out = Multimodal.aHash(df).orderBy("media_id")
+      .collect().map(_.getAs[Long]("phash"))
+    // cells 32..63 exceed the image mean -> the TOP 32 bits exactly,
+    // including bit 63 (the Long sign bit — OR accumulation, no overflow)
+    assert(out(0) === 0xFFFFFFFF00000000L, f"phash = ${out(0)}%016x")
+    // aHash thresholds against the image's OWN mean: a global brightness
+    // shift moves every cell and the mean together -> identical hash
+    assert(out(1) === out(0), "aHash must be brightness-invariant")
+  }
+
+  test("image dedup fixture: exact dups at hamming 0, near-dups paired, distinct groups separate") {
+    val rows = graft.queries.LlmOps.queries("q_dedup_image")(spark, "unused").collect()
+    val pairs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val groups = 60
+    (0 until groups).foreach { g =>
+      val (a, b, c) = (3L * g, 3L * g + 1, 3L * g + 2)
+      // byte-identical re-encode: same features, same hash
+      assert(pairs.get((a, b)).contains(0L), s"group $g exact dup not at hamming 0")
+      // one-block perturbation: within the lossless hamming<=7 band
+      assert(pairs.contains((a, c)), s"group $g near-dup (base, perturbed) not paired")
+      assert(pairs.contains((b, c)), s"group $g near-dup (re-encode, perturbed) not paired")
+    }
+    // cross-group pairs: distinct block patterns sit ~32 bits apart; the
+    // deterministic fixture yields only a small accidental-collision tail
+    val crossGroup = pairs.keys.count { case (a, b) => a / 3 != b / 3 }
+    assert(crossGroup <= groups / 4,
+      s"$crossGroup cross-group pairs — distinct patterns are not separating")
+  }
+
+  test("image dedup plan: banded equi-join, no all-pairs shapes") {
+    val p = graft.queries.LlmOps.queries("q_dedup_image")(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in the image-dedup plan:\n$p")
+  }
 }

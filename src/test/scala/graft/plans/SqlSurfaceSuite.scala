@@ -63,6 +63,19 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("r_event_id")))
   }
 
+  test("table-name strings go through the SQL identifier parser (backticked dotted names)") {
+    import spark.implicits._
+    // a view whose NAME contains a dot: a naive '.'-split would resolve it
+    // as schema `my` table `view` and fail; backticks must keep it 1-part
+    Seq((1L, 10L, 2.0), (1L, 11L, 1.0), (2L, 20L, 5.0))
+      .toDF("k", "id", "v").createOrReplaceTempView("sql_dotted_base")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW `my.view` AS SELECT * FROM sql_dotted_base")
+    val rows = spark.sql(
+      "SELECT * FROM graft_topk_per_key('`my.view`', 'k', 'v DESC', 1)")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("argument validation names the SQL function") {
     orders.createOrReplaceTempView("sql_orders")
     val e1 = intercept[Exception](spark.sql(
