@@ -128,7 +128,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_asof_backward"),
       new ExpressionInfo(classOf[AsOfBackwardPlaceholder].getName, "graft_asof_backward"),
       SqlSurface.asofBackwardBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_dedup_against"),
+      new ExpressionInfo(classOf[DedupAgainstPlaceholder].getName, "graft_dedup_against"),
+      SqlSurface.dedupAgainstBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivf_search"),
+      new ExpressionInfo(classOf[IvfSearchPlaceholder].getName, "graft_ivf_search"),
+      SqlSurface.ivfSearchBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
+    ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteRankLimit)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

@@ -105,6 +105,31 @@ object SqlSurface {
       strLit(fn, "key", exprs(2)), strLit(fn, "left_ts", exprs(3)),
       strLit(fn, "right_ts", exprs(4)), strLit(fn, "right_tiebreak", exprs(5)))
   }
+
+  /** graft_dedup_against('path', TABLE(new_docs)) — near-dup pairs of the
+    * new batch against the persisted DedupIndex at `path` (plus pairs
+    * within the batch), VERDICT r6 item 5: SQL-only consumers reach the
+    * index-backed operators. Placeholder + resolution rule for the same
+    * reason as the as-of: the Scala operator builds its plan from a
+    * resolved child, so SQL and Scala stay ONE code path. */
+  def dedupAgainstBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_dedup_against"
+    require(exprs.size == 2,
+      s"$fn(path, new_docs) takes 2 args (index path string, TABLE(...) of doc_id/text), got ${exprs.size}")
+    DedupAgainstPlaceholder(strLit(fn, "path", exprs.head),
+      tableArg(fn, "second", exprs(1)))
+  }
+
+  /** graft_ivf_search('path', TABLE(queries), k, nprobe) — ANN top-k per
+    * query vector against the persisted IVF index at `path`. */
+  def ivfSearchBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_search"
+    require(exprs.size == 4,
+      s"$fn(path, queries, k, nprobe) takes 4 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe), got ${exprs.size}")
+    IvfSearchPlaceholder(strLit(fn, "path", exprs.head),
+      tableArg(fn, "second", exprs(1)),
+      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
+  }
 }
 
 /** Unresolved marker for the SQL as-of join. AsOfJoin.asofBackward needs
@@ -124,6 +149,29 @@ case class AsOfBackwardPlaceholder(
     copy(left = newLeft, right = newRight)
 }
 
+/** Unresolved marker for the SQL dedup-against-index call; expanded by
+  * [[ResolveGraftIndexFunctions]]. Same never-survives-analysis contract
+  * as [[AsOfBackwardPlaceholder]]. */
+case class DedupAgainstPlaceholder(path: String, child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("DedupAgainstPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): DedupAgainstPlaceholder =
+    copy(child = newChild)
+}
+
+/** Unresolved marker for the SQL IVF search; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class IvfSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("IvfSearchPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): IvfSearchPlaceholder =
+    copy(child = newChild)
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -134,6 +182,26 @@ case class ResolveAsOfBackward(session: SparkSession) extends Rule[LogicalPlan] 
       graft.operators.AsOfJoin.asofBackward(
         bridge.ofRows(session, p.left), bridge.ofRows(session, p.right),
         p.key, p.leftTs, p.rightTs, p.rightTieBreak)
+        .queryExecution.analyzed
+  }
+}
+
+/** Expands the index-backed placeholders by calling the Scala operators on
+  * the resolved child — same one-code-path contract as the as-of. The
+  * operators read the persisted index at analysis time (dedupAgainst also
+  * checkpoints the batch's shingle pass); each placeholder is replaced on
+  * first expansion, so the work runs once per query, not once per rule
+  * pass. */
+case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case p: DedupAgainstPlaceholder if p.childrenResolved =>
+      graft.operators.DedupIndex.dedupAgainst(p.path,
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
+        .queryExecution.analyzed
+    case p: IvfSearchPlaceholder if p.childrenResolved =>
+      graft.ml.IvfIndex.searchIndex(session, p.path,
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          topK = p.k, nprobe = p.nprobe)
         .queryExecution.analyzed
   }
 }
