@@ -84,5 +84,46 @@ class SqlSurfaceSuite extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT * FROM graft_asof_backward('sql_orders', 'sql_orders', 'o_custkey', 'o_orderkey')").collect())
     assert(e2.getMessage.contains("graft_asof_backward"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dedup_against('somewhere')").collect())
+    assert(e3.getMessage.contains("graft_dedup_against"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_ivf_search('somewhere', 'sql_orders', 5)").collect())
+    assert(e4.getMessage.contains("graft_ivf_search"), e4.getMessage)
+  }
+
+  test("graft_dedup_against: SQL round trip equals the Scala index operator") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpusA = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchB = docs.filter(col("doc_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-sql-dedup-idx").toString
+    graft.operators.DedupIndex.build(corpusA, path)
+    batchB.createOrReplaceTempView("sql_dedup_batch")
+    val sql = spark.sql(
+      s"SELECT * FROM graft_dedup_against('$path', TABLE(SELECT * FROM sql_dedup_batch))")
+    val api = graft.operators.DedupIndex.dedupAgainst(path, batchB)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = api.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must actually contain cross-batch near-dups")
+  }
+
+  test("graft_ivf_search: SQL round trip equals the Scala index operator") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-ivf-idx").toString
+    graft.ml.IvfIndex.buildIndex(corpus, k = 8, iters = 3, dir)
+    queries.createOrReplaceTempView("sql_ivf_q")
+    val sql = spark.sql(
+      s"SELECT * FROM graft_ivf_search('$dir', TABLE(SELECT * FROM sql_ivf_q), 5, 2)")
+    val api = graft.ml.IvfIndex.searchIndex(spark, dir, queries, topK = 5, nprobe = 2)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val want = api.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
   }
 }
