@@ -19,11 +19,21 @@ import org.apache.spark.sql.functions._
   * and the vocab twins exist solely for DuckDB hash parity.)
   *
   * Layout under `path/`:
-  *   bands/    (doc_id, band, bkey)  — LSH band keys, the join surface
-  *   shingles/ (doc_id, sid)         — 64-bit shingle hashes, exact verify
-  *   sizes/    (doc_id, n)           — distinct-shingle counts for Jaccard
-  *   meta/     one-row JSON of the parameters (read back on every use, so
-  *             a probe with mismatched banding is impossible)
+  *   bands/batch=V/    (doc_id, band, bkey) — LSH band keys, the join surface
+  *   shingles/batch=V/ (doc_id, sid)        — 64-bit shingle hashes, exact verify
+  *   sizes/batch=V/    (doc_id, n)          — distinct-shingle counts for Jaccard
+  *   meta/             one-row JSON of the parameters (read back on every
+  *                     use, so a probe with mismatched banding is impossible)
+  * Each append is a new `batch=V` partition directory: V's rows are visible
+  * only once all three subtables carry its `_SUCCESS` marker, so a version
+  * is COMMITTED atomically-enough for the single-writer pipelines this
+  * index serves (a crashed append leaves partial dirs that
+  * [[cleanupUncommitted]] removes, and a retried [[appendVersion]]
+  * overwrites its own version dirs — the exactly-once recipe
+  * [[graft.streaming.StreamingDedup]] builds on). Readers prune on the
+  * partition column for free; logically the index is the UNION of the
+  * committed versions, which is correct because per-doc sketches are
+  * corpus-independent (below).
   *
   * Scale: dedupAgainst joins |new batch| bands against the stored band
   * table — hash-partitioned equi joins only, hot buckets capped by the
@@ -61,20 +71,63 @@ object DedupIndex {
         expr(graft.queries.LlmOps.bandKeyExpr(p.numBands, p.rowsPerBand)))
         .as(Seq("band", "bkey")))
 
-  private def writeTables(ds: DataFrame, p: Params, path: String, mode: String): Unit = {
-    bandsOf(ds, p).write.mode(mode).parquet(s"$path/bands")
-    ds.write.mode(mode).parquet(s"$path/shingles")
-    ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .write.mode(mode).parquet(s"$path/sizes")
+  private val SubTables = Seq("bands", "shingles", "sizes")
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Build (overwrite) the index from a (doc_id, text) frame. */
+  /** One version's rows for all three subtables, overwrite-idempotent:
+    * re-running the same version replaces its own partition dirs only. */
+  private def writeTables(ds: DataFrame, p: Params, path: String, version: Long): Unit = {
+    bandsOf(ds, p).write.mode("overwrite").parquet(s"$path/bands/batch=$version")
+    ds.write.mode("overwrite").parquet(s"$path/shingles/batch=$version")
+    ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes/batch=$version")
+  }
+
+  /** Version numbers present under the index (committed or not). */
+  private def allVersions(spark: SparkSession, path: String): Seq[Long] =
+    SubTables.flatMap { t =>
+      val (fs, p) = hadoopFs(spark, s"$path/$t")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    }.distinct
+
+  /** A version is committed iff all three subtables finished writing it
+    * (Spark's `_SUCCESS` marker — the job-level commit point). */
+  def isCommitted(spark: SparkSession, path: String, version: Long): Boolean =
+    SubTables.forall { t =>
+      val (fs, _) = hadoopFs(spark, path)
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/$t/batch=$version/_SUCCESS"))
+    }
+
+  /** Remove version dirs a crashed append left half-written: any version
+    * missing `_SUCCESS` in ANY subtable is deleted from ALL of them, so
+    * subsequent reads see only committed versions. Single-writer only —
+    * running this concurrently with a live append would eat its output. */
+  def cleanupUncommitted(spark: SparkSession, path: String): Unit =
+    allVersions(spark, path).filterNot(isCommitted(spark, path, _)).foreach { v =>
+      SubTables.foreach { t =>
+        val (fs, p) = hadoopFs(spark, s"$path/$t/batch=$v")
+        fs.delete(p, true)
+      }
+    }
+
+  /** Build (overwrite) the index from a (doc_id, text) frame as version 0. */
   def build(docs: DataFrame, path: String, p: Params = Params()): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a rebuild must not leave a previous build's higher versions behind
+    val (fs, root) = hadoopFs(spark, path)
+    fs.delete(root, true)
     // one shingle pass feeds bands, shingles and sizes
     val ds = shingleIds(docs).localCheckpoint()
-    writeTables(ds, p, path, "overwrite")
+    writeTables(ds, p, path, 0L)
     Seq((p.numPerms, p.numBands, p.rowsPerBand, p.modulus, p.threshold, p.maxBucket))
       .toDF("num_perms", "num_bands", "rows_per_band", "modulus", "threshold", "max_bucket")
       .repartition(1).write.mode("overwrite").json(s"$path/meta")
@@ -94,11 +147,25 @@ object DedupIndex {
 
   /** Grow the index with a new batch: per-doc sketches are corpus-
     * independent, so appending the new docs' rows IS the full rebuild
-    * (pinned by suite). Caller guarantees doc_ids are new. */
-  def append(docs: DataFrame, path: String): Unit = {
+    * (pinned by suite). Caller guarantees doc_ids are new. Writes the
+    * next free version — NOT retry-safe (a retried call appends twice);
+    * at-least-once callers use [[appendVersion]] with their own id. */
+  def append(docs: DataFrame, path: String): Unit =
+    appendVersion(docs, path,
+      allVersions(docs.sparkSession, path).maxOption.getOrElse(0L) + 1)
+
+  /** Idempotent append: the caller names the version (>= 1), and a retry
+    * of the same version overwrites its own partition dirs — the building
+    * block for exactly-once sinks on at-least-once delivery. */
+  def appendVersion(docs: DataFrame, path: String, version: Long): Unit = {
+    require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
     val p = params(docs.sparkSession, path)
-    writeTables(shingleIds(docs).localCheckpoint(), p, path, "append")
+    writeTables(shingleIds(docs).localCheckpoint(), p, path, version)
   }
+
+  /** doc_ids the index has accepted so far (one row per indexed doc). */
+  def indexedIds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sizes").select("doc_id")
 
   /** Near-dup pairs (d1, d2, jaccard) of `newDocs` against the index AND
     * within the new batch — exactly the batch-over-everything result
@@ -109,7 +176,8 @@ object DedupIndex {
     val p = params(spark, path)
     val newDs = shingleIds(newDocs).localCheckpoint()
     val newBands = bandsOf(newDs, p)
-    val allBands = spark.read.parquet(s"$path/bands").unionByName(newBands)
+    val allBands = spark.read.parquet(s"$path/bands")
+      .select("doc_id", "band", "bkey").unionByName(newBands)
     // the hot-bucket cap must see the UNION's bucket sizes (a bucket can
     // cross the capacity only once the new batch lands in it) — this is
     // what keeps incremental == batch, suite-pinned
@@ -123,9 +191,11 @@ object DedupIndex {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
-    val allDs = spark.read.parquet(s"$path/shingles").unionByName(newDs)
-    val sizes = spark.read.parquet(s"$path/sizes").unionByName(
-      newDs.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    val allDs = spark.read.parquet(s"$path/shingles")
+      .select("doc_id", "sid").unionByName(newDs)
+    val sizes = spark.read.parquet(s"$path/sizes")
+      .select("doc_id", "n").unionByName(
+        newDs.groupBy("doc_id").agg(count(lit(1)).as("n")))
     val inter = cand
       .join(allDs.select(col("doc_id").as("d1"), col("sid")), "d1")
       .join(allDs.select(col("doc_id").as("d2"), col("sid")), Seq("d2", "sid"))

@@ -1032,6 +1032,37 @@ object LlmOps {
       graft.operators.DedupIndex.dedupAgainst(path, docs.filter(col("doc_id") % 5 === 0))
     }),
 
+    // STREAMING dedup gate, replayed deterministically (the EXACT code
+    // path of streaming.StreamingDedup.dedupSink, same discipline as
+    // q_cdc_snapshot): seed the persisted index with 80% of the corpus,
+    // then the remaining docs arrive as two micro-batches (doc_id % 10 ==
+    // 0, then % 10 == 5); each batch is deduped against EVERYTHING
+    // accepted so far via one band equi-join on the index, in-batch
+    // near-dup clusters keep their min doc_id (ConnectedComponents), and
+    // survivors are appended to the index so batch 1 dedups against batch
+    // 0's survivors. Returns the accepted stream (batch, doc_id).
+    // Greedy+iterative (transitive in-batch closure, arrival order picks
+    // cluster canonicals) -> not SQL-expressible -> rows-only;
+    // StreamingDedupSuite pins the order-free invariants (accepted set is
+    // an independent set of the near-dup graph, every rejection has a
+    // witnessed pair), exactly-once retry convergence after a torn
+    // append, and a real MemoryStream end-to-end run of this same gate.
+    "q_dedup_stream_gate" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val idx = graft.operators.Scratch.dir(
+        "graft-sdedup-index", s.sparkContext.applicationId, d)
+      val out = graft.operators.Scratch.dir(
+        "graft-sdedup-out", s.sparkContext.applicationId, d)
+      graft.operators.DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), idx)
+      Seq(0L, 1L).foreach { b =>
+        graft.streaming.StreamingDedup.applyBatch(
+          docs.filter(col("doc_id") % 10 === b * 5), idx, out, b)
+      }
+      graft.streaming.StreamingDedup.acceptedDocs(s, out)
+        .select(col("batch").cast("long").as("batch"), col("doc_id"))
+        .orderBy("batch", "doc_id")
+    }),
+
     // Per-source keyword extraction: top-3 whitespace terms by TF-IDF
     // (source-level tf × ln(#sources/df)). The rank window is partitioned
     // by source — the standard top-k-per-group shape that scales with the

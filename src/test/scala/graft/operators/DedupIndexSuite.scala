@@ -42,9 +42,13 @@ class DedupIndexSuite extends SparkSpec {
     DedupIndex.append(batchB, grown)
     val full = tmp("graft-dedup-full")
     DedupIndex.build(docs, full)
+    // compare CONTENT columns: the physical batch=V partition differs by
+    // construction (grown has versions 0+1, full only 0)
     def bands(p: String) = spark.read.parquet(s"$p/bands")
+      .select("doc_id", "band", "bkey")
       .orderBy("doc_id", "band").collect().map(_.toSeq).toSeq
     def sizes(p: String) = spark.read.parquet(s"$p/sizes")
+      .select("doc_id", "n")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(bands(grown) === bands(full))
     assert(sizes(grown) === sizes(full))

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.DedupIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dedup gate: deterministic greedy semantics on a crafted
+  * corpus, order-free invariants on the real documents table driven
+  * through an actual MemoryStream sink, and the exactly-once contract
+  * (a retried/torn batch converges to the clean result; a committed
+  * batch is a no-op). */
+class StreamingDedupSuite extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  // fully disjoint vocabularies -> jaccard 0 across letters; identical
+  // text -> jaccard 1.0 at any banding (5-gram word shingles)
+  private val X = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val W = "red orange yellow green blue indigo violet crimson amber teal navy plum"
+  private val Y = "one two three four five six seven eight nine ten eleven twelve"
+  private val Z = "north south east west upward downward leftward rightward forward backward inward outward"
+  private val V = "oak pine elm birch maple cedar spruce willow aspen fir hazel rowan"
+
+  private def frame(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("greedy gate: reject-vs-index, in-batch cluster canonicalization, cross-batch memory") {
+    val idx = tmp("sdedup-idx")
+    val out = tmp("sdedup-out")
+    DedupIndex.build(frame(100L -> X, 101L -> W), idx)
+
+    // batch 0: 200 dups the indexed X; 201/202 dup each other (keep min=201);
+    // 203 is unique
+    StreamingDedup.applyBatch(
+      frame(200L -> X, 201L -> Y, 202L -> Y, 203L -> Z), idx, out, batchId = 0L)
+    // batch 1: 300 dups Y, which batch 0 ACCEPTED as 201 -> reject; 301 unique
+    StreamingDedup.applyBatch(
+      frame(300L -> Y, 301L -> V), idx, out, batchId = 1L)
+
+    val accepted = StreamingDedup.acceptedDocs(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(201L, 203L, 301L))
+    val indexed = DedupIndex.indexedIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(100L, 101L, 201L, 203L, 301L))
+    // the observed pair feed names every rejection's evidence
+    val pairs = StreamingDedup.observedPairs(spark, out)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 200L)) && pairs.contains((201L, 202L)))
+    assert(pairs.exists { case (a, b) => a == 300L || b == 300L })
+  }
+
+  test("retry converges: a torn index append is swept and re-run equals the clean result") {
+    val idx = tmp("sdedup-retry-idx")
+    val out = tmp("sdedup-retry-out")
+    DedupIndex.build(frame(100L -> X, 101L -> W), idx)
+    val batch = frame(200L -> X, 201L -> Y, 202L -> Y, 203L -> Z)
+
+    StreamingDedup.applyBatch(batch, idx, out, batchId = 0L)
+    def indexSnapshot() = DedupIndex.indexedIds(spark, idx)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val clean = indexSnapshot()
+
+    // tear the committed append: drop one subtable's _SUCCESS -> version 1
+    // is no longer committed, exactly what a crash mid-append leaves
+    val torn = new java.io.File(s"$idx/sizes/batch=1/_SUCCESS")
+    assert(torn.exists() && torn.delete())
+    assert(!DedupIndex.isCommitted(spark, idx, 1L))
+
+    // at-least-once delivery retries the SAME batch id: sweep + re-run
+    StreamingDedup.applyBatch(batch, idx, out, batchId = 0L)
+    assert(DedupIndex.isCommitted(spark, idx, 1L))
+    assert(indexSnapshot() === clean)
+    // a third delivery of the committed batch is a pure no-op
+    StreamingDedup.applyBatch(batch, idx, out, batchId = 0L)
+    assert(indexSnapshot() === clean)
+    assert(StreamingDedup.acceptedDocs(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(201L, 203L))
+  }
+
+  test("MemoryStream end-to-end on documents: order-free invariants hold") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = tmp("sdedup-e2e-idx")
+    val out = tmp("sdedup-e2e-out")
+    DedupIndex.build(seed, idx)
+
+    val streamed = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = streamed.partition(_._1 % 10 == 0)
+    assert(b1.nonEmpty && b2.nonEmpty)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.dedupSink(
+      input.toDF().toDF("doc_id", "text"), idx, out,
+      checkpointDir = Some(tmp("sdedup-e2e-ckpt")))
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val acceptedDf = StreamingDedup.acceptedDocs(spark, out)
+    val accepted = acceptedDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejected = streamed.map(_._1).toSet -- accepted
+    assert(accepted.nonEmpty && rejected.nonEmpty,
+      "fixture must exercise both outcomes")
+
+    // invariant 1 (order-free): NO near-dup pair survives among
+    // seed ∪ accepted — dedup the accepted set against a fresh seed-only
+    // index and demand zero pairs
+    val fresh = tmp("sdedup-e2e-fresh")
+    DedupIndex.build(seed, fresh)
+    val residual = DedupIndex.dedupAgainst(
+      fresh, acceptedDf.select("doc_id", "text"))
+    assert(residual.count() === 0L,
+      "accepted set must be an independent set of the near-dup graph")
+
+    // invariant 2: every rejected doc has observed near-dup evidence
+    val witnessed = StreamingDedup.observedPairs(spark, out)
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected.subsetOf(witnessed),
+      s"rejected docs without a witnessed pair: ${rejected -- witnessed}")
+
+    // invariant 3: the index grew by exactly the accepted docs
+    val indexed = DedupIndex.indexedIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    val seedIds = seed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === seedIds ++ accepted)
+  }
+}
