@@ -57,6 +57,42 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("queryset similarity: the cell join prunes the |Q|*n kernel at every size") {
+    // the claim is the RATIO (~nprobe/ncells; measured ~0.12), not the
+    // exponent — both join sides scale with the corpus, so joinRows grows
+    // ~n^2 BY DESIGN while staying a constant factor under the brute
+    // broadcast kernel every query would otherwise pay
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val x = m("q_sim_topk_queryset", sf)
+      val e = graft.Tables(spark, s"/root/testdata/$sf", "embeddings")
+      val qCnt = e.filter("vec_id >= 8 and label = 0").count()
+      val cCnt = e.filter("vec_id >= 8 and label <> 0").count()
+      assert(x.joinRowsMax <= 0.5 * qCnt * cCnt,
+        s"$sf: cell join ${x.joinRowsMax} vs brute kernel ${qCnt * cCnt}")
+    }
+  }
+
+  test("knn graph build + search: descent joins stay bounded-degree, far under brute growth") {
+    // every NN-Descent / beam round is an equi-join of degree-bounded
+    // adjacency (~n*(2k)^2 per round incl. reverse edges + oversampling);
+    // measured exponents 1.45/1.49 vs the witness's 2.0 — pinned with
+    // headroom, plus an absolute per-round candidate cap at the top size
+    for (q <- Seq("q_knn_graph", "q_knn_graph_search")) {
+      // the descent joins run inside localCheckpoint jobs, so the
+      // all-executions tally is the one that sees them
+      val e = exponent(q, _.pairingJoinRows)
+      assert(e <= 1.7, s"$q descent-join growth exponent $e (brute line is 2.0)")
+    }
+    val big = m("q_knn_graph", "sf0.1")
+    // k=5: n*(2k)^2*rounds ~ 4.4e5; measured 5.6e5 with oversampling;
+    // cap at 20*n*k^2 = 1e6 — half the brute n(n-1)/2 line and an order
+    // under the all-pairs join a regression would produce
+    assert(big.pairingJoinRows <= 20L * big.n * 5 * 5,
+      s"knn build join ${big.pairingJoinRows} vs bounded-degree cap ${20L * big.n * 25}")
+    assert(big.pairingJoinRows < 0.5 * big.brutePairs,
+      s"knn build join ${big.pairingJoinRows} vs brute ${big.brutePairs}")
+  }
+
   test("embed LSH: bucketing prunes the all-pairs line at every measured size") {
     // weak-threshold regime (cos >= 0.4, the docstring's acknowledged
     // recall/selectivity trade) — still must beat brute force, and the

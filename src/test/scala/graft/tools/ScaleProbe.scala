@@ -4,8 +4,9 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Empirical scale-growth probe: run the REAL gated dedup queries at
   * sf0.001 / sf0.01 / sf0.1 and measure how their pairing work grows with
@@ -48,16 +49,60 @@ object ScaleProbe {
     * frequency, the thing HotCap bounds in the banded twins). */
   val WitnessFamilies: Seq[String] = Seq("q_dedup_embed", "q_dedup_near")
 
+  /** Similarity / ANN families (round-7 ADVICE: give the ANN scale claims
+    * the same fitted-exponent treatment as dedup). Their pairing stages
+    * live in DIFFERENT places than the dedup family's:
+    *   - q_sim_topk_queryset: the probes ⋈ assign cell equi-join — work is
+    *     |Q|·n·(nprobe/ncells), a CONSTANT-FACTOR prune of the brute |Q|·n
+    *     kernel (both sides scale with the corpus, so the exponent is ~2
+    *     by design; the claim under test is the ratio, suite-pinned).
+    *   - q_knn_graph / q_knn_graph_search: every descent/beam round is a
+    *     bounded-degree equi-join executed INSIDE a localCheckpoint job,
+    *     so the per-execution listener (not the final plan, whose lineage
+    *     the checkpoint truncated) is what sees them — O(n·k²) build work
+    *     per round, O(|Q|·beam·k) per search round. */
+  val SimilarityFamilies: Seq[String] =
+    Seq("q_sim_topk_queryset", "q_knn_graph", "q_knn_graph_search")
+
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
-    if (query.contains("embed")) "embeddings" else "documents"
+    if (query.contains("embed") || query.startsWith("q_sim_") ||
+        query.contains("knn") || query.startsWith("q_ann_")) "embeddings"
+    else "documents"
 
   final case class Measure(query: String, sf: String, n: Long, outRows: Long,
-      joinRowsMax: Long, cmpRowsMax: Long, shuffleReadB: Long, shuffleWriteB: Long,
-      sec: Double) {
+      joinRowsMax: Long, joinRowsAllExec: Long, cmpRowsMax: Long,
+      shuffleReadB: Long, shuffleWriteB: Long, sec: Double) {
     /** All-pairs comparison count a brute-force engine would pay on the
       * same corpus — the denominator of the pruning ratio. */
     def brutePairs: Long = n * (n - 1) / 2
+    /** The metric that IS the family's pairing stage: the checkpointed
+      * iterative families (KnnGraph build/search) run their joins inside
+      * localCheckpoint jobs, so only the all-executions tally sees them;
+      * every other family's pairing join is in the final plan — and for
+      * those the all-exec tally would CONFLATE feature-computation joins
+      * (e.g. the shared simhash tokenize pass, a broadcast join over
+      * token rows) with pairing work, so the final plan is the honest
+      * number. */
+    def pairingJoinRows: Long =
+      if (query.startsWith("q_knn_graph")) joinRowsAllExec else joinRowsMax
+  }
+
+  /** Per-execution join tallies: a query whose heavy joins run inside
+    * localCheckpoint materialization jobs (the iterative KnnGraph rounds)
+    * truncates its lineage, so the FINAL plan no longer contains them —
+    * this listener sees every execution in the measurement window and
+    * keeps the max. Fires async on the listener bus (same drain wait as
+    * the shuffle tally). */
+  private final class JoinTally extends QueryExecutionListener {
+    val joinMax = new AtomicLong
+    val cmpMax = new AtomicLong
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val p = qe.executedPlan
+      joinMax.getAndUpdate(m => math.max(m, maxJoinRows(p)))
+      cmpMax.getAndUpdate(m => math.max(m, maxComparedRows(p)))
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }
 
   private final class ShuffleTally extends SparkListener {
@@ -119,22 +164,28 @@ object ScaleProbe {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val n = graft.Tables(spark, sfDir, tableFor(query)).count()
     val tally = new ShuffleTally
+    val joins = new JoinTally
     spark.sparkContext.addSparkListener(tally)
+    spark.listenerManager.register(joins)
     try {
       val t0 = System.nanoTime()
-      // listener registered BEFORE construction: query bodies that
+      // listeners registered BEFORE construction: query bodies that
       // localCheckpoint run jobs during fn() itself
       val df = graft.SparkEntry.queries(query)(spark, sfDir)
       // execute the query's OWN plan (df.count() would plan a different
       // aggregate and leave these metrics blank)
       val outRows = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the listener bus drain stage-completed events
+      Thread.sleep(1000) // let the listener bus drain stage/execution events
       Measure(query, sfDir.split('/').last, n, outRows,
         maxJoinRows(df.queryExecution.executedPlan),
-        maxComparedRows(df.queryExecution.executedPlan),
+        math.max(maxJoinRows(df.queryExecution.executedPlan), joins.joinMax.get()),
+        math.max(maxComparedRows(df.queryExecution.executedPlan), joins.cmpMax.get()),
         tally.read.get(), tally.write.get(), sec)
-    } finally spark.sparkContext.removeSparkListener(tally)
+    } finally {
+      spark.sparkContext.removeSparkListener(tally)
+      spark.listenerManager.unregister(joins)
+    }
   }
 
   /** Least-squares slope of ln(y) on ln(x) — the fitted growth exponent. */
@@ -158,12 +209,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val families = BandedFamilies ++ WitnessFamilies
+    val families = BandedFamilies ++ WitnessFamilies ++ SimilarityFamilies
     val measures = for (q <- families; sf <- sfs) yield {
       val m = measure(spark, sf, q)
       println(f"${m.query}%-28s ${m.sf}%-8s n=${m.n}%7d out=${m.outRows}%9d " +
-        f"joinMax=${m.joinRowsMax}%10d cmpMax=${m.cmpRowsMax}%10d " +
-        f"shufR=${m.shuffleReadB}%12d sec=${m.sec}%6.2f")
+        f"pairing=${m.pairingJoinRows}%10d allExec=${m.joinRowsAllExec}%10d " +
+        f"cmpMax=${m.cmpRowsMax}%10d shufR=${m.shuffleReadB}%12d sec=${m.sec}%6.2f")
       m
     }
 
@@ -171,7 +222,7 @@ object ScaleProbe {
     val exponents = families.map { q =>
       val ms = byQuery(q).sortBy(_.n)
       q -> Map(
-        "joinRows" -> slope(ms.map(m => (m.n, m.joinRowsMax))),
+        "joinRows" -> slope(ms.map(m => (m.n, m.pairingJoinRows))),
         "shuffleRead" -> slope(ms.map(m => (m.n, m.shuffleReadB))),
         "outRows" -> slope(ms.map(m => (m.n, m.outRows))))
     }
@@ -183,9 +234,10 @@ object ScaleProbe {
     val json = new StringBuilder("{\n  \"measures\": [\n")
     json ++= measures.map(m =>
       s"""    {"query":"${m.query}","sf":"${m.sf}","n":${m.n},"outRows":${m.outRows},""" +
-      s""""joinRowsMax":${m.joinRowsMax},"cmpRowsMax":${m.cmpRowsMax},""" +
+      s""""joinRowsMax":${m.joinRowsMax},"joinRowsAllExec":${m.joinRowsAllExec},""" +
+      s""""cmpRowsMax":${m.cmpRowsMax},""" +
       s""""brutePairs":${m.brutePairs},""" +
-      s""""pruningPct":${f"${100.0 * m.joinRowsMax / math.max(1L, m.brutePairs)}%.2f"},""" +
+      s""""pruningPct":${f"${100.0 * m.pairingJoinRows / math.max(1L, m.brutePairs)}%.2f"},""" +
       s""""shuffleReadB":${m.shuffleReadB},""" +
       s""""shuffleWriteB":${m.shuffleWriteB},"sec":${f"${m.sec}%.3f"}}""").mkString(",\n")
     json ++= "\n  ],\n  \"growthExponents\": {\n"
@@ -195,12 +247,22 @@ object ScaleProbe {
     }.mkString(",\n")
     json ++= "\n  },\n  \"note\": \"exponents are least-squares slopes of ln(metric) vs " +
       "ln(corpus rows) across sf0.001/0.01/0.1 (documents corpora at sf0.001 and sf0.01 " +
-      "are both 500 docs, so the fit has two distinct sizes). joinRowsMax = heaviest " +
-      "pairing-stage rows; cmpRowsMax = true comparison count of the heaviest non-equi " +
-      "join (brute witness only); pruningPct = joinRowsMax as a percent of all n(n-1)/2 " +
-      "pairs. Banded families' pairing work must track the answer size (outRows + n), " +
-      "never the brute n^2 line; q_dedup_embed is the all-pairs witness whose cmpRowsMax " +
-      "grows at exactly n^2.\"\n}\n"
+      "are both 500 docs, embeddings 500/500/2000, so each fit has two distinct sizes). " +
+      "joinRowsMax = heaviest join output in the FINAL plan (the pairing stage for " +
+      "every non-checkpointing family); joinRowsAllExec = heaviest join across ALL " +
+      "executions in the window (a QueryExecutionListener — the only way to see joins " +
+      "inside localCheckpoint jobs, i.e. the iterative KnnGraph rounds, but it also " +
+      "counts feature-computation joins like the shared simhash tokenize pass, so the " +
+      "exponents use it only for the q_knn_graph twins); cmpRowsMax = true comparison " +
+      "count of the heaviest non-equi join; pruningPct = pairing rows as a percent of " +
+      "all n(n-1)/2 pairs. Banded dedup families' pairing " +
+      "work must track the answer size (outRows + n), never the brute n^2 line; " +
+      "q_dedup_embed is the all-pairs witness whose cmpRowsMax grows at exactly n^2. " +
+      "Similarity family: q_sim_topk_queryset's cell join is a constant-factor " +
+      "nprobe/ncells prune of the brute |Q|*n kernel (ratio suite-pinned, exponent ~2 " +
+      "because BOTH sides scale); q_knn_graph's descent rounds are O(n*k^2)-bounded " +
+      "equi-joins (near-linear exponent); q_knn_graph_search adds fixed-|Q| beam rounds " +
+      "on top of one build round, so its growth is the build's.\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
