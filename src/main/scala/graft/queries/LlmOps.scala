@@ -1556,6 +1556,93 @@ object LlmOps {
         round(col("embedding").getItem(2).cast("double") / col("nrm"), 4).as("c2"))
       .orderBy("vec_id")),
 
+    // Johnson-Lindenstrauss random projection 64 -> 8 dims — the cheap
+    // dimensionality reduction a 100 TB embedding store runs before
+    // coarse ANN (shorter vectors = 8x cheaper dots and smaller indexes;
+    // JL says pairwise distances survive within (1 +/- eps) for k ~
+    // ln(n)/eps^2). The "random" +/-1 matrix is a deterministic LCG over
+    // (i, j) — identical integer arithmetic in both engines, so the
+    // oracle verifies VALUES, not just shapes (same trick as the vocab
+    // hash twins; a seeded-RNG matrix couldn't cross the engine
+    // boundary). One scan, per-row HOFs only, no shuffle: the projection
+    // stays inside whole-stage codegen.
+    "q_vec_project" -> ((s, d) => Tables(s, d, "embeddings")
+      .withColumn("v", expr("CAST(embedding AS array<double>)"))
+      .withColumn("p", expr(
+        """transform(sequence(0, 7), j -> aggregate(sequence(0, size(v) - 1), 0.0D,
+          |  (acc, i) -> acc + element_at(v, i + 1) *
+          |    CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0
+          |         THEN 1.0D ELSE -1.0D END))""".stripMargin))
+      .select(col("vec_id"),
+        round(expr("element_at(p, 1)"), 4).as("p0"),
+        round(expr("element_at(p, 2)"), 4).as("p1"),
+        round(expr("element_at(p, 3)"), 4).as("p2"),
+        round(expr("element_at(p, 4)"), 4).as("p3"),
+        round(expr("sqrt(aggregate(p, 0.0D, (a, x) -> a + x * x) / 8)"), 4)
+          .as("pnorm"))
+      .orderBy("vec_id")),
+
+    // Per-label centroid + cohesion — class prototypes (k-NN/IVF seeding,
+    // nearest-class-mean classification) and the tightness signal that
+    // flags label noise: mean cosine of each member to its own centroid.
+    // Shape at scale: one posexplode to (label, dim) partial aggregates
+    // (map-side combine does the heavy lifting — 64 dims x #labels rows
+    // out of any partition), centroids are KBs -> broadcast back for the
+    // member-to-centroid dot, then one per-vector aggregate. No join
+    // shuffles anything but the exploded scan once.
+    "q_vec_centroid" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("CAST(embedding AS array<double>)").as("v"))
+      val dims = e.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      val cent = dims.groupBy("label", "i").agg(avg("x").as("cx"))
+      val member = dims.join(broadcast(cent), Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("cx")).as("dot"),
+          sqrt(sum(col("x") * col("x"))).as("nv"),
+          sqrt(sum(col("cx") * col("cx"))).as("nc"))
+      val tight = member.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          avg(col("dot") / (col("nv") * col("nc"))).as("tightness"))
+      val c3 = cent.filter(col("i") < 3).groupBy("label")
+        .agg(max(when(col("i") === 0, col("cx"))).as("c0"),
+          max(when(col("i") === 1, col("cx"))).as("c1"),
+          max(when(col("i") === 2, col("cx"))).as("c2"))
+      tight.join(c3, "label")
+        .select(col("label"), col("n"), round(col("c0"), 4).as("c0"),
+          round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
+          round(col("tightness"), 4).as("tightness"))
+        .orderBy("label")
+    }),
+
+    // Temperature-based source mixing (alpha = 0.5) — THE standard
+    // pre-training mix step: sampling weight per source proportional to
+    // n_s^alpha, so small sources are upweighted relative to their raw
+    // share and no single giant source dominates the mix. Per-source
+    // keep-rate = min(1, target * (n_s^alpha / sum_t n_t^alpha) / n_s),
+    // i.e. expected kept rows ~ `target` split by tempered share. Row
+    // selection is a deterministic arithmetic hash of doc_id (Knuth
+    // multiplicative mod a prime), NOT rand(): reproducible across runs,
+    // partitionings, and engines — the oracle verifies the exact kept
+    // set. Scale shape: one tiny per-source aggregate broadcast back, the
+    // filter runs in the scan; nothing shuffles the corpus.
+    "q_mix_temperature" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "source")
+      val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", sqrt(col("n").cast("double")))
+      val tot = bySrc.agg(sum("w").as("tw"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .withColumn("rate",
+          least(lit(1.0), lit(200.0) * col("w") / col("tw") / col("n")))
+        .select("source", "rate")
+      docs.join(broadcast(rates), "source")
+        .filter((col("doc_id") * 2654435761L % 1000003L).cast("double")
+          / 1000003.0 < col("rate"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 quantization per embedding — the 4x storage shrink a
     // 100 TB embedding store runs before anything else: scale = maxabs/127,
     // q_i = round(x_i/scale) in [-127, 127] (no clipping by construction).
@@ -2603,6 +2690,46 @@ object LlmOps {
         |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    // Same deterministic LCG sign matrix, dims-table form (the engines
+    // agree because every sign is integer arithmetic, not an RNG).
+    "q_vec_project" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT vec_id, i, v[i + 1] AS x FROM e, UNNEST(generate_series(0, len(v) - 1)) AS u(i)),
+        |p AS (SELECT vec_id, j,
+        |        sum(x * CASE WHEN (i * 2654435761 + j * 40503) % 97 % 2 = 0 THEN 1.0 ELSE -1.0 END) AS pj
+        |      FROM d, UNNEST(generate_series(0, 7)) AS uj(j) GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  ROUND(MAX(CASE WHEN j = 0 THEN pj END), 4) AS p0,
+        |  ROUND(MAX(CASE WHEN j = 1 THEN pj END), 4) AS p1,
+        |  ROUND(MAX(CASE WHEN j = 2 THEN pj END), 4) AS p2,
+        |  ROUND(MAX(CASE WHEN j = 3 THEN pj END), 4) AS p3,
+        |  ROUND(sqrt(sum(pj * pj) / 8), 4) AS pnorm
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_vec_centroid" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT vec_id, label, i, v[i + 1] AS x FROM e, UNNEST(generate_series(0, len(v) - 1)) AS u(i)),
+        |c AS (SELECT label, i, avg(x) AS cx FROM d GROUP BY 1, 2),
+        |m AS (SELECT d.vec_id, d.label, sum(d.x * c.cx) AS dot,
+        |        sqrt(sum(d.x * d.x)) AS nv, sqrt(sum(c.cx * c.cx)) AS nc
+        |      FROM d JOIN c ON d.label = c.label AND d.i = c.i GROUP BY 1, 2),
+        |t AS (SELECT label, count(*) AS n, avg(dot / (nv * nc)) AS tightness FROM m GROUP BY 1),
+        |c3 AS (SELECT label, MAX(CASE WHEN i = 0 THEN cx END) AS c0,
+        |         MAX(CASE WHEN i = 1 THEN cx END) AS c1,
+        |         MAX(CASE WHEN i = 2 THEN cx END) AS c2 FROM c GROUP BY 1)
+        |SELECT t.label, n, ROUND(c0, 4) AS c0, ROUND(c1, 4) AS c1, ROUND(c2, 4) AS c2,
+        |  ROUND(tightness, 4) AS tightness
+        |FROM t JOIN c3 ON t.label = c3.label ORDER BY t.label""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH s AS (SELECT source, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS w
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(w) AS tw FROM s),
+        |r AS (SELECT source, LEAST(1.0, 200.0 * w / tw / n) AS rate FROM s, tot)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE CAST(doc_id * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 < rate
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk_queryset" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8),

@@ -503,6 +503,77 @@ class OperatorPropsSuite extends SparkSpec {
     }
   }
 
+  test("q_vec_project: JL projection preserves relative distances and is partition-invariant") {
+    val proj = LlmOps.queries("q_vec_project")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getDouble).toArray).toMap
+    val orig = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size === orig.size)
+    // distance preservation in EXPECTATION at k=8: across many pairs the
+    // mean ratio of projected to original squared distance must sit near
+    // E[ratio] = k = 8 (each of the 8 components has variance = d^2), and
+    // the ORDERING of far-vs-near pairs must mostly survive — the property
+    // JL gives and coarse ANN needs. Deterministic pair sample by id.
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(60)
+    val pairs = for (i <- ids.indices; j <- i + 1 until ids.length)
+      yield (ids(i), ids(j))
+    val ratios = pairs.map { case (a, b) =>
+      d2(proj(a).take(4), proj(b).take(4)) / d2(orig(a), orig(b)) }
+    // only 4 of the 8 projected dims are exposed -> E[ratio] = 4
+    val mean = ratios.sum / ratios.size
+    assert(mean > 2.0 && mean < 6.0, s"mean sq-distance ratio $mean, expected ~4")
+    val determinism = LlmOps.queries("q_vec_project")(spark, sf).repartition(7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ids.forall(id => determinism(id) === proj(id)(0)),
+      "projection must not depend on partitioning")
+  }
+
+  test("q_vec_centroid: tightness is a valid cosine and members average to the centroid") {
+    val rows = LlmOps.queries("q_vec_centroid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orig = Tables(spark, sf, "embeddings")
+      .select(col("label"), expr("CAST(embedding AS array<double>)"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+    rows.foreach { r =>
+      val label = r.getAs[Number](0).longValue
+      val members = orig.filter(_._1 == label).map(_._2)
+      assert(r.getLong(1) === members.length, s"n for label $label")
+      // c0..c2 are the per-dim means
+      (0 to 2).foreach { i =>
+        val mean = members.map(_(i)).sum / members.length
+        assert(math.abs(r.getDouble(2 + i) - mean) < 1e-3, s"c$i of label $label")
+      }
+      val t = r.getDouble(5)
+      assert(t >= -1.0 - 1e-9 && t <= 1.0 + 1e-9, s"tightness $t out of range")
+    }
+  }
+
+  test("q_mix_temperature: small sources are upweighted, big sources capped near target share") {
+    val kept = LlmOps.queries("q_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nBySrc = all.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(kept.nonEmpty && kept.length < all.length)
+    // keep-RATE must be monotonically non-increasing in source size:
+    // temperature alpha=0.5 upweights the tail — that's the whole point
+    val rates = nBySrc.toSeq.sortBy(_._2).map { case (s, n) =>
+      (s, n, keptBySrc.getOrElse(s, 0.0) / n) }
+    rates.sliding(2).foreach { case Seq((s1, n1, r1), (s2, n2, r2)) =>
+      if (n2 > n1 * 1.5) // same-size noise doesn't order rates
+        assert(r2 <= r1 + 0.15, s"rate must fall with size: $s1($n1)=$r1 vs $s2($n2)=$r2")
+      case _ => ()
+    }
+    // deterministic: a rerun keeps the exact same set
+    val again = LlmOps.queries("q_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq === kept.toSeq)
+  }
+
   test("q_agg_mode: most frequent quantity per flag, ties to the LOWEST value") {
     val raw = Tables(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
       .collect().map(r => (r.getString(0), r.getDouble(1)))

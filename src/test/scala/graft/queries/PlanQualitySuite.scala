@@ -351,6 +351,28 @@ class PlanQualitySuite extends SparkSpec {
       s"candidate generation must stay an equi join:\n$p")
   }
 
+  test("q_vec_project: the projection is one scan-side HOF — no join, one output-order shuffle") {
+    val p = plan("q_vec_project")
+    assert(!p.contains("Join"), s"JL projection must not join:\n$p")
+    assert(!p.contains("Generate"), s"must stay a per-row HOF, not an explode:\n$p")
+    // only the final orderBy's range shuffle
+    assert(exchanges(p) === 1, p)
+  }
+
+  test("q_vec_centroid: centroids broadcast back — the exploded scan never re-shuffles for the join") {
+    val p = plan("q_vec_centroid")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_mix_temperature: rates broadcast, the corpus is filtered in place") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for its own sampling decision:\n$p")
+  }
+
   test("q_join_bloom: codegen'd xxhash64 probe runs on the fact side BEFORE the join") {
     val p = plan("q_join_bloom")
     val lines = p.linesIterator.toSeq
