@@ -164,32 +164,42 @@ object KnnGraph {
       // The superseded round's checkpoint blocks are dropped eagerly.
       val (cg, p) = checkpointReplacing(g, pinned)
       g = cg; pinned = p
-      // undirected adjacency: a node's candidates are its neighbors' full
-      // neighborhoods in BOTH edge directions (the NN-Descent join)
-      val adj = g.select(col("id"), col("nbr"))
-        .unionByName(g.select(col("nbr").as("id"), col("id").as("nbr")))
-        .distinct()
-      val cand = adj.as("x").join(adj.as("y"), "id")
-        .filter(col("x.nbr") < col("y.nbr"))
-        .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
-        .distinct()
-      // drop pairs already in the graph: no rescoring of known edges, and
-      // the union below stays (id, nbr)-unique without a dedupe shuffle
-      val known = g.select(least(col("id"), col("nbr")).as("a"),
-        greatest(col("id"), col("nbr")).as("b")).distinct()
-      val fresh = cand.join(known, Seq("a", "b"), "left_anti")
-      val scored = scoreBoth(fresh, vecs, smallVecs)
-      val edges = g.unionByName(
-        scored.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
-        .unionByName(
-          scored.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
       // the round's own result stays un-checkpointed: the next round (or
       // the final topK below) materializes it, and the returned frame's
       // plan remains inspectable (callers reusing it repeatedly can
       // checkpoint it themselves)
-      g = topK(edges, kk)
+      g = descentRound(g, vecs, smallVecs, kk)
     }
     if (kk == k) g else topK(g, k)
+  }
+
+  /** One NN-Descent round over graph `g`: neighbor-of-neighbor candidates
+    * through the undirected-adjacency self-join, known edges anti-joined
+    * out, fresh pairs scored, each node's best `kk` kept. Shared verbatim
+    * by [[build]]'s loop and [[append]]'s refinement — one implementation,
+    * one set of plan-shape guarantees. */
+  private def descentRound(g: DataFrame, vecs: DataFrame, smallVecs: Boolean,
+                           kk: Int): DataFrame = {
+    // undirected adjacency: a node's candidates are its neighbors' full
+    // neighborhoods in BOTH edge directions (the NN-Descent join)
+    val adj = g.select(col("id"), col("nbr"))
+      .unionByName(g.select(col("nbr").as("id"), col("id").as("nbr")))
+      .distinct()
+    val cand = adj.as("x").join(adj.as("y"), "id")
+      .filter(col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .distinct()
+    // drop pairs already in the graph: no rescoring of known edges, and
+    // the union below stays (id, nbr)-unique without a dedupe shuffle
+    val known = g.select(least(col("id"), col("nbr")).as("a"),
+      greatest(col("id"), col("nbr")).as("b")).distinct()
+    val fresh = cand.join(known, Seq("a", "b"), "left_anti")
+    val scored = scoreBoth(fresh, vecs, smallVecs)
+    val edges = g.unionByName(
+      scored.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
+      .unionByName(
+        scored.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
+    topK(edges, kk)
   }
 
   /** Graph-ANN SEARCH: top-k corpus neighbors for each (possibly
@@ -289,6 +299,76 @@ object KnnGraph {
     // the last round's beam/visited blocks are dead state — release them
     val (fin, _) = checkpointReplacing(bm, pinned)
     topB(fin, k).select(col("q_id"), col("id").as("nbr"), col("sim"))
+  }
+
+  /** Incremental graph growth: insert a BATCH of new vectors into a
+    * prebuilt [[build]] graph without reconstructing it — the operation a
+    * weekly-refreshed 100 TB embedding store actually runs (the same
+    * contract [[graft.operators.DedupIndex.append]] and
+    * [[IvfIndex.appendToIndex]] give their families; this completes
+    * incremental growth across all three index families).
+    *
+    * The HNSW insert loop ("greedy-search the graph built so far, connect
+    * to what you find") is inherently sequential; this is its BATCHED,
+    * join-shaped reformulation:
+    *   1. link new -> old: every new vector beam-searches the EXISTING
+    *      graph ([[search]] — table-scale query side, |B| queries at
+    *      once), giving each its k best reachable old neighbors;
+    *   2. link new -> new: the batch's internal near pairs from the same
+    *      LSH seeding [[build]] uses (an arrival batch is tiny next to
+    *      the corpus, but its internal dups/clusters must still connect);
+    *   3. merge: old edges ∪ new->old ∪ old->new (reversed) ∪ new-new,
+    *      each node's best kept via the TopKPerKey heap — the reverse
+    *      edges are what stitch new nodes INTO old neighborhoods so they
+    *      are reachable, not merely attached;
+    *   4. refine: `iters` standard NN-Descent rounds over the merged
+    *      graph ([[descentRound]] — the exact code [[build]] runs), which
+    *      repairs the local neighborhoods the approximate insert missed.
+    *
+    * Cost: the search rounds + O((n+|B|)·k²) per refinement round — never
+    * a rebuild's LSH pass over the full corpus, never n². Deterministic
+    * for the usual reasons (LCG seeding, fixed tie-breaks); recall vs the
+    * brute-force graph over A ∪ B is suite-pinned against the full
+    * rebuild's. NOT a dedup substitute: `graph` must be over `emb`
+    * exactly, and new vec_ids must be unseen. */
+  def append(graph: DataFrame, emb: DataFrame, newEmb: DataFrame, k: Int,
+             iters: Int = 1, beam: Int = 0, rounds: Int = 2,
+             seedBands: Int = 6, seedBits: Int = 5,
+             hotCap: Int = 256, searchK: Int = 0): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    // the refinement needs [[build]]'s oversampled degree (searchK = 3k
+    // default): at plain degree k the neighbor-of-neighbor signal is too
+    // weak on structureless regions — measured flat-recall without it
+    val kk = if (searchK > 0) searchK else 3 * k
+    require(kk >= k, s"searchK must be >= k; got $searchK < $k")
+    val newToOld = search(graph, emb, newEmb, kk, beam, rounds)
+      .select(col("q_id").as("id"), col("nbr"), col("sim"))
+    val newVecs = normalized(newEmb).localCheckpoint()
+    val smallNew = newVecs.count() * 64L * 8L < 64L * 1024 * 1024
+    val nn = scoreBoth(lshSeedPairs(newVecs, seedBands, seedBits, hotCap),
+      newVecs, smallNew)
+    // (id, nbr) uniqueness across the union holds by DOMAIN disjointness:
+    // graph is old->old, newToOld new->old, its reverse old->new, nn
+    // new->new — no two legs can emit the same directed edge
+    val merged = topK(graph
+      .unionByName(newToOld)
+      .unionByName(newToOld.select(col("nbr").as("id"), col("id").as("nbr"),
+        col("sim")))
+      .unionByName(nn.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
+      .unionByName(nn.select(col("b").as("id"), col("a").as("nbr"), col("sim"))),
+      kk)
+    var g = merged
+    if (iters > 0) {
+      val vecs = normalized(emb.unionByName(newEmb)).localCheckpoint()
+      val smallVecs = vecs.count() * 64L * 8L < 64L * 1024 * 1024
+      var pinned = Set.empty[Int]
+      for (_ <- 1 to iters) {
+        val (cg, p) = checkpointReplacing(g, pinned)
+        g = cg; pinned = p
+        g = descentRound(g, vecs, smallVecs, kk)
+      }
+    }
+    if (kk == k) g else topK(g, k)
   }
 
   /** Brute-force search witness: exact top-k corpus neighbors per query,

@@ -1773,6 +1773,31 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // Incremental graph-ANN growth (ml.KnnGraph.append): insert a 20%
+    // arrival batch into the 80%-corpus graph WITHOUT rebuilding — beam-
+    // search links new->old through the existing graph (the HNSW insert
+    // step, batched join-shaped), LSH seeds new-new, reverse edges stitch
+    // the batch into old neighborhoods, one NN-Descent refinement round
+    // repairs what the approximate insert missed. Completes incremental
+    // growth across all three index families (DedupIndex.append,
+    // IvfIndex.appendToIndex, and now the graph). Iterative
+    // (checkpointed rounds) -> not SQL-expressible -> rows-only;
+    // KnnGraphSuite pins structure (every old AND new node keeps edges,
+    // old->new reachability), recall vs the brute-force graph over the
+    // UNION within 0.1 of the full rebuild's, determinism across
+    // partitionings, and the no-cartesian plan shape.
+    "q_knn_graph_append" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val a = emb.filter(col("vec_id") % 5 =!= 0)
+      val b = emb.filter(col("vec_id") % 5 === 0)
+      val g = graft.ml.KnnGraph.build(a, k = 5, iters = 1).localCheckpoint()
+      val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr"))
+      graft.ml.KnnGraph.append(g, a, b, k = 5, iters = 1)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rn")
+    }),
+
     // QUERY-SET similarity through the IVF index JOIN — the shape q_sim_topk
     // cannot take: there the query side is a fixed 10-vector broadcast; here
     // it is a TABLE-SCALE side (every label-0 vector, ~1% of any corpus at

@@ -123,4 +123,58 @@ class KnnGraphSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"n^2 join shape in the descent plan:\n$p")
   }
+
+  private def oldBatch = emb.filter(col("vec_id") % 5 =!= 0)
+  private def newBatch = emb.filter(col("vec_id") % 5 === 0)
+
+  test("append: structure — every old AND new id present, <= k edges, no self-edges") {
+    val gA = KnnGraph.build(oldBatch, k = 5, iters = 1).localCheckpoint()
+    val rows = KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 1).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-edge found")
+    assert(rows.groupBy(_.getLong(0)).map(_._2.length).max <= 5)
+    assert(rows.map(_.getLong(0)).toSet.size === emb.count(),
+      "append must leave no node (old or new) without edges")
+    val newIds = newBatch.select("vec_id").collect().map(_.getLong(0)).toSet
+    // reverse edges stitched the batch INTO old neighborhoods: new ids
+    // appear as NEIGHBORS of old nodes, not only as sources
+    assert(rows.exists(r => !newIds(r.getLong(0)) && newIds(r.getLong(1))),
+      "no old->new edge — the batch is attached but not reachable")
+  }
+
+  test("append: recall matches the full rebuild (measured 0.70/0.80 vs rebuild 0.70)") {
+    val exact = asMap(KnnGraph.bruteForce(emb, 5))
+    val rebuild = recallVs(asMap(KnnGraph.build(emb, k = 5, iters = 2)), exact)
+    val gA = KnnGraph.build(oldBatch, k = 5, iters = 2).localCheckpoint()
+    val r1 = recallVs(asMap(
+      KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 1)), exact)
+    val r2 = recallVs(asMap(
+      KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 2)), exact)
+    assert(r1 >= 0.6, s"append iters=1 recall $r1 (rebuild $rebuild)")
+    assert(r2 >= 0.7, s"append iters=2 recall $r2 (rebuild $rebuild)")
+    // the insert must not be a cheap downgrade: one refinement round of
+    // the appended graph stays within 0.1 of the 2-descent rebuild
+    assert(r1 >= rebuild - 0.1,
+      s"append iters=1 recall $r1 fell behind rebuild $rebuild")
+    info(s"recall: rebuild=$rebuild append(iters=1)=$r1 append(iters=2)=$r2")
+  }
+
+  test("append: deterministic across partitionings of the new batch") {
+    val gA = KnnGraph.build(oldBatch, k = 5, iters = 1).localCheckpoint()
+    def run(nb: DataFrame) =
+      KnnGraph.append(gA, oldBatch, nb, k = 5, iters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val base = run(newBatch)
+    assert(run(newBatch.repartition(1)) === base)
+    assert(run(newBatch.repartition(11, col("vec_id"))) === base)
+  }
+
+  test("append: plan is equi-joins + the heap operator, no cartesian shapes") {
+    val gA = KnnGraph.build(oldBatch, k = 5, iters = 1).localCheckpoint()
+    val res = KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 0)
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"n^2 join shape in the append plan:\n$p")
+  }
 }
