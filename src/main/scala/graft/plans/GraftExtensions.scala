@@ -136,6 +136,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ivf_search"),
       new ExpressionInfo(classOf[IvfSearchPlaceholder].getName, "graft_ivf_search"),
       SqlSurface.ivfSearchBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_knn_search"),
+      new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
+      SqlSurface.knnSearchBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

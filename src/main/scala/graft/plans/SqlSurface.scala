@@ -130,6 +130,22 @@ object SqlSurface {
       tableArg(fn, "second", exprs(1)),
       intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
   }
+
+  /** graft_knn_search(graph, corpus, queries, k[, beam, rounds]) — graph-
+    * ANN beam search over a prebuilt KnnGraph.build graph: completes SQL
+    * access across all three index families (dedup, IVF, graph). `graph`
+    * is (id, nbr, sim); corpus/queries are (vec_id, embedding). beam=0
+    * means the operator default (3k). */
+  def knnSearchBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_knn_search"
+    require(exprs.size >= 4 && exprs.size <= 6,
+      s"$fn(graph, corpus, queries, k[, beam, rounds]) takes 4-6 args, got ${exprs.size}")
+    KnnSearchPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      tableArg(fn, "third", exprs(2)), intLit(fn, "k", exprs(3)),
+      exprs.lift(4).map(intLit(fn, "beam", _)).getOrElse(0),
+      exprs.lift(5).map(intLit(fn, "rounds", _)).getOrElse(2))
+  }
 }
 
 /** Unresolved marker for the SQL as-of join. AsOfJoin.asofBackward needs
@@ -172,6 +188,19 @@ case class IvfSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL graph-ANN search; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class KnnSearchPlaceholder(graph: LogicalPlan, corpus: LogicalPlan,
+    queries: LogicalPlan, k: Int, beam: Int, rounds: Int) extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(graph, corpus, queries)
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("KnnSearchPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): KnnSearchPlaceholder =
+    copy(graph = newChildren(0), corpus = newChildren(1), queries = newChildren(2))
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -202,6 +231,13 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.ml.IvfIndex.searchIndex(session, p.path,
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           topK = p.k, nprobe = p.nprobe)
+        .queryExecution.analyzed
+    case p: KnnSearchPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.ml.KnnGraph.search(
+          bridge.ofRows(session, p.graph), bridge.ofRows(session, p.corpus),
+          bridge.ofRows(session, p.queries),
+          k = p.k, beam = p.beam, rounds = p.rounds)
         .queryExecution.analyzed
   }
 }

@@ -126,4 +126,29 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("graft_knn_search: SQL round trip equals the Scala graph operator") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val queries = emb.filter(col("vec_id") < 50)
+    // the graph is any (id, nbr, sim) table — here the Scala build's,
+    // registered as a view so SQL-only consumers can do the same
+    val g = graft.ml.KnnGraph.build(corpus, k = 5, iters = 1).localCheckpoint()
+    g.createOrReplaceTempView("sql_knn_graph")
+    corpus.createOrReplaceTempView("sql_knn_corpus")
+    queries.createOrReplaceTempView("sql_knn_q")
+    val sql = spark.sql(
+      """SELECT * FROM graft_knn_search('sql_knn_graph', 'sql_knn_corpus',
+        |  TABLE(SELECT * FROM sql_knn_q), 5, 15, 2)""".stripMargin)
+    val api = graft.ml.KnnGraph.search(g, corpus, queries, k = 5, beam = 15, rounds = 2)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    assert(sql.collect().map(key).toSet === api.collect().map(key).toSet)
+    assert(sql.count() > 0)
+    // argument validation names the function
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_knn_search('sql_knn_graph', 'sql_knn_corpus', 5)").collect())
+    assert(e.getMessage.contains("graft_knn_search"), e.getMessage)
+  }
 }
