@@ -387,6 +387,50 @@ object Multimodal {
           lit("png").as("format")).as("meta"))
   }
 
+  /** Deterministic audio-dedup corpus, generated ON EXECUTORS (same
+    * at-scale discipline as [[syntheticImages]]): `groups` envelope
+    * groups x 3 rows — the base clip, a volume-scaled copy (EXACT
+    * perceptual duplicate: the envelope hash thresholds against the
+    * clip's OWN mean, so uniform gain cancels exactly like aHash's
+    * brightness), and a one-segment loudness flip (near-duplicate).
+    * Segment loudness comes from an LCG over (group, segment), so
+    * distinct groups' envelopes sit ~32 bits apart. Payloads are REAL
+    * 16-bit PCM WAVs through the same [[decodeWav]] path production
+    * bytes take; 64 segments x 50 samples align 1:1 with the decoder's
+    * 64 mean-|amplitude| slices. */
+  def syntheticAudio(spark: SparkSession, groups: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(groups * 3L).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id / 3).toInt
+        val v = (id % 3).toInt
+        val segs = Array.tabulate(64) { s =>
+          // murmur3 finalizer — full avalanche down to bit 0. A linear
+          // (g, s) mix mod a prime, and even a single golden-ratio
+          // multiply, left the LOW bit periodic (idx*ODD keeps bit0 =
+          // idx&1), which put group-to-group hamming inside the near-dup
+          // band (measured: thousands of spurious cross-group pairs)
+          var x = g.toLong * 64 + s
+          x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
+          x = (x ^ (x >>> 33)) * 0xC4CEB9FE1A85EC53L
+          x ^= (x >>> 33)
+          val bit = (x & 1L) == 1L
+          if (v == 2 && s == g % 64) !bit else bit
+        }
+        val amp = if (v == 1) 0.35 else 0.85
+        val samples = Array.tabulate(64 * 50) { i =>
+          val a = if (segs(i / 50)) amp else amp * 0.04
+          (math.sin(i * 0.37) * a * 30000).toShort
+        }
+        (id, wavBytes(samples, 16000))
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("audio").as("kind"), col("payload"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(16000).as("sample_rate"), lit(200).as("duration_ms"),
+          lit("wav").as("format")).as("meta"))
+  }
+
   /** 64-bit average-hash (aHash) fingerprint over an [[extractFeatures]]
     * frame: bit i is set iff 8x8-grid cell i is brighter than the image's
     * OWN mean — globally brightness-invariant, locally structure-

@@ -1749,6 +1749,27 @@ object LlmOps {
         .orderBy("m1", "m2")
     }),
 
+    // PERCEPTUAL AUDIO DEDUP — the audio half of multimodal dedup, the
+    // exact pipeline shape of q_dedup_image on the other modality: real
+    // WAV decode (the hardened RIFF chunk walk) -> 64 mean-|amplitude|
+    // envelope slices -> the SAME aHash thresholding (bit i = slice i
+    // louder than the clip's own mean, which makes uniform GAIN cancel
+    // exactly as brightness does for images) -> the SAME banded-LSH +
+    // hamming-verify machinery at 8 bands x 8 bits. Corpus: deterministic
+    // synthetic WAVs on executors — 60 envelope groups x {base,
+    // volume-scaled copy (hamming 0), one-segment flip (<= 7)}. Binary
+    // payloads cannot reach DuckDB -> rows-only; MultimodalSuite pins the
+    // fixture separation, gain invariance, and the no-all-pairs plan.
+    "q_dedup_audio" -> ((s, _) => {
+      val auds = graft.multimodal.Multimodal.syntheticAudio(s, 60)
+      val ah = graft.multimodal.Multimodal
+        .aHash(graft.multimodal.Multimodal.extractFeatures(auds))
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+      bandedSimhashPairs(ah, numBands = 8, bandBits = 8, maxHamming = 7)
+        .select(col("d1").as("m1"), col("d2").as("m2"), col("hamming"))
+        .orderBy("m1", "m2")
+    }),
+
     // Graph-ANN SEARCH (ml.KnnGraph.search): beam descent over the k-NN
     // graph — the serving half that makes the graph an INDEX (the greedy-
     // search role in HNSW-class structures), join-shaped: expand the beam

@@ -302,4 +302,31 @@ class MultimodalSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join shape in the image-dedup plan:\n$p")
   }
+
+  // ---- perceptual audio dedup (envelope aHash + banded LSH) ----
+
+  test("audio dedup fixture: gain-scaled copies at hamming 0, segment flips paired, groups separate") {
+    val rows = graft.queries.LlmOps.queries("q_dedup_audio")(spark, "unused").collect()
+    val pairs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val groups = 60
+    (0 until groups).foreach { g =>
+      val (a, b, c) = (3L * g, 3L * g + 1, 3L * g + 2)
+      // volume-scaled copy: the envelope hash thresholds against the
+      // clip's OWN mean, so uniform gain cancels -> identical hash
+      assert(pairs.get((a, b)).contains(0L), s"group $g gain-scaled copy not at hamming 0")
+      // one-segment loudness flip: within the lossless hamming<=7 band
+      assert(pairs.contains((a, c)), s"group $g near-dup (base, flipped) not paired")
+      assert(pairs.contains((b, c)), s"group $g near-dup (scaled, flipped) not paired")
+    }
+    val crossGroup = pairs.keys.count { case (a, b) => a / 3 != b / 3 }
+    assert(crossGroup <= groups / 4,
+      s"$crossGroup cross-group pairs — distinct envelopes are not separating")
+  }
+
+  test("audio dedup plan: banded equi-join, no all-pairs shapes") {
+    val p = graft.queries.LlmOps.queries("q_dedup_audio")(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in the audio-dedup plan:\n$p")
+  }
 }
