@@ -371,6 +371,185 @@ object KnnGraph {
     if (kk == k) g else topK(g, k)
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted index: the path-backed layout that makes the graph an index
+  // that OUTLIVES the building session — the same contract DedupIndex
+  // (build/append/dedupAgainst by path) and IvfIndex (buildIndex/
+  // appendToIndex/searchIndex by path) give their families. Layout:
+  //
+  //   path/meta            one-row parquet: k + the build parameters
+  //   path/vectors/batch=V raw (vec_id, embedding) — batch 0 is the base
+  //                        corpus, batch N is append N's arrivals
+  //   path/edges/v=V       the FULL merged (id, nbr, sim) graph over
+  //                        vectors batches 0..V
+  //
+  // Commit protocol (single writer, at-least-once safe): an append writes
+  // vectors/batch=N FIRST, then edges/v=N — the edge dir's `_SUCCESS` is
+  // the commit point. Readers resolve "current" as the highest edge
+  // version with `_SUCCESS` and read exactly the vector batches <= it, so
+  // a crash between the two writes leaves an orphan vector batch that no
+  // read ever sees (and [[cleanupUncommittedIndex]] deletes). A RETRY of
+  // the same version overwrites its own dirs — idempotent, the building
+  // block the streaming ingest sink needs.
+  //
+  // Scale shape: vectors append per-batch (never rewritten); edges are
+  // n·k rows — linear state — and each append rewrites them once, which
+  // is the honest cost of NN-Descent refinement touching old nodes'
+  // neighborhoods (the refinement is WHY append == rebuild holds; an
+  // edge-append-only variant would freeze old nodes' views of the world).
+  // ---------------------------------------------------------------------
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Edge versions with a `_SUCCESS` commit marker, ascending. */
+  private def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Seq[Long] = {
+    val (fs, p) = hadoopFs(spark, s"$path/edges")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/edges/v=$v/_SUCCESS")))
+      .sorted
+  }
+
+  /** Highest committed version — what every read resolves against. */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty, s"no committed graph index at $path")
+    vs.max
+  }
+
+  case class IndexMeta(k: Int, iters: Int, seedBands: Int, seedBits: Int,
+                       hotCap: Int, searchK: Int)
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, m: IndexMeta): Unit = {
+    import spark.implicits._
+    Seq((m.k, m.iters, m.seedBands, m.seedBits, m.hotCap, m.searchK))
+      .toDF("k", "iters", "seed_bands", "seed_bits", "hot_cap", "search_k")
+      .repartition(1).write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** The parameters the index was built with — appends reuse them so the
+    * stored graph's degree/oversampling regime cannot drift batch-over-
+    * batch. */
+  def indexMeta(spark: org.apache.spark.sql.SparkSession, path: String): IndexMeta = {
+    val r = spark.read.json(s"$path/meta").collect().head
+    IndexMeta(r.getAs[Long]("k").toInt, r.getAs[Long]("iters").toInt,
+      r.getAs[Long]("seed_bands").toInt, r.getAs[Long]("seed_bits").toInt,
+      r.getAs[Long]("hot_cap").toInt, r.getAs[Long]("search_k").toInt)
+  }
+
+  /** The committed corpus at `version`: exactly vector batches 0..version
+    * (an orphan batch a crashed append left behind is above every
+    * committed edge version by the write order, so it never appears). */
+  def indexVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Long): DataFrame =
+    spark.read.option("basePath", s"$path/vectors").parquet(s"$path/vectors")
+      .filter(col("batch") <= version).select("vec_id", "embedding")
+
+  /** The committed graph at `version` — (id, nbr, sim), [[build]]'s exact
+    * output shape. */
+  def indexEdges(spark: org.apache.spark.sql.SparkSession, path: String,
+                 version: Long): DataFrame =
+    spark.read.parquet(s"$path/edges/v=$version").select("id", "nbr", "sim")
+
+  /** Build THE persisted graph index in one call: run [[build]], store the
+    * corpus as vectors batch 0 and the graph as edges v=0, record the
+    * parameters. After this, [[searchIndex]]/[[appendToIndex]] need only
+    * the path — no in-memory state from the building session. */
+  def buildIndex(emb: DataFrame, k: Int, iters: Int, path: String,
+                 seedBands: Int = 6, seedBits: Int = 5,
+                 hotCap: Int = 256, searchK: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    // a rebuild must not leave a previous build's higher versions behind
+    val (fs, root) = hadoopFs(spark, path)
+    fs.delete(root, true)
+    writeIndexMeta(spark, path, IndexMeta(k, iters, seedBands, seedBits,
+      hotCap, if (searchK > 0) searchK else 3 * k))
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/vectors/batch=0")
+    build(emb, k, iters, seedBands, seedBits, hotCap, searchK)
+      .write.mode("overwrite").parquet(s"$path/edges/v=0")
+  }
+
+  /** Beam search ([[search]]) against the CURRENT committed version of the
+    * index at `path` — the serving call a SQL-only or cross-session
+    * consumer runs. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int, beam: Int = 0,
+                  rounds: Int = 2): DataFrame = {
+    val v = currentVersion(spark, path)
+    search(indexEdges(spark, path, v), indexVectors(spark, path, v),
+      queries, k, beam, rounds)
+  }
+
+  /** Idempotent versioned append: insert `newEmb` into the stored graph
+    * via [[append]] (beam-link new->old, LSH-seed new-new, refine with the
+    * index's own NN-Descent regime) and commit it as `version`. The caller
+    * names the version (>= 1, exactly prevCommitted+1); a RETRY of the
+    * same version overwrites its own dirs — the exactly-once building
+    * block for at-least-once callers (the streaming ingest sink). */
+  def appendVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newEmb: DataFrame, version: Long): Unit = {
+    val prev = currentVersion(spark, path)
+    // version == prev is a RETRY of the committed head (at-least-once
+    // redelivery after a crash that may or may not have committed): the
+    // deterministic append overwrites it with identical content. Anything
+    // below prev would rewrite history; anything above prev+1 would skip.
+    require(version == prev || version == prev + 1,
+      s"append version must be current+1 (=${prev + 1}) or a retry of current (=$prev), got $version")
+    require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
+    val m = indexMeta(spark, path)
+    // project to the stored 2-column shape up front: the refinement unions
+    // old (stored) and new vectors, so their schemas must agree exactly
+    val batch = newEmb.select(col("vec_id"), col("embedding"))
+    batch.write.mode("overwrite").parquet(s"$path/vectors/batch=$version")
+    // read version-1's state explicitly (never "current": neither a
+    // half-failed retry's orphan vector batch nor the committed head a
+    // retry is overwriting may leak into its own rebuild)
+    val g = indexEdges(spark, path, version - 1)
+    val old = indexVectors(spark, path, version - 1)
+    append(g, old, batch, m.k, m.iters, beam = 0, rounds = 2,
+      m.seedBands, m.seedBits, m.hotCap, m.searchK)
+      .write.mode("overwrite").parquet(s"$path/edges/v=$version")
+  }
+
+  /** Non-streaming append: next free version, NOT retry-safe (a retried
+    * call double-inserts under a new version) — at-least-once callers use
+    * [[appendVersion]] with their own version id. Returns the number of
+    * vectors appended. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newEmb: DataFrame): Long = {
+    appendVersion(spark, path, newEmb, currentVersion(spark, path) + 1)
+    newEmb.count()
+  }
+
+  /** Delete orphan vector batches a crashed append left above the highest
+    * committed edge version. Single-writer only (concurrent with a live
+    * append this would eat its half-written output). */
+  def cleanupUncommittedIndex(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val cur = committedVersions(spark, path).maxOption.getOrElse(-1L)
+    val (fs, p) = hadoopFs(spark, s"$path/vectors")
+    if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath)
+      .filter { d =>
+        scala.util.Try(d.getName.stripPrefix("batch=").toLong)
+          .toOption.exists(_ > cur)
+      }
+      .foreach(fs.delete(_, true))
+    // an edge dir without _SUCCESS is also dead weight
+    val (efs, ep) = hadoopFs(spark, s"$path/edges")
+    if (efs.exists(ep)) efs.listStatus(ep).toSeq.map(_.getPath)
+      .filter(d => !efs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+      .foreach(efs.delete(_, true))
+  }
+
   /** Brute-force search witness: exact top-k corpus neighbors per query,
     * O(n·m); testdata scales only. Same output shape/tie rule as
     * [[search]]. */

@@ -140,6 +140,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_knn_search"),
       new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
       SqlSurface.knnSearchBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_knn_search_index"),
+      new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
+      SqlSurface.knnSearchIndexBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -146,6 +146,21 @@ object SqlSurface {
       exprs.lift(4).map(intLit(fn, "beam", _)).getOrElse(0),
       exprs.lift(5).map(intLit(fn, "rounds", _)).getOrElse(2))
   }
+
+  /** graft_knn_search_index('path', TABLE(queries), k[, beam, rounds]) —
+    * graph-ANN beam search against the PERSISTED KnnGraph.buildIndex at
+    * `path` (the current committed version): the path-only form of
+    * graft_knn_search, completing by-path SQL access across all three
+    * index families alongside graft_dedup_against and graft_ivf_search. */
+  def knnSearchIndexBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_knn_search_index"
+    require(exprs.size >= 3 && exprs.size <= 5,
+      s"$fn(path, queries, k[, beam, rounds]) takes 3-5 args (index path string, TABLE(...) of vec_id/embedding, int k), got ${exprs.size}")
+    KnnSearchIndexPlaceholder(strLit(fn, "path", exprs.head),
+      tableArg(fn, "second", exprs(1)), intLit(fn, "k", exprs(2)),
+      exprs.lift(3).map(intLit(fn, "beam", _)).getOrElse(0),
+      exprs.lift(4).map(intLit(fn, "rounds", _)).getOrElse(2))
+  }
 }
 
 /** Unresolved marker for the SQL as-of join. AsOfJoin.asofBackward needs
@@ -201,6 +216,18 @@ case class KnnSearchPlaceholder(graph: LogicalPlan, corpus: LogicalPlan,
     copy(graph = newChildren(0), corpus = newChildren(1), queries = newChildren(2))
 }
 
+/** Unresolved marker for the SQL path-backed graph-ANN search; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class KnnSearchIndexPlaceholder(path: String, child: LogicalPlan,
+    k: Int, beam: Int, rounds: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("KnnSearchIndexPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): KnnSearchIndexPlaceholder =
+    copy(child = newChild)
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -237,6 +264,11 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.ml.KnnGraph.search(
           bridge.ofRows(session, p.graph), bridge.ofRows(session, p.corpus),
           bridge.ofRows(session, p.queries),
+          k = p.k, beam = p.beam, rounds = p.rounds)
+        .queryExecution.analyzed
+    case p: KnnSearchIndexPlaceholder if p.childrenResolved =>
+      graft.ml.KnnGraph.searchIndex(session, p.path,
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           k = p.k, beam = p.beam, rounds = p.rounds)
         .queryExecution.analyzed
   }

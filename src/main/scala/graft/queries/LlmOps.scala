@@ -1819,6 +1819,34 @@ object LlmOps {
         .orderBy("id", "rn")
     }),
 
+    // PERSISTED graph-ANN index (ml.KnnGraph.buildIndex/appendToIndex/
+    // searchIndex): the path-backed lifecycle a weekly-refreshed embedding
+    // store actually runs — build the graph index on 80% of the corpus,
+    // append the 20% arrival batch through the versioned commit protocol
+    // (vectors batch first, edges commit second; crash-safe, retry-
+    // idempotent), then answer held-out queries from the PATH ALONE (no
+    // in-memory state from the building session). Completes the persisted
+    // trio: DedupIndex, IvfIndex, and now the graph survive the session.
+    // Iterative (checkpointed rounds) -> not SQL-expressible -> rows-only;
+    // KnnGraphSuite pins index==in-memory edge-set equality, version
+    // advance, retry overwrite, and orphan-batch invisibility.
+    "q_knn_graph_index" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 50)
+      val qs = emb.filter(col("vec_id") < 50)
+      val path = graft.operators.Scratch.dir(
+        "graft-knn-index", s.sparkContext.applicationId, d)
+      graft.ml.KnnGraph.buildIndex(
+        corpus.filter(col("vec_id") % 5 =!= 0), k = 5, iters = 1, path)
+      graft.ml.KnnGraph.appendToIndex(s, path,
+        corpus.filter(col("vec_id") % 5 === 0))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("nbr"))
+      graft.ml.KnnGraph.searchIndex(s, path, qs, k = 5, beam = 40, rounds = 3)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("q_id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
+        .orderBy("q_id", "rn")
+    }),
+
     // QUERY-SET similarity through the IVF index JOIN — the shape q_sim_topk
     // cannot take: there the query side is a fixed 10-vector broadcast; here
     // it is a TABLE-SCALE side (every label-0 vector, ~1% of any corpus at

@@ -177,4 +177,75 @@ class KnnGraphSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"n^2 join shape in the append plan:\n$p")
   }
+
+  // --- persisted index -------------------------------------------------
+
+  private def edgeSet(g: DataFrame): Set[(Long, Long, Long)] =
+    g.collect().map(r => (r.getLong(0), r.getLong(1),
+      math.round(r.getDouble(2) * 1e9))).toSet
+
+  test("index: buildIndex + searchIndex == in-memory build + search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-index").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 1, dir)
+    // stored edges are EXACTLY build()'s output (determinism makes this
+    // checkable as set equality, not just statistics)
+    val mem = KnnGraph.build(oldBatch, k = 5, iters = 1)
+    assert(edgeSet(KnnGraph.indexEdges(spark, dir, 0)) === edgeSet(mem))
+    // path-only search == in-memory search over the same graph
+    val fromIdx = KnnGraph.searchIndex(spark, dir, newBatch, k = 5, beam = 15)
+    val fromMem = KnnGraph.search(mem, oldBatch, newBatch, k = 5, beam = 15)
+    assert(edgeSet(fromIdx.withColumnRenamed("q_id", "id")) ===
+      edgeSet(fromMem.withColumnRenamed("q_id", "id")))
+  }
+
+  test("index: appendToIndex == in-memory append; version advances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-append").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 1, dir)
+    val n = KnnGraph.appendToIndex(spark, dir, newBatch)
+    assert(n === newBatch.count())
+    assert(KnnGraph.currentVersion(spark, dir) === 1L)
+    val g0 = KnnGraph.indexEdges(spark, dir, 0).localCheckpoint()
+    val mem = KnnGraph.append(g0, oldBatch, newBatch, k = 5, iters = 1)
+    assert(edgeSet(KnnGraph.indexEdges(spark, dir, 1)) === edgeSet(mem))
+    // the committed corpus at v1 is the union of both batches
+    assert(KnnGraph.indexVectors(spark, dir, 1).count() ===
+      oldBatch.count() + newBatch.count())
+  }
+
+  test("index: appendVersion retry overwrites itself (exactly-once building block)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-retry").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
+    KnnGraph.appendVersion(spark, dir, newBatch, 1L)
+    val once = edgeSet(KnnGraph.indexEdges(spark, dir, 1))
+    KnnGraph.appendVersion(spark, dir, newBatch, 1L) // at-least-once redelivery
+    assert(edgeSet(KnnGraph.indexEdges(spark, dir, 1)) === once)
+    assert(KnnGraph.currentVersion(spark, dir) === 1L)
+    // skipping a version (or rewriting history) is a caller bug, named loudly
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.appendVersion(spark, dir, newBatch, 3L)
+    }
+    assert(e.getMessage.contains("current+1"))
+    val e2 = intercept[IllegalArgumentException] {
+      KnnGraph.appendVersion(spark, dir, newBatch, 0L)
+    }
+    assert(e2.getMessage.contains("retry of current") ||
+      e2.getMessage.contains("current+1"))
+  }
+
+  test("index: a crashed append's orphan vector batch is invisible and cleanable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-crash").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
+    // simulate a crash between the two writes: vectors batch 1 lands,
+    // edges v=1 never commits
+    newBatch.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/vectors/batch=1")
+    assert(KnnGraph.currentVersion(spark, dir) === 0L)
+    val v = KnnGraph.currentVersion(spark, dir)
+    assert(KnnGraph.indexVectors(spark, dir, v).count() === oldBatch.count(),
+      "orphan batch leaked into a committed read")
+    KnnGraph.cleanupUncommittedIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/vectors/batch=1").exists())
+    // the committed index is untouched and still serves
+    assert(KnnGraph.searchIndex(spark, dir, newBatch, k = 3, rounds = 1).count() > 0)
+  }
 }

@@ -151,4 +151,26 @@ class SqlSurfaceSuite extends SparkSpec {
       "SELECT * FROM graft_knn_search('sql_knn_graph', 'sql_knn_corpus', 5)").collect())
     assert(e.getMessage.contains("graft_knn_search"), e.getMessage)
   }
+
+  test("graft_knn_search_index: SQL by path equals the Scala searchIndex") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val queries = emb.filter(col("vec_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-sql-idx").toString
+    graft.ml.KnnGraph.buildIndex(corpus, k = 5, iters = 1, dir)
+    queries.createOrReplaceTempView("sql_knn_idx_q")
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_knn_search_index('$dir',
+         |  TABLE(SELECT * FROM sql_knn_idx_q), 5, 15, 2)""".stripMargin)
+    val api = graft.ml.KnnGraph.searchIndex(spark, dir, queries,
+      k = 5, beam = 15, rounds = 2)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    assert(sql.collect().map(key).toSet === api.collect().map(key).toSet)
+    assert(sql.count() > 0)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_knn_search_index('$dir', 5)").collect())
+    assert(e.getMessage.contains("graft_knn_search_index"), e.getMessage)
+  }
 }
