@@ -150,6 +150,21 @@ object Multimodal {
     * total). Supports C420*, C422, C444, Cmono chroma layouts; only the Y
     * plane is read for luminance. */
   private[multimodal] def decodeY4mFrames(payload: Array[Byte]): Option[Y4mVideo] =
+    walkY4m(payload) { (p, yOff, w, h) =>
+      val ySize = w * h
+      var sum = 0.0
+      var j = 0
+      while (j < ySize) { sum += (p(yOff + j) & 0xff); j += 1 }
+      (sum / ySize / 255.0).toFloat
+    }.map { case (w, h, fn, fd, lumas) => Y4mVideo(w, h, fn, fd, lumas) }
+
+  /** Shared Y4M container walk (header parse, chroma-aware frame strides,
+    * corruption -> None) parameterized on the per-frame Y-plane extractor —
+    * the one walk backs both the mean-luma decode above and the per-frame
+    * spatial grids the video dedup needs. */
+  private def walkY4m[T](payload: Array[Byte])(
+      frameFn: (Array[Byte], Int, Int, Int) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Option[(Int, Int, Int, Int, Array[T])] =
     try {
       val magic = "YUV4MPEG2".getBytes("US-ASCII")
       if (payload == null || payload.length < magic.length + 1 ||
@@ -191,7 +206,7 @@ object Multimodal {
               case _ => 0L // mono
             }
             val frameBytes = ySize + chromaSize
-            val lumas = scala.collection.mutable.ArrayBuffer.empty[Float]
+            val frames = scala.collection.mutable.ArrayBuffer.empty[T]
             var off = hdrEnd + 1
             var corrupt = false
             val frameMagic = "FRAME".getBytes("US-ASCII")
@@ -207,20 +222,44 @@ object Multimodal {
                   corrupt = true
                 else {
                   val yOff = nl + 1
-                  var sum = 0.0
-                  var j = 0
-                  while (j < ySize) { sum += (payload(yOff + j.toInt) & 0xff); j += 1 }
-                  lumas += (sum / ySize / 255.0).toFloat
+                  frames += frameFn(payload, yOff, w, h)
                   off = (yOff + frameBytes).toInt
                 }
               }
             }
-            if (corrupt || lumas.isEmpty) None
-            else Some(Y4mVideo(w, h, fn, fd, lumas.toArray))
+            if (corrupt || frames.isEmpty) None
+            else Some((w, h, fn, fd, frames.toArray))
           }
         }
       }
     } catch { case _: Exception => None }
+
+  /** Y4M -> one 8x8 mean-luminance grid PER FRAME (the exact spatial grid
+    * [[decodeImage]] computes for stills, over the Y plane) — the input of
+    * per-frame perceptual hashing. None on any corruption. */
+  private[multimodal] def decodeY4mFrameGrids(payload: Array[Byte]): Option[Array[Array[Float]]] =
+    walkY4m(payload) { (p, yOff, w, h) =>
+      val out = new Array[Float](FeatureDim)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+          val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += (p(yOff + y * w + x) & 0xff); n += 1; x += 1 }
+            y += 1
+          }
+          out(gy * 8 + gx) = (sum / n / 255.0).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }.map(_._5)
 
   /** Y4M -> FeatureDim floats: the per-frame luminance series resampled
     * into 64 slices of mean, exactly how the WAV decoder treats its
@@ -429,6 +468,103 @@ object Multimodal {
         struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
           lit(16000).as("sample_rate"), lit(200).as("duration_ms"),
           lit("wav").as("format")).as("meta"))
+  }
+
+  /** Deterministic video-dedup corpus, generated ON EXECUTORS (the
+    * [[syntheticImages]] discipline): `groups` scene-sequence groups x 3
+    * rows — the base clip (scenes 0..11), a TRIMMED copy (scenes 3..11:
+    * the same content minus the first three scenes, the archetypal video
+    * near-dup that frame-index-aligned matching would miss), and a
+    * one-cell-per-frame perturbation (each frame's aHash within hamming 1
+    * of the base's). Scene content: an 8x8 block pattern whose cell
+    * brightness comes from the murmur3 finalizer over (group, scene,
+    * cell) — distinct groups' frames sit ~32 bits apart, exactly the
+    * audio generator's separation argument. Payloads are REAL Y4M streams
+    * through the same [[decodeY4mFrameGrids]] path production bytes take;
+    * 16x16 C420 frames make each 8x8 grid cell an exact 2x2 pixel block. */
+  def syntheticVideos(spark: SparkSession, groups: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(groups * 3L).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id / 3).toInt
+        val v = (id % 3).toInt
+        val scenes = if (v == 1) (3 until 12) else (0 until 12)
+        val frames = scenes.map { sc =>
+          Array.tabulate(64) { c =>
+            var x = (g.toLong * 12 + sc) * 64 + c
+            x = (x ^ (x >>> 33)) * 0xFF51AFD7ED558CCDL
+            x = (x ^ (x >>> 33)) * 0xC4CEB9FE1A85EC53L
+            x ^= (x >>> 33)
+            val bright = (x & 1L) == 1L
+            // perturbed variant: flip ONE cell per frame — the mean moves
+            // by 150/64 ~ 2.3 brightness units, far inside every other
+            // cell's +/-75 margin, so exactly one aHash bit flips
+            val flip = v == 2 && c == sc % 64
+            if (bright ^ flip) 200 else 50
+          }
+        }
+        (id, y4mGridBytes(16, 16, frames))
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), lit("video").as("kind"), col("payload"),
+        struct(lit(16).as("width"), lit(16).as("height"),
+          lit(null).cast("int").as("sample_rate"), lit(480).as("duration_ms"),
+          lit("y4m").as("format")).as("meta"))
+  }
+
+  /** Encode per-frame 8x8 brightness grids as a real Y4M stream (each grid
+    * cell an exact (w/8)x(h/8) pixel block). */
+  private[multimodal] def y4mGridBytes(w: Int, h: Int,
+                                       frames: Seq[Array[Int]]): Array[Byte] = {
+    require(w % 16 == 0 && h % 16 == 0, "need whole even-sized cells for C420")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val frameBytes = w * h + (w / 2) * (h / 2) * 2
+    val bb = ByteBuffer.allocate(header.length + frames.size * (frameHdr.length + frameBytes))
+    bb.put(header)
+    frames.foreach { grid =>
+      bb.put(frameHdr)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bb.put(grid((y * 8 / h) * 8 + x * 8 / w).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < (w / 2) * (h / 2) * 2) { bb.put(128.toByte); i += 1 }
+    }
+    bb.array()
+  }
+
+  /** Per-FRAME aHash fingerprints for video rows: real Y4M decode to one
+    * 8x8 spatial grid per frame (mapPartitions, batch-at-a-time — the
+    * codec-stage shape), then the exact [[aHash]] thresholding each frame
+    * against its OWN mean. Output (media_id, frame_idx, phash) — the
+    * fingerprint stream the any-frame-match banding joins. Undecodable
+    * payloads contribute no rows (a corrupt video cannot fail the stage). */
+  def frameAHashes(df: DataFrame): DataFrame = {
+    val gridSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(gridSchema)
+    val grids = df.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            decodeY4mFrameGrids(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+              _.zipWithIndex.map { case (g, f) =>
+                org.apache.spark.sql.Row(r.getLong(0), f, g.toSeq)
+              }
+            }
+          }
+        }
+      }(encoder)
+    aHash(grids).select("media_id", "frame_idx", "phash")
   }
 
   /** 64-bit average-hash (aHash) fingerprint over an [[extractFeatures]]

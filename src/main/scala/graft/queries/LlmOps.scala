@@ -1770,6 +1770,41 @@ object LlmOps {
         .orderBy("m1", "m2")
     }),
 
+    // PERCEPTUAL VIDEO DEDUP — completes the image/audio/video triple with
+    // the shape video near-dup actually needs: PER-FRAME fingerprints with
+    // ANY-FRAME-MATCH banding, because the canonical video dup is a
+    // TRIMMED or re-encoded copy whose frames exist in the original at
+    // DIFFERENT indices (an index-aligned compare scores 0 on a 3-scene
+    // trim). Real Y4M decode -> one 8x8 spatial grid PER FRAME -> the same
+    // aHash thresholding as stills -> band every (video, frame)
+    // fingerprint through the SAME banded-LSH + hamming machinery (frame
+    // key = media_id*100 + frame_idx, so the pair machinery is reused
+    // verbatim) -> aggregate frame-level matches per video pair and keep
+    // pairs where >= 3 distinct frames of one video near-match frames of
+    // the other. Corpus: 60 scene-sequence groups x {base, 3-scene trim
+    // (9 shared frames at hamming 0), one-cell-per-frame perturbation
+    // (12 frames at hamming 1)}. Never an all-pairs product over videos
+    // OR frames: candidates come only from band-key collisions, capped by
+    // the pigeonhole-lossless 8x8 banding. Binary payloads cannot reach
+    // DuckDB -> rows-only; MultimodalSuite pins fixture separation
+    // (trim/perturb found, cross-group zero), the frame-grid decode
+    // golden, and the no-all-pairs plan shape.
+    "q_dedup_video" -> ((s, _) => {
+      val vids = graft.multimodal.Multimodal.syntheticVideos(s, 60)
+      val fr = graft.multimodal.Multimodal.frameAHashes(vids)
+      val fid = fr.select((col("media_id") * 100 + col("frame_idx")).as("doc_id"),
+        col("phash").as("simhash"))
+      bandedSimhashPairs(fid, numBands = 8, bandBits = 8, maxHamming = 7)
+        .select(expr("div(d1, 100)").as("m1"), expr("d1 % 100").as("f1"),
+          expr("div(d2, 100)").as("m2"), col("hamming"))
+        .filter(col("m1") =!= col("m2")) // frame pairs WITHIN a video are not dups
+        .groupBy("m1", "m2") // d1 < d2 and frame_idx < 100 imply m1 <= m2
+        .agg(countDistinct(col("f1")).as("matched_frames"),
+          min(col("hamming")).as("min_hamming"))
+        .filter(col("matched_frames") >= 3)
+        .orderBy("m1", "m2")
+    }),
+
     // Graph-ANN SEARCH (ml.KnnGraph.search): beam descent over the k-NN
     // graph — the serving half that makes the graph an INDEX (the greedy-
     // search role in HNSW-class structures), join-shaped: expand the beam

@@ -329,4 +329,54 @@ class MultimodalSuite extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join shape in the audio-dedup plan:\n$p")
   }
+
+  // ---- perceptual video dedup (per-frame aHash + any-frame-match banding) ----
+
+  test("frame-grid decode golden: each grid cell is exactly its painted block value") {
+    val frames = Seq(
+      Array.tabulate(64)(c => if (c % 2 == 0) 200 else 50),
+      Array.tabulate(64)(c => if (c < 32) 230 else 20))
+    val grids = Multimodal.decodeY4mFrameGrids(
+      Multimodal.y4mGridBytes(16, 16, frames))
+    assert(grids.isDefined && grids.get.length === 2)
+    grids.get.zip(frames).foreach { case (got, want) =>
+      got.zip(want).zipWithIndex.foreach { case ((gv, wv), c) =>
+        assert(math.abs(gv - wv / 255.0f) < 1e-6, s"cell $c: $gv vs ${wv / 255.0}")
+      }
+    }
+    // corruption falls back, never throws
+    assert(Multimodal.decodeY4mFrameGrids("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mFrameGrids(
+      Multimodal.y4mGridBytes(16, 16, frames).take(40)).isEmpty)
+  }
+
+  test("video dedup fixture: trimmed copies share 9 frames, perturbations all 12, groups separate") {
+    val rows = graft.queries.LlmOps.queries("q_dedup_video")(spark, "unused").collect()
+    val pairs = rows.map(r => ((r.getLong(0), r.getLong(1)),
+      (r.getLong(2), r.getLong(3)))).toMap
+    val groups = 60
+    (0 until groups).foreach { g =>
+      val (a, b, c) = (3L * g, 3L * g + 1, 3L * g + 2)
+      // the trim shares scenes 3..11 — 9 of the base's 12 frames match at
+      // hamming 0 even though every shared frame sits at a DIFFERENT index
+      assert(pairs.get((a, b)).contains((9L, 0L)),
+        s"group $g trim pair got ${pairs.get((a, b))}, want 9 frames at min hamming 0")
+      // the perturbation flips one cell per frame: all 12 frames at hamming 1
+      assert(pairs.get((a, c)).exists { case (mf, mh) => mf == 12L && mh <= 1L },
+        s"group $g perturbed pair got ${pairs.get((a, c))}")
+      // trim vs perturbed: the 9 shared scenes, each within hamming 1
+      assert(pairs.get((b, c)).exists { case (mf, mh) => mf == 9L && mh <= 1L },
+        s"group $g trim-vs-perturbed got ${pairs.get((b, c))}")
+    }
+    val crossGroup = pairs.keys.count { case (a, b) => a / 3 != b / 3 }
+    assert(crossGroup <= groups / 4,
+      s"$crossGroup cross-group pairs — distinct scene patterns are not separating")
+  }
+
+  test("video dedup plan: banded equi-join over frame keys, no all-pairs shapes") {
+    val p = graft.queries.LlmOps.queries("q_dedup_video")(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join shape in the video-dedup plan:\n$p")
+  }
 }
