@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank (Page, Brin, Motwani, Winograd 1999) — the
+  * link-analysis primitive a web-scale curation pipeline runs over its
+  * document/link graph (authority-weighted sampling, spam demotion,
+  * crawl prioritization all start from "how central is this node").
+  *
+  * Join-shaped power iteration: every round is
+  *   1. contributions: ranks ⋈ out-degree ⋈ edges, grouped by dst —
+  *      one hash shuffle on the edge key, work O(|E|) regardless of
+  *      iteration count;
+  *   2. dangling mass: the rank sum of nodes WITHOUT out-edges, a
+  *      one-row aggregate broadcast back into the update (never a
+  *      driver-side collect inside the loop — the scalar stays in-plan);
+  *   3. update: rank' = (1-d)/n + d·(contrib + dangling/n) over the full
+  *      node set (left join keeps isolated nodes at the teleport floor).
+  *
+  * Determinism: per-round sums go through DECIMAL(38,18), so partition
+  * and merge order cannot perturb ranks (the [[graft.ml.IvfIndex]] /
+  * AdaBoost discipline); results are bit-identical across partitionings
+  * (suite-pinned).
+  *
+  * Scale: state is one (id, rank) row per node; each round shuffles
+  * O(|E|) contribution rows hash-partitioned on node id. Rounds are
+  * localCheckpointed (plan depth stays constant; a round references its
+  * predecessor twice — contributions and dangling mass — so an
+  * un-materialized loop would double the plan tree per round), with
+  * superseded checkpoint blocks released eagerly so long-lived callers
+  * cannot accumulate block-manager backlog. The FINAL round's blocks
+  * stay pinned until the caller sweeps.
+  */
+object PageRank {
+
+  /** Ranks after `iters` power-iteration rounds: (id, rank), one row per
+    * node of `nodes` (id), summing to ~1. `edges` is DIRECTED (src, dst);
+    * symmetrize first for an undirected graph. Nodes referenced by edges
+    * but absent from `nodes` contribute nothing and get no row. */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val sc = nodes.sparkSession.sparkContext
+    val ids = nodes.select(col("id")).localCheckpoint()
+    val n = ids.count()
+    require(n > 0, "PageRank needs at least one node")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("g")).localCheckpoint()
+    var pr = ids.withColumn("rank", lit(1.0 / n))
+    var pinned = Set.empty[Int]
+    for (_ <- 1 to iters) {
+      // materialize the incoming ranks once (they feed contributions AND
+      // the dangling aggregate) and release the superseded round's blocks
+      val before = sc.getPersistentRDDs.keySet
+      pr = pr.localCheckpoint()
+      val fresh = sc.getPersistentRDDs.keySet.diff(before).toSet
+      val live = sc.getPersistentRDDs
+      pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      pinned = fresh
+      val contrib = pr.join(outdeg, col("id") === col("src"))
+        .join(e, "src")
+        .groupBy("dst")
+        .agg(sum((col("rank") / col("g")).cast("decimal(38,18)"))
+          .cast("double").as("contrib"))
+      val dangling = pr
+        .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast("decimal(38,18)")).cast("double"),
+          lit(0.0)).as("dm"))
+      pr = ids
+        .join(contrib.select(col("dst").as("id"), col("contrib")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling)) // one-row scalar, never a collect
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
+    }
+    pr
+  }
+}

@@ -589,6 +589,24 @@ object LlmOps {
         .orderBy("a", "b", "c")
     }),
 
+    // PageRank over the same graph (operators.PageRank, 8 damped power-
+    // iteration rounds): the authority score web-scale curation weights
+    // sampling and spam demotion by. Every round is one O(|E|) hash-
+    // shuffled contribution join plus a one-row dangling-mass broadcast —
+    // never a collect in the loop; DECIMAL sums make ranks partition-
+    // order exact. FULL oracle: DuckDB runs the identical 8 rounds as
+    // chained CTEs (generated below — same CAST'd double constants, same
+    // update formula), 6dp rounding absorbing only sum-order last-ulps.
+    "q_graph_pagerank" -> ((s, d) => {
+      val pairs = nearDupPairsShared(s, d).select("d1", "d2")
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
+      graft.operators.PageRank.run(nodes, edges, iters = 8)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
     // rows) -> candidate pairs -> exact shingle-Jaccard >= 0.8 verification:
     // the LSH-accelerated twin of q_dedup_near. Shingles, not tokens: this
@@ -2692,6 +2710,36 @@ object LlmOps {
          |JOIN pairs e2 ON e1.d2 = e2.d1
          |JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // the identical 8 damped rounds, unrolled as chained CTEs (standard
+    // SQL has no aggregates in recursive terms); every float constant is
+    // CAST'd so both engines iterate the same doubles, and the final 6dp
+    // rounding absorbs only sum-order last-ulps
+    "q_graph_pagerank" -> {
+      val iters = 8
+      val body = (1 to iters).map { k =>
+        s"""c$k AS (SELECT e.dst AS doc_id, sum(p.rank / o.g) AS contrib
+           |       FROM pr${k - 1} p JOIN outdeg o ON o.src = p.doc_id
+           |       JOIN edges e ON e.src = p.doc_id GROUP BY 1),
+           |d$k AS (SELECT coalesce(sum(p.rank), CAST(0 AS DOUBLE)) AS dm
+           |       FROM pr${k - 1} p LEFT JOIN outdeg o ON o.src = p.doc_id
+           |       WHERE o.src IS NULL),
+           |pr$k AS (SELECT n.doc_id,
+           |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
+           |         + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+           |           + (SELECT dm FROM d$k) / (SELECT n FROM nc)) AS rank
+           |         FROM nodes n LEFT JOIN c$k c USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nearPairsCte,
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT count(*) AS n FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS g FROM edges GROUP BY 1),
+         |pr0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
+         |$body
+         |SELECT doc_id, round(rank, 6) AS rank FROM pr$iters ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_cooccur" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w FROM

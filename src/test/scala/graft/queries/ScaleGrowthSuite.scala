@@ -93,6 +93,20 @@ class ScaleGrowthSuite extends SparkSpec {
       s"knn build join ${big.pairingJoinRows} vs brute ${big.brutePairs}")
   }
 
+  test("knn graph append: the insert's joins track the build's bound, never a rebuild's LSH pass or n^2") {
+    // append = beam-link search rounds (batch-scale query side) + one
+    // refinement round over the merged graph: its heaviest join must obey
+    // the SAME bounded-degree cap as the build it replaces, and grow with
+    // the same near-linear exponent
+    val e = exponent("q_knn_graph_append", _.pairingJoinRows)
+    assert(e <= 1.7, s"q_knn_graph_append join growth exponent $e (brute line is 2.0)")
+    val big = m("q_knn_graph_append", "sf0.1")
+    assert(big.pairingJoinRows <= 20L * big.n * 5 * 5,
+      s"append join ${big.pairingJoinRows} vs bounded-degree cap ${20L * big.n * 25}")
+    assert(big.pairingJoinRows < 0.5 * big.brutePairs,
+      s"append join ${big.pairingJoinRows} vs brute ${big.brutePairs}")
+  }
+
   test("embed LSH: bucketing prunes the all-pairs line at every measured size") {
     // weak-threshold regime (cos >= 0.4, the docstring's acknowledged
     // recall/selectivity trade) — still must beat brute force, and the

@@ -62,7 +62,11 @@ object ScaleProbe {
     *     the checkpoint truncated) is what sees them — O(n·k²) build work
     *     per round, O(|Q|·beam·k) per search round. */
   val SimilarityFamilies: Seq[String] =
-    Seq("q_sim_topk_queryset", "q_knn_graph", "q_knn_graph_search")
+    Seq("q_sim_topk_queryset", "q_knn_graph", "q_knn_graph_search",
+      // the incremental insert: beam-search link rounds (fixed batch size
+      // relative to n) + one refinement round over the merged graph —
+      // growth must track the build round's O(n·k²), not n²
+      "q_knn_graph_append")
 
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
@@ -262,7 +266,10 @@ object ScaleProbe {
       "nprobe/ncells prune of the brute |Q|*n kernel (ratio suite-pinned, exponent ~2 " +
       "because BOTH sides scale); q_knn_graph's descent rounds are O(n*k^2)-bounded " +
       "equi-joins (near-linear exponent); q_knn_graph_search adds fixed-|Q| beam rounds " +
-      "on top of one build round, so its growth is the build's.\"\n}\n"
+      "on top of one build round, so its growth is the build's; q_knn_graph_append " +
+      "(insert a 20%-of-corpus batch into the 80% graph) pays the beam-link search " +
+      "rounds plus one refinement round over the merged graph, so its heaviest join " +
+      "must track the same O(n*k^2) bound as the build it avoids re-running.\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
