@@ -377,7 +377,7 @@ object KnnGraph {
   // (build/append/dedupAgainst by path) and IvfIndex (buildIndex/
   // appendToIndex/searchIndex by path) give their families. Layout:
   //
-  //   path/meta            one-row parquet: k + the build parameters
+  //   path/meta            one-row json: k + the build parameters
   //   path/vectors/batch=V raw (vec_id, embedding) — batch 0 is the base
   //                        corpus, batch N is append N's arrivals
   //   path/edges/v=V       the FULL merged (id, nbr, sim) graph over
@@ -467,9 +467,18 @@ object KnnGraph {
                  seedBands: Int = 6, seedBits: Int = 5,
                  hotCap: Int = 256, searchK: Int = 0): Unit = {
     val spark = emb.sparkSession
-    // a rebuild must not leave a previous build's higher versions behind
+    // a rebuild must not leave a previous build's higher versions behind —
+    // but wipe ONLY a path that is empty or already holds a graft index
+    // (meta/ or edges/ present): a recursive delete of a mistyped or
+    // shared directory would silently destroy unrelated data
     val (fs, root) = hadoopFs(spark, path)
-    fs.delete(root, true)
+    if (fs.exists(root)) {
+      val children = fs.listStatus(root).map(_.getPath.getName).toSet
+      require(children.isEmpty || children.contains("meta") || children.contains("edges"),
+        s"refusing to wipe $path: it exists but does not look like a graph index " +
+          s"(found ${children.take(5).mkString(", ")}); delete it yourself if intended")
+      fs.delete(root, true)
+    }
     writeIndexMeta(spark, path, IndexMeta(k, iters, seedBands, seedBits,
       hotCap, if (searchK > 0) searchK else 3 * k))
     emb.select(col("vec_id"), col("embedding"))
@@ -499,12 +508,17 @@ object KnnGraph {
                     newEmb: DataFrame, version: Long): Unit = {
     val prev = currentVersion(spark, path)
     // version == prev is a RETRY of the committed head (at-least-once
-    // redelivery after a crash that may or may not have committed): the
-    // deterministic append overwrites it with identical content. Anything
-    // below prev would rewrite history; anything above prev+1 would skip.
+    // redelivery after a crash that may or may not have committed). The
+    // append is deterministic, so the committed content IS what this call
+    // would write — make the retry a NO-OP instead of overwriting:
+    // rewriting vectors/batch=prev while edges/v=prev/_SUCCESS still
+    // exists would open a window where a concurrent searchIndex resolves
+    // currentVersion=prev and reads a deleted/partial vector batch.
+    // Anything below prev would rewrite history; above prev+1 would skip.
     require(version == prev || version == prev + 1,
       s"append version must be current+1 (=${prev + 1}) or a retry of current (=$prev), got $version")
     require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
+    if (version == prev) return
     val m = indexMeta(spark, path)
     // project to the stored 2-column shape up front: the refinement unions
     // old (stored) and new vectors, so their schemas must agree exactly
@@ -548,6 +562,32 @@ object KnnGraph {
     if (efs.exists(ep)) efs.listStatus(ep).toSeq.map(_.getPath)
       .filter(d => !efs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
       .foreach(efs.delete(_, true))
+  }
+
+  /** Garbage-collect superseded graph versions: delete committed
+    * `edges/v=N` directories older than the newest `keep` (each one is a
+    * FULL n·k graph copy — under weekly appends, storage and directory-
+    * listing cost otherwise grow without bound). Vector batches are NOT
+    * touched: they are per-batch deltas, and version V's corpus is the
+    * union of batches 0..V, so every batch <= current is still live.
+    * Single-writer only (same discipline as [[cleanupUncommittedIndex]]);
+    * reads of the current version — the only version the serving API
+    * ([[searchIndex]]/[[appendToIndex]]) ever resolves — are unaffected.
+    * Returns the versions deleted. */
+  def pruneVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                    keep: Int = 1): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the current version, got keep=$keep")
+    val vs = committedVersions(spark, path)
+    val doomed = vs.dropRight(keep)
+    val (fs, _) = hadoopFs(spark, path)
+    doomed.foreach { v =>
+      // drop the commit marker FIRST: a reader listing versions mid-delete
+      // sees an uncommitted dir (which every read path already skips),
+      // never a committed dir with half its parquet missing
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/v=$v/_SUCCESS"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/v=$v"), true)
+    }
+    doomed
   }
 
   /** Brute-force search witness: exact top-k corpus neighbors per query,

@@ -212,14 +212,20 @@ class KnnGraphSuite extends SparkSpec {
       oldBatch.count() + newBatch.count())
   }
 
-  test("index: appendVersion retry overwrites itself (exactly-once building block)") {
+  test("index: appendVersion retry of the committed head is a no-op (exactly-once building block)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-knn-retry").toString
     KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
     KnnGraph.appendVersion(spark, dir, newBatch, 1L)
     val once = edgeSet(KnnGraph.indexEdges(spark, dir, 1))
+    val vecFiles = new java.io.File(s"$dir/vectors/batch=1").listFiles().map(_.getName).toSet
     KnnGraph.appendVersion(spark, dir, newBatch, 1L) // at-least-once redelivery
     assert(edgeSet(KnnGraph.indexEdges(spark, dir, 1)) === once)
     assert(KnnGraph.currentVersion(spark, dir) === 1L)
+    // the retry must not rewrite the committed vector batch: an overwrite
+    // would open a window where a concurrent read of the committed head
+    // sees a deleted/partial batch
+    assert(new java.io.File(s"$dir/vectors/batch=1").listFiles().map(_.getName).toSet
+      === vecFiles, "retry rewrote the committed head's vector batch")
     // skipping a version (or rewriting history) is a caller bug, named loudly
     val e = intercept[IllegalArgumentException] {
       KnnGraph.appendVersion(spark, dir, newBatch, 3L)
@@ -247,5 +253,47 @@ class KnnGraphSuite extends SparkSpec {
     assert(!new java.io.File(s"$dir/vectors/batch=1").exists())
     // the committed index is untouched and still serves
     assert(KnnGraph.searchIndex(spark, dir, newBatch, k = 3, rounds = 1).count() > 0)
+  }
+
+  test("index: pruneVersions GCs superseded edge copies, current reads unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-prune").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
+    val half = newBatch.filter(col("vec_id") % 2 === 0)
+    KnnGraph.appendVersion(spark, dir, half, 1L)
+    KnnGraph.appendVersion(spark, dir, newBatch.except(half), 2L)
+    val head = edgeSet(KnnGraph.indexEdges(spark, dir, 2))
+    val nVecs = KnnGraph.indexVectors(spark, dir, 2).count()
+    val pruned = KnnGraph.pruneVersions(spark, dir, keep = 1)
+    assert(pruned === Seq(0L, 1L), s"expected to GC v0,v1: $pruned")
+    assert(!new java.io.File(s"$dir/edges/v=0").exists())
+    assert(!new java.io.File(s"$dir/edges/v=1").exists())
+    // the head version still serves identically: same edges, same corpus
+    // (vector batches are live deltas and must never be pruned)
+    assert(KnnGraph.currentVersion(spark, dir) === 2L)
+    assert(edgeSet(KnnGraph.indexEdges(spark, dir, 2)) === head)
+    assert(KnnGraph.indexVectors(spark, dir, 2).count() === nVecs)
+    // the NEXT append still works — it reads only version-1 = the head
+    KnnGraph.appendToIndex(spark, dir, oldBatch.limit(3)
+      .withColumn("vec_id", col("vec_id") + 10000))
+    assert(KnnGraph.currentVersion(spark, dir) === 3L)
+    // keep >= 1 is enforced: the current version can never be GC'd
+    intercept[IllegalArgumentException](KnnGraph.pruneVersions(spark, dir, keep = 0))
+  }
+
+  test("index: buildIndex refuses to wipe a directory that is not an index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-guard").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "precious.txt"), "unrelated data")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
+    }
+    assert(e.getMessage.contains("refusing to wipe"))
+    assert(new java.io.File(s"$dir/precious.txt").exists(), "guard still deleted the data")
+    // a previous index at the path IS wiped and rebuilt (the documented
+    // rebuild semantics), as is an empty directory
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-knn-guard2").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, idxDir)
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, idxDir)
+    assert(KnnGraph.currentVersion(spark, idxDir) === 0L)
   }
 }

@@ -42,9 +42,12 @@ class PageRankSuite extends SparkSpec {
     val r = ranks(PageRank.run(n, e, iters = 20))
     assert(r(1L) > r(2L) && r(2L) > r(3L), s"authority order violated: $r")
     assert(r(3L) === r(4L), s"symmetric leaves must tie: $r")
-    // the isolated node holds teleport + dangling share only, below every
-    // linked node
-    assert(r(9L) < r.filterNot(_._1 == 9L).values.min, s"isolated node not at the floor: $r")
+    // the isolated node holds teleport + dangling share only. Nodes with
+    // out-edges but NO in-links (3, 4) receive zero contribution and the
+    // identical (1-d)/n + d*dm/n update, so they tie the isolated floor
+    // EXACTLY — the floor is strict only vs in-linked nodes (1, 2).
+    assert(r(9L) === r(3L) && r(9L) === r(4L), s"no-in-edge nodes must tie the floor: $r")
+    assert(r(9L) < r(1L) && r(9L) < r(2L), s"isolated node not below in-linked nodes: $r")
   }
 
   test("hand-computed golden: 2-node round trip after one iteration") {

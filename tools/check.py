@@ -6,16 +6,53 @@ Usage: python3 tools/check.py [sfDir] [verifyOutDir]
 Reads the parquet files written by `graft.Verify` plus its oracle_sql.json,
 runs each oracle statement in DuckDB against the same testdata parquet, sorts
 columns by name (as the driver does), and compares cell-by-cell.
+
+Every oracle runs under a per-query runtime budget (BUDGET_S, default 30 s,
+override with CHECK_BUDGET_S): a watchdog thread calls con.interrupt() when
+the budget expires, so a DuckDB-pathological oracle (e.g. a chained CTE
+referenced twice per level without AS MATERIALIZED, which inlining re-expands
+exponentially) FAILS in seconds instead of hanging the whole gate — this is
+exactly how round 7's correctness artifact got zeroed.
 """
 import glob
 import json
+import os
 import sys
+import threading
+import time
 
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+BUDGET_S = float(os.environ.get("CHECK_BUDGET_S", "30"))
+
+
+def run_with_budget(con, sql):
+    """Run one oracle; interrupt + raise TimeoutError past BUDGET_S."""
+    timed_out = threading.Event()
+
+    def watchdog():
+        if not done.wait(BUDGET_S):
+            timed_out.set()
+            con.interrupt()
+
+    done = threading.Event()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        df = con.execute(sql).fetchdf()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {BUDGET_S:.0f}s budget")
+    finally:
+        done.set()
+    elapsed = time.monotonic() - t0
+    if timed_out.is_set():
+        raise TimeoutError(f"oracle exceeded {BUDGET_S:.0f}s budget")
+    return df, elapsed
 
 
 def main():
@@ -35,7 +72,10 @@ def main():
                 failures += 1
                 continue
             got = pq.read_table(files[0]).to_pandas()
-            exp = con.execute(sql).fetchdf()
+            exp, oracle_s = run_with_budget(con, sql)
+            if oracle_s > BUDGET_S / 3:
+                print(f"warn {name}: oracle took {oracle_s:.1f}s "
+                      f"(budget {BUDGET_S:.0f}s) — check CTE materialization")
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
