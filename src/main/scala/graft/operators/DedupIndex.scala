@@ -118,13 +118,65 @@ object DedupIndex {
       }
     }
 
+  /** Fold every committed `batch=V` partition into one — the maintenance
+    * op that keeps a daily-append index from accumulating thousands of
+    * small partition directories (file-listing cost grows per append;
+    * at weekly-compaction cadence it stays O(1)). Logical content is
+    * unchanged: the index IS the union of its batches, and compaction
+    * rewrites that union under the highest committed version number, so
+    * version numbering (and [[append]]'s next-free-version rule) continues
+    * where it left off.
+    *
+    * Crash-safe by content-preservation: the compacted copy is fully
+    * written (with `_SUCCESS`) under sibling staging dirs before any
+    * original data is touched, then swapped in with per-subtable renames.
+    * A crash leaves either the old layout, the new, or a mix — all three
+    * have the identical logical union. Single-writer only, and the writer
+    * must be QUIESCED: a streaming replay of a batch id below the
+    * compacted version would re-append rows the compacted batch already
+    * holds (run compaction only after the sink's checkpoint has passed
+    * every version being folded — same discipline as
+    * [[cleanupUncommitted]]). Returns the number of batches folded away. */
+  def compact(spark: SparkSession, path: String): Int = {
+    cleanupUncommitted(spark, path) // half-written batches must not be folded in
+    val vs = allVersions(spark, path).sorted
+    if (vs.size <= 1) return 0
+    val target = vs.max
+    val cols = Map("bands" -> Seq("doc_id", "band", "bkey"),
+      "shingles" -> Seq("doc_id", "sid"), "sizes" -> Seq("doc_id", "n"))
+    SubTables.foreach { t =>
+      spark.read.parquet(s"$path/$t").select(cols(t).map(col): _*)
+        .write.mode("overwrite").parquet(s"$path/${t}_compact/batch=$target")
+    }
+    SubTables.foreach { t =>
+      val (fs, _) = hadoopFs(spark, path)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${t}_old")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compact: could not stage $t aside")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/${t}_compact"), live),
+        s"compact: could not swap in compacted $t (originals preserved at ${t}_old)")
+      fs.delete(old, true)
+    }
+    vs.size - 1
+  }
+
   /** Build (overwrite) the index from a (doc_id, text) frame as version 0. */
   def build(docs: DataFrame, path: String, p: Params = Params()): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // a rebuild must not leave a previous build's higher versions behind
+    // a rebuild must not leave a previous build's higher versions behind —
+    // but wipe ONLY a path that is empty or already holds a dedup index
+    // (meta/ or bands/ present): recursively deleting a mistyped or shared
+    // directory would silently destroy unrelated data
     val (fs, root) = hadoopFs(spark, path)
-    fs.delete(root, true)
+    if (fs.exists(root)) {
+      val children = fs.listStatus(root).map(_.getPath.getName).toSet
+      require(children.isEmpty || children.contains("meta") || children.contains("bands"),
+        s"refusing to wipe $path: it exists but does not look like a dedup index " +
+          s"(found ${children.take(5).mkString(", ")}); delete it yourself if intended")
+      fs.delete(root, true)
+    }
     // one shingle pass feeds bands, shingles and sizes
     val ds = shingleIds(docs).localCheckpoint()
     writeTables(ds, p, path, 0L)

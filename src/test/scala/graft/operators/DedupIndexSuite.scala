@@ -54,6 +54,45 @@ class DedupIndexSuite extends SparkSpec {
     assert(sizes(grown) === sizes(full))
   }
 
+  test("compact folds batches into one partition, dedupAgainst unchanged") {
+    val path = tmp("graft-dedup-compact")
+    val batchB1 = batchB.filter(col("doc_id") % 10 === 0)
+    val batchB2 = batchB.filter(col("doc_id") % 10 === 5)
+    DedupIndex.build(corpusA, path)
+    DedupIndex.append(batchB1, path)
+    val probe = () => DedupIndex.dedupAgainst(path, batchB2)
+      .collect().map(_.toSeq).toSeq
+    val before = probe()
+    val folded = DedupIndex.compact(spark, path)
+    assert(folded === 1, s"expected 1 batch folded, got $folded")
+    // exactly one batch dir per subtable survives, under the max version
+    Seq("bands", "shingles", "sizes").foreach { t =>
+      val dirs = new java.io.File(s"$path/$t").listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      assert(dirs === Seq("batch=1"), s"$t: $dirs")
+      assert(!new java.io.File(s"$path/${t}_compact").exists())
+      assert(!new java.io.File(s"$path/${t}_old").exists())
+    }
+    // identical serving result, and version numbering continues past max
+    assert(probe() === before, "compaction changed the dedup result")
+    DedupIndex.append(batchB2, path)
+    assert(DedupIndex.isCommitted(spark, path, 2L))
+    // compacting a single-batch index is a no-op
+    val idle = tmp("graft-dedup-compact-idle")
+    DedupIndex.build(corpusA, idle)
+    assert(DedupIndex.compact(spark, idle) === 0)
+  }
+
+  test("build refuses to wipe a directory that is not an index") {
+    val path = tmp("graft-dedup-guard")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "precious.txt"), "unrelated data")
+    val e = intercept[IllegalArgumentException](DedupIndex.build(corpusA, path))
+    assert(e.getMessage.contains("refusing to wipe"))
+    assert(new java.io.File(s"$path/precious.txt").exists())
+  }
+
   test("near-dup pair graph is computed once per (session, corpus) and shared") {
     val a = graft.queries.LlmOps.nearDupPairsShared(spark, sf)
     val b = graft.queries.LlmOps.nearDupPairsShared(spark, sf)
