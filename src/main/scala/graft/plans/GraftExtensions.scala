@@ -144,6 +144,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_knn_search_index"),
       new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
       SqlSurface.knnSearchIndexBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pagerank"),
+      new ExpressionInfo(classOf[PageRankPlaceholder].getName, "graft_pagerank"),
+      SqlSurface.pageRankBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_connected_components"),
+      new ExpressionInfo(classOf[ConnectedComponentsPlaceholder].getName,
+        "graft_connected_components"),
+      SqlSurface.connectedComponentsBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

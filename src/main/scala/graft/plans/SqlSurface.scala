@@ -49,6 +49,17 @@ object SqlSurface {
       s"$fn: $name must be an integer literal, got $other")
   }
 
+  /** A fractional literal: SQL `0.85` parses as an exact DECIMAL literal
+    * (Spark's default for decimal-point numerics), `0.85D` as DOUBLE —
+    * accept both so callers don't need the D suffix. */
+  private def dblLit(fn: String, name: String, e: Expression): Double = e match {
+    case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a numeric literal, got $other")
+  }
+
   /** 'price DESC, id' -> SortOrder seq over unresolved attributes (plain
     * column names with optional ASC/DESC — the window-clause subset; for
     * arbitrary sort EXPRESSIONS use the Scala API). */
@@ -147,6 +158,34 @@ object SqlSurface {
       exprs.lift(5).map(intLit(fn, "rounds", _)).getOrElse(2))
   }
 
+  /** graft_pagerank(nodes, edges, iters[, damping]) — damped power-
+    * iteration PageRank over a DIRECTED edge table: completes SQL access
+    * for the graph-analytics family (degree and triangles are plain SQL;
+    * PageRank's iterated rounds are not). `nodes` is (id) — one row per
+    * node, including isolated ones; `edges` is (src, dst); symmetrize
+    * first for an undirected graph. Returns (id, rank) summing to ~1. */
+  def pageRankBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pagerank"
+    require(exprs.size == 3 || exprs.size == 4,
+      s"$fn(nodes, edges, iters[, damping]) takes 3-4 args, got ${exprs.size}")
+    PageRankPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      intLit(fn, "iters", exprs(2)),
+      exprs.lift(3).map(dblLit(fn, "damping", _)).getOrElse(0.85))
+  }
+
+  /** graft_connected_components(edges) — components of an undirected
+    * (u, v) edge table via alternating large-star/small-star rewriting
+    * (O(log n) rounds regardless of diameter). Returns (u, label) for
+    * every node appearing in an edge, label = component minimum;
+    * left-join + coalesce to cover isolated nodes. */
+  def connectedComponentsBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_connected_components"
+    require(exprs.size == 1,
+      s"$fn(edges) takes 1 arg (TABLE(...) of u/v), got ${exprs.size}")
+    ConnectedComponentsPlaceholder(tableArg(fn, "first", exprs.head))
+  }
+
   /** graft_knn_search_index('path', TABLE(queries), k[, beam, rounds]) —
     * graph-ANN beam search against the PERSISTED KnnGraph.buildIndex at
     * `path` (the current committed version): the path-only form of
@@ -228,6 +267,32 @@ case class KnnSearchIndexPlaceholder(path: String, child: LogicalPlan,
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL PageRank; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class PageRankPlaceholder(nodes: LogicalPlan, edges: LogicalPlan,
+    iters: Int, damping: Double) extends BinaryNode {
+  override def left: LogicalPlan = nodes
+  override def right: LogicalPlan = edges
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("PageRankPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): PageRankPlaceholder =
+    copy(nodes = newLeft, edges = newRight)
+}
+
+/** Unresolved marker for the SQL connected components; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class ConnectedComponentsPlaceholder(child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("ConnectedComponentsPlaceholder.output")
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): ConnectedComponentsPlaceholder =
+    copy(child = newChild)
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -271,5 +336,15 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           k = p.k, beam = p.beam, rounds = p.rounds)
         .queryExecution.analyzed
+    case p: PageRankPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.operators.PageRank.run(
+          bridge.ofRows(session, p.nodes), bridge.ofRows(session, p.edges),
+          iters = p.iters, damping = p.damping)
+        .queryExecution.analyzed
+    case p: ConnectedComponentsPlaceholder if p.childrenResolved =>
+      graft.operators.ConnectedComponents.run(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
+        ._1.queryExecution.analyzed
   }
 }

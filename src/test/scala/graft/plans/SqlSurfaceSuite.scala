@@ -173,4 +173,46 @@ class SqlSurfaceSuite extends SparkSpec {
       s"SELECT * FROM graft_knn_search_index('$dir', 5)").collect())
     assert(e.getMessage.contains("graft_knn_search_index"), e.getMessage)
   }
+
+  test("graft_pagerank: SQL round trip equals the Scala operator, default + explicit damping") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L, 9L).toDF("id").createOrReplaceTempView("sql_pr_nodes")
+    Seq(2L -> 1L, 3L -> 1L, 4L -> 1L, 1L -> 2L).toDF("src", "dst")
+      .createOrReplaceTempView("sql_pr_edges")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), math.round(r.getDouble(1) * 1e12))
+    val sql = spark.sql(
+      "SELECT * FROM graft_pagerank('sql_pr_nodes', 'sql_pr_edges', 8)")
+    val api = graft.operators.PageRank.run(
+      spark.table("sql_pr_nodes"), spark.table("sql_pr_edges"), iters = 8)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    assert(sql.collect().map(key).toSet === api.collect().map(key).toSet)
+    // an undecorated SQL fractional literal (DECIMAL) works as damping
+    val damped = spark.sql(
+      "SELECT * FROM graft_pagerank('sql_pr_nodes', 'sql_pr_edges', 8, 0.7)")
+    val dampedApi = graft.operators.PageRank.run(
+      spark.table("sql_pr_nodes"), spark.table("sql_pr_edges"),
+      iters = 8, damping = 0.7)
+    assert(damped.collect().map(key).toSet === dampedApi.collect().map(key).toSet)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_pagerank('sql_pr_nodes')").collect())
+    assert(e.getMessage.contains("graft_pagerank"), e.getMessage)
+  }
+
+  test("graft_connected_components: SQL round trip equals the Scala operator") {
+    import spark.implicits._
+    // two components {1,2,3} and {7,8}, self-loop and dup edges ignored
+    Seq(1L -> 2L, 2L -> 3L, 7L -> 8L, 8L -> 7L, 3L -> 3L).toDF("u", "v")
+      .createOrReplaceTempView("sql_cc_edges")
+    val sql = spark.sql(
+      "SELECT * FROM graft_connected_components(TABLE(SELECT * FROM sql_cc_edges))")
+    val (api, _) = graft.operators.ConnectedComponents.run(spark.table("sql_cc_edges"))
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === api.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_connected_components('sql_cc_edges', 2)").collect())
+    assert(e.getMessage.contains("graft_connected_components"), e.getMessage)
+  }
 }
