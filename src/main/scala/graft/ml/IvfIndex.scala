@@ -125,9 +125,81 @@ object IvfIndex {
   /** Materialize the corpus assignment as a `cell`-partitioned parquet
     * layout (one directory per coarse cell, sources.PartitionedLayout) —
     * the 100 TB on-disk shape where [[searchPartitioned]] prunes whole
-    * cell directories at file-listing time. */
+    * cell directories at file-listing time. Static layout (no versioning);
+    * [[buildIndex]] writes the versioned `cell`/`batch` twin instead. */
   def writeCells(df: DataFrame, model: Model, path: String): Unit =
     graft.sources.PartitionedLayout.writePartitioned(assign(df, model), path, "cell")
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  // ---------------------------------------------------------------------
+  // Versioned ingest: the index's cells layout is partitioned (cell,
+  // batch) — batch 0 is the base build, batch N is append N's arrivals.
+  // A batch is COMMITTED by the marker `path/ingest/v=N/_SUCCESS`, written
+  // only after its data landed; committed-path reads ([[searchIndex]],
+  // [[staleness]]) filter `batch <= committedIngestVersion`, so a torn
+  // append is invisible until its retry commits it. The data write itself
+  // is dynamic-partition-overwrite on (cell, batch): a retry of version N
+  // replaces exactly its own leaf partitions (the assignment is
+  // deterministic under the frozen quantizer), never another batch's —
+  // the same exactly-once recipe as KnnGraph.appendVersion, adapted to a
+  // partition-sharded layout where one version's rows span many cell
+  // directories. Cell-level partition pruning composes: `cell isin (...)`
+  // prunes at the top level, the batch filter at the second.
+  // ---------------------------------------------------------------------
+
+  /** Highest ingest version with a commit marker; 0 = base build only. */
+  def committedIngestVersion(spark: SparkSession, path: String): Long = {
+    val (fs, p) = hadoopFs(spark, s"$path/ingest")
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/ingest/v=$v/_SUCCESS")))
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Idempotent versioned append: assign `newVecs` under the frozen
+    * quantizer, land them as `batch=version` leaf partitions, then commit
+    * the version marker. A retry of an already-committed version is a
+    * no-op; a retry of a torn attempt overwrites exactly its own
+    * partitions. Versions commit in order (current+1). */
+  def appendVersion(spark: SparkSession, path: String, newVecs: DataFrame,
+                    version: Long): Unit = {
+    val cur = committedIngestVersion(spark, path)
+    require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
+    require(version <= cur + 1,
+      s"append version must be <= current+1 (=${cur + 1}), got $version")
+    if (version <= cur) return // already committed: deterministic content, no-op
+    val model = loadModel(spark, s"$path/model")
+    val assigned = assign(newVecs, model).withColumn("batch", lit(version))
+    graft.sources.PartitionedLayout.overwritePartitions(
+      assigned, s"$path/cells", "cell", "batch")
+    val (fs, _) = hadoopFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/ingest/v=$version"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/ingest/v=$version/_SUCCESS"), true).close()
+  }
+
+  /** Delete data of ingest versions that never committed (a stream that
+    * died mid-batch and was never retried). Single-writer only. */
+  def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit = {
+    val cur = committedIngestVersion(spark, path)
+    val (fs, cellsRoot) = hadoopFs(spark, s"$path/cells")
+    if (fs.exists(cellsRoot))
+      fs.listStatus(cellsRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("cell="))
+        .flatMap(c => fs.listStatus(c).toSeq.map(_.getPath))
+        .filter { b =>
+          scala.util.Try(b.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(_ > cur)
+        }
+        .foreach(fs.delete(_, true))
+  }
 
   /** Persist the coarse quantizer (mirrors AdaBoostMH.saveModel: a model
     * is KBs, never shard it). One row per centroid. */
@@ -153,27 +225,33 @@ object IvfIndex {
   def buildIndex(df: DataFrame, k: Int, iters: Int, path: String): Model = {
     val model = train(df, k, iters)
     saveModel(df.sparkSession, model, s"$path/model")
-    writeCells(df, model, s"$path/cells")
+    // versioned cells layout: the base corpus is batch 0 (committed by
+    // construction), streaming appends land as batch 1, 2, ... behind
+    // commit markers — see the versioned-ingest section above
+    graft.sources.PartitionedLayout.writePartitioned(
+      assign(df, model).withColumn("batch", lit(0L)), s"$path/cells", "cell", "batch")
     val (n, meanD) = assignmentTightness(df.sparkSession, s"$path/cells", model)
     writeMeta(df.sparkSession, s"$path/meta", n, meanD)
     model
   }
 
   /** Add a batch to an EXISTING index without retraining: assign the new
-    * vectors to the nearest existing cells and append them to the cell
-    * directories. The quantizer and `path/meta` stay frozen at build time —
-    * that freeze is what makes [[staleness]] meaningful, and it is also
-    * the correctness contract: a vector's cell depends only on the model,
-    * so append(A, B) produces the exact layout writeCells(A ∪ B) under
-    * model(A) would (suite-pinned), and searches at any nprobe return
-    * identical results on either. Daily shape at 100 TB: one map-side
-    * assignment + one partitioned append, no shuffle of the stored corpus.
-    * Returns the number of vectors appended. */
+    * vectors to the nearest existing cells and land them as the next
+    * committed ingest version ([[appendVersion]]). The quantizer and
+    * `path/meta` stay frozen at build time — that freeze is what makes
+    * [[staleness]] meaningful, and it is also the correctness contract: a
+    * vector's cell depends only on the model, so append(A, B) produces
+    * the same committed content buildIndex on A ∪ B under model(A) would
+    * (suite-pinned), and searches at any nprobe return identical results
+    * on either. Daily shape at 100 TB: one map-side assignment + one
+    * partitioned write, no shuffle of the stored corpus. NOTE: a RETRY of
+    * this call double-inserts under a new version (it picks current+1
+    * fresh) — at-least-once callers name their own version via
+    * [[appendVersion]], the streaming sink's contract. Returns the number
+    * of vectors appended. */
   def appendToIndex(spark: SparkSession, path: String, newVecs: DataFrame): Long = {
-    val model = loadModel(spark, s"$path/model")
-    val assigned = assign(newVecs, model)
-    graft.sources.PartitionedLayout.appendPartitions(assigned, s"$path/cells", "cell")
-    assigned.count()
+    appendVersion(spark, path, newVecs, committedIngestVersion(spark, path) + 1)
+    newVecs.count()
   }
 
   /** Index drift report: (vectorsAtBuild, vectorsNow, meanSqDistAtBuild,
@@ -189,7 +267,8 @@ object IvfIndex {
       s"corrupt index meta at $path/meta: expected exactly 1 row, found ${metaRows.length}")
     val meta = metaRows(0)
     val (buildN, buildMean) = (meta.getLong(0), meta.getDouble(1))
-    val (nowN, nowMean) = assignmentTightness(spark, s"$path/cells", model)
+    val (nowN, nowMean) = assignmentTightness(spark, s"$path/cells", model,
+      maxBatch = Some(committedIngestVersion(spark, path)))
     // a degenerate build (empty corpus, or every vector exactly on its
     // centroid) has buildMean 0: 0/0 would report NaN (which fails EVERY
     // threshold comparison) — report the no-drift ratio 1.0 when the index
@@ -206,10 +285,16 @@ object IvfIndex {
     * distance, one scalar aggregate; DECIMAL sum so the mean is exact and
     * partition-order independent (same contract as train()'s updates). */
   private def assignmentTightness(spark: SparkSession, cellsPath: String,
-                                  model: Model): (Long, Double) = {
+                                  model: Model,
+                                  maxBatch: Option[Long] = None): (Long, Double) = {
     val cents = model.centroids
+    val raw = graft.sources.PartitionedLayout.read(spark, cellsPath)
+    val committed = maxBatch match {
+      case Some(v) if raw.columns.contains("batch") => raw.filter(col("batch") <= v)
+      case _ => raw
+    }
     val distUdf = udf { (v: Seq[Double], cell: Int) => sqDist(v, cents(cell)) }
-    val r = graft.sources.PartitionedLayout.read(spark, cellsPath)
+    val r = committed
       .select(distUdf(col("v"), col("cell")).as("d"))
       .agg(count(lit(1)).as("n"),
         sum(col("d").cast("decimal(28,12)")).cast("double").as("sd"))
@@ -226,11 +311,15 @@ object IvfIndex {
   }
 
   /** [[searchPartitioned]] against a [[buildIndex]] layout, loading the
-    * quantizer from disk — no in-memory state from the building session. */
+    * quantizer from disk — no in-memory state from the building session.
+    * Reads COMMITTED ingest versions only: a torn streaming append's
+    * partitions (batch above the last commit marker) are filtered out, so
+    * serving never sees half a batch. */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
                   topK: Int, nprobe: Int): DataFrame =
     searchPartitioned(spark, s"$path/cells", queries,
-      loadModel(spark, s"$path/model"), topK, nprobe)
+      loadModel(spark, s"$path/model"), topK, nprobe,
+      maxBatch = Some(committedIngestVersion(spark, path)))
 
   /** [[search]] against a [[writeCells]] layout. The probed-cell union is
     * collected driver-side (queries are the tiny side by construction) and
@@ -240,14 +329,22 @@ object IvfIndex {
     * Results are identical to search() under the same model/nprobe
     * (IvfIndexSuite pins both the equality and the pruned listing). */
   def searchPartitioned(spark: SparkSession, path: String, queries: DataFrame,
-                        model: Model, topK: Int, nprobe: Int): DataFrame = {
+                        model: Model, topK: Int, nprobe: Int,
+                        maxBatch: Option[Long] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.k)
     val qcells = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("cell", explode(nearestCellsUdf(model.centroids, nprobe)(col("qv"))))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val corpus = graft.sources.PartitionedLayout.read(spark, path)
+    val raw = graft.sources.PartitionedLayout.read(spark, path)
       .filter(col("cell").isin(probed.toSeq: _*))
+    // committed-versions-only read for versioned layouts: `batch` is a
+    // second-level partition column, so this filter prunes directories
+    // too. A static writeCells layout has no batch column — skip.
+    val corpus = maxBatch match {
+      case Some(v) if raw.columns.contains("batch") => raw.filter(col("batch") <= v)
+      case _ => raw
+    }
     graft.functions.VectorFunctions.register(spark)
     val scored = qcells.join(corpus.select(col("vec_id").as("c_id"),
         col("v").as("cv"), col("cell")), Seq("cell"))
