@@ -1358,6 +1358,28 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // DECONTAMINATED curation — the step an actual pretraining pipeline
+    // ships after curation: drop every curated TRAINING document that
+    // shares an 8-gram with the eval split (q_text_contamination's
+    // signal), emitting the drop list and the survivor corpus as ONE
+    // frame (kept = 0/1 with the hit count as evidence). Composition of
+    // two verified operators: q_curate's survivors LEFT JOIN the per-doc
+    // contamination hits — one extra equi-join on doc_id beyond the parts,
+    // so the composition scales exactly as its components do. Survivors =
+    // WHERE kept = 1; the audit trail (why was this dropped?) = kept = 0
+    // rows with n_eval_hits and the first offending eval doc id.
+    "q_decontaminate" -> ((s, d) => {
+      val curated = queries("q_curate")(s, d)
+      val contam = queries("q_text_contamination")(s, d)
+      curated.filter(col("doc_id") % 10 =!= 0)
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"),
+          coalesce(col("n_hits"), lit(0L)).as("n_eval_hits"),
+          col("first_eval_doc"))
+        .withColumn("kept", (col("n_eval_hits") === 0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search / vectors -----------------------------------
     "q_sim_topk" -> ((s, d) => simTopK(s, d)
       .select("q_id", "rn", "c_id", "cos_sim")
@@ -2056,6 +2078,68 @@ object LlmOps {
       .replace("sizes AS (", "sizes AS MATERIALIZED (")
       .replace("pairs AS (", "pairs AS MATERIALIZED (")
 
+  /** q_curate's full CTE chain ending in `curated` (doc_id, quality,
+    * pred_lang, cluster_size) — shared by q_curate and the decontamination
+    * recomposition, so both provably filter the SAME curated corpus.
+    * Must follow a `WITH RECURSIVE` (the `reach` closure). */
+  private val curateCtes: String =
+    """qual AS (
+      |  SELECT doc_id,
+      |    ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
+      |          * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |words AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |prof AS (
+      |  SELECT lang AS plang, w FROM (
+      |    SELECT lang, w, count(*) AS cnt,
+      |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
+      |    FROM words GROUP BY lang, w)
+      |  WHERE rn <= 5),
+      |ldt AS (SELECT DISTINCT doc_id, w FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      |lmatches AS (
+      |  SELECT doc_id, plang, count(*) AS n_matches
+      |  FROM ldt JOIN prof USING (w) GROUP BY 1, 2),
+      |all_pairs AS (
+      |  SELECT d.doc_id, l.plang, coalesce(m.n_matches, 0) AS n_matches
+      |  FROM (SELECT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT DISTINCT lang AS plang FROM documents) l
+      |  LEFT JOIN lmatches m USING (doc_id, plang)),
+      |pred AS (
+      |  SELECT doc_id, plang AS pred_lang FROM (
+      |    SELECT doc_id, plang,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY n_matches DESC, plang) AS rn
+      |    FROM all_pairs)
+      |  WHERE rn = 1),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT d1, d2 FROM (
+      |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+      |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
+      |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
+      |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1),
+      |curated AS (
+      |  SELECT d.doc_id, q.quality, p.pred_lang, c.cluster_size
+      |  FROM documents d
+      |  JOIN qual q USING (doc_id)
+      |  JOIN pred p USING (doc_id)
+      |  JOIN rep r USING (doc_id)
+      |  JOIN csz c ON c.cluster_rep = r.cluster_rep
+      |  WHERE q.quality >= 0.3 AND p.pred_lang = d.lang AND r.cluster_rep = d.doc_id)""".stripMargin
+
   /** kNN-label SQL — shared by q_knn_label and the confusion-matrix
     * recomposition (which must see the identical classifier). */
   private val knnLabelSql: String =
@@ -2558,64 +2642,30 @@ object LlmOps {
 
     // Recomposes the quality + lang-id + clustering oracle bodies as CTEs;
     // the curation filter is the last SELECT.
-    "q_curate" ->
-      """WITH RECURSIVE
-        |qual AS (
-        |  SELECT doc_id,
-        |    ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
-        |          * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-        |words AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
-        |prof AS (
-        |  SELECT lang AS plang, w FROM (
-        |    SELECT lang, w, count(*) AS cnt,
-        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) AS rn
-        |    FROM words GROUP BY lang, w)
-        |  WHERE rn <= 5),
-        |ldt AS (SELECT DISTINCT doc_id, w FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-        |lmatches AS (
-        |  SELECT doc_id, plang, count(*) AS n_matches
-        |  FROM ldt JOIN prof USING (w) GROUP BY 1, 2),
-        |all_pairs AS (
-        |  SELECT d.doc_id, l.plang, coalesce(m.n_matches, 0) AS n_matches
-        |  FROM (SELECT doc_id FROM documents) d
-        |  CROSS JOIN (SELECT DISTINCT lang AS plang FROM documents) l
-        |  LEFT JOIN lmatches m USING (doc_id, plang)),
-        |pred AS (
-        |  SELECT doc_id, plang AS pred_lang FROM (
-        |    SELECT doc_id, plang,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY n_matches DESC, plang) AS rn
-        |    FROM all_pairs)
-        |  WHERE rn = 1),
-        |t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |      WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
-        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT d1, d2 FROM (
-        |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
-        |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
-        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
-        |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
-        |SELECT d.doc_id, q.quality, p.pred_lang, c.cluster_size
-        |FROM documents d
-        |JOIN qual q USING (doc_id)
-        |JOIN pred p USING (doc_id)
-        |JOIN rep r USING (doc_id)
-        |JOIN csz c ON c.cluster_rep = r.cluster_rep
-        |WHERE q.quality >= 0.3 AND p.pred_lang = d.lang AND r.cluster_rep = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_curate" -> s"""WITH RECURSIVE $curateCtes
+        |SELECT doc_id, quality, pred_lang, cluster_size
+        |FROM curated ORDER BY doc_id""".stripMargin,
+
+    // q_curate's CTE chain + the 8-gram contamination hits, LEFT JOINed —
+    // the exact recomposition contract: both components' oracles are the
+    // building blocks, so the composed result is verified against the
+    // composed SQL. sh8 is referenced twice (ev8 + hits) -> the 8-gram
+    // expansion inlines twice, which is linear (2x), not the exponential
+    // chained-reference shape that requires MATERIALIZED.
+    "q_decontaminate" -> s"""WITH RECURSIVE $curateCtes,
+        |t8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 8),
+        |sh8 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+        |        FROM t8, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |ev8 AS (SELECT sh, min(doc_id) AS eval_doc FROM sh8 WHERE doc_id % 10 = 0 GROUP BY sh),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits, min(ev8.eval_doc) AS first_eval_doc
+        |         FROM sh8 s JOIN ev8 ON s.sh = ev8.sh
+        |         WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id)
+        |SELECT c.doc_id, c.quality, c.pred_lang, c.cluster_size,
+        |       coalesce(h.n_hits, 0) AS n_eval_hits, h.first_eval_doc,
+        |       CAST(coalesce(h.n_hits, 0) = 0 AS BIGINT) AS kept
+        |FROM curated c LEFT JOIN hits h USING (doc_id)
+        |WHERE c.doc_id % 10 <> 0 ORDER BY c.doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
