@@ -185,6 +185,44 @@ object IvfIndex {
       s"$path/ingest/v=$version/_SUCCESS"), true).close()
   }
 
+  /** Fold every committed ingest batch into one `batch=<head>` partition
+    * per cell — the maintenance op that keeps a streaming-fed index from
+    * accumulating one leaf directory (and one small file set) per
+    * micro-batch: listing cost per search grows per batch otherwise; at
+    * weekly-compaction cadence it stays O(cells). Logical content is
+    * unchanged (the committed corpus IS the union of committed batches)
+    * and the head version number is preserved, so versioned appends
+    * continue where they left off. Crash-safe by content-preservation:
+    * the compacted copy lands fully under a staging dir, then swaps in
+    * with one rename pair — every crash state is either old, new, or
+    * a loud missing-dir error, never a partial union. Single-writer,
+    * QUIESCED (same discipline as [[graft.operators.DedupIndex.compact]]:
+    * a replay of a batch id below the head would re-land folded rows).
+    * Returns the number of batches folded away. */
+  def compactCells(spark: SparkSession, path: String): Int = {
+    cleanupUncommittedIngest(spark, path) // torn data must not be folded in
+    val head = committedIngestVersion(spark, path)
+    val cells = graft.sources.PartitionedLayout.read(spark, s"$path/cells")
+    // partition-column discovery may infer int or long for `batch`
+    val batches = cells.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (batches.length <= 1) return 0
+    graft.sources.PartitionedLayout.writePartitioned(
+      cells.filter(col("batch") <= head)
+        .select(col("vec_id"), col("v"), col("cell"))
+        .withColumn("batch", lit(head)),
+      s"$path/cells_compact", "cell", "batch")
+    val (fs, _) = hadoopFs(spark, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compactCells: could not stage cells aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells_compact"), live),
+      s"compactCells: could not swap in compacted cells (originals at cells_old)")
+    fs.delete(old, true)
+    batches.length - 1
+  }
+
   /** Delete data of ingest versions that never committed (a stream that
     * died mid-batch and was never retried). Single-writer only. */
   def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit = {

@@ -99,6 +99,34 @@ class StreamingIvfSuite extends SparkSpec {
     assert(leftover.isEmpty, "uncommitted ingest data survived cleanup")
   }
 
+  test("compactCells folds committed batches into one, serving unchanged") {
+    val idx = tmp("sivf-compact")
+    IvfIndex.buildIndex(seed, k = 8, iters = 1, idx)
+    StreamingIvf.applyBatch(b1, idx, batchId = 0L)
+    StreamingIvf.applyBatch(b2, idx, batchId = 1L)
+    val qs = emb.filter(col("vec_id") % 7 === 0).limit(10)
+    val before = resultSet(IvfIndex.searchIndex(spark, idx, qs, topK = 5, nprobe = 3))
+    val folded = IvfIndex.compactCells(spark, idx)
+    assert(folded === 2, s"expected 2 batches folded, got $folded")
+    // one leaf partition per cell, under the head version
+    val leaves = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(leaves === Set("batch=2"), s"leaves: $leaves")
+    assert(!new java.io.File(s"$idx/cells_compact").exists())
+    assert(!new java.io.File(s"$idx/cells_old").exists())
+    // identical serving, preserved head, and the next version still lands
+    assert(IvfIndex.committedIngestVersion(spark, idx) === 2L)
+    assert(resultSet(IvfIndex.searchIndex(spark, idx, qs, topK = 5, nprobe = 3)) === before)
+    IvfIndex.appendVersion(spark, idx,
+      seed.limit(3).withColumn("vec_id", col("vec_id") + 100000), 3L)
+    assert(IvfIndex.committedIngestVersion(spark, idx) === 3L)
+    // single-batch index: no-op
+    val idle = tmp("sivf-compact-idle")
+    IvfIndex.buildIndex(seed, k = 8, iters = 1, idle)
+    assert(IvfIndex.compactCells(spark, idle) === 0)
+  }
+
   test("MemoryStream end-to-end: post-stream search equals the directly-built index") {
     import spark.implicits._
     val idx = tmp("sivf-e2e")
