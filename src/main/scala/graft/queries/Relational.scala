@@ -260,6 +260,26 @@ object Relational {
         col("qs").getItem(2).as("q75"))
       .orderBy("l_returnflag")),
 
+    // EXACT percentiles (linear interpolation on the sorted group) — the
+    // full-oracle twin of q_agg_approx_quantile: Spark's `percentile` and
+    // DuckDB's `quantile_cont` both interpolate a + (b-a)·frac on the
+    // sorted values, so integer-valued quantities match to the 4dp round.
+    // Exact percentile is a per-group SORT: at 100 TB it's the documented
+    // expensive path (one total sort per group), which is WHY the
+    // approx_percentile (mergeable GK summary, no sort) twin above is the
+    // scale default; this gate keeps the exact op verified for the
+    // finite-group shapes where exactness matters (SLA reporting).
+    "q_agg_percentile" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("qs"),
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5D)").as("med_price"))
+      .select(col("l_returnflag"),
+        round(col("qs").getItem(0), 4).as("q25"),
+        round(col("qs").getItem(1), 4).as("q50"),
+        round(col("qs").getItem(2), 4).as("q75"),
+        round(col("med_price"), 4).as("med_price"))
+      .orderBy("l_returnflag")),
+
     "q_agg_rollup" -> ((s, d) => Tables(s, d, "orders")
       .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -860,6 +880,14 @@ object Relational {
 
     "q_agg_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q25,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS q50,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS q75,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS med_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_rollup" ->
