@@ -331,6 +331,38 @@ object TimeSeries {
         col("n"))
       .orderBy("day", "event_type")),
 
+    // GAP-FILL + last-observation-carried-forward — the missing-bucket
+    // repair every metrics/training-feature pipeline runs before joining
+    // series: per user, materialize the full hourly grid between that
+    // user's first and last event hour (sequence explode — no cross join
+    // against a global calendar, so a sparse user costs only their own
+    // span), LEFT JOIN the observed hourly sums, and carry the last
+    // non-null observation forward (ignoreNulls last() over an unbounded-
+    // preceding frame — one window pass, no self-join). `gap` marks
+    // synthesized rows so downstream consumers can weight them. Scale:
+    // one (user, hr) hash agg + one per-user explode + one window, all
+    // keyed by user_id — no corpus-scale state, no calendar broadcast.
+    "q_ts_gapfill" -> ((s, d) => {
+      val obs = Tables(s, d, "events")
+        .select(col("user_id"),
+          // integer DIV, not `/` (Spark's / is double division); positive
+          // epochs so DIV == floor-div == DuckDB's //
+          expr("unix_micros(ts) DIV 3600000000").as("hr"),
+          col("value"))
+        .groupBy("user_id", "hr")
+        .agg(round(moneySum(col("value")), 4).as("obs"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), col("obs"),
+          last(col("obs"), ignoreNulls = true).over(w).as("filled"),
+          col("obs").isNull.cast("long").as("gap"))
+        .orderBy("user_id", "hr")
+    }),
+
     // Cumulative distinct users per day — the growth-dashboard staple.
     // Distinctness is rewritten as "first-seen day per user" (one hash agg
     // keyed by user), so no day ever re-scans history; the running total
@@ -672,6 +704,21 @@ object TimeSeries {
         |       min(open) AS open, max(value) AS high, min(value) AS low,
         |       min(close) AS close, count(*) AS n
         |FROM w GROUP BY day, event_type ORDER BY 1, 2""".stripMargin,
+
+    "q_ts_gapfill" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 4) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM o GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM r)
+        |SELECT g.user_id, g.hr, o.obs,
+        |       last_value(o.obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |       CAST(o.obs IS NULL AS BIGINT) AS gap
+        |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hr = o.hr
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_ts_ewma" ->
       """SELECT event_id, user_id, ROUND(num / 1.9921875, 4) AS ewma FROM (
