@@ -95,6 +95,42 @@ class IvfIndexSuite extends SparkSpec {
     assert(listed <= 2, s"one query with nprobe=2 must list <= 2 cell dirs, got $listed")
   }
 
+  test("versioned index: the committed-batch filter prunes at the partition level too") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivf_vprune").toString
+    IvfIndex.buildIndex(corpus, k = 8, iters = 1, dir)
+    IvfIndex.appendToIndex(spark, dir, queries.limit(5)
+      .withColumn("vec_id", col("vec_id") + 50000))
+    // land a TORN batch (data, no commit marker): committed-path reads
+    // must prune its (cell, batch=2) leaf directories at LISTING time —
+    // the second-level partition filter, composing with the cell prune
+    val model = IvfIndex.loadModel(spark, s"$dir/model")
+    graft.sources.PartitionedLayout.overwritePartitions(
+      IvfIndex.assign(queries.limit(5).withColumn("vec_id", col("vec_id") + 90000), model)
+        .withColumn("batch", lit(2L)), s"$dir/cells", "cell", "batch")
+    val got = IvfIndex.searchIndex(spark, dir,
+      queries.filter(col("vec_id") === 0L), topK = 5, nprobe = 8)
+    got.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val pruned = scans(got.queryExecution.executedPlan)
+      .filter(_.partitionFilters.exists(_.toString.contains("batch")))
+    assert(pruned.nonEmpty,
+      s"no batch partition filter in plan:\n${got.queryExecution.executedPlan}")
+    val files = pruned.head.relation.location
+      .listFiles(pruned.head.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("batch=2")),
+      s"torn batch's files survived partition pruning: $files")
+  }
+
   test("persisted index: buildIndex + searchIndex equals the in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
     val model = IvfIndex.buildIndex(corpus, k = 8, iters = 3, dir)
