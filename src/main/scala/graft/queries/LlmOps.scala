@@ -1390,6 +1390,33 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // SOURCE/SINK ROUNDTRIP, driver-visible: documents -> JSON-lines AND
+    // CSV at a scratch path (sources.Delimited: explicit schema, FAILFAST,
+    // UTC-pinned timestamps — the no-inference 100 TB interchange policy)
+    // -> read both back -> inner-join on doc_id REQUIRING text and lang
+    // byte-equality across the two formats. Any quoting/escaping/encoding
+    // corruption in either format drops rows, and the oracle (the plain
+    // documents table) then fails the row-count compare — so "the
+    // interchange formats are faithful" is hash-gated, not suite-only.
+    "q_source_roundtrip" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "source", "lang", "text")
+      val path = graft.operators.Scratch.dir(
+        "graft-src-rt", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.sources.Delimited.writeJsonLines(docs, s"$path/jsonl")
+        graft.sources.Delimited.writeCsv(docs, s"$path/csv")
+      }
+      val j = graft.sources.Delimited.readJsonLines(s, s"$path/jsonl", docs.schema)
+        .select(col("doc_id"), col("lang").as("j_lang"), col("text").as("j_text"))
+      val c = graft.sources.Delimited.readCsv(s, s"$path/csv", docs.schema)
+        .select(col("doc_id"), col("lang").as("c_lang"), col("text").as("c_text"))
+      j.join(c, "doc_id")
+        .filter(col("j_text") === col("c_text") && col("j_lang") === col("c_lang"))
+        .select(col("doc_id"), col("j_lang").as("lang"),
+          length(col("j_text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search / vectors -----------------------------------
     "q_sim_topk" -> ((s, d) => simTopK(s, d)
       .select("q_id", "rn", "c_id", "cos_sim")
@@ -2845,6 +2872,10 @@ object LlmOps {
          |$body
          |SELECT doc_id, round(rank, 6) AS rank FROM pr$iters ORDER BY doc_id""".stripMargin
     },
+
+    "q_source_roundtrip" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_cooccur" ->
       """WITH dt AS (SELECT DISTINCT doc_id, w FROM
