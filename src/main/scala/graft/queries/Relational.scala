@@ -136,6 +136,31 @@ object Relational {
         .orderBy("view_id")
     }),
 
+    // NEAREST as-of — either direction, whichever purchase is closest in
+    // time to the view (tie: the backward one, then min purchase_id) —
+    // the sensor-alignment/event-matching variant the backward/forward
+    // pair can't express alone. Same equi-join + per-key window shape as
+    // q_join_asof (oracle-friendly); at scale, compose the union-merge
+    // backward pass with its time-reversed twin and pick the smaller
+    // |delta| per row — two linear sorts, no pair blowup.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("vus"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("pus"))
+      val j = v.join(p, col("user_id") === col("p_user"))
+        .withColumn("delta_us", abs(col("pus") - col("vus")))
+      val w = Window.partitionBy("view_id").orderBy(col("delta_us"),
+        // backward (pus <= vus) wins exact-distance ties, then min id
+        (col("pus") > col("vus")).cast("int"), col("purchase_id"))
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("view_id", "purchase_id", "delta_us")
+        .orderBy("view_id")
+    }),
+
     "q_join_cross_bounded" -> ((s, d) => Tables(s, d, "region")
       .crossJoin(Tables(s, d, "nation"))
       .select("r_name", "n_name")
@@ -837,6 +862,19 @@ object Relational {
         |    ON v.event_type = 'view' AND p.event_type = 'purchase'
         |   AND v.user_id = p.user_id
         |   AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP))
+        |WHERE rn = 1 ORDER BY view_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """SELECT view_id, purchase_id, delta_us FROM (
+        |  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |         abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))) AS delta_us,
+        |         row_number() OVER (PARTITION BY v.event_id
+        |           ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))),
+        |                    CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP)) AS INT),
+        |                    p.event_id) AS rn
+        |  FROM events v JOIN events p
+        |    ON v.event_type = 'view' AND p.event_type = 'purchase'
+        |   AND v.user_id = p.user_id)
         |WHERE rn = 1 ORDER BY view_id""".stripMargin,
 
     "q_join_cross_bounded" ->
