@@ -305,6 +305,23 @@ object Relational {
         round(col("med_price"), 4).as("med_price"))
       .orderBy("l_returnflag")),
 
+    // Equal-width HISTOGRAM (20 bins over the observed range) — the
+    // profiling/distribution shape dashboards and feature-analysis runs
+    // need. Two passes: one scalar agg for (min, max) — a 1-row broadcast,
+    // never a driver round-trip in the plan — then a map-side bucket
+    // formula + hash agg. The bucket arithmetic is the same IEEE ops on
+    // the same doubles in both engines; the top edge folds into the last
+    // bin (least(…, 19)), the standard width_bucket convention.
+    "q_agg_histogram" -> ((s, d) => {
+      val x = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+      val r = x.agg(min("x").as("lo"), max("x").as("hi"))
+      x.crossJoin(broadcast(r))
+        .select(least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d))),
+          lit(19.0d)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
     "q_agg_rollup" -> ((s, d) => Tables(s, d, "orders")
       .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -919,6 +936,12 @@ object Relational {
     "q_agg_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_histogram" ->
+      """WITH r AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin,
+        |       count(*) AS n
+        |FROM lineitem, r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,
