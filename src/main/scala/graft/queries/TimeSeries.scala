@@ -331,80 +331,6 @@ object TimeSeries {
         col("n"))
       .orderBy("day", "event_type")),
 
-    // GAP-FILL + last-observation-carried-forward — the missing-bucket
-    // repair every metrics/training-feature pipeline runs before joining
-    // series: per user, materialize the full hourly grid between that
-    // user's first and last event hour (sequence explode — no cross join
-    // against a global calendar, so a sparse user costs only their own
-    // span), LEFT JOIN the observed hourly sums, and carry the last
-    // non-null observation forward (ignoreNulls last() over an unbounded-
-    // preceding frame — one window pass, no self-join). `gap` marks
-    // synthesized rows so downstream consumers can weight them. Scale:
-    // one (user, hr) hash agg + one per-user explode + one window, all
-    // keyed by user_id — no corpus-scale state, no calendar broadcast.
-    "q_ts_gapfill" -> ((s, d) => {
-      val obs = Tables(s, d, "events")
-        .select(col("user_id"),
-          // integer DIV, not `/` (Spark's / is double division); positive
-          // epochs so DIV == floor-div == DuckDB's //
-          expr("unix_micros(ts) DIV 3600000000").as("hr"),
-          col("value"))
-        .groupBy("user_id", "hr")
-        .agg(round(moneySum(col("value")), 4).as("obs"))
-      val grid = obs.groupBy("user_id")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
-      val w = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"), col("obs"),
-          last(col("obs"), ignoreNulls = true).over(w).as("filled"),
-          col("obs").isNull.cast("long").as("gap"))
-        .orderBy("user_id", "hr")
-    }),
-
-    // Linear-INTERPOLATION twin of the LOCF gap fill: each synthesized
-    // hour takes prev + (next - prev) · (hr - prev_hr)/(next_hr - prev_hr)
-    // between its bracketing observations. Every gap row is interior by
-    // construction (the grid spans first..last observed hour), so both
-    // neighbors always exist. Four ignore-nulls window passes (prev/next
-    // value and hour) over the same per-user frame — still no self-join,
-    // still keyed by user_id only. The interpolated double can land a
-    // last-ulp BELOW a 4dp rounding boundary (measured: 49.5037499999...
-    // vs the boundary .50375), where Spark's round (BigDecimal.valueOf =
-    // shortest-string, reads ".50375", HALF_UP -> .5038) and DuckDB's
-    // (binary value -> .5037) DISAGREE — so the output round is written
-    // as the explicit floor(x*1e4 + 0.5)/1e4 in BOTH engines: identical
-    // IEEE ops on identical inputs, equal by construction.
-    "q_ts_gapfill_interp" -> ((s, d) => {
-      val obs = Tables(s, d, "events")
-        .select(col("user_id"),
-          expr("unix_micros(ts) DIV 3600000000").as("hr"),
-          col("value"))
-        .groupBy("user_id", "hr")
-        .agg(round(moneySum(col("value")), 4).as("obs"))
-      val grid = obs.groupBy("user_id")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
-      val wb = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      grid.join(obs, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"), col("obs"),
-          last(col("obs"), ignoreNulls = true).over(wb).as("pv"),
-          last(when(col("obs").isNotNull, col("hr")), ignoreNulls = true).over(wb).as("ph"),
-          first(col("obs"), ignoreNulls = true).over(wf).as("nv"),
-          first(when(col("obs").isNotNull, col("hr")), ignoreNulls = true).over(wf).as("nh"))
-        .select(col("user_id"), col("hr"), col("obs"),
-          when(col("obs").isNotNull, col("obs")).otherwise(
-            floor((col("pv") + (col("nv") - col("pv")) *
-              ((col("hr") - col("ph")).cast("double") / (col("nh") - col("ph")).cast("double")))
-              * 10000d + 0.5d) / 10000d).as("filled"),
-          col("obs").isNull.cast("long").as("gap"))
-        .orderBy("user_id", "hr")
-    }),
-
     // Cumulative distinct users per day — the growth-dashboard staple.
     // Distinctness is rewritten as "first-seen day per user" (one hash agg
     // keyed by user), so no day ever re-scans history; the running total
@@ -746,48 +672,6 @@ object TimeSeries {
         |       min(open) AS open, max(value) AS high, min(value) AS low,
         |       min(close) AS close, count(*) AS n
         |FROM w GROUP BY day, event_type ORDER BY 1, 2""".stripMargin,
-
-    "q_ts_gapfill" ->
-      """WITH o AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
-        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 4) AS obs
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM o GROUP BY 1),
-        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM r)
-        |SELECT g.user_id, g.hr, o.obs,
-        |       last_value(o.obs IGNORE NULLS) OVER (
-        |         PARTITION BY g.user_id ORDER BY g.hr
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
-        |       CAST(o.obs IS NULL AS BIGINT) AS gap
-        |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hr = o.hr
-        |ORDER BY 1, 2""".stripMargin,
-
-    "q_ts_gapfill_interp" ->
-      """WITH o AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
-        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 4) AS obs
-        |  FROM events GROUP BY 1, 2),
-        |r AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM o GROUP BY 1),
-        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM r),
-        |j AS (
-        |  SELECT g.user_id, g.hr, o.obs,
-        |    last_value(o.obs IGNORE NULLS) OVER wb AS pv,
-        |    last_value(CASE WHEN o.obs IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wb AS ph,
-        |    first_value(o.obs IGNORE NULLS) OVER wf AS nv,
-        |    first_value(CASE WHEN o.obs IS NOT NULL THEN g.hr END IGNORE NULLS) OVER wf AS nh
-        |  FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.hr = o.hr
-        |  WINDOW
-        |    wb AS (PARTITION BY g.user_id ORDER BY g.hr
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wf AS (PARTITION BY g.user_id ORDER BY g.hr
-        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, hr, obs,
-        |       CASE WHEN obs IS NOT NULL THEN obs
-        |       ELSE floor((pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)))
-        |                  * 10000 + 0.5) / 10000
-        |       END AS filled,
-        |       CAST(obs IS NULL AS BIGINT) AS gap
-        |FROM j ORDER BY 1, 2""".stripMargin,
 
     "q_ts_ewma" ->
       """SELECT event_id, user_id, ROUND(num / 1.9921875, 4) AS ewma FROM (
