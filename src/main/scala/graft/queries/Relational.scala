@@ -285,43 +285,6 @@ object Relational {
         col("qs").getItem(2).as("q75"))
       .orderBy("l_returnflag")),
 
-    // EXACT percentiles (linear interpolation on the sorted group) — the
-    // full-oracle twin of q_agg_approx_quantile: Spark's `percentile` and
-    // DuckDB's `quantile_cont` both interpolate a + (b-a)·frac on the
-    // sorted values, so integer-valued quantities match to the 4dp round.
-    // Exact percentile is a per-group SORT: at 100 TB it's the documented
-    // expensive path (one total sort per group), which is WHY the
-    // approx_percentile (mergeable GK summary, no sort) twin above is the
-    // scale default; this gate keeps the exact op verified for the
-    // finite-group shapes where exactness matters (SLA reporting).
-    "q_agg_percentile" -> ((s, d) => Tables(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D))").as("qs"),
-        expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5D)").as("med_price"))
-      .select(col("l_returnflag"),
-        round(col("qs").getItem(0), 4).as("q25"),
-        round(col("qs").getItem(1), 4).as("q50"),
-        round(col("qs").getItem(2), 4).as("q75"),
-        round(col("med_price"), 4).as("med_price"))
-      .orderBy("l_returnflag")),
-
-    // Equal-width HISTOGRAM (20 bins over the observed range) — the
-    // profiling/distribution shape dashboards and feature-analysis runs
-    // need. Two passes: one scalar agg for (min, max) — a 1-row broadcast,
-    // never a driver round-trip in the plan — then a map-side bucket
-    // formula + hash agg. The bucket arithmetic is the same IEEE ops on
-    // the same doubles in both engines; the top edge folds into the last
-    // bin (least(…, 19)), the standard width_bucket convention.
-    "q_agg_histogram" -> ((s, d) => {
-      val x = Tables(s, d, "lineitem").select(col("l_extendedprice").as("x"))
-      val r = x.agg(min("x").as("lo"), max("x").as("hi"))
-      x.crossJoin(broadcast(r))
-        .select(least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / lit(20.0d))),
-          lit(19.0d)).cast("long").as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n"))
-        .orderBy("bin")
-    }),
-
     "q_agg_rollup" -> ((s, d) => Tables(s, d, "orders")
       .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -935,20 +898,6 @@ object Relational {
 
     "q_agg_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS distinct_parts
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_agg_histogram" ->
-      """WITH r AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
-        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19.0) AS BIGINT) AS bin,
-        |       count(*) AS n
-        |FROM lineitem, r GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_agg_percentile" ->
-      """SELECT l_returnflag,
-        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q25,
-        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS q50,
-        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS q75,
-        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS med_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_agg_rollup" ->
