@@ -590,6 +590,50 @@ object KnnGraph {
     doomed
   }
 
+  /** Fold vector batches into one directory per *still-committed* edge
+    * version — the maintenance op that finishes storage hygiene for this
+    * family ([[pruneVersions]] GCs superseded edge copies; without this,
+    * `vectors/batch=V` dirs still accumulate one per append forever, and
+    * file-listing cost per read grows per batch). All batches at or below
+    * the OLDEST committed edge version fold into `batch=<that version>`;
+    * batches above it (at most `keep-1` after a prune) are rewritten
+    * unchanged — so `indexVectors(v)` returns the identical corpus for
+    * EVERY committed version v, before and after (suite-pinned). After
+    * `pruneVersions(keep=1)` this folds the whole corpus into one dir.
+    *
+    * Crash-safe by content-preservation (the [[IvfIndex.compactCells]]
+    * pattern): the full new layout lands under a staging dir, then swaps
+    * in with one rename pair — every crash state is the old layout, the
+    * new, or a loud missing-dir error, never a partial union.
+    * Single-writer, QUIESCED (a concurrent append would write its batch
+    * into the dir mid-swap). Returns the number of dirs folded away. */
+  def compactVectors(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Int = {
+    cleanupUncommittedIndex(spark, path) // orphans must not be folded in
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty, s"no committed graph index at $path")
+    val vmin = vs.min
+    val (fs, vroot) = hadoopFs(spark, s"$path/vectors")
+    val batches = fs.listStatus(vroot).toSeq.map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      .sorted
+    if (batches.count(_ <= vmin) <= 1) return 0
+    spark.read.option("basePath", s"$path/vectors").parquet(s"$path/vectors")
+      .filter(col("batch") <= vmin).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$path/vectors_compact/batch=$vmin")
+    batches.filter(_ > vmin).foreach { b =>
+      spark.read.parquet(s"$path/vectors/batch=$b").select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$path/vectors_compact/batch=$b")
+    }
+    val old = new org.apache.hadoop.fs.Path(s"$path/vectors_old")
+    fs.delete(old, true)
+    require(fs.rename(vroot, old), s"compactVectors: could not stage vectors aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"), vroot),
+      s"compactVectors: could not swap in compacted vectors (originals at vectors_old)")
+    fs.delete(old, true)
+    batches.count(_ <= vmin) - 1
+  }
+
   /** Brute-force search witness: exact top-k corpus neighbors per query,
     * O(n·m); testdata scales only. Same output shape/tie rule as
     * [[search]]. */

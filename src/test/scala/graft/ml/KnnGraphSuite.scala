@@ -280,6 +280,41 @@ class KnnGraphSuite extends SparkSpec {
     intercept[IllegalArgumentException](KnnGraph.pruneVersions(spark, dir, keep = 0))
   }
 
+  test("index: compactVectors folds batch dirs, every committed version's corpus unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-cvec").toString
+    KnnGraph.buildIndex(oldBatch, k = 5, iters = 0, dir)
+    val half = newBatch.filter(col("vec_id") % 2 === 0)
+    KnnGraph.appendVersion(spark, dir, half, 1L)
+    KnnGraph.appendVersion(spark, dir, newBatch.except(half), 2L)
+    def corpus(v: Long): Set[Long] =
+      KnnGraph.indexVectors(spark, dir, v).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    def batchDirs: Set[String] =
+      new java.io.File(s"$dir/vectors").listFiles().map(_.getName)
+        .filter(_.startsWith("batch=")).toSet
+    // two committed versions retained: fold only batches <= the oldest
+    KnnGraph.pruneVersions(spark, dir, keep = 2) // GC v0, keep v1+v2
+    val (c1, c2) = (corpus(1), corpus(2))
+    assert(KnnGraph.compactVectors(spark, dir) === 1, "batches 0,1 fold into one")
+    assert(batchDirs === Set("batch=1", "batch=2"))
+    assert(corpus(1) === c1, "version 1's corpus changed under compaction")
+    assert(corpus(2) === c2, "version 2's corpus changed under compaction")
+    // after pruning to the head alone, everything folds into one dir
+    KnnGraph.pruneVersions(spark, dir, keep = 1)
+    assert(KnnGraph.compactVectors(spark, dir) === 1)
+    assert(batchDirs === Set("batch=2"))
+    assert(corpus(2) === c2)
+    // idempotent: nothing left to fold
+    assert(KnnGraph.compactVectors(spark, dir) === 0)
+    // the index still serves and the NEXT append continues the numbering
+    assert(KnnGraph.searchIndex(spark, dir, oldBatch.limit(4), k = 3, rounds = 1)
+      .count() > 0)
+    KnnGraph.appendToIndex(spark, dir,
+      oldBatch.limit(3).withColumn("vec_id", col("vec_id") + 20000))
+    assert(KnnGraph.currentVersion(spark, dir) === 3L)
+    assert(corpus(3).size === c2.size + 3)
+  }
+
   test("index: buildIndex refuses to wipe a directory that is not an index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-knn-guard").toString
     java.nio.file.Files.writeString(
