@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Backward as-of join without the pair blowup.
   *
@@ -21,22 +22,27 @@ import org.apache.spark.sql.functions._
   * winner is the LAST under `rightTieBreak` ascending — pass the mirror of
   * the pair form's DESC ranking.
   *
-  * Skew: one pathological key (a single user with billions of rows) lands
-  * on one sort task. The running-frame window cannot be salted the way an
-  * equi join can (state crosses salt boundaries); the mitigation is range-
-  * splitting that key by time and stitching the last carry row of each
-  * range forward — only worth building when a profile shows the hot key.
+  * Skew: [[asofBackward]]'s running-frame window puts one pathological key
+  * (a single user with billions of rows) on one sort task, and it cannot be
+  * salted the way an equi join can (running state crosses salt boundaries).
+  * [[asofBackwardSplit]] is the designed mitigation: range-split every
+  * key's timeline into fixed-width slots, run the same running-frame window
+  * per (key, slot) — the hot key now spans as many tasks as it spans slots
+  * — and stitch slot boundaries with a carry row (the last right row of all
+  * earlier slots), computed on a frame of one row per (key, slot).
   */
 object AsOfJoin {
 
-  def asofBackward(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String,
-                   rightTieBreak: String): DataFrame = {
+  /** Tag, project and union the two sides into the merge frame:
+    * (_k, _t, _tag 1=left/0=right, _tie, _l, _r). Shared by both
+    * formulations — one tagging contract, one set of guards. */
+  private def merged(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     rightTieBreak: String): DataFrame = {
     // fail loudly: a non-integral tiebreak would silently cast to null and
     // make equal-ts winners depend on shuffle order
     right.schema(rightTieBreak).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case LongType | IntegerType | ShortType | ByteType => ()
       case other => throw new IllegalArgumentException(
         s"rightTieBreak '$rightTieBreak' must be an integral column, got ${other.sql}")
     }
@@ -61,14 +67,84 @@ object AsOfJoin {
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType)
         .as("_l"),
       struct(rightCols.map(col): _*).as("_r"))
+    l.unionByName(r)
+  }
+
+  /** Final projection back to the public contract: left columns verbatim,
+    * matched right columns prefixed `r_` (null structs fan out to null
+    * columns — the unmatched-left case). */
+  private def project(matched: DataFrame, leftCols: Array[String],
+                      rightCols: Array[String]): DataFrame =
+    matched.select(col("_l").as("l"), col("_m").as("r"))
+      .select(leftCols.map(c => col(s"l.$c")) ++
+        rightCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
+
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   rightTieBreak: String): DataFrame = {
     val w = Window.partitionBy("_k")
       .orderBy(col("_t"), col("_tag"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    project(
+      merged(left, right, key, leftTs, rightTs, rightTieBreak)
+        .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+        .filter(col("_tag") === 1),
+      left.columns, right.columns)
+  }
+
+  /** [[asofBackward]] with the hot-key mitigation built in: identical
+    * results (suite-pinned), but the per-key sort is RANGE-SPLIT into
+    * fixed-width time slots of `slotWidthMicros` microseconds, so a single
+    * pathological key's rows spread over (its time span / slot width)
+    * tasks instead of one.
+    *
+    * Three-stage plan, every stage linear and skew-split:
+    *   1. in-slot pass: the running `last(right)` window over
+    *      (_k, _slot) — the hot key's rows are in different partitions
+    *      per slot;
+    *   2. carry: one row per (key, slot) — `max_by(right, (ts, tie))`
+    *      partial-aggregates map-side — then the latest right row of all
+    *      STRICTLY EARLIER slots via a running window over the tiny
+    *      per-slot frame (rows per key = its non-empty slots);
+    *   3. stitch: left rows with no in-slot match coalesce to their
+    *      slot's carry (equi-join on (_k, _slot) — also skew-split).
+    *
+    * Pick `slotWidthMicros` from the profile that showed the hot key:
+    * width ~ (hot key's span / desired split count). Keys spanning fewer
+    * than two slots degenerate to exactly [[asofBackward]]'s shape.
+    * Timestamps are slotted on `unix_micros`; integral ts columns are
+    * slotted on their raw value (width then shares their unit). */
+  def asofBackwardSplit(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        rightTieBreak: String,
+                        slotWidthMicros: Long): DataFrame = {
+    require(slotWidthMicros > 0, s"slot width must be > 0, got $slotWidthMicros")
+    val micros: Column = left.schema(leftTs).dataType match {
+      case TimestampType => unix_micros(col("_t"))
+      case _ => col("_t").cast("long")
+    }
+    val u = merged(left, right, key, leftTs, rightTs, rightTieBreak)
+      // floor of a double division: micros magnitudes (~1.7e15) are exact
+      // in double (< 2^53), so the slot id is exact
+      .withColumn("_slot", floor(micros / lit(slotWidthMicros.toDouble)))
+    val wIn = Window.partitionBy("_k", "_slot")
+      .orderBy(col("_t"), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSlot = u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(wIn))
       .filter(col("_tag") === 1)
-      .select(col("_l").as("l"), col("_m").as("r"))
-      .select(leftCols.map(c => col(s"l.$c")) ++
-        rightCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
+    // one row per (key, slot) — including right-empty slots, whose null
+    // _sl lets the running last skip them while still anchoring the join
+    val slotLast = u.groupBy("_k", "_slot")
+      .agg(max_by(col("_r"),
+        when(col("_tag") === 0, struct(col("_t"), col("_tie")))).as("_sl"))
+    val wCarry = Window.partitionBy("_k").orderBy("_slot")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = slotLast
+      .withColumn("_c", last(col("_sl"), ignoreNulls = true).over(wCarry))
+      .select(col("_k"), col("_slot"), col("_c"))
+    project(
+      inSlot.join(carry, Seq("_k", "_slot"), "left")
+        .withColumn("_m", coalesce(col("_m"), col("_c"))),
+      left.columns, right.columns)
   }
 }

@@ -195,6 +195,24 @@ object Relational {
         .orderBy("purchase_id")
     }),
 
+    // The RANGE-SPLIT as-of under the harness gate: same semantics again
+    // (identical oracle to q_join_asof/q_join_asof_merge), but the per-user
+    // sort is split into 6-hour time slots with carry-row stitching — the
+    // designed mitigation for a single pathological key landing its whole
+    // timeline on one sort task. Three gated formulations, one answer.
+    "q_join_asof_split" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      graft.operators.AsOfJoin.asofBackwardSplit(p, v, "user_id", "pts", "vts",
+          "view_id", 6L * 3600 * 1000 * 1000)
+        .filter(col("r_view_id").isNotNull)
+        .select(col("purchase_id"), col("r_view_id").as("view_id"))
+        .orderBy("purchase_id")
+    }),
+
     // Skew-salted equi join through operators.ScaleJoins: lineitem's hot
     // orderkeys are spread over 8 deterministic salts, the small side is
     // replicated per salt. The salt must be INVISIBLE in the result — the
@@ -832,6 +850,9 @@ object Relational {
     // identical oracle by construction: the merge formulation must be
     // indistinguishable from the pair formulation
     "q_join_asof_merge" -> asofSql,
+
+    // and the range-split formulation must be indistinguishable from both
+    "q_join_asof_split" -> asofSql,
 
     "q_join_asof_forward" ->
       """SELECT view_id, purchase_id FROM (

@@ -49,6 +49,44 @@ class AsOfJoinSuite extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("range-split as-of equals the unsplit form on events, at widths spanning one to many slots") {
+    val e = Tables(spark, sf, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("r_view_id").isNotNull).select("purchase_id", "r_view_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = pairs(AsOfJoin.asofBackward(p, v, "user_id", "pts", "vts", "view_id"))
+    assert(expected.nonEmpty)
+    // 1 hour (many slots over the corpus), 1 day, and a width past the
+    // whole span (degenerates to one slot = the unsplit shape)
+    for (width <- Seq(3_600_000_000L, 86_400_000_000L, 4_000_000_000_000_000L)) {
+      val got = pairs(AsOfJoin.asofBackwardSplit(
+        p, v, "user_id", "pts", "vts", "view_id", width))
+      assert(got === expected, s"split(width=$width) diverged from unsplit")
+    }
+  }
+
+  test("range-split: carry crosses right-empty slots; boundary rows stay backward-inclusive") {
+    import spark.implicits._
+    // slots of width 100: right only in slot 0; left rows in slots 0,2,3
+    // (slot 1 entirely empty, slot 2 has no right rows) — every left match
+    // must come from the slot-0 carry across the gap. Plus a right row at
+    // exactly a slot boundary (t=300) matched by a left row at the same t.
+    val l = Seq((1L, 50L, "a"), (1L, 250L, "b"), (1L, 320L, "c"),
+      (2L, 310L, "d")).toDF("k", "t", "lv")
+    val r = Seq((1L, 40L, 1L, "x"), (1L, 45L, 2L, "y"), (2L, 300L, 3L, "z"))
+      .toDF("k", "t", "tie", "rv")
+    val got = AsOfJoin.asofBackwardSplit(l, r, "k", "t", "t", "tie", 100L)
+      .select("k", "lv", "r_rv")
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSet
+    assert(got === Set((1L, "a", "y"), (1L, "b", "y"), (1L, "c", "y"),
+      (2L, "d", "z")))
+  }
+
   test("left rows with no prior right row survive with null match") {
     import spark.implicits._
     val l = Seq((1L, 100L, "a"), (2L, 50L, "b")).toDF("k", "t", "lv")
