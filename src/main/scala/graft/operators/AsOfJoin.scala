@@ -79,6 +79,59 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"l.$c")) ++
         rightCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
 
+  /** NEAREST as-of from two union-merge passes — the linear-sort
+    * composition of the either-direction match (q_join_asof_nearest's
+    * pair-form semantics) that survives hot keys: a backward pass picks
+    * each left row's latest right at-or-before, a second backward pass
+    * over NEGATED time picks its earliest right at-or-after, and a per-row
+    * argmin on |delta| picks between them. Two linear sorts + one
+    * left-id equi join — never the per-key pair blowup.
+    *
+    * Tie rules (matching the pair form's (delta, direction, id) ranking):
+    * equal |delta| across directions goes BACKWARD; equal ts within a
+    * direction goes to the SMALLEST `rightTieBreak` (the passes run with
+    * the negated tiebreak, so "last under ascending" lands on the min).
+    *
+    * `leftId` must be unique per left row (it keys the join between the
+    * two passes). Output: left columns verbatim, matched right columns as
+    * `r_<col>`, plus `delta_us` (microseconds if the ts columns are
+    * timestamps, raw units if integral; null when the key has no right
+    * rows at all — the unmatched-left case, kept like [[asofBackward]]). */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftId: String, leftTs: String, rightTs: String,
+                  rightTieBreak: String): DataFrame = {
+    def micros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val l2 = left.withColumn("_lus", micros(left, leftTs))
+    val r2 = right.withColumn("_rus", micros(right, rightTs))
+      .withColumn("_negtie", -col(rightTieBreak).cast("long"))
+    val b = asofBackward(l2, r2, key, "_lus", "_rus", "_negtie")
+    val f = asofBackward(l2.withColumn("_nlus", -col("_lus")),
+      r2.withColumn("_nrus", -col("_rus")), key, "_nlus", "_nrus", "_negtie")
+    val rightCols = r2.columns // includes _rus: the chosen side's ts
+    def pass(df: DataFrame, out: String): DataFrame = df.select(
+      col(leftId).as("_id") +: col("_lus") +:
+        left.columns.map(col) :+
+        // null-match detection via the never-null-on-right tiebreak
+        when(col("r__negtie").isNotNull,
+          struct(rightCols.map(c => col(s"r_$c").as(c)): _*)).as(out): _*)
+    val bb = pass(b, "_mb")
+    val ff = pass(f, "_mf").select("_id", "_mf")
+    val db = col("_lus") - col("_mb._rus")
+    val df_ = col("_mf._rus") - col("_lus")
+    val chosen = when(col("_mb").isNull, col("_mf"))
+      .when(col("_mf").isNull, col("_mb"))
+      .when(df_ < db, col("_mf"))
+      .otherwise(col("_mb")) // equal |delta| goes backward
+    bb.join(ff, "_id")
+      .withColumn("_m", chosen)
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"_m.$c").as(s"r_$c")) :+
+        abs(col("_m._rus") - col("_lus")).as("delta_us"): _*)
+  }
+
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    rightTieBreak: String): DataFrame = {

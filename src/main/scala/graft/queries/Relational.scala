@@ -140,9 +140,9 @@ object Relational {
     // time to the view (tie: the backward one, then min purchase_id) —
     // the sensor-alignment/event-matching variant the backward/forward
     // pair can't express alone. Same equi-join + per-key window shape as
-    // q_join_asof (oracle-friendly); at scale, compose the union-merge
-    // backward pass with its time-reversed twin and pick the smaller
-    // |delta| per row — two linear sorts, no pair blowup.
+    // q_join_asof (oracle-friendly); the scale shape is the two-pass
+    // union-merge composition — AsOfJoin.asofNearest, gated as
+    // q_join_asof_nearest_merge with this query's identical oracle.
     "q_join_asof_nearest" -> ((s, d) => {
       val e = Tables(s, d, "events")
       val v = e.filter(col("event_type") === "view")
@@ -193,6 +193,24 @@ object Relational {
         .filter(col("r_view_id").isNotNull)
         .select(col("purchase_id"), col("r_view_id").as("view_id"))
         .orderBy("purchase_id")
+    }),
+
+    // The two-pass merge composition of NEAREST as-of under the gate:
+    // same semantics as q_join_asof_nearest (identical oracle) but built
+    // from two linear union-merge passes (backward + backward-over-negated
+    // -time) and a per-row argmin — the shape that survives hot keys,
+    // proven indistinguishable from the pair form on real data.
+    "q_join_asof_nearest_merge" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      graft.operators.AsOfJoin.asofNearest(v, p, "user_id", "view_id",
+          "vts", "pts", "purchase_id")
+        .filter(col("r_purchase_id").isNotNull)
+        .select(col("view_id"), col("r_purchase_id").as("purchase_id"), col("delta_us"))
+        .orderBy("view_id")
     }),
 
     // The RANGE-SPLIT as-of under the harness gate: same semantics again
@@ -853,6 +871,20 @@ object Relational {
 
     // and the range-split formulation must be indistinguishable from both
     "q_join_asof_split" -> asofSql,
+
+    // the two-pass merge composition must match the pair-form nearest
+    "q_join_asof_nearest_merge" ->
+      """SELECT view_id, purchase_id, delta_us FROM (
+        |  SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |         abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))) AS delta_us,
+        |         row_number() OVER (PARTITION BY v.event_id
+        |           ORDER BY abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))),
+        |                    CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP)) AS INT),
+        |                    p.event_id) AS rn
+        |  FROM events v JOIN events p
+        |    ON v.event_type = 'view' AND p.event_type = 'purchase'
+        |   AND v.user_id = p.user_id)
+        |WHERE rn = 1 ORDER BY view_id""".stripMargin,
 
     "q_join_asof_forward" ->
       """SELECT view_id, purchase_id FROM (

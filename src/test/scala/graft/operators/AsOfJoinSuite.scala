@@ -87,6 +87,25 @@ class AsOfJoinSuite extends SparkSpec {
       (2L, "d", "z")))
   }
 
+  test("nearest: backward wins exact-distance ties, min-id wins equal-ts, no-right keys keep null") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 50L), (3L, 30L, 70L))
+      .toDF("k", "lid", "t")
+    val r = Seq(
+      (1L, 5L, 90L),  // 10 before lid=10
+      (1L, 6L, 110L), // 10 after lid=10 -> tie, backward (id 5) wins
+      (1L, 7L, 199L), (1L, 8L, 199L), // equal-ts backward pair -> min id 7
+      (2L, 9L, 60L))  // only a future row for lid=20
+      .toDF("k", "rid", "t")
+    val got = AsOfJoin.asofNearest(l, r, "k", "lid", "t", "t", "rid")
+      .select("lid", "r_rid", "delta_us")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else x.getLong(1),
+        if (x.isNullAt(2)) null else x.getLong(2))).toSet
+    assert(got === Set((10L, 5L, 10L), (11L, 7L, 1L), (20L, 9L, 10L),
+      (30L, null, null)))
+  }
+
   test("left rows with no prior right row survive with null match") {
     import spark.implicits._
     val l = Seq((1L, 100L, "a"), (2L, 50L, "b")).toDF("k", "t", "lv")
