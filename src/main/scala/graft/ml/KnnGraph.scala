@@ -143,19 +143,26 @@ object KnnGraph {
     * converges. */
   def build(emb: DataFrame, k: Int, iters: Int,
             seedBands: Int = 6, seedBits: Int = 5,
-            hotCap: Int = 256, searchK: Int = 0): DataFrame = {
+            hotCap: Int = 256, searchK: Int = 0,
+            minUpdateFrac: Double = 0.0): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
+    require(minUpdateFrac >= 0.0 && minUpdateFrac < 1.0,
+      s"minUpdateFrac must be in [0, 1), got $minUpdateFrac")
     val kk = if (searchK > 0) searchK else 3 * k
     require(kk >= k, s"searchK must be >= k; got $searchK < $k")
     val vecs = normalized(emb).localCheckpoint()
     // one count on the checkpointed vectors decides the gather shape for
     // the whole build: 64 dims x 8 bytes -> broadcast under ~64 MB
-    val smallVecs = vecs.count() * 64L * 8L < 64L * 1024 * 1024
+    val n = vecs.count()
+    val smallVecs = n * 64L * 8L < 64L * 1024 * 1024
     val seeded = scoreBoth(lshSeedPairs(vecs, seedBands, seedBits, hotCap), vecs, smallVecs)
     var g = topK(seeded.select(col("a").as("id"), col("b").as("nbr"), col("sim"))
       .unionByName(seeded.select(col("b").as("id"), col("a").as("nbr"), col("sim"))), kk)
     var pinned = Set.empty[Int]
-    for (_ <- 1 to iters) {
+    var converged = false
+    var rounds = 0
+    for (_ <- 1 to iters if !converged) {
+      rounds += 1
       // materialize the incoming graph ONCE per round: it feeds three
       // consumers below (adjacency, known-pair anti join, edge union) and
       // is itself the previous round's full pipeline — without this the
@@ -168,10 +175,37 @@ object KnnGraph {
       // the final topK below) materializes it, and the returned frame's
       // plan remains inspectable (callers reusing it repeatedly can
       // checkpoint it themselves)
-      g = descentRound(g, vecs, smallVecs, kk)
+      val next = descentRound(g, vecs, smallVecs, kk)
+      if (minUpdateFrac > 0.0) {
+        // NN-Descent's standard convergence rule: stop when the round
+        // changed fewer than minUpdateFrac of the n·searchK graph slots
+        // (Dong et al.'s delta). Costs one anti-join count per round —
+        // linear — and saves whole O(n·k²) rounds once neighborhoods
+        // stop moving (weekly-refresh corpora converge long before a
+        // fixed iteration budget runs out). The count forces `next`, so
+        // checkpoint it FIRST — otherwise the round's full pipeline runs
+        // once for the count and again for the next consumer. The
+        // PREVIOUS round's blocks stay pinned through the anti-join (it
+        // reads them; a truncated-lineage checkpoint cannot recompute),
+        // then drop.
+        val (cn, p2) = checkpointReplacing(next, Set.empty)
+        val updates = cn.join(cg, Seq("id", "nbr"), "left_anti").count()
+        val live = vecs.sparkSession.sparkContext.getPersistentRDDs
+        pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+        g = cn; pinned = p2
+        converged = updates <= (minUpdateFrac * n * kk).toLong
+      } else {
+        g = next
+      }
     }
+    lastBuildRounds = rounds
     if (kk == k) g else topK(g, k)
   }
+
+  /** Diagnostic only: descent rounds the most recent [[build]] on this JVM
+    * actually ran (== `iters` unless `minUpdateFrac` stopped it early).
+    * For suites and operational logging — not part of the data contract. */
+  @volatile private[graft] var lastBuildRounds: Int = 0
 
   /** One NN-Descent round over graph `g`: neighbor-of-neighbor candidates
     * through the undirected-adjacency self-join, known edges anti-joined

@@ -54,6 +54,27 @@ class KnnGraphSuite extends SparkSpec {
     assert(r(3) >= 0.88, s"recall@5 after 3 iters = ${r(3)} (path $r)")
   }
 
+  test("convergence stop: a converged corpus ends the descent early with the same graph") {
+    // small clustered corpus: 10 tight clusters of 8 -> neighborhoods
+    // stabilize after one or two rounds, far before an 8-round budget
+    import spark.implicits._
+    val clustered = (0 until 80).map { i =>
+      val c = i % 10
+      (i.toLong, Array.tabulate(64) { j =>
+        (if (j % 10 == c) 10.0f else 0.0f) + ((i * 64 + j) % 7) * 0.01f
+      })
+    }.toDF("vec_id", "embedding")
+    val fixed = KnnGraph.build(clustered, k = 5, iters = 8)
+    assert(KnnGraph.lastBuildRounds === 8, "minUpdateFrac=0 must never stop early")
+    val early = KnnGraph.build(clustered, k = 5, iters = 8, minUpdateFrac = 0.01)
+    val stopped = KnnGraph.lastBuildRounds
+    assert(stopped < 8, s"expected early convergence stop, ran all $stopped rounds")
+    def es(g: DataFrame) = g.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(es(early) === es(fixed),
+      s"early stop (at round $stopped) changed the graph")
+  }
+
   test("deterministic across partitionings") {
     def run(df: DataFrame) =
       KnnGraph.build(df, k = 5, iters = 1)
