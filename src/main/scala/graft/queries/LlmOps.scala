@@ -607,6 +607,24 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // COMMUNITY DETECTION over the near-dup graph (operators.
+    // LabelPropagation, synchronous LPA, 4 rounds): where connected
+    // components answer "transitively linked at all", communities answer
+    // "densely linked core" — template families and near-dup cliques
+    // split off even when a weak bridge joins their components. Plurality
+    // vote with self-loop damping, ties to the smallest label — fully
+    // deterministic, so a FULL oracle: DuckDB runs the identical 4
+    // synchronous rounds as chained MATERIALIZED CTEs (the q_graph_
+    // pagerank discipline — inlining would re-expand the shingle pairs).
+    "q_graph_communities" -> ((s, d) => {
+      val pairs = nearDupPairsShared(s, d).select("d1", "d2")
+      val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
+      graft.operators.LabelPropagation.run(nodes,
+          pairs.select(col("d1").as("src"), col("d2").as("dst")), iters = 4)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
     // rows) -> candidate pairs -> exact shingle-Jaccard >= 0.8 verification:
     // the LSH-accelerated twin of q_dedup_near. Shingles, not tokens: this
@@ -2871,6 +2889,30 @@ object LlmOps {
          |pr0 AS MATERIALIZED (SELECT doc_id, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
          |$body
          |SELECT doc_id, round(rank, 6) AS rank FROM pr$iters ORDER BY doc_id""".stripMargin
+    },
+
+    // the identical 4 synchronous LPA rounds, unrolled as chained
+    // MATERIALIZED CTEs (the q_graph_pagerank discipline: each l(k-1) is
+    // referenced via its vote level, and DuckDB would re-expand inlined
+    // CTEs through the shingle-pair subtree). Plurality via row_number
+    // (cnt DESC, label ASC) — the exact max_by(label, (cnt, -label)) rule.
+    "q_graph_communities" -> {
+      val iters = 4
+      val body = (1 to iters).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT a.src AS id, l.label, count(*) AS cnt
+           |       FROM adj a JOIN l${k - 1} l ON a.dst = l.id GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (SELECT id, label FROM (
+           |       SELECT id, label, row_number() OVER (
+           |         PARTITION BY id ORDER BY cnt DESC, label) AS rn FROM v$k)
+           |       WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nearPairsCteMat,
+         |adj AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+         |       UNION SELECT d2, d1 FROM pairs
+         |       UNION SELECT doc_id, doc_id FROM documents),
+         |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM documents),
+         |$body
+         |SELECT id AS doc_id, label AS community FROM l$iters ORDER BY doc_id""".stripMargin
     },
 
     "q_source_roundtrip" ->

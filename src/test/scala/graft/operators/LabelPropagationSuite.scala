@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LabelPropagationSuite extends SparkSpec {
+
+  private def nodes(ids: Long*): DataFrame = {
+    import spark.implicits._
+    ids.toDF("id")
+  }
+  private def edges(es: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two triangles over one bridge split into two communities") {
+    val n = nodes(1L, 2L, 3L, 4L, 5L, 6L)
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L,
+      3L -> 4L) // the weak bridge: one component, two dense cores
+    val l = labels(LabelPropagation.run(n, e, iters = 4))
+    assert(l.size === 6)
+    assert(l(1L) === l(2L) && l(2L) === l(3L), s"left triangle split: $l")
+    assert(l(4L) === l(5L) && l(5L) === l(6L), s"right triangle split: $l")
+    assert(l(1L) !== l(4L), s"bridge merged the communities: $l")
+    // connected components would put all six in ONE component — the
+    // contrast that makes LPA a distinct operator
+    val (cc, _) = ConnectedComponents.run(
+      e.select(col("src").as("u"), col("dst").as("v")))
+    assert(cc.select("label").distinct().count() === 1,
+      "fixture not a single component")
+  }
+
+  test("isolated node keeps its own label; zero rounds is the identity labeling") {
+    val n = nodes(1L, 2L, 9L)
+    val e = edges(1L -> 2L)
+    val l = labels(LabelPropagation.run(n, e, iters = 3))
+    assert(l(9L) === 9L, s"isolated node drifted: $l")
+    assert(l(1L) === l(2L), s"linked pair split: $l")
+    val l0 = labels(LabelPropagation.run(n, e, iters = 0))
+    assert(l0 === Map(1L -> 1L, 2L -> 2L, 9L -> 9L))
+  }
+
+  test("plurality beats min-label; exact ties go to the smallest label") {
+    // node 10's neighbors: two with label 20 (after round 1 they keep
+    // their mutual pair label), one with a smaller label 5 -> plurality 20
+    // must beat the smaller label 5. Build it directly in one round:
+    // neighbors 20,21 (labels 20,21...) — simpler: star of 10 with
+    // leaves 5, 20, 21 plus edge 20-21. Round 1: leaf 5 -> 5, 20 -> 10?
+    // Keep it one round and vote-count explicit instead:
+    //   10's votes round 1: self 10, leaves 5, 20, 21 -> all cnt 1,
+    //   tie -> min = 5. So assert the TIE rule first.
+    val n = nodes(5L, 10L, 20L, 21L)
+    val e = edges(10L -> 5L, 10L -> 20L, 10L -> 21L, 20L -> 21L)
+    val r1 = labels(LabelPropagation.run(n, e, iters = 1))
+    assert(r1(10L) === 5L, s"all-tie round must pick the smallest: $r1")
+    // round 2: 20/21 voted each other into label 20 (pair + self ties ->
+    // min of {10,20,21} vote set... verify plurality empirically): after
+    // round 1, l = {5:5, 10:5, 20:10, 21:10} (each leaf ties on
+    // {self, 10} -> min). Round 2, node 10 sees {5:5, 20:10, 21:10,
+    // self:5} -> labels {5:2, 10:2} tie at cnt 2 -> min 5.
+    // Node 20 sees {10:5, 21:10, self:10} -> 10 wins by plurality 2:1
+    // even though 5 is smaller — the plurality-beats-min assertion.
+    val r2 = labels(LabelPropagation.run(n, e, iters = 2))
+    assert(r2(20L) === 10L, s"plurality lost to a smaller minority label: $r2")
+  }
+
+  test("deterministic across partitionings") {
+    val n = nodes((1L to 30L): _*)
+    val e = edges((1L to 29L).map(i => i -> (i + 1)) :+ (7L -> 23L): _*)
+    val base = labels(LabelPropagation.run(n, e, iters = 4))
+    assert(labels(LabelPropagation.run(n.repartition(7), e.repartition(5),
+      iters = 4)) === base)
+    assert(labels(LabelPropagation.run(n.repartition(1), e.repartition(13),
+      iters = 4)) === base)
+  }
+}
