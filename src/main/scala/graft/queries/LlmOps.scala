@@ -1747,6 +1747,56 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score every raw doc by how target-like its token distribution is —
+    // sum over tokens of log(p_target(w) / p_raw(w)) with add-0.5
+    // smoothing — and keep the top 20%. The standard move for shaping a
+    // web-scale corpus toward a quality/domain target without training a
+    // classifier. Target here: the lang='en' slice. Exact unigram LM for
+    // oracle parity (DSIR's feature hashing is a memory optimization —
+    // the vocab-free path at 100 TB hashes w through xxhash64 exactly
+    // like the minhash _xxh twins). Term scores round 6dp then DECIMAL-
+    // sum (the bm25 discipline) so per-doc sums are order-exact. The
+    // only global structure is the one row_number over DOC-level scores
+    // (n_docs rows, not tokens) for the selection cutoff.
+    "q_mix_dsir" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val raw = tok.groupBy("w").agg(count(lit(1)).as("cr"))
+      val tgt = tok.filter(col("lang") === "en").groupBy("w")
+        .agg(count(lit(1)).as("ct"))
+      val stats = tok.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
+        count(lit(1)).as("r"),
+        countDistinct(col("w")).as("v"))
+      val term = raw.join(tgt, Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("w"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + 0.5) / (col("t") + col("v") * 0.5)) /
+            ((col("cr") + 0.5) / (col("r") + col("v") * 0.5))), 6).as("lr"))
+      // the DECIMAL sum is EXACT (multiples of 1e-6) — emit it as-is: a
+      // cosmetic final round would re-introduce the cross-engine
+      // half-way hazard (measured: sum -0.379250 rounds to -0.3793 in
+      // Spark's string-repr HALF_UP but -0.3792 off the binary double)
+      val scored = tf.join(term, "w")
+        .groupBy("doc_id")
+        .agg(sum(round(col("tf") * col("lr"), 6).cast("decimal(18,6)"))
+          .cast("double").as("score"))
+      val nd = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      scored.crossJoin(broadcast(nd))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("score"),
+          // the 20% cutoff in INTEGER arithmetic — ceil(n/5) as
+          // (n+4) div 5 — because 0.2 is DECIMAL-exact in DuckDB but
+          // 0.2*500 = 100.0000000000000055 in ieee754: a double ceil
+          // flips the boundary doc
+          (col("rn") <= expr("(n + 4) div 5")).cast("long").as("selected"))
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 quantization per embedding — the 4x storage shrink a
     // 100 TB embedding store runs before anything else: scale = maxabs/127,
     // q_i = round(x_i/scale) in [-127, 127] (no clipping by construction).
@@ -3065,6 +3115,28 @@ object LlmOps {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE CAST(doc_id * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY 1),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS t,
+        |                 (SELECT count(*) FROM tok) AS r,
+        |                 (SELECT count(*) FROM raw) AS v),
+        |term AS (SELECT w,
+        |           ROUND(ln(((coalesce(ct, 0) + CAST(0.5 AS DOUBLE)) / (t + CAST(0.5 AS DOUBLE) * v))
+        |                    / ((cr + CAST(0.5 AS DOUBLE)) / (r + CAST(0.5 AS DOUBLE) * v))), 6) AS lr
+        |         FROM raw LEFT JOIN tgt USING (w), stats),
+        |scored AS (SELECT doc_id,
+        |             CAST(SUM(CAST(ROUND(tf * lr, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |           FROM tf JOIN term USING (w) GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (SELECT doc_id, score,
+        |             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |           FROM scored)
+        |SELECT doc_id, score, CAST(rn <= (n + 4) // 5 AS BIGINT) AS selected
+        |FROM ranked, nd ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk_queryset" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id < 8),
