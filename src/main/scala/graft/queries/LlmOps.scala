@@ -1747,6 +1747,33 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // TOKEN-BUDGET EPOCH ALLOCATION — the planning step after mixing
+    // weights are chosen: given a total training budget (200k tokens
+    // here; 10T at production scale) and temperature-scaled source
+    // weights (sqrt of available tokens, q_mix_temperature's tau=0.5),
+    // how many tokens should each source contribute and how many EPOCHS
+    // (repeat passes) of that source is that? epochs > the repetition
+    // ceiling (4, the usual data-constrained-scaling rule of thumb) get
+    // flagged — the sources a pipeline must either upsample elsewhere or
+    // accept a shortfall on. Pure aggregate arithmetic over one scan ->
+    // full oracle; source-level rows only, so no scale concerns.
+    "q_mix_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      val bySrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      val tot = bySrc.agg(sum(col("w").cast("decimal(28,12)")).cast("double").as("tw"))
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", round(lit(200000.0) * col("w") / col("tw"), 2))
+        .withColumn("epochs", round(col("target_tokens") / col("n_tokens"), 4))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("epochs"),
+          (col("epochs") > 4.0).cast("long").as("over_cap"),
+          round(least(col("epochs"), lit(4.0)) * col("n_tokens"), 2).as("granted_tokens"))
+        .orderBy("source")
+    }),
+
     // DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al. 2023,
     // "Data Selection for Language Models via Importance Resampling"):
     // score every raw doc by how target-like its token distribution is —
@@ -3115,6 +3142,23 @@ object LlmOps {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE CAST(doc_id * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_budget" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |                  sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)) AS w
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS tw FROM s),
+        |a AS (SELECT source, n_docs, n_tokens,
+        |        ROUND(CAST(200000.0 AS DOUBLE) * w / tw, 2) AS target_tokens
+        |      FROM s, tot),
+        |e AS (SELECT source, n_docs, n_tokens, target_tokens,
+        |        ROUND(target_tokens / n_tokens, 4) AS epochs
+        |      FROM a)
+        |SELECT source, n_docs, n_tokens, target_tokens, epochs,
+        |       CAST(epochs > CAST(4.0 AS DOUBLE) AS BIGINT) AS over_cap,
+        |       ROUND(LEAST(epochs, CAST(4.0 AS DOUBLE)) * n_tokens, 2) AS granted_tokens
+        |FROM e ORDER BY source""".stripMargin,
 
     "q_mix_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
