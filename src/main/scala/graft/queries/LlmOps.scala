@@ -1189,6 +1189,36 @@ object LlmOps {
     // Pure generator arithmetic (sequence -> slice), so it runs map-side
     // with no shuffle — at 100 TB chunking is a flatMap over the corpus and
     // the chunk count is ceil((n-overlap)/stride) per doc.
+    // LINE-LEVEL BOILERPLATE REMOVAL (the CCNet/RefinedWeb pass that runs
+    // BESIDE document dedup: hash every line, drop lines shared by many
+    // documents — headers, footers, navigation chrome — keeping the rest
+    // of each doc). The corpus has no newlines, so "lines" are the
+    // deterministic 10-token segmentation (same slice discipline as
+    // q_text_chunk); a line appearing in >= 3 distinct docs is
+    // boilerplate. Per-doc survivors summarized in integers -> exact
+    // oracle. Scale shape: one groupBy(line) frequency pass (the line
+    // table is linear in corpus tokens) + one equi-join back — never
+    // doc x doc.
+    "q_dedup_lines" -> ((s, d) => {
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      val lines = t.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, CAST(ceil(size(t) / 10.0) AS INT)), " +
+            "k -> array_join(slice(t, (k - 1) * 10 + 1, 10), ' '))"))
+          .as(Seq("k", "line")))
+      val freq = lines.groupBy("line")
+        .agg(countDistinct("doc_id").as("df"))
+      lines.join(freq, "line")
+        .withColumn("boiler", (col("df") >= 3).cast("long"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("boiler")).as("n_removed"),
+          sum(when(col("boiler") === 1, lit(0L))
+            .otherwise(size(split(col("line"), " ")).cast("long"))).as("n_tokens_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_chunk" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
@@ -2646,6 +2676,19 @@ object LlmOps {
         |        lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM documents)
         |GROUP BY sha256(norm) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lines AS (
+        |  SELECT doc_id, array_to_string(t[(k-1)*10 + 1 : (k-1)*10 + 10], ' ') AS line
+        |  FROM t, UNNEST(generate_series(1, CAST(ceil(len(t) / 10.0) AS INT))) AS u(k)),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(SUM(CAST(df >= 3 AS BIGINT)) AS BIGINT) AS n_removed,
+        |       CAST(SUM(CASE WHEN df >= 3 THEN 0
+        |                     ELSE len(string_split(line, ' ')) END) AS BIGINT) AS n_tokens_kept
+        |FROM lines JOIN freq USING (line)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
