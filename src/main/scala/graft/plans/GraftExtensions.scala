@@ -153,6 +153,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ConnectedComponentsPlaceholder].getName,
         "graft_connected_components"),
       SqlSurface.connectedComponentsBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_label_propagation"),
+      new ExpressionInfo(classOf[LabelPropagationPlaceholder].getName,
+        "graft_label_propagation"),
+      SqlSurface.labelPropagationBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof_nearest"),
+      new ExpressionInfo(classOf[AsOfNearestPlaceholder].getName,
+        "graft_asof_nearest"),
+      SqlSurface.asofNearestBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_asof_backward_split"),
+      new ExpressionInfo(classOf[AsOfBackwardSplitPlaceholder].getName,
+        "graft_asof_backward_split"),
+      SqlSurface.asofBackwardSplitBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -186,6 +186,55 @@ object SqlSurface {
     ConnectedComponentsPlaceholder(tableArg(fn, "first", exprs.head))
   }
 
+  /** A long-or-int literal (slot widths in microseconds exceed Int). */
+  private def lngLit(fn: String, name: String, e: Expression): Long = e match {
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integral literal, got $other")
+  }
+
+  /** graft_label_propagation(nodes, edges, iters) — synchronous LPA
+    * community detection over an undirected (src, dst) edge table
+    * (pass each edge once; symmetrization and the self-vote loop are the
+    * operator's). Returns (id, label). */
+  def labelPropagationBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_label_propagation"
+    require(exprs.size == 3,
+      s"$fn(nodes, edges, iters) takes 3 args, got ${exprs.size}")
+    LabelPropagationPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      intLit(fn, "iters", exprs(2)))
+  }
+
+  /** graft_asof_nearest(left, right, 'key', 'left_id', 'left_ts',
+    * 'right_ts', 'right_tiebreak') — either-direction closest match via
+    * the two-pass merge composition (AsOfJoin.asofNearest). */
+  def asofNearestBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_asof_nearest"
+    require(exprs.size == 7,
+      s"$fn(left, right, key, left_id, left_ts, right_ts, right_tiebreak) takes 7 args, got ${exprs.size}")
+    AsOfNearestPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      strLit(fn, "key", exprs(2)), strLit(fn, "left_id", exprs(3)),
+      strLit(fn, "left_ts", exprs(4)), strLit(fn, "right_ts", exprs(5)),
+      strLit(fn, "right_tiebreak", exprs(6)))
+  }
+
+  /** graft_asof_backward_split(left, right, 'key', 'left_ts', 'right_ts',
+    * 'right_tiebreak', slot_width_micros) — the hot-key range-split
+    * backward as-of (AsOfJoin.asofBackwardSplit). */
+  def asofBackwardSplitBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_asof_backward_split"
+    require(exprs.size == 7,
+      s"$fn(left, right, key, left_ts, right_ts, right_tiebreak, slot_width_micros) takes 7 args, got ${exprs.size}")
+    AsOfBackwardSplitPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      strLit(fn, "key", exprs(2)), strLit(fn, "left_ts", exprs(3)),
+      strLit(fn, "right_ts", exprs(4)), strLit(fn, "right_tiebreak", exprs(5)),
+      lngLit(fn, "slot_width_micros", exprs(6)))
+  }
+
   /** graft_knn_search_index('path', TABLE(queries), k[, beam, rounds]) —
     * graph-ANN beam search against the PERSISTED KnnGraph.buildIndex at
     * `path` (the current committed version): the path-only form of
@@ -293,6 +342,47 @@ case class ConnectedComponentsPlaceholder(child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL label propagation; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class LabelPropagationPlaceholder(nodes: LogicalPlan, edges: LogicalPlan,
+    iters: Int) extends BinaryNode {
+  override def left: LogicalPlan = nodes
+  override def right: LogicalPlan = edges
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("LabelPropagationPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LabelPropagationPlaceholder =
+    copy(nodes = newLeft, edges = newRight)
+}
+
+/** Unresolved marker for the SQL nearest as-of; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class AsOfNearestPlaceholder(
+    left: LogicalPlan, right: LogicalPlan, key: String, leftId: String,
+    leftTs: String, rightTs: String, rightTieBreak: String) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("AsOfNearestPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfNearestPlaceholder =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unresolved marker for the SQL range-split backward as-of; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class AsOfBackwardSplitPlaceholder(
+    left: LogicalPlan, right: LogicalPlan, key: String,
+    leftTs: String, rightTs: String, rightTieBreak: String,
+    slotWidthMicros: Long) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("AsOfBackwardSplitPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfBackwardSplitPlaceholder =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -346,5 +436,23 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.operators.ConnectedComponents.run(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
         ._1.queryExecution.analyzed
+    case p: LabelPropagationPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.operators.LabelPropagation.run(
+          bridge.ofRows(session, p.nodes), bridge.ofRows(session, p.edges),
+          iters = p.iters)
+        .queryExecution.analyzed
+    case p: AsOfNearestPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.operators.AsOfJoin.asofNearest(
+          bridge.ofRows(session, p.left), bridge.ofRows(session, p.right),
+          p.key, p.leftId, p.leftTs, p.rightTs, p.rightTieBreak)
+        .queryExecution.analyzed
+    case p: AsOfBackwardSplitPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.operators.AsOfJoin.asofBackwardSplit(
+          bridge.ofRows(session, p.left), bridge.ofRows(session, p.right),
+          p.key, p.leftTs, p.rightTs, p.rightTieBreak, p.slotWidthMicros)
+        .queryExecution.analyzed
   }
 }

@@ -215,4 +215,51 @@ class SqlSurfaceSuite extends SparkSpec {
       "SELECT * FROM graft_connected_components('sql_cc_edges', 2)").collect())
     assert(e.getMessage.contains("graft_connected_components"), e.getMessage)
   }
+
+  test("graft_label_propagation: SQL round trip equals the Scala operator") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id").createOrReplaceTempView("sql_lp_nodes")
+    Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+      .toDF("src", "dst").createOrReplaceTempView("sql_lp_edges")
+    val sql = spark.sql(
+      "SELECT * FROM graft_label_propagation('sql_lp_nodes', 'sql_lp_edges', 4)")
+    val api = graft.operators.LabelPropagation.run(
+      spark.table("sql_lp_nodes"), spark.table("sql_lp_edges"), iters = 4)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    assert(sql.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      api.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_label_propagation('sql_lp_nodes')").collect())
+    assert(e.getMessage.contains("graft_label_propagation"), e.getMessage)
+  }
+
+  test("graft_asof_nearest and graft_asof_backward_split: SQL round trips equal the Scala operators") {
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 50L))
+      .toDF("k", "lid", "t").createOrReplaceTempView("sql_an_left")
+    Seq((1L, 5L, 90L), (1L, 6L, 110L), (2L, 9L, 60L))
+      .toDF("k", "rid", "t").createOrReplaceTempView("sql_an_right")
+    val nearest = spark.sql(
+      "SELECT * FROM graft_asof_nearest(TABLE(SELECT * FROM sql_an_left), " +
+        "'sql_an_right', 'k', 'lid', 't', 't', 'rid')")
+    val nearestApi = graft.operators.AsOfJoin.asofNearest(
+      spark.table("sql_an_left"), spark.table("sql_an_right"),
+      "k", "lid", "t", "t", "rid")
+    assert(nearest.columns.toSeq === nearestApi.columns.toSeq)
+    assert(nearest.collect().map(_.toSeq).toSet ===
+      nearestApi.collect().map(_.toSeq).toSet)
+    // slot width as a LONG literal (6h in micros overflows Int)
+    val split = spark.sql(
+      "SELECT * FROM graft_asof_backward_split('sql_an_left', 'sql_an_right', " +
+        "'k', 't', 't', 'rid', 21600000000)")
+    val splitApi = graft.operators.AsOfJoin.asofBackwardSplit(
+      spark.table("sql_an_left"), spark.table("sql_an_right"),
+      "k", "t", "t", "rid", 21600000000L)
+    assert(split.columns.toSeq === splitApi.columns.toSeq)
+    assert(split.collect().map(_.toSeq).toSet ===
+      splitApi.collect().map(_.toSeq).toSet)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_nearest('sql_an_left')").collect())
+    assert(e.getMessage.contains("graft_asof_nearest"), e.getMessage)
+  }
 }
