@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * Join-shaped synchronous rounds; every step an equi-join or aggregate:
   *   1. votes: undirected adjacency ⋈ current labels, grouped by
   *      (node, label) — one hash shuffle on the edge key, O(|E|) work;
-  *   2. update: each node takes its plurality neighbor label via
-  *      `max_by(label, (count, -label))` — most votes wins, ties to the
-  *      SMALLEST label (deterministic, no random sweep order: classic
-  *      asynchronous LPA is order-dependent; the synchronous form with a
-  *      fixed tie rule is reproducible across partitionings and engines).
+  *   2. update: each node takes its plurality neighbor label — most votes
+  *      wins, ties to the SMALLEST label (deterministic, no random sweep
+  *      order: classic asynchronous LPA is order-dependent; the
+  *      synchronous form with a fixed tie rule is reproducible across
+  *      partitionings and engines), computed as two hash aggregations
+  *      (max count per node, then min label at that count) so every
+  *      round stays inside whole-stage codegen.
   *
   * Every node casts a SELF-VOTE (a self-loop added to the adjacency): it
   * damps the 2-cycle oscillation synchronous LPA is known for, and keeps
@@ -57,8 +59,14 @@ object LabelPropagation {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      labels = votes.groupBy("id")
-        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+      // plurality-then-min-label as TWO hash aggregations + an id equi-join
+      // (suite-pinned): the single-agg max_by(label, struct(cnt, -label))
+      // form plans as a SortAggregate outside whole-stage codegen — an
+      // extra per-partition sort every round
+      val best = votes.groupBy("id").agg(max(col("cnt")).as("mc"))
+      labels = votes.join(best, "id")
+        .filter(col("cnt") === col("mc"))
+        .groupBy("id").agg(min(col("label")).as("label"))
     }
     labels
   }

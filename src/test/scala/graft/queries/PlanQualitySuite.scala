@@ -373,6 +373,45 @@ class PlanQualitySuite extends SparkSpec {
       s"the corpus must never shuffle for its own sampling decision:\n$p")
   }
 
+  test("q_join_asof_split: every window partitions on (key, slot) — the hot key never lands on one task") {
+    val p = plan("q_join_asof_split")
+    // the running-frame window must carry BOTH partition keys; a bare _k
+    // window would silently reintroduce the single-sort-task skew
+    val winLines = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition(_k")).toSeq
+    assert(winLines.exists(_.contains("_slot")),
+      s"in-slot window lost the _slot partition key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_join_asof_nearest_merge: two merge passes, no pair blowup") {
+    val p = plan("q_join_asof_nearest_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest composition must stay equi-join shaped:\n$p")
+    // both directions run the running-frame window (>= 2 windows)
+    assert("Window".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_graph_communities: vote rounds are equi-joins + hash aggs, no cartesian") {
+    val p = plan("q_graph_communities")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortAggregate"), s"votes must hash-aggregate:\n$p")
+  }
+
+  test("q_mix_dsir: only the one-row stats broadcast is nested-loop; token joins stay equi") {
+    val p = plan("q_mix_dsir")
+    assert(!p.contains("CartesianProduct"), p)
+    // the w-keyed joins (tf x term, raw x tgt) must be hash equi-joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("UDF"), p)
+  }
+
+  test("q_dedup_lines: line-frequency pass is one groupBy + equi-join back") {
+    val p = plan("q_dedup_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_join_bloom: codegen'd xxhash64 probe runs on the fact side BEFORE the join") {
     val p = plan("q_join_bloom")
     val lines = p.linesIterator.toSeq
