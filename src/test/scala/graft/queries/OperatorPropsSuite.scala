@@ -137,6 +137,47 @@ class OperatorPropsSuite extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: as-of pair == merge == range-split, and nearest pair == two-pass, on random frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prop = Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.chooseNum(1L, 60L)) { (ls, rs, width) =>
+      // few keys + a tight time range force shared keys, equal-ts ties,
+      // rows before/after every right row, and slot-boundary hits at the
+      // random width (1 covers one-row slots; 60 covers the whole span)
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid").repartition(5)
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid").repartition(3)
+      val rr = r.select(col("k"), col("t").as("rt"), col("rid"))
+      // pair-form backward: latest rt <= t, equal-ts tie -> max rid
+      val wB = Window.partitionBy("lid").orderBy(col("rt").desc, col("rid").desc)
+      val expB = l.join(rr, Seq("k")).filter(col("rt") <= col("t"))
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+        .collect().map(x => x.getAs[Long]("lid") -> x.getAs[Long]("rid")).toMap
+      def backMap(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("r_rid").isNotNull)
+          .collect().map(x => x.getAs[Long]("lid") -> x.getAs[Long]("r_rid")).toMap
+      val gotMerge = backMap(graft.operators.AsOfJoin.asofBackward(
+        l, r, "k", "t", "t", "rid"))
+      val gotSplit = backMap(graft.operators.AsOfJoin.asofBackwardSplit(
+        l, r, "k", "t", "t", "rid", width))
+      // pair-form nearest: min |delta|, tie backward, then min rid
+      val wN = Window.partitionBy("lid").orderBy(abs(col("rt") - col("t")),
+        (col("rt") > col("t")).cast("int"), col("rid"))
+      val expN = l.join(rr, Seq("k"))
+        .withColumn("rn", row_number().over(wN)).filter(col("rn") === 1)
+        .collect().map(x => x.getAs[Long]("lid") -> x.getAs[Long]("rid")).toMap
+      val gotN = backMap(graft.operators.AsOfJoin.asofNearest(
+        l, r, "k", "lid", "t", "t", "rid"))
+      expB == gotMerge && expB == gotSplit && expN == gotN
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sessionization splits strictly above the 30-minute gap") {
     // 29-minute gap stays one session; exactly 30 stays; 30:00.000001 splits
     val out = TimeSeries.queries("q_ts_sessionize_batch")(spark, sf).collect()
