@@ -1854,6 +1854,49 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // The 100 TB twin of q_mix_dsir (the minhash _xxh discipline): HASHED
+    // BIGRAM features — xxhash64(bigram) mod 2^20 buckets, the actual
+    // DSIR paper configuration — so no global vocabulary is ever built
+    // and the feature table is bounded regardless of corpus size. Scoring
+    // and the top-20% integer cutoff are identical to the gated unigram
+    // form. xxhash64 is not in DuckDB -> rows-only for the driver;
+    // OperatorPropsSuite pins the semantics (exact 20% selection, finite
+    // scores, and the property the op exists for: target-slice docs
+    // score higher than the rest on average).
+    "q_mix_dsir_xxh" -> ((s, d) => {
+      val feats = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> pmod(xxhash64(concat(element_at(t, i), ' ', element_at(t, i + 1))), 1048576))"))
+          .as("f"))
+      val tf = feats.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+      val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("lang") === "en").groupBy("f")
+        .agg(count(lit(1)).as("ct"))
+      val stats = feats.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"),
+        count(lit(1)).as("r"),
+        countDistinct(col("f")).as("v"))
+      val term = raw.join(tgt, Seq("f"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("f"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + 0.5) / (col("t") + col("v") * 0.5)) /
+            ((col("cr") + 0.5) / (col("r") + col("v") * 0.5))), 6).as("lr"))
+      val scored = tf.join(term, "f")
+        .groupBy("doc_id")
+        .agg(sum(round(col("tf") * col("lr"), 6).cast("decimal(18,6)"))
+          .cast("double").as("score"))
+      val nd = Tables(s, d, "documents").agg(count(lit(1)).as("n"))
+      scored.crossJoin(broadcast(nd))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("score"),
+          (col("rn") <= expr("(n + 4) div 5")).cast("long").as("selected"))
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 quantization per embedding — the 4x storage shrink a
     // 100 TB embedding store runs before anything else: scale = maxabs/127,
     // q_i = round(x_i/scale) in [-127, 127] (no clipping by construction).

@@ -137,6 +137,32 @@ class OperatorPropsSuite extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("dsir_xxh: exact 20% selection, finite scores, target slice scores higher on average") {
+    val rows = LlmOps.queries("q_mix_dsir_xxh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === (n + 4) / 5,
+      "selected count must be exactly ceil(20%) of the corpus")
+    assert(rows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+    // the property the op exists for: docs FROM the target slice look
+    // more target-like than the rest under the hashed-bigram LM
+    val en = Tables(spark, sf, "documents").select("doc_id", "lang").collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    val (tgt, rest) = rows.partition(r => en.contains(r.getLong(0)))
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val tgtMean = tgt.map(_.getDouble(1)).sum / tgt.length
+    val restMean = rest.map(_.getDouble(1)).sum / rest.length
+    assert(tgtMean > restMean,
+      s"target-slice mean $tgtMean must exceed non-target mean $restMean")
+    // and the hashed twin agrees with the gated unigram form's DIRECTION:
+    // both rank the en slice above the rest (the selections need not be
+    // identical — different features — but the signal must not invert)
+    val uni = LlmOps.queries("q_mix_dsir")(spark, sf).collect()
+    val (utgt, urest) = uni.partition(r => en.contains(r.getLong(0)))
+    assert(utgt.map(_.getDouble(1)).sum / utgt.length >
+      urest.map(_.getDouble(1)).sum / urest.length)
+  }
+
   test("property: as-of pair == merge == range-split, and nearest pair == two-pass, on random frames") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
