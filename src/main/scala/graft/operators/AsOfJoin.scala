@@ -79,6 +79,44 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"l.$c")) ++
         rightCols.map(c => col(s"r.$c").as(s"r_$c")): _*)
 
+  /** [[asofBackwardSplit]] with the slot width DERIVED from the data — the
+    * self-tuning form: one profiling aggregation finds the hottest key
+    * (most rows across both sides) and sizes slots so that key lands
+    * ~`targetRowsPerSlot` rows per sort task; every other key has fewer
+    * rows per slot by construction. Keys that fit the target in one slot
+    * — including every key when no skew exists — make this exactly
+    * [[asofBackward]]'s plan plus the one profile pass. The profile
+    * collect is ONE row (a meta row, not data). */
+  def asofBackwardSplitAuto(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            rightTieBreak: String,
+                            targetRowsPerSlot: Long = 1L << 20): DataFrame = {
+    require(targetRowsPerSlot > 0, s"need targetRowsPerSlot > 0, got $targetRowsPerSlot")
+    def side(df: DataFrame, ts: String) = {
+      val t = df.schema(ts).dataType match {
+        case TimestampType => unix_micros(col(ts))
+        case _ => col(ts).cast("long")
+      }
+      df.select(col(key).as("_k"), t.as("_t"))
+    }
+    val prof = side(left, leftTs).unionByName(side(right, rightTs))
+      .groupBy("_k")
+      .agg(count(lit(1)).as("n"), min("_t").as("lo"), max("_t").as("hi"))
+      .orderBy(col("n").desc, col("_k")).limit(1)
+      .collect()
+    lastAutoWidth = prof.headOption.map { h =>
+      val (n, span) = (h.getAs[Long]("n"), h.getAs[Long]("hi") - h.getAs[Long]("lo"))
+      if (n <= targetRowsPerSlot || span <= 0) 0L
+      else math.max(1L, span / math.max(1L, n / targetRowsPerSlot))
+    }.getOrElse(0L)
+    if (lastAutoWidth == 0L) asofBackward(left, right, key, leftTs, rightTs, rightTieBreak)
+    else asofBackwardSplit(left, right, key, leftTs, rightTs, rightTieBreak, lastAutoWidth)
+  }
+
+  /** Diagnostic only: the slot width the most recent
+    * [[asofBackwardSplitAuto]] on this JVM chose (0 = unsplit). */
+  @volatile private[graft] var lastAutoWidth: Long = 0L
+
   /** NEAREST as-of from two union-merge passes — the linear-sort
     * composition of the either-direction match (q_join_asof_nearest's
     * pair-form semantics) that survives hot keys: a backward pass picks

@@ -87,6 +87,30 @@ class AsOfJoinSuite extends SparkSpec {
       (2L, "d", "z")))
   }
 
+  test("auto split: hot key drives the width; quiet data stays unsplit; results equal the base form") {
+    import spark.implicits._
+    // hot key 1: 400 rows over span 4000; quiet key 2: 4 rows
+    val l = ((1 to 200).map(i => (1L, i * 20L, i.toLong)) ++
+      Seq((2L, 50L, 900L), (2L, 70L, 901L))).toDF("k", "t", "lid")
+    val r = ((1 to 200).map(i => (1L, i * 20L - 5L, 1000L + i)) ++
+      Seq((2L, 60L, 2000L), (2L, 45L, 2001L))).toDF("k", "t", "tie")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("r_tie").isNotNull).select("lid", "r_tie")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val base = pairs(AsOfJoin.asofBackward(l, r, "k", "t", "t", "tie"))
+    // target 50 rows/slot: the hot key (404 union rows... 402 on key 1)
+    // must split into multiple slots
+    val auto = pairs(AsOfJoin.asofBackwardSplitAuto(l, r, "k", "t", "t", "tie",
+      targetRowsPerSlot = 50))
+    assert(AsOfJoin.lastAutoWidth > 0, "hot key must trigger a split")
+    assert(AsOfJoin.lastAutoWidth < 4000, "width must be below the hot key's span")
+    assert(auto === base, "auto split diverged from the base form")
+    // generous target -> unsplit path, same answer
+    val quiet = pairs(AsOfJoin.asofBackwardSplitAuto(l, r, "k", "t", "t", "tie"))
+    assert(AsOfJoin.lastAutoWidth === 0L, "default target must not split 402 rows")
+    assert(quiet === base)
+  }
+
   test("nearest: backward wins exact-distance ties, min-id wins equal-ts, no-right keys keep null") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 50L), (3L, 30L, 70L))
