@@ -113,7 +113,13 @@ object Bench {
       if (sentinelSamples.isEmpty) 0.0
       else sentinelSamples.map(s => math.abs(s - spinBase) / spinBase * 100).max
     val sent = sentinelSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct}}"""
+    // quiet-equivalent total: normalize by the host's single-thread speed
+    // relative to the repo's recorded quiet-host spin base (0.445 s, the
+    // r7 quiet run in BASELINE.md) — cross-round totals become directly
+    // comparable without prose arithmetic. The RAW total stays "value";
+    // this is a derived convenience, not a substitute for a quiet window.
+    val quietEquiv = total * (0.445 / spinBase)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct}}"""
     println(json)
     // Also persist the COMPLETE artifact to the repo: the driver records
     // only a truncated stdout tail (~57 of 150+ per-query timings survived

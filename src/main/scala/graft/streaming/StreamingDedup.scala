@@ -117,4 +117,24 @@ object StreamingDedup {
   /** All near-dup pairs observed so far, tagged by the batch that saw them. */
   def observedPairs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/pairs")
+
+  /** Communities over the stream's accumulated near-dup evidence: LPA
+    * ([[graft.operators.LabelPropagation]]) on the observed pair graph at
+    * the CURRENT commit state — the graph-analytics view of a running
+    * dedup stream (which template families keep arriving, which accepted
+    * doc anchors each). Nodes are every accepted doc plus both endpoints
+    * of every observed pair (a seed-index doc enters once it witnesses a
+    * rejection). Recompute-per-call is the honest baseline: `iters`
+    * synchronous rounds of O(|E|) equi-joins over a pair graph LINEAR in
+    * rejections; an edge-delta incremental refresh is the designed next
+    * step (ROADMAP). */
+  def communities(spark: SparkSession, outDir: String, iters: Int = 4): DataFrame = {
+    val pairs = observedPairs(spark, outDir)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val nodes = acceptedDocs(spark, outDir).select(col("doc_id").as("id"))
+      .unionByName(pairs.select(col("src").as("id")))
+      .unionByName(pairs.select(col("dst").as("id")))
+      .distinct()
+    graft.operators.LabelPropagation.run(nodes, pairs, iters)
+  }
 }

@@ -55,6 +55,26 @@ class StreamingDedupSuite extends SparkSpec {
     assert(pairs.exists { case (a, b) => a == 300L || b == 300L })
   }
 
+  test("stream communities: the accumulated pair graph clusters template families") {
+    val idx = tmp("sdedup-com-idx")
+    val out = tmp("sdedup-com-out")
+    DedupIndex.build(frame(100L -> X, 101L -> W), idx)
+    StreamingDedup.applyBatch(
+      frame(200L -> X, 201L -> Y, 202L -> Y, 203L -> Z), idx, out, batchId = 0L)
+    StreamingDedup.applyBatch(
+      frame(300L -> Y, 301L -> V), idx, out, batchId = 1L)
+    val com = StreamingDedup.communities(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // X family {100, 200} and Y family {201, 202, 300} each one label;
+    // families distinct; accepted singletons keep their own label; the
+    // never-witnessed seed doc 101 is not a node
+    assert(com(100L) === com(200L), s"X family split: $com")
+    assert(com(201L) === com(202L) && com(202L) === com(300L), s"Y family split: $com")
+    assert(com(100L) !== com(201L), s"families merged: $com")
+    assert(com(203L) === 203L && com(301L) === 301L, s"singletons drifted: $com")
+    assert(!com.contains(101L), "unwitnessed seed doc leaked into the graph")
+  }
+
   test("retry converges: a torn index append is swept and re-run equals the clean result") {
     val idx = tmp("sdedup-retry-idx")
     val out = tmp("sdedup-retry-out")
