@@ -45,6 +45,21 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("graph analytics: per-round join work grows like the pair graph, far under n^2") {
+    for (q <- Seq("q_graph_pagerank", "q_graph_communities")) {
+      val big = m(q, "sf0.1")
+      // the heaviest join across ALL executions (rounds run inside
+      // localCheckpoint jobs) touches well under 1% of all doc pairs
+      assert(big.joinRowsAllExec < 0.01 * big.brutePairs,
+        s"$q: ${big.joinRowsAllExec} join rows vs ${big.brutePairs} brute pairs")
+      // and grows near-linearly: O(|E|) rounds over a pair graph that
+      // itself grows ~n^1.0 (q_dedup_near's measured exponent); 1.6
+      // carries headroom, a rounds-touch-n^2 regression lands >= 2
+      val e = exponent(q, _.joinRowsAllExec)
+      assert(e <= 1.6, s"$q round-work growth exponent $e")
+    }
+  }
+
   test("simhash64: candidate amplification stays constant even as the answer grows") {
     // this corpus's hamming<=7 answer itself grows ~n^2 (template clusters
     // scale with the corpus), so ANY correct operator emits ~n^2 pairs —

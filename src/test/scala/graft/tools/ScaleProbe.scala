@@ -68,6 +68,14 @@ object ScaleProbe {
       // growth must track the build round's O(n·k²), not n²
       "q_knn_graph_append")
 
+  /** Graph-analytics families over the near-dup graph: every iterated
+    * round is O(|E|) equi-joins (contributions / votes), and |E| — the
+    * near-dup pair graph — grows like the exact shingle join that builds
+    * it (q_dedup_near, measured ~n^1.0). Rounds run inside
+    * localCheckpoint jobs, so like the KnnGraph twins only the
+    * all-executions tally sees them. */
+  val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities")
+
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
     if (query.contains("embed") || query.startsWith("q_sim_") ||
@@ -89,7 +97,9 @@ object ScaleProbe {
       * token rows) with pairing work, so the final plan is the honest
       * number. */
     def pairingJoinRows: Long =
-      if (query.startsWith("q_knn_graph")) joinRowsAllExec else joinRowsMax
+      if (query.startsWith("q_knn_graph") || query.startsWith("q_graph_"))
+        joinRowsAllExec
+      else joinRowsMax
   }
 
   /** Per-execution join tallies: a query whose heavy joins run inside
@@ -213,7 +223,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val families = BandedFamilies ++ WitnessFamilies ++ SimilarityFamilies
+    val families = BandedFamilies ++ WitnessFamilies ++ SimilarityFamilies ++
+      GraphFamilies
     val measures = for (q <- families; sf <- sfs) yield {
       val m = measure(spark, sf, q)
       println(f"${m.query}%-28s ${m.sf}%-8s n=${m.n}%7d out=${m.outRows}%9d " +
@@ -269,7 +280,11 @@ object ScaleProbe {
       "on top of one build round, so its growth is the build's; q_knn_graph_append " +
       "(insert a 20%-of-corpus batch into the 80% graph) pays the beam-link search " +
       "rounds plus one refinement round over the merged graph, so its heaviest join " +
-      "must track the same O(n*k^2) bound as the build it avoids re-running.\"\n}\n"
+      "must track the same O(n*k^2) bound as the build it avoids re-running. " +
+      "Graph family (pagerank/communities over the near-dup graph, allExec tally like " +
+      "the knn twins - rounds run inside localCheckpoint jobs): every round is O(|E|) " +
+      "equi-joins, and |E| grows like the exact shingle join that builds it " +
+      "(q_dedup_near ~n^1.0), so near-linear exponents, far under the n^2 line.\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
