@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{AsOfJoin, GroupLimits}
+
+/** Streaming TEMPORAL TABLE JOIN — the streaming face of [[AsOfJoin]]
+  * (Flink's `FOR SYSTEM_TIME AS OF` over an event-time versioned table):
+  * enrich a fact stream with the dimension row that was CURRENT at each
+  * fact's event time, as the dimension stream keeps publishing new
+  * versions.
+  *
+  * foreachBatch formulation, exactly-once by the repo's versioned-commit
+  * discipline ([[EventStreams.applyCdcBatch]] / [[StreamingDedup]]):
+  * per micro-batch
+  *   1. visible dimension history := previous committed snapshot ∪ this
+  *      batch's dimension rows;
+  *   2. the batch's facts run the BATCH as-of against that history
+  *      ([[AsOfJoin.asofBackward]] — one code path for batch and stream,
+  *      the SqlSurface rule), so enrichment is event-time-correct within
+  *      the retained history, not a process-time lookup; output lands
+  *      append-only under `outDir/enriched/batch=<id>` (a retry
+  *      overwrites its own directory — idempotent under at-least-once
+  *      redelivery);
+  *   3. state := per-key newest `historyPerKey` dimension versions of the
+  *      history, folded through this repo's TopKPerKey heap and committed
+  *      as `stateDir/v<batchId>` (reads resolve strictly-below batch ids,
+  *      so a replayed batch recomputes from the same predecessor).
+  *
+  * State is BOUNDED: `historyPerKey` rows per key (the role the watermark
+  * plays in Flink's event-time temporal join — old dimension versions
+  * below the retention horizon become unmatchable). Facts older than the
+  * oldest retained version of their key match null, exactly like a fact
+  * before the key's first version; facts never wait for late dimensions
+  * (a dimension version arriving after a fact's batch was emitted does
+  * not rewrite history — the standard streaming temporal-join contract).
+  */
+object TemporalJoin {
+
+  private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+  }
+
+  /** The committed dimension history visible to batch `batchId` (the
+    * newest snapshot strictly below it), or None before the first. */
+  private def prevSnapshot(spark: SparkSession, stateDir: String,
+                           batchId: Long): Option[DataFrame] =
+    versions(spark, stateDir).filter(_ < batchId).maxOption
+      .map(v => spark.read.parquet(s"$stateDir/v$v"))
+
+  /** One micro-batch of the temporal join. `facts`/`dims` carry the same
+    * `key` and event-time `ts` column names; `tieBreak` orders equal-ts
+    * dimension versions (newest wins, the [[AsOfJoin.asofBackward]]
+    * contract). Deterministic and retry-idempotent for a given batchId. */
+  def applyBatch(facts: DataFrame, dims: DataFrame, key: String, ts: String,
+                 tieBreak: String, stateDir: String, outDir: String,
+                 batchId: Long, historyPerKey: Int = 8): Unit = {
+    require(historyPerKey >= 1, s"need historyPerKey >= 1, got $historyPerKey")
+    val spark = facts.sparkSession
+    val dimCols = dims.columns.toSeq
+    val history = prevSnapshot(spark, stateDir, batchId) match {
+      case None => dims
+      case Some(s) => s.select(dimCols.map(col): _*).unionByName(dims)
+    }
+    // checkpoint once: history feeds both the enrichment join and the
+    // state fold, and reading the previous snapshot twice would race a
+    // concurrent retry's overwrite of the same files. Only the blocks
+    // THIS call pins are released after (a blanket sweep would eat other
+    // operators' live checkpoints in a shared session).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val h = history.localCheckpoint()
+    val pinned = sc.getPersistentRDDs.keySet.diff(before)
+    try {
+      AsOfJoin.asofBackward(facts, h, key, ts, ts, tieBreak)
+        .write.mode("overwrite").parquet(s"$outDir/enriched/batch=$batchId")
+      GroupLimits.topKPerKey(h, Seq(key),
+          Seq(col(ts).desc, col(tieBreak).desc), historyPerKey)
+        .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    } finally {
+      val live = sc.getPersistentRDDs
+      pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** Attach the temporal join to a TAGGED stream: the caller unions the
+    * fact and dimension streams into one frame with a marker column
+    * (`kindCol` = 'fact' | 'dim') and name-disjoint payload columns
+    * (nulls on the other side), because foreachBatch sees exactly one
+    * stream. `factCols`/`dimCols` project each side back out. */
+  def enrichSink(tagged: DataFrame, kindCol: String,
+                 factCols: Seq[String], dimCols: Seq[String],
+                 key: String, ts: String, tieBreak: String,
+                 stateDir: String, outDir: String,
+                 historyPerKey: Int = 8,
+                 checkpointDir: Option[String] = None): StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        applyBatch(
+          b.filter(col(kindCol) === "fact").select(factCols.map(col): _*),
+          b.filter(col(kindCol) === "dim").select(dimCols.map(col): _*),
+          key, ts, tieBreak, stateDir, outDir, id, historyPerKey)
+      }
+      .start()
+
+  /** Everything enriched so far (partition column `batch`). */
+  def enriched(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/enriched")
+}
