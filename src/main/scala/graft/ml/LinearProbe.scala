@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Closed-form LINEAR PROBE over fixed-dimension embeddings — the
+  * standard embedding-quality diagnostic in LLM work ("probe accuracy"):
+  * a one-vs-rest ridge classifier fit by the normal equations, no
+  * iterations, no learning rate.
+  *
+  * Distributed shape — the only data-scale work is ONE aggregation pass:
+  *   - Gram matrix G = Xᵀ X over the bias-augmented embeddings
+  *     ((d+1)² cells via two chained posexplodes, partial-aggregated
+  *     map-side to ≤ (d+1)² rows per partition before the shuffle);
+  *   - per-class moment vectors Xᵀ y_c, which for one-hot targets are
+  *     just the per-label feature sums (one groupBy(label, i) pass).
+  *   Both collect as META rows (≤ (d+1)² + classes·(d+1) values — fixed
+  *   size, data-independent), the (d+1)×(d+1) solve is driver arithmetic
+  *   (LU with partial pivoting, one factorization reused across the
+  *   class right-hand sides), and scoring is a codegen'd graft_dot
+  *   against literal weight arrays — argmax via array_max over
+  *   (score, -class) structs, ties to the smallest class. No UDF, no
+  *   driver loop over rows anywhere.
+  *
+  * Determinism: both aggregation passes sum through DECIMAL(38,18) (the
+  * [[graft.operators.PageRank]] discipline), so G and the moments are
+  * partition-order exact; the solve and the scoring plan are then pure
+  * functions of exact inputs — results are identical across
+  * partitionings (suite-pinned).
+  */
+object LinearProbe {
+
+  /** classes (ascending) and one augmented weight vector per class
+    * (last entry = bias). */
+  final case class Model(classes: Array[Long], weights: Array[Array[Double]])
+
+  private def decimalSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** Fit on (embedding: array<float|double>, label: long) rows. `lambda`
+    * is the ridge strength (the bias row is regularized too — at probe
+    * scale the distinction is noise, and it keeps the solve unconditional). */
+  def fit(train: DataFrame, lambda: Double = 1.0): Model = {
+    require(lambda > 0, s"need lambda > 0, got $lambda")
+    val aug = train.select(col("label").cast("long").as("label"),
+      expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))").as("x"))
+    val d = aug.select(size(col("x"))).head().getInt(0)
+    val gram = aug
+      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"))
+      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
+      .groupBy("i", "j").agg(decimalSum(col("xi") * col("xj")).as("g"))
+      .collect()
+    val moments = aug
+      .select(col("label"), posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("label", "i").agg(decimalSum(col("xi")).as("m"))
+      .collect()
+    val g = Array.ofDim[Double](d, d)
+    gram.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    (0 until d).foreach(i => g(i)(i) += lambda)
+    val classes = moments.map(_.getLong(0)).distinct.sorted
+    val rhs = classes.map { c =>
+      val v = Array.ofDim[Double](d)
+      moments.filter(_.getLong(0) == c).foreach(r => v(r.getInt(1)) = r.getDouble(2))
+      v
+    }
+    Model(classes, solveMany(g, rhs))
+  }
+
+  /** Solve A·w = b for each b, one LU factorization (partial pivoting)
+    * shared across right-hand sides. A is mutated (it is ours). */
+  private def solveMany(a: Array[Array[Double]], bs: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val perm = Array.tabulate(n)(identity)
+    for (k <- 0 until n) {
+      val p = (k until n).maxBy(r => math.abs(a(r)(k)))
+      require(math.abs(a(p)(k)) > 0, s"singular Gram matrix at column $k")
+      if (p != k) {
+        val t = a(p); a(p) = a(k); a(k) = t
+        val tp = perm(p); perm(p) = perm(k); perm(k) = tp
+      }
+      for (r <- k + 1 until n) {
+        val f = a(r)(k) / a(k)(k)
+        a(r)(k) = f
+        for (c <- k + 1 until n) a(r)(c) -= f * a(k)(c)
+      }
+    }
+    bs.map { b0 =>
+      val b = perm.map(b0)
+      for (k <- 0 until n; r <- k + 1 until n) b(r) -= a(r)(k) * b(k)
+      for (k <- n - 1 to 0 by -1) {
+        for (c <- k + 1 until n) b(k) -= a(k)(c) * b(c)
+        b(k) /= a(k)(k)
+      }
+      b
+    }
+  }
+
+  /** Score (vec_id, embedding[, …]) rows: adds `pred` (argmax class,
+    * ties to the smallest) and `margin` (best minus second-best score).
+    * Pure codegen'd column expressions over literal weights. */
+  def predict(df: DataFrame, model: Model): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    def lits(w: Array[Double]): String =
+      "array(" + w.map(v => s"${v}D").mkString(",") + ")"
+    val scored = model.classes.zip(model.weights).map { case (c, w) =>
+      s"named_struct('s', graft_dot(_xa, ${lits(w)}), 'nc', ${-c}L)"
+    }.mkString("array(", ",", ")")
+    df.withColumn("_xa",
+        expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))"))
+      .withColumn("_sc", expr(scored))
+      .withColumn("pred", -expr("array_max(_sc).nc"))
+      .withColumn("margin", expr(
+        "array_max(_sc).s - array_max(filter(_sc, e -> e.nc != array_max(_sc).nc)).s"))
+      .drop("_xa", "_sc")
+  }
+}

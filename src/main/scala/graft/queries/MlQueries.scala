@@ -152,6 +152,23 @@ object MlQueries {
         .orderBy("vec_id")
     }),
 
+    // LINEAR PROBE (ml.LinearProbe): closed-form one-vs-rest ridge on the
+    // 80% train split, holdout confusion on the 20% — the standard
+    // embedding-quality diagnostic, and the non-iterative ML
+    // counterweight to boosting (normal equations: ONE aggregation pass
+    // for the Gram + per-class moments, driver-side 65x65 solve, codegen'd
+    // argmax scoring). Matrix solve is not SQL-expressible -> rows-only;
+    // LinearProbeSuite pins above-chance holdout accuracy, exact-recovery
+    // on a synthetic linear task, and determinism across partitionings.
+    "q_ml_linear_probe" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val model = graft.ml.LinearProbe.fit(emb.filter(col("vec_id") % 5 =!= 0))
+      graft.ml.LinearProbe.predict(emb.filter(col("vec_id") % 5 === 0), model)
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     // R8: Hamming loss of the trivial hypothesis sign(x0) applied to every
     // label, against one-vs-all encoding.
     "q_ml_hamming_eval" -> ((s, d) => Tables(s, d, "embeddings")
