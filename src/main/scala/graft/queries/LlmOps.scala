@@ -1438,6 +1438,37 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // THE FULL PIPELINE as ONE declarative query: curation (quality ∧
+    // lang ∧ cluster-rep, q_curate) ∘ DSIR target-likeness selection
+    // (q_mix_dsir) ∘ eval-decontamination (q_text_contamination), with
+    // per-doc token accounting — the end-state a pretraining data
+    // pipeline actually materializes, composed from the SAME memoized
+    // components the standalone gates verify (each stage's oracle is the
+    // stage's proof; this query's oracle proves the COMPOSITION — the
+    // CTE recomposition joins the identical stage SQL). kept = survived
+    // curation AND dsir-selected AND zero eval hits.
+    "q_pipeline_full" -> ((s, d) => {
+      def memo(tag: String)(f: => org.apache.spark.sql.DataFrame) =
+        graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+          tag, s.sparkContext.applicationId, d))(f)
+      val curated = memo("graft-curated") { queries("q_curate")(s, d) }
+      val contam = memo("graft-contam") { queries("q_text_contamination")(s, d) }
+      val dsir = memo("graft-dsir") { queries("q_mix_dsir")(s, d) }
+      val ntok = Tables(s, d, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      curated.filter(col("doc_id") % 10 =!= 0)
+        .join(dsir.select(col("doc_id"), col("score").as("dsir_score"),
+          col("selected")), "doc_id")
+        .join(ntok, "doc_id")
+        .join(contam.select(col("doc_id"), col("n_hits")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("quality"), col("pred_lang"),
+          col("dsir_score"), col("selected"),
+          coalesce(col("n_hits"), lit(0L)).as("n_eval_hits"), col("n_tokens"),
+          (col("selected") === 1 && coalesce(col("n_hits"), lit(0L)) === 0)
+            .cast("long").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // SOURCE/SINK ROUNDTRIP, driver-visible: documents -> JSON-lines AND
     // CSV at a scratch path (sources.Delimited: explicit schema, FAILFAST,
     // UTC-pinned timestamps — the no-inference 100 TB interchange policy)
@@ -3228,6 +3259,53 @@ object LlmOps {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE CAST(doc_id * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // the composition oracle: the IDENTICAL stage CTEs (curation chain,
+    // contamination hits, dsir scoring) joined — each stage's standalone
+    // oracle proves the stage, this proves the composition
+    "q_pipeline_full" -> s"""WITH RECURSIVE $curateCtes,
+        |t8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 8),
+        |sh8 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+        |        FROM t8, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |ev8 AS (SELECT sh, min(doc_id) AS eval_doc FROM sh8 WHERE doc_id % 10 = 0 GROUP BY sh),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits
+        |         FROM sh8 s JOIN ev8 ON s.sh = ev8.sh
+        |         WHERE s.doc_id % 10 <> 0 GROUP BY s.doc_id),
+        |tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY 1),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |stats AS (SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS t,
+        |                 (SELECT count(*) FROM tok) AS r,
+        |                 (SELECT count(*) FROM raw) AS v),
+        |term AS (SELECT w,
+        |           ROUND(ln(((coalesce(ct, 0) + CAST(0.5 AS DOUBLE)) / (t + CAST(0.5 AS DOUBLE) * v))
+        |                    / ((cr + CAST(0.5 AS DOUBLE)) / (r + CAST(0.5 AS DOUBLE) * v))), 6) AS lr
+        |         FROM raw LEFT JOIN tgt USING (w), stats),
+        |scored AS (SELECT doc_id,
+        |             CAST(SUM(CAST(ROUND(tf * lr, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |           FROM tf JOIN term USING (w) GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (SELECT doc_id, score,
+        |             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        |           FROM scored),
+        |sel AS (SELECT doc_id, score AS dsir_score,
+        |          CAST(rn <= (n + 4) // 5 AS BIGINT) AS selected
+        |        FROM ranked, nd),
+        |ntok AS (SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         FROM documents)
+        |SELECT c.doc_id, n.source, c.quality, c.pred_lang,
+        |       s.dsir_score, s.selected,
+        |       coalesce(h.n_hits, 0) AS n_eval_hits, n.n_tokens,
+        |       CAST(s.selected = 1 AND coalesce(h.n_hits, 0) = 0 AS BIGINT) AS kept
+        |FROM curated c
+        |JOIN sel s USING (doc_id)
+        |JOIN ntok n USING (doc_id)
+        |LEFT JOIN hits h USING (doc_id)
+        |WHERE c.doc_id % 10 <> 0
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_mix_budget" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
