@@ -50,7 +50,7 @@ class LinearProbeSuite extends SparkSpec {
     assert(hold.filter(col("margin").isNull).count() === 0)
   }
 
-  test("deterministic across partitionings (decimal-summed moments)") {
+  test("deterministic across partitionings (grid-summed moments)") {
     val emb = Tables(spark, sf, "embeddings")
     def run(df: DataFrame): Seq[(Long, Long)] = {
       val m = LinearProbe.fit(df.filter(col("vec_id") % 5 =!= 0))
