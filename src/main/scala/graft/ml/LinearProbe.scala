@@ -113,6 +113,45 @@ object LinearProbe {
     }
   }
 
+  /** Platt-style margin calibration: fit p(correct | margin) =
+    * sigmoid(a·margin + b) by Newton-Raphson so the probe's raw argmax
+    * margins become usable confidences. Join-shaped: each Newton step is
+    * ONE aggregation over the scored frame (five grid-long sums of the
+    * gradient/Hessian terms — the [[gridSum]] discipline, so the fit is
+    * partition-order exact); a and b are driver scalars folded in as
+    * literals per step — no collect of data rows, no driver loop over
+    * rows. A small L2 term (1e-6) keeps the 2×2 solve unconditional on
+    * degenerate inputs (all-correct / all-wrong). */
+  def calibrate(scored: DataFrame, iters: Int = 8): (Double, Double) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    var (a, b) = (0.0, 0.0)
+    val base = scored.select(col("margin").cast("double").as("m"),
+      (col("pred") === col("label")).cast("double").as("y"))
+    for (_ <- 1 to iters) {
+      val p = expr(s"1.0D / (1.0D + exp(-(${a}D * m + ${b}D)))")
+      val r = base
+        .select(p.as("p"), col("m"), col("y"))
+        .agg(gridSum((col("p") - col("y")) * col("m")).as("g1"),
+          gridSum(col("p") - col("y")).as("g2"),
+          gridSum(col("p") * (lit(1.0) - col("p")) * col("m") * col("m")).as("h11"),
+          gridSum(col("p") * (lit(1.0) - col("p")) * col("m")).as("h12"),
+          gridSum(col("p") * (lit(1.0) - col("p"))).as("h22"))
+        .head()
+      val Seq(g1, g2, h11r, h12, h22r) =
+        (0 until 5).map(i => r.getLong(i) / Grid)
+      val (h11, h22) = (h11r + 1e-6, h22r + 1e-6)
+      val det = h11 * h22 - h12 * h12
+      a -= (h22 * g1 - h12 * g2) / det
+      b -= (h11 * g2 - h12 * g1) / det
+    }
+    (a, b)
+  }
+
+  /** Add `confidence` = sigmoid(a·margin + b) from [[calibrate]]'s fit. */
+  def withConfidence(scored: DataFrame, a: Double, b: Double): DataFrame =
+    scored.withColumn("confidence",
+      round(expr(s"1.0D / (1.0D + exp(-(${a}D * margin + ${b}D)))"), 6))
+
   /** Score (vec_id, embedding[, …]) rows: adds `pred` (argmax class,
     * ties to the smallest) and `margin` (best minus second-best score).
     * Pure codegen'd column expressions over literal weights. */

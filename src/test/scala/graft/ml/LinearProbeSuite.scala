@@ -63,6 +63,38 @@ class LinearProbeSuite extends SparkSpec {
     assert(run(emb.repartition(13, col("vec_id"))) === base)
   }
 
+  test("calibration: confidence tracks correctness on a separable task; deterministic") {
+    import spark.implicits._
+    // reuse the linearly generated task: margins genuinely separate
+    // correct from incorrect predictions, so the fitted slope must be
+    // positive and calibrated confidence must rank correct above wrong
+    val rnd = new scala.util.Random(11)
+    val w = Array.fill(4, 64)(rnd.nextGaussian())
+    val rows = (0 until 400).map { i =>
+      val x = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val scores = w.map(wc => wc.zip(x).map { case (p, q) => p * q }.sum)
+      (i.toLong, x, scores.indexOf(scores.max).toLong)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val m = LinearProbe.fit(df.filter(col("vec_id") < 300), lambda = 1e-4)
+    val hold = LinearProbe.predict(df.filter(col("vec_id") >= 300), m)
+      .localCheckpoint()
+    val (a, b) = LinearProbe.calibrate(hold)
+    assert(a > 0, s"bigger margin must mean more confidence, got slope $a")
+    val conf = LinearProbe.withConfidence(hold, a, b)
+      .select(col("confidence"), (col("pred") === col("label")).as("ok")).collect()
+    val (cOk, cBad) = conf.partition(_.getBoolean(1))
+    assert(cOk.nonEmpty && cBad.nonEmpty, "task should produce both outcomes")
+    val meanOk = cOk.map(_.getDouble(0)).sum / cOk.length
+    val meanBad = cBad.map(_.getDouble(0)).sum / cBad.length
+    assert(meanOk > meanBad,
+      s"calibrated confidence inverted: correct $meanOk vs wrong $meanBad")
+    assert(conf.forall(r => r.getDouble(0) > 0 && r.getDouble(0) < 1))
+    // grid-long sums -> the fit is partition-order exact
+    val (a2, b2) = LinearProbe.calibrate(hold.repartition(13))
+    assert(a === a2 && b === b2, "calibration must be partition-order exact")
+  }
+
   test("scoring plan is codegen'd expressions — no UDF") {
     val emb = Tables(spark, sf, "embeddings").limit(50)
     val m = LinearProbe.fit(emb)
