@@ -144,7 +144,18 @@ object KnnGraph {
   def build(emb: DataFrame, k: Int, iters: Int,
             seedBands: Int = 6, seedBits: Int = 5,
             hotCap: Int = 256, searchK: Int = 0,
-            minUpdateFrac: Double = 0.0): DataFrame = {
+            minUpdateFrac: Double = 0.0): DataFrame =
+    buildWithRounds(emb, k, iters, seedBands, seedBits, hotCap, searchK,
+      minUpdateFrac)._1
+
+  /** [[build]] plus the number of descent rounds actually run (== `iters`
+    * unless `minUpdateFrac` stopped it early) — returned to the caller
+    * instead of a shared JVM global so concurrent builds cannot race on a
+    * diagnostic. */
+  private[graft] def buildWithRounds(emb: DataFrame, k: Int, iters: Int,
+            seedBands: Int = 6, seedBits: Int = 5,
+            hotCap: Int = 256, searchK: Int = 0,
+            minUpdateFrac: Double = 0.0): (DataFrame, Int) = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     require(minUpdateFrac >= 0.0 && minUpdateFrac < 1.0,
       s"minUpdateFrac must be in [0, 1), got $minUpdateFrac")
@@ -161,6 +172,11 @@ object KnnGraph {
     var pinned = Set.empty[Int]
     var converged = false
     var rounds = 0
+    // does `g` already sit on a materialized checkpoint? (the convergence
+    // branch checkpoints its round result for the update count — re-
+    // checkpointing it at the top of the next round would be a redundant
+    // full block copy per round)
+    var checkpointed = false
     for (_ <- 1 to iters if !converged) {
       rounds += 1
       // materialize the incoming graph ONCE per round: it feeds three
@@ -169,8 +185,11 @@ object KnnGraph {
       // seed/previous round recomputes per consumer and the loop's plan
       // depth grows exponentially. n·searchK rows, KBs per thousand nodes.
       // The superseded round's checkpoint blocks are dropped eagerly.
-      val (cg, p) = checkpointReplacing(g, pinned)
-      g = cg; pinned = p
+      if (!checkpointed) {
+        val (cg0, p) = checkpointReplacing(g, pinned)
+        g = cg0; pinned = p
+      }
+      val cg = g
       // the round's own result stays un-checkpointed: the next round (or
       // the final topK below) materializes it, and the returned frame's
       // plan remains inspectable (callers reusing it repeatedly can
@@ -192,20 +211,15 @@ object KnnGraph {
         val updates = cn.join(cg, Seq("id", "nbr"), "left_anti").count()
         val live = vecs.sparkSession.sparkContext.getPersistentRDDs
         pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
-        g = cn; pinned = p2
+        g = cn; pinned = p2; checkpointed = true
         converged = updates <= (minUpdateFrac * n * kk).toLong
       } else {
         g = next
+        checkpointed = false
       }
     }
-    lastBuildRounds = rounds
-    if (kk == k) g else topK(g, k)
+    (if (kk == k) g else topK(g, k), rounds)
   }
-
-  /** Diagnostic only: descent rounds the most recent [[build]] on this JVM
-    * actually ran (== `iters` unless `minUpdateFrac` stopped it early).
-    * For suites and operational logging — not part of the data contract. */
-  @volatile private[graft] var lastBuildRounds: Int = 0
 
   /** One NN-Descent round over graph `g`: neighbor-of-neighbor candidates
     * through the undirected-adjacency self-join, known edges anti-joined

@@ -91,6 +91,18 @@ object AsOfJoin {
                             leftTs: String, rightTs: String,
                             rightTieBreak: String,
                             targetRowsPerSlot: Long = 1L << 20): DataFrame = {
+    val w = autoWidth(left, right, key, leftTs, rightTs, targetRowsPerSlot)
+    if (w == 0L) asofBackward(left, right, key, leftTs, rightTs, rightTieBreak)
+    else asofBackwardSplit(left, right, key, leftTs, rightTs, rightTieBreak, w)
+  }
+
+  /** The slot width [[asofBackwardSplitAuto]] derives from the data (0 =
+    * unsplit) — the profile pass alone, exposed as a pure function so
+    * callers and suites can inspect the decision without shared mutable
+    * JVM state (concurrent auto-joins each get their own local width). */
+  private[graft] def autoWidth(left: DataFrame, right: DataFrame, key: String,
+                               leftTs: String, rightTs: String,
+                               targetRowsPerSlot: Long): Long = {
     require(targetRowsPerSlot > 0, s"need targetRowsPerSlot > 0, got $targetRowsPerSlot")
     def side(df: DataFrame, ts: String) = {
       val t = df.schema(ts).dataType match {
@@ -104,18 +116,12 @@ object AsOfJoin {
       .agg(count(lit(1)).as("n"), min("_t").as("lo"), max("_t").as("hi"))
       .orderBy(col("n").desc, col("_k")).limit(1)
       .collect()
-    lastAutoWidth = prof.headOption.map { h =>
+    prof.headOption.map { h =>
       val (n, span) = (h.getAs[Long]("n"), h.getAs[Long]("hi") - h.getAs[Long]("lo"))
       if (n <= targetRowsPerSlot || span <= 0) 0L
       else math.max(1L, span / math.max(1L, n / targetRowsPerSlot))
     }.getOrElse(0L)
-    if (lastAutoWidth == 0L) asofBackward(left, right, key, leftTs, rightTs, rightTieBreak)
-    else asofBackwardSplit(left, right, key, leftTs, rightTs, rightTieBreak, lastAutoWidth)
   }
-
-  /** Diagnostic only: the slot width the most recent
-    * [[asofBackwardSplitAuto]] on this JVM chose (0 = unsplit). */
-  @volatile private[graft] var lastAutoWidth: Long = 0L
 
   /** NEAREST as-of from two union-merge passes — the linear-sort
     * composition of the either-direction match (q_join_asof_nearest's

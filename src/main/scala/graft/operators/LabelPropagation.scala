@@ -68,6 +68,10 @@ object LabelPropagation {
         .filter(col("cnt") === col("mc"))
         .groupBy("id").agg(min(col("label")).as("label"))
     }
-    labels
+    // the adjacency is keyed by edge endpoints, which may be a superset of
+    // `nodes` — restrict to the documented contract (one row per node of
+    // nodes) so stray endpoints never leak into the result
+    if (iters == 0) labels
+    else labels.join(ids, Seq("id"), "left_semi")
   }
 }

@@ -36,8 +36,10 @@ object Scratch {
     * output; unique across concurrent applications via applicationId. */
   def dir(prefix: String, applicationId: String, corpus: String): String = {
     hookInstalled
+    // unsigned rendering: math.abs(Int.MinValue) is negative, which would
+    // print a double dash and collide the sign bit into the path
     val path = s"${System.getProperty("java.io.tmpdir")}/$prefix-$applicationId-" +
-      s"${math.abs(corpus.hashCode)}"
+      Integer.toUnsignedString(corpus.hashCode)
     registered.add(path)
     path
   }

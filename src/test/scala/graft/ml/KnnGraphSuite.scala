@@ -64,10 +64,10 @@ class KnnGraphSuite extends SparkSpec {
         (if (j % 10 == c) 10.0f else 0.0f) + ((i * 64 + j) % 7) * 0.01f
       })
     }.toDF("vec_id", "embedding")
-    val fixed = KnnGraph.build(clustered, k = 5, iters = 8)
-    assert(KnnGraph.lastBuildRounds === 8, "minUpdateFrac=0 must never stop early")
-    val early = KnnGraph.build(clustered, k = 5, iters = 8, minUpdateFrac = 0.01)
-    val stopped = KnnGraph.lastBuildRounds
+    val (fixed, fixedRounds) = KnnGraph.buildWithRounds(clustered, k = 5, iters = 8)
+    assert(fixedRounds === 8, "minUpdateFrac=0 must never stop early")
+    val (early, stopped) =
+      KnnGraph.buildWithRounds(clustered, k = 5, iters = 8, minUpdateFrac = 0.01)
     assert(stopped < 8, s"expected early convergence stop, ran all $stopped rounds")
     def es(g: DataFrame) = g.collect()
       .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet

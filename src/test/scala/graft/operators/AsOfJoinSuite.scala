@@ -102,12 +102,14 @@ class AsOfJoinSuite extends SparkSpec {
     // must split into multiple slots
     val auto = pairs(AsOfJoin.asofBackwardSplitAuto(l, r, "k", "t", "t", "tie",
       targetRowsPerSlot = 50))
-    assert(AsOfJoin.lastAutoWidth > 0, "hot key must trigger a split")
-    assert(AsOfJoin.lastAutoWidth < 4000, "width must be below the hot key's span")
+    val hotWidth = AsOfJoin.autoWidth(l, r, "k", "t", "t", targetRowsPerSlot = 50)
+    assert(hotWidth > 0, "hot key must trigger a split")
+    assert(hotWidth < 4000, "width must be below the hot key's span")
     assert(auto === base, "auto split diverged from the base form")
     // generous target -> unsplit path, same answer
     val quiet = pairs(AsOfJoin.asofBackwardSplitAuto(l, r, "k", "t", "t", "tie"))
-    assert(AsOfJoin.lastAutoWidth === 0L, "default target must not split 402 rows")
+    assert(AsOfJoin.autoWidth(l, r, "k", "t", "t", 1L << 20) === 0L,
+      "default target must not split 402 rows")
     assert(quiet === base)
   }
 

@@ -68,6 +68,18 @@ class LabelPropagationSuite extends SparkSpec {
     assert(r2(20L) === 10L, s"plurality lost to a smaller minority label: $r2")
   }
 
+  test("edge endpoints outside the node set never leak into the result") {
+    // edges mention 3 and 4, which are NOT nodes: they may vote (they sit
+    // in the adjacency) but the contract is one row per node of `nodes`
+    val n = nodes(1L, 2L)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    for (it <- Seq(0, 1, 3)) {
+      val l = labels(LabelPropagation.run(n, e, iters = it))
+      assert(l.keySet === Set(1L, 2L),
+        s"iters=$it emitted rows for non-nodes: $l")
+    }
+  }
+
   test("deterministic across partitionings") {
     val n = nodes((1L to 30L): _*)
     val e = edges((1L to 29L).map(i => i -> (i + 1)) :+ (7L -> 23L): _*)
