@@ -97,8 +97,15 @@ object VectorFunctions {
     * with spark.sql.extensions=graft.plans.GraftExtensions get this (plus
     * the optimizer fusions) without any imperative call. */
   def register(spark: SparkSession): Unit = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_gram", exprs => GramAgg.fromArgs(exprs).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_moments", exprs => MomentsAgg.fromArgs(exprs).toAggregateExpression(),
+      "built-in")
   }
 }

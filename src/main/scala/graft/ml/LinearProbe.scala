@@ -9,25 +9,30 @@ import org.apache.spark.sql.functions._
   * iterations, no learning rate.
   *
   * Distributed shape — the only data-scale work is ONE aggregation pass:
-  *   - Gram matrix G = Xᵀ X over the bias-augmented embeddings
-  *     ((d+1)² cells via two chained posexplodes, partial-aggregated
-  *     map-side to ≤ (d+1)² rows per partition before the shuffle);
-  *   - per-class moment vectors Xᵀ y_c, which for one-hot targets are
-  *     just the per-label feature sums (one groupBy(label, i) pass).
-  *   Both collect as META rows (≤ (d+1)² + classes·(d+1) values — fixed
-  *   size, data-independent), the (d+1)×(d+1) solve is driver arithmetic
-  *   (LU with partial pivoting, one factorization reused across the
-  *   class right-hand sides), and scoring is a codegen'd graft_dot
-  *   against literal weight arrays — argmax via array_max over
-  *   (score, -class) structs, ties to the smallest class. No UDF, no
-  *   driver loop over rows anywhere.
+  * `agg(graft_gram(x), graft_moments(label, x))` computes the Gram matrix
+  * G = Xᵀ X over the bias-augmented embeddings AND the per-class one-hot
+  * moment vectors Xᵀ y_c in a single scan through two mergeable
+  * primitive-buffer aggregates ([[graft.functions.GramAgg]] /
+  * [[graft.functions.MomentsAgg]]): each partition folds its rows into
+  * one (d+1)²-cell buffer + one d-vector per class, and the shuffle
+  * carries ONE buffer per partition — never a d²-per-row explode (the
+  * previous declarative form materialized 4225 rows per input row at
+  * d=65; see fitViaExplode, retained as the suite's bit-identity
+  * witness). The result row is META (≤ (d+1)² + classes·(d+1) values —
+  * fixed size, data-independent), the (d+1)×(d+1) solve is driver
+  * arithmetic (LU with partial pivoting, one factorization reused across
+  * the class right-hand sides), and scoring is a codegen'd graft_dot
+  * against literal weight arrays — argmax via array_max over
+  * (score, -class) structs, ties to the smallest class. No UDF, no
+  * driver loop over rows anywhere.
   *
-  * Determinism: both aggregation passes sum scaled LONGS on a fixed
-  * 1e-9 grid (exact in any order — see [[gridSum]] for why not the
-  * DECIMAL(38,18) discipline here), so G and the moments are
-  * partition-order exact; the solve and the scoring plan are then pure
-  * functions of exact inputs — results are identical across
-  * partitionings (suite-pinned).
+  * Determinism: both aggregates accumulate on a fixed 1e-9 grid with
+  * exact 128-bit integer cells ([[graft.functions.Grid128]] — order-
+  * independent in any partitioning, one float rounding at eval), so G and
+  * the moments are partition-order exact; the solve and the scoring plan
+  * are then pure functions of exact inputs — results are identical across
+  * partitionings (suite-pinned). Overflow headroom: ≥1e27 rows (vs ~4e8
+  * for the single-long grid the explode witness uses).
   */
 object LinearProbe {
 
@@ -36,32 +41,55 @@ object LinearProbe {
   final case class Model(classes: Array[Long], weights: Array[Array[Double]])
 
   /** Order-independent exact sum via a fixed 1e-9 grid: terms round to
-    * scaled LONGS (deterministic), longs sum exactly in any order, the
-    * driver rescales. Chosen over DECIMAL(38,18) sums (the PageRank
-    * discipline) because 128-bit decimal aggregation measured 8x slower
-    * on the (d+1)² Gram pass; the nano grid loses nothing a probe can
-    * feel, and overflow headroom is ~1e8 rows at embedding magnitudes
-    * (|x_i·x_j| ≲ 25 → ≤ 2.5e10 per row on the grid vs the 9.2e18 long
-    * range). */
+    * scaled LONGS (deterministic — `floor(v·1e9 + 0.5)`, plain IEEE ops,
+    * exactly [[graft.functions.Grid128.toGrid]] so the declarative witness
+    * and the aggregate produce identical cells), longs sum exactly in any
+    * order, the driver rescales. Chosen over DECIMAL(38,18) sums (the
+    * PageRank discipline) because 128-bit decimal aggregation measured 8x
+    * slower on the (d+1)² Gram pass; the nano grid loses nothing a probe
+    * can feel. */
   private def gridSum(c: org.apache.spark.sql.Column) =
-    sum(round(c * 1e9).cast("long"))
+    sum(floor(c * lit(Grid) + lit(0.5)))
   private val Grid = 1e9
+
+  private def augmented(df: DataFrame): DataFrame =
+    df.select(col("label").cast("long").as("label"),
+      expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))").as("x"))
 
   /** Fit on (embedding: array<float|double>, label: long) rows. `lambda`
     * is the ridge strength (the bias row is regularized too — at probe
     * scale the distinction is noise, and it keeps the solve unconditional). */
   def fit(train: DataFrame, lambda: Double = 1.0): Model = {
     require(lambda > 0, s"need lambda > 0, got $lambda")
-    val aug = train.select(col("label").cast("long").as("label"),
-      expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))").as("x"))
+    graft.functions.VectorFunctions.register(train.sparkSession)
+    val row = augmented(train)
+      .agg(expr("graft_gram(x)").as("g"), expr("graft_moments(label, x)").as("m"))
+      .head()
+    val gArr = row.getSeq[Double](0)
+    val d = math.sqrt(gArr.length.toDouble).toInt
+    require(d > 0, "linear probe: empty training frame")
+    val g = Array.tabulate(d, d)((i, j) => gArr(i * d + j))
+    (0 until d).foreach(i => g(i)(i) += lambda)
+    val moments = row.getMap[Long, scala.collection.Seq[Double]](1)
+    val classes = moments.keys.toArray.sorted
+    val rhs = classes.map { c =>
+      val v = moments(c)
+      require(v.length == d, s"linear probe: moment width ${v.length} != $d")
+      v.toArray
+    }
+    Model(classes, solveMany(g, rhs))
+  }
+
+  /** The declarative Gram/moments form the aggregate replaced: the
+    * outer-product cells as ONE flattened HOF array per row, a single
+    * posexplode of scalars, grid-long sums. Retained as the suite's
+    * BIT-IDENTITY witness for [[fit]] (same grid, same arithmetic, d²
+    * rows per input row through the shuffle — correct but the measured
+    * scale cliff). */
+  private[ml] def fitViaExplode(train: DataFrame, lambda: Double = 1.0): Model = {
+    require(lambda > 0, s"need lambda > 0, got $lambda")
+    val aug = augmented(train)
     val d = aug.select(size(col("x"))).head().getInt(0)
-    // the outer-product cells as ONE flattened HOF array per row, then a
-    // single posexplode of scalars (a chained double-posexplode carries
-    // the whole vector on every intermediate row — measured 65x heavier);
-    // partial aggregation collapses to <= (d+1)^2 rows per partition
-    // before the shuffle. At extreme scale the same Gram is a
-    // treeAggregate over primitive arrays — this shape keeps it
-    // declarative and decimal-exact.
     val gram = aug
       .select(posexplode(expr(
         "flatten(transform(x, xi -> transform(x, xj -> xi * xj)))"))
@@ -119,16 +147,20 @@ object LinearProbe {
     * ONE aggregation over the scored frame (five grid-long sums of the
     * gradient/Hessian terms — the [[gridSum]] discipline, so the fit is
     * partition-order exact); a and b are driver scalars folded in as
-    * literals per step — no collect of data rows, no driver loop over
-    * rows. A small L2 term (1e-6) keeps the 2×2 solve unconditional on
-    * degenerate inputs (all-correct / all-wrong). */
+    * `lit` columns per step — no collect of data rows, no driver loop
+    * over rows, no string-built literals (a NaN would not round-trip
+    * through SQL text). A small L2 term (1e-6) keeps the 2×2 solve
+    * conditioned on benign inputs; a degenerate frame (near-singular
+    * Hessian, non-finite step) aborts to the identity calibration (0, 0)
+    * rather than emitting NaN coefficients. Requires a non-empty scored
+    * frame. */
   def calibrate(scored: DataFrame, iters: Int = 8): (Double, Double) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     var (a, b) = (0.0, 0.0)
     val base = scored.select(col("margin").cast("double").as("m"),
       (col("pred") === col("label")).cast("double").as("y"))
     for (_ <- 1 to iters) {
-      val p = expr(s"1.0D / (1.0D + exp(-(${a}D * m + ${b}D)))")
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("m") + lit(b))))
       val r = base
         .select(p.as("p"), col("m"), col("y"))
         .agg(gridSum((col("p") - col("y")) * col("m")).as("g1"),
@@ -137,12 +169,19 @@ object LinearProbe {
           gridSum(col("p") * (lit(1.0) - col("p")) * col("m")).as("h12"),
           gridSum(col("p") * (lit(1.0) - col("p"))).as("h22"))
         .head()
+      require(!r.isNullAt(0), "calibrate: empty scored frame")
       val Seq(g1, g2, h11r, h12, h22r) =
         (0 until 5).map(i => r.getLong(i) / Grid)
       val (h11, h22) = (h11r + 1e-6, h22r + 1e-6)
       val det = h11 * h22 - h12 * h12
-      a -= (h22 * g1 - h12 * g2) / det
-      b -= (h11 * g2 - h12 * g1) / det
+      val da = (h22 * g1 - h12 * g2) / det
+      val db = (h11 * g2 - h12 * g1) / det
+      // a flat or single-outcome margin distribution drives det -> ~0 and
+      // the step to garbage: bail to the identity calibration instead of
+      // letting NaN/Infinity poison the coefficients
+      if (!det.isFinite || det <= 0 || !da.isFinite || !db.isFinite) return (0.0, 0.0)
+      a -= da
+      b -= db
     }
     (a, b)
   }
@@ -150,21 +189,23 @@ object LinearProbe {
   /** Add `confidence` = sigmoid(a·margin + b) from [[calibrate]]'s fit. */
   def withConfidence(scored: DataFrame, a: Double, b: Double): DataFrame =
     scored.withColumn("confidence",
-      round(expr(s"1.0D / (1.0D + exp(-(${a}D * margin + ${b}D)))"), 6))
+      round(lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("margin") + lit(b)))), 6))
 
   /** Score (vec_id, embedding[, …]) rows: adds `pred` (argmax class,
     * ties to the smallest) and `margin` (best minus second-best score).
-    * Pure codegen'd column expressions over literal weights. */
+    * Pure codegen'd column expressions over literal weights (built via
+    * `lit`, never string-formatted — non-finite doubles would not
+    * round-trip through SQL text). */
   def predict(df: DataFrame, model: Model): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    def lits(w: Array[Double]): String =
-      "array(" + w.map(v => s"${v}D").mkString(",") + ")"
-    val scored = model.classes.zip(model.weights).map { case (c, w) =>
-      s"named_struct('s', graft_dot(_xa, ${lits(w)}), 'nc', ${-c}L)"
-    }.mkString("array(", ",", ")")
+    val scored = array(model.classes.zip(model.weights).map { case (c, w) =>
+      struct(
+        call_function("graft_dot", col("_xa"), array(w.toSeq.map(lit): _*)).as("s"),
+        lit(-c).as("nc"))
+    }.toSeq: _*)
     df.withColumn("_xa",
         expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))"))
-      .withColumn("_sc", expr(scored))
+      .withColumn("_sc", scored)
       .withColumn("pred", -expr("array_max(_sc).nc"))
       .withColumn("margin", expr(
         "array_max(_sc).s - array_max(filter(_sc, e -> e.nc != array_max(_sc).nc)).s"))

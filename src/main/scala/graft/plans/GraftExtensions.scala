@@ -106,6 +106,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.MinHashAgg.fromArgs(exprs).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[graft.functions.GramAgg].getName, "graft_gram"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.GramAgg.fromArgs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_moments"),
+      new ExpressionInfo(classOf[graft.functions.MomentsAgg].getName, "graft_moments"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MomentsAgg.fromArgs(exprs).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk"),
       (exprs: Seq[Expression]) =>

@@ -95,6 +95,38 @@ class LinearProbeSuite extends SparkSpec {
     assert(a === a2 && b === b2, "calibration must be partition-order exact")
   }
 
+  test("aggregate fit is bit-identical to the explode witness, across partitionings") {
+    // graft_gram/graft_moments (one mergeable buffer per partition) must
+    // reproduce the declarative posexplode form EXACTLY — same grid, same
+    // integer sums, same solve inputs — or the aggregate is a different
+    // operator, not a faster plan for the same one
+    val emb = Tables(spark, sf, "embeddings")
+    val ref = LinearProbe.fitViaExplode(emb)
+    for (df <- Seq(emb, emb.repartition(1), emb.repartition(13, col("vec_id")))) {
+      val m = LinearProbe.fit(df)
+      assert(m.classes.toSeq === ref.classes.toSeq)
+      assert(m.weights.map(_.toSeq).toSeq === ref.weights.map(_.toSeq).toSeq,
+        "aggregate-fit weights diverged from the explode witness")
+    }
+  }
+
+  test("degenerate inputs: empty fit and empty calibrate fail fast; flat margins bail to (0,0)") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings")
+    val none = emb.filter(col("vec_id") < 0)
+    intercept[IllegalArgumentException] { LinearProbe.fit(none) }
+    val m = LinearProbe.fit(emb.limit(50))
+    intercept[IllegalArgumentException] {
+      LinearProbe.calibrate(LinearProbe.predict(none, m))
+    }
+    // all margins identical and every prediction wrong -> the Newton step
+    // degenerates; the contract is the identity calibration, not NaN
+    val flat = Seq((1L, 0.5, 0L, 1L), (2L, 0.5, 0L, 1L), (3L, 0.5, 0L, 1L))
+      .toDF("vec_id", "margin", "pred", "label")
+    val (fa, fb) = LinearProbe.calibrate(flat)
+    assert(fa.isFinite && fb.isFinite, s"degenerate calibrate produced ($fa, $fb)")
+  }
+
   test("scoring plan is codegen'd expressions — no UDF") {
     val emb = Tables(spark, sf, "embeddings").limit(50)
     val m = LinearProbe.fit(emb)
