@@ -95,6 +95,72 @@ class TemporalJoinSuite extends SparkSpec {
       "a fact below the retention horizon matches null")
   }
 
+  test("time horizon: watermark eviction makes too-late facts match null; in-order facts unaffected") {
+    val st = tmp("tj-hor-state"); val out = tmp("tj-hor-out")
+    val hor = Some(20L)
+    // batch 0: versions at t=10, t=30 -> frontier 30, horizon 20 keeps both
+    TemporalJoin.applyBatch(
+      facts((1L, 12L, 500L), (1L, 31L, 501L)),
+      dims((1L, 10L, 1L, "v1"), (1L, 30L, 2L, "v2")),
+      "k", "t", "dim_id", st, out, 0L, historyPerKey = 100, timeHorizon = hor)
+    // batch 1: v3 at t=60 pushes the frontier; v1@10 and v2@30 fall below
+    // 60-20=40 and are evicted from the committed state
+    TemporalJoin.applyBatch(facts(), dims((1L, 60L, 3L, "v3")),
+      "k", "t", "dim_id", st, out, 1L, historyPerKey = 100, timeHorizon = hor)
+    assert(spark.read.parquet(s"$st/v1").select("dim_value")
+      .collect().map(_.getString(0)).toSet === Set("v3"),
+      "versions below the watermark must be evicted")
+    // batch 2: a fact at t=35 is older than every retained version -> null
+    // (the Flink contract: below-watermark versions are unmatchable); a
+    // fact at t=61 sees v3
+    TemporalJoin.applyBatch(facts((1L, 35L, 502L), (1L, 61L, 503L)), dims(),
+      "k", "t", "dim_id", st, out, 2L, historyPerKey = 100, timeHorizon = hor)
+    assert(enrichedMap(out) === Map(
+      500L -> Some("v1"), 501L -> Some("v2"),
+      502L -> None, 503L -> Some("v3")))
+  }
+
+  test("time horizon bounds state under a bursty key; in-order stream still equals batch as-of") {
+    val st = tmp("tj-burst-state"); val out = tmp("tj-burst-out")
+    // 50 versions of one key, 5 apart; horizon 30 keeps only versions
+    // within 30 of the newest — state is bounded by the horizon window,
+    // not the version count
+    val burst = (1 to 50).map(i => (1L, i * 5L, i.toLong, s"v$i"))
+    TemporalJoin.applyBatch(facts(), dims(burst: _*),
+      "k", "t", "dim_id", st, out, 0L, historyPerKey = 1000, timeHorizon = Some(30L))
+    val kept = spark.read.parquet(s"$st/v0").select("t")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.forall(_ >= 250L - 30L) && kept.length === 7,
+      s"horizon must bound the burst: kept ${kept.mkString(",")}")
+    // facts within the retained window agree with the batch as-of over
+    // the full history (in-order equality where retention is invisible)
+    TemporalJoin.applyBatch(facts((1L, 248L, 600L), (1L, 230L, 601L)), dims(),
+      "k", "t", "dim_id", st, out, 1L, historyPerKey = 1000, timeHorizon = Some(30L))
+    val batch = graft.operators.AsOfJoin.asofBackward(
+      facts((1L, 248L, 600L), (1L, 230L, 601L)), dims(burst: _*),
+      "k", "t", "t", "dim_id")
+      .select("fact_id", "r_dim_value").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val got = enrichedMap(out).filter(e => Set(600L, 601L)(e._1))
+    assert(got === batch, "in-window facts must equal the batch as-of")
+  }
+
+  test("snapshot directory prunes itself to current + retry window") {
+    val st = tmp("tj-prune-state"); val out = tmp("tj-prune-out")
+    for (b <- 0L to 5L)
+      TemporalJoin.applyBatch(facts((1L, b * 10L + 5L, 700L + b)),
+        dims((1L, b * 10L, b, s"v$b")),
+        "k", "t", "dim_id", st, out, b)
+    val dirs = new java.io.File(st).list().filter(_.startsWith("v")).sorted
+    assert(dirs.toSeq === Seq("v4", "v5"),
+      s"snapshots must prune to predecessor + current, found ${dirs.mkString(",")}")
+    // a retry of the newest batch still finds its predecessor
+    TemporalJoin.applyBatch(facts((1L, 55L, 705L)),
+      dims((1L, 50L, 5L, "v5")),
+      "k", "t", "dim_id", st, out, 5L)
+    assert(enrichedMap(out)(705L) === Some("v5"))
+  }
+
   test("MemoryStream end-to-end: tagged union drives the sink batch-by-batch") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
