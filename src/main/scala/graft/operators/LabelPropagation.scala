@@ -74,4 +74,112 @@ object LabelPropagation {
     if (iters == 0) labels
     else labels.join(ids, Seq("id"), "left_semi")
   }
+
+  /** FRONTIER-DRIVEN incremental refresh — the streaming counterpart of
+    * [[run]]: given a COMMITTED labeling and a set of nodes whose
+    * neighborhoods may have changed (new edges' endpoints, newly arrived
+    * nodes), re-run the synchronous vote ONLY where labels can actually
+    * move, and let change propagate outward along edges instead of
+    * recomputing the whole graph.
+    *
+    * Per round (same vote/tie rules as [[run]] — plurality, min label,
+    * self-votes):
+    *   1. the active frontier's nodes recompute their plurality label
+    *      from the CURRENT labeling (adjacency semi-joined to the
+    *      frontier — work ∝ frontier neighborhood size, never O(|E|));
+    *   2. nodes whose label changed update the labeling;
+    *   3. the next frontier = the changed nodes' neighbors (self-loops
+    *      put the changed nodes themselves back in — they may need
+    *      another step).
+    * Terminates when a round changes nothing — every node is then at a
+    * local fixed point (nodes never touched kept neighborhoods whose
+    * labels never moved) — or at `maxRounds` (synchronous LPA can
+    * 2-cycle on adversarial graphs; the self-vote damps but cannot
+    * forbid it).
+    *
+    * `labels` must cover every pre-existing node; nodes of `nodes`
+    * absent from it (the arrivals) seed as their own label. Returns one
+    * row per node of `nodes`, like [[run]]. */
+  def refresh(labels: DataFrame, nodes: DataFrame, edges: DataFrame,
+              seedFrontier: DataFrame, maxRounds: Int = 50): DataFrame =
+    refreshWithStats(labels, nodes, edges, seedFrontier, maxRounds)._1
+
+  /** [[refresh]] plus per-round changed-node counts (diagnostics for the
+    * work-∝-frontier claim; suites pin that a small delta never touches
+    * the whole graph). */
+  private[graft] def refreshWithStats(labels: DataFrame, nodes: DataFrame,
+                                      edges: DataFrame, seedFrontier: DataFrame,
+                                      maxRounds: Int = 50): (DataFrame, Seq[Long]) = {
+    require(maxRounds >= 0, s"need maxRounds >= 0, got $maxRounds")
+    val sc = nodes.sparkSession.sparkContext
+    val ids = nodes.select(col("id")).localCheckpoint()
+    val adj = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
+      .distinct().localCheckpoint()
+    // arrivals absent from the committed labeling start as themselves —
+    // one outer join + coalesce (a semi/anti union pair would reference
+    // `labels` on both union branches, which trips Catalyst's union
+    // constraint rewrite on complex committed plans)
+    val before0 = sc.getPersistentRDDs.keySet
+    var cur = ids
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint()
+    var frontier = seedFrontier.select(col("id"))
+      .join(ids, Seq("id"), "left_semi").distinct().localCheckpoint()
+    // round-superseded state blocks, swept once the next round's
+    // replacements are materialized (the run()/PageRank discipline)
+    var pinned = sc.getPersistentRDDs.keySet.diff(before0).toSet
+    val stats = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rounds = 0
+    var done = frontier.isEmpty
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      // votes restricted to the frontier: the semi-join keeps only
+      // adjacency rows whose target node is active this round
+      val votes = adj
+        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(cur.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy("id").agg(max(col("cnt")).as("mc"))
+      val recomputed = votes.join(best, "id")
+        .filter(col("cnt") === col("mc"))
+        .groupBy("id").agg(min(col("label")).as("label"))
+      val beforeChanged = sc.getPersistentRDDs.keySet
+      val changed = recomputed.as("n")
+        .join(cur.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .select(col("n.id").as("id"), col("n.label").as("label"))
+        .localCheckpoint()
+      val changedBlocks = sc.getPersistentRDDs.keySet.diff(beforeChanged).toSet
+      val nChanged = changed.count()
+      stats += nChanged
+      val live = sc.getPersistentRDDs
+      if (nChanged == 0) {
+        changedBlocks.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+        done = true
+      } else {
+        val before = sc.getPersistentRDDs.keySet
+        // update = outer join + coalesce (same union-free shape as the
+        // seed labeling above)
+        val next = cur.as("o")
+          .join(changed.select(col("id"), col("label").as("_nl")), Seq("id"),
+            "left_outer")
+          .select(col("id"), coalesce(col("_nl"), col("o.label")).as("label"))
+          .localCheckpoint()
+        val nextFrontier = adj
+          .join(changed.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src").as("id")).distinct().localCheckpoint()
+        val fresh = sc.getPersistentRDDs.keySet.diff(before).toSet
+        (pinned ++ changedBlocks).foreach(id =>
+          live.get(id).foreach(_.unpersist(blocking = false)))
+        pinned = fresh
+        cur = next
+        frontier = nextFrontier
+      }
+    }
+    (cur, stats.toSeq)
+  }
 }

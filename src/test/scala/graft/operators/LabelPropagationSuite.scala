@@ -80,6 +80,52 @@ class LabelPropagationSuite extends SparkSpec {
     }
   }
 
+  test("refresh: stable labeling is a fixed point — any seed changes nothing") {
+    val n = nodes(1L, 2L, 3L, 4L, 5L, 6L)
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L,
+      3L -> 4L)
+    val stable = LabelPropagation.run(n, e, iters = 4)
+    // empty seed: trivially unchanged; full seed: every node re-votes and
+    // keeps its label (the converged labeling is a synchronous fixed point)
+    val (same, stats) = LabelPropagation.refreshWithStats(
+      stable, n, e, seedFrontier = n, maxRounds = 10)
+    assert(labels(same) === labels(stable), "stable labeling moved under refresh")
+    assert(stats === Seq(0L), s"fixed point must terminate in one zero-round: $stats")
+    val (same2, _) = LabelPropagation.refreshWithStats(
+      stable, n, e, seedFrontier = n.limit(0), maxRounds = 10)
+    assert(labels(same2) === labels(stable))
+  }
+
+  test("refresh: a delta converges to the full recompute, touching only its neighborhood") {
+    // 20 disjoint triangles; committed labeling from a full run
+    val tri = (0 until 20).flatMap { t =>
+      val b = t * 3L + 1
+      Seq(b -> (b + 1), (b + 1) -> (b + 2), b -> (b + 2))
+    }
+    val ids = (1L to 60L)
+    val n0 = nodes(ids: _*)
+    val e0 = edges(tri: _*)
+    val committed = LabelPropagation.run(n0, e0, iters = 4)
+    // delta: a NEW triangle {61,62,63} arrives, plus an edge merging it
+    // into triangle {1,2,3}'s community via node 1
+    val n1 = nodes((ids ++ Seq(61L, 62L, 63L)): _*)
+    val extra = Seq(61L -> 62L, 62L -> 63L, 61L -> 63L, 1L -> 61L)
+    val e1 = edges((tri ++ extra): _*)
+    val (inc, stats) = LabelPropagation.refreshWithStats(
+      committed, n1, e1, seedFrontier = nodes(1L, 61L, 62L, 63L), maxRounds = 20)
+    val full = labels(LabelPropagation.run(n1, e1, iters = 6))
+    assert(labels(inc) === full,
+      s"incremental refresh diverged from the full recompute")
+    // work ∝ frontier: total label changes stay in the delta's
+    // neighborhood — nowhere near the 63-node graph
+    assert(stats.sum <= 8, s"refresh touched too much of the graph: $stats")
+    // untouched triangles keep their committed labels verbatim
+    val before = labels(committed)
+    val after = labels(inc)
+    assert((4L to 60L).forall(i => after(i) === before(i)),
+      "refresh moved labels outside the delta's neighborhood")
+  }
+
   test("deterministic across partitionings") {
     val n = nodes((1L to 30L): _*)
     val e = edges((1L to 29L).map(i => i -> (i + 1)) :+ (7L -> 23L): _*)

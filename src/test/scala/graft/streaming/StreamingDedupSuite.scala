@@ -75,6 +75,47 @@ class StreamingDedupSuite extends SparkSpec {
     assert(!com.contains(101L), "unwitnessed seed doc leaked into the graph")
   }
 
+  test("incremental communities: frontier refresh tracks the stream and equals the cold start") {
+    val idx = tmp("sdedup-inc-idx")
+    val out = tmp("sdedup-inc-out")
+    val st = tmp("sdedup-inc-labels")
+    DedupIndex.build(frame(100L -> X, 101L -> W), idx)
+    StreamingDedup.applyBatch(
+      frame(200L -> X, 201L -> Y, 202L -> Y, 203L -> Z), idx, out, batchId = 0L)
+    StreamingDedup.applyBatch(
+      frame(300L -> Y, 301L -> V), idx, out, batchId = 1L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cold start: full convergence through the refresh path
+    val first = toMap(StreamingDedup.refreshCommunities(spark, out, st))
+    assert(first(100L) === first(200L), s"X family split: $first")
+    assert(first(201L) === first(202L) && first(202L) === first(300L),
+      s"Y family split: $first")
+    assert(first(100L) !== first(201L), s"families merged: $first")
+    // stable graph: the call is a pure read of the committed labeling
+    val again = toMap(StreamingDedup.refreshCommunities(spark, out, st))
+    assert(again === first, "stable-graph refresh must be a no-op read")
+    // batch 2: W's family finally witnesses a rejection (400 dups the
+    // seed doc 101) and a fresh unique doc arrives
+    StreamingDedup.applyBatch(frame(400L -> W, 401L ->
+      "gold silver bronze copper iron tin lead zinc nickel cobalt chrome brass"),
+      idx, out, batchId = 2L)
+    val inc = toMap(StreamingDedup.refreshCommunities(spark, out, st))
+    assert(inc(101L) === inc(400L), s"new W family split: $inc")
+    assert(inc(401L) === 401L, s"fresh unique doc drifted: $inc")
+    // pre-existing families untouched by the delta keep their labels
+    assert(first.forall { case (k, v) => inc(k) === v },
+      "labels outside the delta's neighborhood moved")
+    // committed state prunes to at most {predecessor, current}
+    val dirs = new java.io.File(st).list().filter(_.startsWith("v")).sorted
+    assert(dirs.length <= 2 && dirs.contains("v2"),
+      s"label state must prune: ${dirs.mkString(",")}")
+    // the incremental labeling equals a cold start over the same commit
+    // state (stable-graph equality of the two code paths)
+    val cold = toMap(StreamingDedup.refreshCommunities(spark, out, tmp("sdedup-cold")))
+    assert(cold === inc, "incremental refresh diverged from the cold start")
+  }
+
   test("retry converges: a torn index append is swept and re-run equals the clean result") {
     val idx = tmp("sdedup-retry-idx")
     val out = tmp("sdedup-retry-out")
