@@ -178,6 +178,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AsOfBackwardSplitPlaceholder].getName,
         "graft_asof_backward_split"),
       SqlSurface.asofBackwardSplitBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_linear_probe"),
+      new ExpressionInfo(classOf[LinearProbePlaceholder].getName,
+        "graft_linear_probe"),
+      SqlSurface.linearProbeBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_curate"),
+      new ExpressionInfo(classOf[CuratePlaceholder].getName, "graft_curate"),
+      SqlSurface.curateBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -249,6 +249,30 @@ object SqlSurface {
       exprs.lift(3).map(intLit(fn, "beam", _)).getOrElse(0),
       exprs.lift(4).map(intLit(fn, "rounds", _)).getOrElse(2))
   }
+
+  /** graft_linear_probe(train, score[, lambda]) — closed-form one-vs-rest
+    * ridge probe (ml.LinearProbe): fit on `train` (embedding, label),
+    * score `score` rows with pred + margin. The fit's single aggregation
+    * runs at analysis time (the index-function discipline: the operator
+    * reads its model input once per query). */
+  def linearProbeBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_linear_probe"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(train, score[, lambda]) takes 2-3 args (TABLE(...) of embedding/label, TABLE(...) to score, double lambda), got ${exprs.size}")
+    LinearProbePlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      exprs.lift(2).map(dblLit(fn, "lambda", _)).getOrElse(1.0))
+  }
+
+  /** graft_curate(docs) — the curation PIPELINE composition
+    * (queries.LlmOps.curateDocs): quality ∧ language-agreement ∧ near-dup
+    * cluster representative over any (doc_id, text, lang) table. */
+  def curateBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_curate"
+    require(exprs.size == 1,
+      s"$fn(docs) takes 1 arg (TABLE(...) of doc_id/text/lang), got ${exprs.size}")
+    CuratePlaceholder(tableArg(fn, "first", exprs.head))
+  }
 }
 
 /** Unresolved marker for the SQL as-of join. AsOfJoin.asofBackward needs
@@ -383,6 +407,31 @@ case class AsOfBackwardSplitPlaceholder(
     copy(left = newLeft, right = newRight)
 }
 
+/** Unresolved marker for the SQL linear probe; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class LinearProbePlaceholder(train: LogicalPlan, score: LogicalPlan,
+    lambda: Double) extends BinaryNode {
+  override def left: LogicalPlan = train
+  override def right: LogicalPlan = score
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("LinearProbePlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LinearProbePlaceholder =
+    copy(train = newLeft, score = newRight)
+}
+
+/** Unresolved marker for the SQL curation pipeline; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class CuratePlaceholder(child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("CuratePlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): CuratePlaceholder =
+    copy(child = newChild)
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -453,6 +502,16 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.operators.AsOfJoin.asofBackwardSplit(
           bridge.ofRows(session, p.left), bridge.ofRows(session, p.right),
           p.key, p.leftTs, p.rightTs, p.rightTieBreak, p.slotWidthMicros)
+        .queryExecution.analyzed
+    case p: LinearProbePlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      val model = graft.ml.LinearProbe.fit(
+        bridge.ofRows(session, p.train), lambda = p.lambda)
+      graft.ml.LinearProbe.predict(bridge.ofRows(session, p.score), model)
+        .queryExecution.analyzed
+    case p: CuratePlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.curateDocs(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
         .queryExecution.analyzed
   }
 }

@@ -375,6 +375,47 @@ object LlmOps {
     bm25Scored(docs, queryTerms.distinct.toDF("w"), topK)
   }
 
+  /** PUBLIC table-parametric CURATION PIPELINE — the composition behind
+    * q_curate (quality >= 0.3 ∧ language-ID agrees with the declared lang
+    * ∧ near-dup cluster representative), over an ARBITRARY
+    * (doc_id, text, lang) frame instead of the harness documents table:
+    * the form the graft_curate SQL table function exposes. Same scan
+    * discipline as the gate (ONE tokenize pass feeds quality and
+    * language-ID; the 5-gram shingle self-join feeds clustering), same
+    * expressions (qualityScore, langIdFrom, docShinglesOf,
+    * ConnectedComponents) — SqlSurfaceSuite pins output equality with the
+    * gated q_curate on the documents table, so the two cannot drift. */
+  def curateDocs(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w")).localCheckpoint()
+    val quality = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"),
+        qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
+    val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
+    val sh = docShinglesOf(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = jaccardPairs(inter, sizes, 0.8)
+      .select(col("d1").as("u"), col("d2").as("v"))
+    val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
+    val labels = docs.select("doc_id")
+      .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    val cluster = labels
+      .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+    docs.select("doc_id", "lang")
+      .join(quality, "doc_id").join(lang, "doc_id").join(cluster, "doc_id")
+      .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
+        col("cluster_rep") === col("doc_id"))
+      .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
     * and the clustering step built on top of it. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {

@@ -233,6 +233,47 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(e.getMessage.contains("graft_label_propagation"), e.getMessage)
   }
 
+  test("graft_linear_probe: SQL round trip equals the Scala probe") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    emb.filter(col("vec_id") % 5 =!= 0).createOrReplaceTempView("sql_probe_train")
+    emb.filter(col("vec_id") % 5 === 0).createOrReplaceTempView("sql_probe_score")
+    val sql = spark.sql(
+      "SELECT * FROM graft_linear_probe(TABLE(SELECT * FROM sql_probe_train), " +
+        "TABLE(SELECT * FROM sql_probe_score))")
+    val model = graft.ml.LinearProbe.fit(spark.table("sql_probe_train"))
+    val api = graft.ml.LinearProbe.predict(spark.table("sql_probe_score"), model)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "pred", "margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(key(sql) === key(api))
+    // explicit lambda: both literal spellings (DECIMAL and DOUBLE) accepted
+    val reg = spark.sql(
+      "SELECT * FROM graft_linear_probe('sql_probe_train', 'sql_probe_score', 0.5)")
+    val regApi = graft.ml.LinearProbe.predict(spark.table("sql_probe_score"),
+      graft.ml.LinearProbe.fit(spark.table("sql_probe_train"), lambda = 0.5))
+    assert(key(reg) === key(regApi))
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_linear_probe('sql_probe_train')").collect())
+    assert(e.getMessage.contains("graft_linear_probe"), e.getMessage)
+  }
+
+  test("graft_curate: SQL pipeline composition equals the gated q_curate") {
+    val sf = "/root/testdata/sf0.001"
+    graft.Tables(spark, sf, "documents").createOrReplaceTempView("sql_curate_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_curate(TABLE(SELECT * FROM sql_curate_docs))")
+    val gate = graft.SparkEntry.queries("q_curate")(spark, sf)
+    assert(sql.columns.toSeq === gate.columns.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(sql) === rows(gate),
+      "graft_curate diverged from the gated curation pipeline")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_curate('sql_curate_docs', 2)").collect())
+    assert(e.getMessage.contains("graft_curate"), e.getMessage)
+  }
+
   test("graft_asof_nearest and graft_asof_backward_split: SQL round trips equal the Scala operators") {
     import spark.implicits._
     Seq((1L, 10L, 100L), (1L, 11L, 200L), (2L, 20L, 50L))
