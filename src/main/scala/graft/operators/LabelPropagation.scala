@@ -106,28 +106,62 @@ object LabelPropagation {
 
   /** [[refresh]] plus per-round changed-node counts (diagnostics for the
     * work-∝-frontier claim; suites pin that a small delta never touches
-    * the whole graph). */
+    * the whole graph). Builds the symmetrized + self-loop adjacency from
+    * `edges` here (one O(|E|) distinct); callers that MAINTAIN that
+    * adjacency as state (StreamingDedup's versioned layout) skip it via
+    * [[refreshOnAdjacency]]. */
   private[graft] def refreshWithStats(labels: DataFrame, nodes: DataFrame,
                                       edges: DataFrame, seedFrontier: DataFrame,
                                       maxRounds: Int = 50): (DataFrame, Seq[Long]) = {
-    require(maxRounds >= 0, s"need maxRounds >= 0, got $maxRounds")
-    val sc = nodes.sparkSession.sparkContext
     val ids = nodes.select(col("id")).localCheckpoint()
+    // vote targets restricted to the node set ([[run]]'s semantics: an
+    // edge endpoint outside `nodes` casts no vote) — the adjacency
+    // contract refreshOnAdjacency documents
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
-      .distinct().localCheckpoint()
-    // arrivals absent from the committed labeling start as themselves —
-    // one outer join + coalesce (a semi/anti union pair would reference
-    // `labels` on both union branches, which trips Catalyst's union
-    // constraint rewrite on complex committed plans)
+      .distinct()
+      .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")).localCheckpoint()
+    refreshOnAdjacency(labels, ids, adj, seedFrontier, maxRounds)
+  }
+
+  /** The incremental core, over a CALLER-MAINTAINED adjacency. Contract:
+    * `adj` (src, dst) is symmetrized, carries a self-loop for every node,
+    * and is (src, dst)-unique — the shape [[refreshWithStats]] builds and
+    * a versioned streaming layout appends to delta-by-delta.
+    *
+    * Scale shape — everything MATERIALIZED per round is ∝ the change set,
+    * never O(|V|) or O(|E|):
+    *   - the committed labeling (`labels`) is the immutable BASE; rounds
+    *     accumulate a small OVERRIDES frame instead of rewriting the full
+    *     labeling (a node's current label = coalesce(override, base,
+    *     its own id) — the last arm seeds arrivals absent from base);
+    *   - votes touch only adjacency rows whose source is in the frontier
+    *     (semi-join; the frontier side is broadcast-small), and label
+    *     lookups are joins against base/overrides — base is scanned, not
+    *     shuffled or rewritten;
+    *   - per-round checkpoints cover only overrides, the changed set and
+    *     the next frontier.
+    * Returns (one row per id of `nodes`, per-round changed counts). */
+  private[graft] def refreshOnAdjacency(labels: DataFrame, nodes: DataFrame,
+                                        adj: DataFrame, seedFrontier: DataFrame,
+                                        maxRounds: Int = 50): (DataFrame, Seq[Long]) = {
+    require(maxRounds >= 0, s"need maxRounds >= 0, got $maxRounds")
+    val sc = adj.sparkSession.sparkContext
+    val base = labels.select(col("id"), col("label")).localCheckpoint()
+    // label lookup on an arbitrary keyed frame: override beats base beats
+    // self (arrivals absent from base are their own label)
+    def withLabels(df: DataFrame, key: String, ov: DataFrame): DataFrame = df
+      .join(base.select(col("id").as(key), col("label").as("_bl")),
+        Seq(key), "left_outer")
+      .join(ov.select(col("id").as(key), col("label").as("_ol")),
+        Seq(key), "left_outer")
+      .withColumn("label", coalesce(col("_ol"), col("_bl"), col(key)))
+      .drop("_bl", "_ol")
     val before0 = sc.getPersistentRDDs.keySet
-    var cur = ids
-      .join(labels.select(col("id"), col("label")), Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-      .localCheckpoint()
-    var frontier = seedFrontier.select(col("id"))
-      .join(ids, Seq("id"), "left_semi").distinct().localCheckpoint()
+    var ov = base.limit(0).localCheckpoint() // empty overrides, (id, label)
+    var frontier = seedFrontier.select(col("id")).distinct().localCheckpoint()
     // round-superseded state blocks, swept once the next round's
     // replacements are materialized (the run()/PageRank discipline)
     var pinned = sc.getPersistentRDDs.keySet.diff(before0).toSet
@@ -138,9 +172,9 @@ object LabelPropagation {
       rounds += 1
       // votes restricted to the frontier: the semi-join keeps only
       // adjacency rows whose target node is active this round
-      val votes = adj
-        .join(frontier.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(cur.select(col("id").as("dst"), col("label")), "dst")
+      val votes = withLabels(
+          adj.join(frontier.select(col("id").as("src")), Seq("src"), "left_semi"),
+          "dst", ov)
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy("id").agg(max(col("cnt")).as("mc"))
@@ -149,9 +183,9 @@ object LabelPropagation {
         .groupBy("id").agg(min(col("label")).as("label"))
       val beforeChanged = sc.getPersistentRDDs.keySet
       val changed = recomputed.as("n")
-        .join(cur.as("o"), col("n.id") === col("o.id"))
+        .join(withLabels(frontier, "id", ov).as("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label"))
-        .select(col("n.id").as("id"), col("n.label").as("label"))
+        .select(col("id"), col("n.label").as("label"))
         .localCheckpoint()
       val changedBlocks = sc.getPersistentRDDs.keySet.diff(beforeChanged).toSet
       val nChanged = changed.count()
@@ -162,11 +196,12 @@ object LabelPropagation {
         done = true
       } else {
         val before = sc.getPersistentRDDs.keySet
-        // update = outer join + coalesce (same union-free shape as the
-        // seed labeling above)
-        val next = cur.as("o")
+        // fold the change set into the overrides — full outer + coalesce
+        // (union-free: a semi/anti union pair referencing `changed` twice
+        // trips Catalyst's union constraint rewrite)
+        val next = ov.as("o")
           .join(changed.select(col("id"), col("label").as("_nl")), Seq("id"),
-            "left_outer")
+            "full_outer")
           .select(col("id"), coalesce(col("_nl"), col("o.label")).as("label"))
           .localCheckpoint()
         val nextFrontier = adj
@@ -176,10 +211,11 @@ object LabelPropagation {
         (pinned ++ changedBlocks).foreach(id =>
           live.get(id).foreach(_.unpersist(blocking = false)))
         pinned = fresh
-        cur = next
+        ov = next
         frontier = nextFrontier
       }
     }
-    (cur, stats.toSeq)
+    (withLabels(nodes.select(col("id")), "id", ov).select("id", "label"),
+      stats.toSeq)
   }
 }

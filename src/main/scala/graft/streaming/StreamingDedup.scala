@@ -148,21 +148,31 @@ object StreamingDedup {
   }
 
   /** INCREMENTALLY maintained communities — the per-batch refresh that
-    * replaces [[communities]]' full recompute in a long-running stream:
-    * a committed labeling lives at `stateDir/v<batch>`, and each call
-    * advances it to the stream's current commit state by frontier-driven
-    * label propagation ([[graft.operators.LabelPropagation.refresh]])
-    * seeded with ONLY the delta since the committed version — endpoints
-    * of newly observed pairs plus newly accepted docs. Per-call work is
-    * ∝ the delta's neighborhood (change propagates outward along edges
-    * until labels stop moving), never O(|E|) over the accumulated graph;
+    * replaces [[communities]]' full recompute in a long-running stream.
+    * Two pieces of state live under `stateDir`:
+    *   - `v<batch>`: the committed labeling at that batch watermark;
+    *   - `adj/batch=<batch>`: adjacency DELTAS — the symmetrized new
+    *     pairs plus self-loops for first-seen nodes, appended per refresh
+    *     (pair uniqueness holds by construction: a pair's d2 arrives
+    *     exactly once, and a self-loop is written the batch its node
+    *     first appears). The union of all deltas IS the vote adjacency —
+    *     no per-call symmetrize/distinct over the accumulated graph.
+    * Each call advances the labeling to the stream's current commit
+    * state by frontier-driven label propagation
+    * ([[graft.operators.LabelPropagation.refreshOnAdjacency]]) seeded
+    * with ONLY the delta since the committed version — endpoints of new
+    * pairs plus newly accepted docs. Per-call SHUFFLE and MATERIALIZED
+    * state are ∝ the delta's neighborhood (the committed labeling is the
+    * immutable base; rounds accumulate small overrides), never O(|E|);
     * on a stable graph (no new batches) the call is a pure read of the
     * committed labeling. Cold start (no committed state) seeds every
     * node — a full convergence run through the same code path.
     *
-    * Commit discipline mirrors [[TemporalJoin]]: labels land at
+    * Label-snapshot discipline mirrors [[TemporalJoin]]: labels land at
     * `stateDir/v<maxBatch>` (overwrite-idempotent), versions below the
-    * predecessor are pruned — at most two snapshots ever exist. */
+    * predecessor are pruned — at most two snapshots ever exist. The
+    * adjacency deltas accumulate: they ARE the graph (state linear in
+    * observed pairs, the same bound [[communities]] reads). */
   def refreshCommunities(spark: SparkSession, outDir: String,
                          stateDir: String, maxRounds: Int = 50): DataFrame = {
     val pairsAll = observedPairs(spark, outDir)
@@ -180,21 +190,32 @@ object StreamingDedup {
       .unionByName(edges.select(col("src").as("id")))
       .unionByName(edges.select(col("dst").as("id")))
       .distinct()
-    val (labels0, frontier) = committed match {
+    val (labels0, newPairs, newNodes, frontier) = committed match {
       case None =>
         // cold start: everyone is their own label, everyone is active
-        (nodes.limit(0).select(col("id"), col("id").as("label")), nodes)
+        (nodes.limit(0).select(col("id"), col("id").as("label")),
+          pairsAll, nodes, nodes)
       case Some(v) =>
-        val newPairs = pairsAll.filter(col("batch").cast("long") > v)
+        val np = pairsAll.filter(col("batch").cast("long") > v)
         val newAccepted = acceptedAll.filter(col("batch").cast("long") > v)
-        val seed = newPairs.select(col("d1").as("id"))
-          .unionByName(newPairs.select(col("d2").as("id")))
+        val seed = np.select(col("d1").as("id"))
+          .unionByName(np.select(col("d2").as("id")))
           .unionByName(newAccepted.select(col("doc_id").as("id")))
           .distinct()
-        (spark.read.parquet(s"$stateDir/v$v"), seed)
+        val base = spark.read.parquet(s"$stateDir/v$v")
+        // first-seen nodes = active nodes absent from the committed
+        // labeling (which covers every node seen so far by invariant)
+        (base, np, seed.join(base.select("id"), Seq("id"), "left_anti"), seed)
     }
-    val refreshed = graft.operators.LabelPropagation
-      .refresh(labels0, nodes, edges, frontier, maxRounds)
+    // adjacency delta: symmetrized new pairs + self-loops for first-seen
+    // nodes — overwrite-idempotent per batch partition
+    newPairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(newPairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .unionByName(newNodes.select(col("id").as("src"), col("id").as("dst")))
+      .write.mode("overwrite").parquet(s"$stateDir/adj/batch=$maxBatch")
+    val adj = spark.read.parquet(s"$stateDir/adj").select("src", "dst")
+    val (refreshed, _) = graft.operators.LabelPropagation
+      .refreshOnAdjacency(labels0, nodes, adj, frontier, maxRounds)
     refreshed.write.mode("overwrite").parquet(s"$stateDir/v$maxBatch")
     committed.foreach { p =>
       val pp = new org.apache.hadoop.fs.Path(stateDir)

@@ -126,6 +126,66 @@ class LabelPropagationSuite extends SparkSpec {
       "refresh moved labels outside the delta's neighborhood")
   }
 
+  test("refresh shuffle work tracks the delta, not the graph (10x nodes, ~flat bytes)") {
+    import spark.implicits._
+    // T disjoint triangles with a converged labeling (each triangle's
+    // min id — a synchronous fixed point), plus a fixed one-triangle
+    // delta linked to triangle 1. The incremental core's SHUFFLE must
+    // stay ~flat as T grows 10x, and sit far under the full recompute's.
+    def fixture(t: Int) = {
+      val n = 3 * t
+      val ids = (1L to n.toLong).toDF("id")
+      val tri = (0 until t).flatMap { k =>
+        val b = k * 3L + 1
+        Seq(b -> (b + 1), (b + 1) -> (b + 2), b -> (b + 2))
+      }
+      val extra = Seq((n + 1L) -> (n + 2L), (n + 2L) -> (n + 3L),
+        (n + 1L) -> (n + 3L), 1L -> (n + 1L))
+      val allIds = (1L to (n + 3L)).toDF("id")
+      val e = (tri ++ extra).toDF("src", "dst")
+      val adj = e.select(col("src"), col("dst"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(allIds.select(col("id").as("src"), col("id").as("dst")))
+        .distinct().localCheckpoint()
+      val labels = ids.withColumn("label",
+        (floor((col("id") - 1) / 3) * 3 + 1).cast("long")).localCheckpoint()
+      val seed = Seq(1L, n + 1L, n + 2L, n + 3L).toDF("id")
+      (labels, allIds, adj, seed, e)
+    }
+    final class Tally extends org.apache.spark.scheduler.SparkListener {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def shuffleOf(f: => Unit): Long = {
+      val t = new Tally
+      spark.sparkContext.addSparkListener(t)
+      try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(t)
+      t.read.get()
+    }
+    def refreshBytes(t: Int): Long = {
+      val (labels, allIds, adj, seed, _) = fixture(t)
+      shuffleOf {
+        val (out, _) = LabelPropagation.refreshOnAdjacency(labels, allIds, adj, seed)
+        out.queryExecution.toRdd.count()
+      }
+    }
+    val small = refreshBytes(100)
+    val big = refreshBytes(1000)
+    assert(big < 2 * math.max(small, 64 * 1024),
+      s"10x graph grew refresh shuffle ${small}B -> ${big}B — not delta-bounded")
+    // context: the full recompute's shuffle at the large size dwarfs it
+    val (_, allIds, _, _, e) = fixture(1000)
+    val full = shuffleOf {
+      LabelPropagation.run(allIds, e, iters = 4).queryExecution.toRdd.count()
+    }
+    assert(big < full / 3,
+      s"refresh (${big}B) must shuffle far less than the full run (${full}B)")
+  }
+
   test("deterministic across partitionings") {
     val n = nodes((1L to 30L): _*)
     val e = edges((1L to 29L).map(i => i -> (i + 1)) :+ (7L -> 23L): _*)
