@@ -169,6 +169,21 @@ object MlQueries {
         .orderBy("label", "pred")
     }),
 
+    // PCA (ml.Pca): one-pass graft_gram covariance -> driver Jacobi eigen
+    // -> codegen'd whitened 2D projection — the decorrelation step a
+    // training pipeline runs before ANN indexing. Iterative eigensolve is
+    // not SQL-expressible -> rows-only; PcaSuite pins planted-axis
+    // recovery, orthonormality, eigenvalue==projection-variance,
+    // whitening, and partition-exact models.
+    "q_vec_pca" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val model = graft.ml.Pca.fit(emb, k = 2)
+      graft.ml.Pca.transform(emb, model, whiten = true)
+        .select(col("vec_id"), round(expr("proj[0]"), 6).as("p0"),
+          round(expr("proj[1]"), 6).as("p1"))
+        .orderBy("vec_id")
+    }),
+
     // R8: Hamming loss of the trivial hypothesis sign(x0) applied to every
     // label, against one-vs-all encoding.
     "q_ml_hamming_eval" -> ((s, d) => Tables(s, d, "embeddings")

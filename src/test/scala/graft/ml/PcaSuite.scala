@@ -1,0 +1,104 @@
+package graft.ml
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class PcaSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Deterministic anisotropic corpus: variance 25 along u, 4 along w,
+    * 0.01 noise elsewhere (LCG draws — no library RNG). */
+  private def anisotropic(n: Int, d: Int) = {
+    import spark.implicits._
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val u = Array.tabulate(d)(j => if (j % 2 == 0) 1.0 else 0.0).map(_ / math.sqrt(d / 2))
+    val w = Array.tabulate(d)(j => if (j % 2 == 1) 1.0 else 0.0).map(_ / math.sqrt(d / 2))
+    def gauss(s0: Long): Double = {
+      // sum of 4 uniforms, centered: cheap deterministic ~gaussian
+      var s = s0; var acc = 0.0
+      for (_ <- 1 to 4) { s = lcg(s); acc += (s >>> 11).toDouble / (1L << 53).toDouble }
+      (acc - 2.0) * math.sqrt(3.0)
+    }
+    (0 until n).map { i =>
+      val a = 5.0 * gauss(i * 7919L + 1)
+      val b = 2.0 * gauss(i * 104729L + 2)
+      val x = Array.tabulate(d)(j =>
+        (a * u(j) + b * w(j) + 0.1 * gauss(i * 31L + j * 17L + 3)).toFloat)
+      (i.toLong, x)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("recovers planted principal axes in order; components orthonormal") {
+    val df = anisotropic(600, 16)
+    val m = Pca.fit(df, k = 3)
+    val u = Array.tabulate(16)(j => if (j % 2 == 0) 1.0 else 0.0).map(_ / math.sqrt(8.0))
+    val w = Array.tabulate(16)(j => if (j % 2 == 1) 1.0 else 0.0).map(_ / math.sqrt(8.0))
+    assert(math.abs(dot(m.components(0), u)) > 0.99,
+      s"first axis missed the variance-25 direction: ${dot(m.components(0), u)}")
+    assert(math.abs(dot(m.components(1), w)) > 0.99,
+      s"second axis missed the variance-4 direction: ${dot(m.components(1), w)}")
+    assert(m.variances(0) > m.variances(1) && m.variances(1) > m.variances(2),
+      s"variances not descending: ${m.variances.toSeq}")
+    assert(m.variances(0) > 15 && m.variances(0) < 35)
+    assert(m.variances(1) > 2 && m.variances(1) < 6)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d0 = dot(m.components(i), m.components(j))
+      assert(math.abs(d0 - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"components not orthonormal at ($i,$j): $d0")
+    }
+  }
+
+  test("mean matches the plain average; model is partition-order identical") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = Pca.fit(emb, k = 4)
+    val d = m.mean.length
+    // one coordinate checked against a direct column average
+    val c0 = emb.select(avg0(col("embedding")).as("c")).agg(avg(col("c"))).head().getDouble(0)
+    assert(math.abs(m.mean(0) - c0) < 1e-6, s"mean(0) ${m.mean(0)} vs $c0")
+    for (df <- Seq(emb.repartition(1), emb.repartition(13, col("vec_id")))) {
+      val m2 = Pca.fit(df, k = 4)
+      assert(m2.mean.toSeq === m.mean.toSeq)
+      assert(m2.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq,
+        "PCA model not partition-order exact")
+      assert(m2.variances.toSeq === m.variances.toSeq)
+    }
+    assert(d === 64)
+  }
+  private def avg0(c: org.apache.spark.sql.Column) =
+    c.getItem(0).cast("double")
+
+  test("transform: centered projection, whitening normalizes variance, no UDF") {
+    val df = anisotropic(500, 16)
+    val m = Pca.fit(df, k = 2)
+    val p = Pca.transform(df, m)
+    // projections are centered: the sample mean of each coordinate ~ 0
+    val means = p.select(expr("proj[0]").as("p0"), expr("proj[1]").as("p1"))
+      .agg(avg("p0"), avg("p1")).head()
+    assert(math.abs(means.getDouble(0)) < 1e-6 && math.abs(means.getDouble(1)) < 1e-6)
+    // unwhitened variance along axis 0 equals the model's eigenvalue
+    val v0 = p.select(expr("proj[0] * proj[0]").as("s")).agg(avg("s")).head().getDouble(0)
+    assert(math.abs(v0 - m.variances(0)) / m.variances(0) < 0.02,
+      s"projection variance $v0 vs eigenvalue ${m.variances(0)}")
+    // whitening brings both coordinates to ~unit variance
+    val pw = Pca.transform(df, m, whiten = true)
+    val vw = pw.select(expr("proj[0] * proj[0]").as("a"),
+        expr("proj[1] * proj[1]").as("b"))
+      .agg(avg("a"), avg("b")).head()
+    assert(math.abs(vw.getDouble(0) - 1.0) < 0.02 &&
+      math.abs(vw.getDouble(1) - 1.0) < 0.02,
+      s"whitened variances ${vw.getDouble(0)}, ${vw.getDouble(1)}")
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"projection must be built-ins only:\n$plan")
+  }
+
+  test("degenerate inputs fail fast") {
+    val emb = Tables(spark, sf, "embeddings")
+    intercept[IllegalArgumentException] { Pca.fit(emb.filter(col("vec_id") < 0), 2) }
+    intercept[IllegalArgumentException] { Pca.fit(emb, 0) }
+    intercept[IllegalArgumentException] { Pca.fit(emb, 65) }
+  }
+}
