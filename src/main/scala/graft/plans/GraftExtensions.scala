@@ -184,6 +184,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_linear_probe"),
       SqlSurface.linearProbeBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_pca"),
+      new ExpressionInfo(classOf[PcaPlaceholder].getName, "graft_pca"),
+      SqlSurface.pcaBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_curate"),
       new ExpressionInfo(classOf[CuratePlaceholder].getName, "graft_curate"),
       SqlSurface.curateBuilder _))

@@ -264,6 +264,22 @@ object SqlSurface {
       exprs.lift(2).map(dblLit(fn, "lambda", _)).getOrElse(1.0))
   }
 
+  /** graft_pca(emb, k[, whiten]) — one-pass PCA (ml.Pca): fit mean +
+    * top-k axes on the table's `embedding` column at analysis time, add
+    * the (optionally whitened) centered projection as `proj`. */
+  def pcaBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pca"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(emb, k[, whiten]) takes 2-3 args (TABLE(...) with an embedding column, int k, boolean whiten), got ${exprs.size}")
+    val whiten = exprs.lift(2).map {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: whiten must be a boolean literal, got $other")
+    }.getOrElse(false)
+    PcaPlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "k", exprs(1)), whiten)
+  }
+
   /** graft_curate(docs) — the curation PIPELINE composition
     * (queries.LlmOps.curateDocs): quality ∧ language-agreement ∧ near-dup
     * cluster representative over any (doc_id, text, lang) table. */
@@ -421,6 +437,17 @@ case class LinearProbePlaceholder(train: LogicalPlan, score: LogicalPlan,
     copy(train = newLeft, score = newRight)
 }
 
+/** Unresolved marker for the SQL PCA projection; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class PcaPlaceholder(child: LogicalPlan, k: Int, whiten: Boolean)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("PcaPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): PcaPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL curation pipeline; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class CuratePlaceholder(child: LogicalPlan)
@@ -512,6 +539,10 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: CuratePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.curateDocs(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
+        .queryExecution.analyzed
+    case p: PcaPlaceholder if p.childrenResolved =>
+      val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child)
+      graft.ml.Pca.transform(df, graft.ml.Pca.fit(df, p.k), whiten = p.whiten)
         .queryExecution.analyzed
   }
 }

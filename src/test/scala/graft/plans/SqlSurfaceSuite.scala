@@ -258,6 +258,22 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(e.getMessage.contains("graft_linear_probe"), e.getMessage)
   }
 
+  test("graft_pca: SQL round trip equals the Scala projection") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    emb.createOrReplaceTempView("sql_pca_emb")
+    val sql = spark.sql(
+      "SELECT vec_id, proj FROM graft_pca(TABLE(SELECT * FROM sql_pca_emb), 2, true)")
+    val api = graft.ml.Pca.transform(spark.table("sql_pca_emb"),
+      graft.ml.Pca.fit(spark.table("sql_pca_emb"), 2), whiten = true)
+      .select("vec_id", "proj")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).map(v => math.round(v * 1e9)))).toSet
+    assert(rows(sql) === rows(api))
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_pca('sql_pca_emb')").collect())
+    assert(e.getMessage.contains("graft_pca"), e.getMessage)
+  }
+
   test("graft_curate: SQL pipeline composition equals the gated q_curate") {
     val sf = "/root/testdata/sf0.001"
     graft.Tables(spark, sf, "documents").createOrReplaceTempView("sql_curate_docs")
