@@ -1210,6 +1210,33 @@ object LlmOps {
         round(col("n_hapax").cast("double") / col("n_types"), 4).as("hapax_frac"))
       .orderBy("doc_id")),
 
+    // Cross-document N-GRAM NOVELTY — the corpus-level diversity signal a
+    // data-mixing pipeline tracks per source/batch: what fraction of a
+    // doc's distinct 3-grams had never appeared in ANY earlier doc
+    // (first-seen = min doc_id — arrival order at ingest). Templates and
+    // near-dups score near 0, fresh prose near 1; unlike q_text_ttr
+    // (WITHIN-doc diversity) this is the ACROSS-docs axis. Shape: one
+    // shingle explode, one groupBy(sh) for first-seen (map-combining
+    // min), one equi-join back, one doc agg — |shingles| rows shuffled
+    // once, never a doc×doc product.
+    "q_text_novelty" -> ((s, d) => {
+      val sh = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' '))")))
+          .as("sh"))
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_ngrams"), 4).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Normalized-form ("fuzzy exact") dedup — the C4/RefinedWeb first
     // pass: lowercase, strip everything but [a-z0-9 ], collapse runs of
     // spaces, trim, then hash-group like q_dedup_exact. Catches the
@@ -2790,6 +2817,19 @@ object LlmOps {
         |SELECT doc_id, n_tokens, n_types,
         |       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
         |       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_novelty" ->
+      """WITH t3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |       FROM t3, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+        |d AS (SELECT s.doc_id, count(*) AS n_ngrams,
+        |             CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |      FROM sh s JOIN f USING (sh) GROUP BY s.doc_id)
+        |SELECT doc_id, n_ngrams, n_novel,
+        |       ROUND(CAST(n_novel AS DOUBLE) / n_ngrams, 4) AS novelty
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_dedup_norm" ->
