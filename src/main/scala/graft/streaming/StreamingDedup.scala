@@ -161,10 +161,11 @@ object StreamingDedup {
     * state by frontier-driven label propagation
     * ([[graft.operators.LabelPropagation.refreshOnAdjacency]]) seeded
     * with ONLY the delta since the committed version — endpoints of new
-    * pairs plus newly accepted docs. Per-call SHUFFLE and MATERIALIZED
-    * state are ∝ the delta's neighborhood (the committed labeling is the
-    * immutable base; rounds accumulate small overrides), never O(|E|);
-    * on a stable graph (no new batches) the call is a pure read of the
+    * pairs plus newly accepted docs. Per-call SHUFFLE is ∝ the delta's
+    * neighborhood (the committed labeling is the immutable base; rounds
+    * accumulate small overrides), never O(|E|); the committed snapshot
+    * write is the one linear-in-|V| step — columnar output, no shuffle.
+    * On a stable graph (no new batches) the call is a pure read of the
     * committed labeling. Cold start (no committed state) seeds every
     * node — a full convergence run through the same code path.
     *
@@ -185,16 +186,16 @@ object StreamingDedup {
     val committed = labelVersions(spark, stateDir).maxOption
     if (committed.contains(maxBatch))
       return spark.read.parquet(s"$stateDir/v$maxBatch")
-    val edges = pairsAll.select(col("d1").as("src"), col("d2").as("dst"))
-    val nodes = acceptedAll.select(col("doc_id").as("id"))
-      .unionByName(edges.select(col("src").as("id")))
-      .unionByName(edges.select(col("dst").as("id")))
-      .distinct()
-    val (labels0, newPairs, newNodes, frontier) = committed match {
+    val (labels0, newPairs, newNodes, frontier, nodes) = committed match {
       case None =>
         // cold start: everyone is their own label, everyone is active
-        (nodes.limit(0).select(col("id"), col("id").as("label")),
-          pairsAll, nodes, nodes)
+        val edges = pairsAll.select(col("d1").as("src"), col("d2").as("dst"))
+        val all = acceptedAll.select(col("doc_id").as("id"))
+          .unionByName(edges.select(col("src").as("id")))
+          .unionByName(edges.select(col("dst").as("id")))
+          .distinct()
+        (all.limit(0).select(col("id"), col("id").as("label")),
+          pairsAll, all, all, all)
       case Some(v) =>
         val np = pairsAll.filter(col("batch").cast("long") > v)
         val newAccepted = acceptedAll.filter(col("batch").cast("long") > v)
@@ -204,8 +205,15 @@ object StreamingDedup {
           .distinct()
         val base = spark.read.parquet(s"$stateDir/v$v")
         // first-seen nodes = active nodes absent from the committed
-        // labeling (which covers every node seen so far by invariant)
-        (base, np, seed.join(base.select("id"), Seq("id"), "left_anti"), seed)
+        // labeling, and the CURRENT node set = committed ids + those
+        // arrivals (the labeling covers every node seen so far by
+        // invariant) — no O(|V|+|E|) re-distinct of the whole graph
+        val arrivals = seed.join(base.select("id"), Seq("id"), "left_anti")
+        // set union as one full-outer join (union-free: both branches
+        // would reference `base`, the Catalyst constraint-rewrite trap)
+        val all = base.select(col("id"))
+          .join(seed, Seq("id"), "full_outer").select(col("id"))
+        (base, np, arrivals, seed, all)
     }
     // adjacency delta: symmetrized new pairs + self-loops for first-seen
     // nodes — overwrite-idempotent per batch partition
