@@ -1569,6 +1569,34 @@ object LlmOps {
       .select("q_id", "rn", "c_id", "cos_sim")
       .orderBy("q_id", "rn")),
 
+    // REDUCED-DIMENSION similarity — the OPQ-style preprocessing
+    // composition (ml.Pca ∘ cosine top-k): project corpus AND queries
+    // onto the top-16 principal axes (one-pass graft_gram fit), then run
+    // the same broadcast top-5 kernel in the 16-dim space — 4x less dot
+    // work per pair, the standard dim-reduce lever before ANN indexing at
+    // 100 TB (at scale the projection is a write-once narrow map and
+    // every index family consumes the short vectors). Ranking by ROUNDED
+    // reduced-space cosine, ties to c_id — deterministic (partition-exact
+    // model, codegen'd projection). Iterative eigensolve -> rows-only;
+    // PcaSuite pins the distance-preservation claim that justifies the
+    // composition (captured pairwise distance fraction tracks explained
+    // variance).
+    "q_sim_topk_pca" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val model = graft.ml.Pca.fit(e, k = 16)
+      val p = graft.ml.Pca.transform(e, model).select(col("vec_id"), col("proj"))
+      val q = p.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("proj").as("qe"))
+      val c = p.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("proj").as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+        .select("q_id", "rn", "c_id", "cos_sim")
+        .orderBy("q_id", "rn")
+    }),
+
     // Similarity search over the int8-QUANTIZED store (the q_vec_quantize
     // codes): dot(a, b) ~ scale_a * scale_b * SUM(qa_i * qb_i), where the
     // code dot is INTEGER arithmetic — exactly reproducible across

@@ -95,6 +95,54 @@ class PcaSuite extends SparkSpec {
     assert(!plan.contains("UDF"), s"projection must be built-ins only:\n$plan")
   }
 
+  test("distance preservation: projected pair distances capture the explained variance") {
+    // the claim that justifies dim-reduced similarity (q_sim_topk_pca):
+    // projection onto the top-k axes preserves squared pairwise
+    // distances up to the residual variance — on a corpus whose variance
+    // concentrates in 2 axes, PCA-2 must capture >= 90% of expected
+    // squared distance, and projected distances never exceed full ones
+    val df = anisotropic(300, 16)
+    val m = Pca.fit(df, k = 2)
+    val p = Pca.transform(df, m)
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("x"),
+        col("proj"))
+    val rows = p.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+    // deterministic pair sample: consecutive ids
+    val pairs = rows.sortBy(_._1).sliding(2).collect {
+      case Array(a, b) => (d2(a._2, b._2), d2(a._3, b._3))
+    }.toSeq
+    assert(pairs.forall { case (full, proj) => proj <= full * (1 + 1e-9) },
+      "projected distance exceeded the full-space distance")
+    val captured = pairs.map(_._2).sum / pairs.map(_._1).sum
+    assert(captured >= 0.9,
+      f"PCA-2 captured only $captured%.3f of squared pairwise distance")
+    // and the same ratio collapses when variance is NOT concentrated:
+    // isotropic-ish residual dims mean k=2 of 16 captures little
+    val iso = {
+      import spark.implicits._
+      def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+      (0 until 300).map { i =>
+        (i.toLong, Array.tabulate(16) { j =>
+          ((lcg(i * 131L + j * 7L + 5) >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+        })
+      }.toDF("vec_id", "embedding")
+    }
+    val mi = Pca.fit(iso, k = 2)
+    val pi = Pca.transform(iso, mi)
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("x"), col("proj"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray))
+    val isoPairs = pi.sortBy(_._1).sliding(2).collect {
+      case Array(a, b) => (d2(a._2, b._2), d2(a._3, b._3))
+    }.toSeq
+    val isoCaptured = isoPairs.map(_._2).sum / isoPairs.map(_._1).sum
+    assert(isoCaptured < 0.5,
+      f"isotropic control should NOT be captured by 2 axes: $isoCaptured%.3f")
+  }
+
   test("degenerate inputs fail fast") {
     val emb = Tables(spark, sf, "embeddings")
     intercept[IllegalArgumentException] { Pca.fit(emb.filter(col("vec_id") < 0), 2) }
