@@ -386,7 +386,9 @@ object KnnGraph {
     * and pass it back via `append(links = ...)`. */
   def appendLinks(graph: DataFrame, emb: DataFrame, newEmb: DataFrame, k: Int,
                   beam: Int = 0, rounds: Int = 2, searchK: Int = 0): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
     val kk = if (searchK > 0) searchK else 3 * k
+    require(kk >= k, s"searchK must be >= k; got $searchK < $k")
     search(graph, emb, newEmb, kk, beam, rounds)
       .select(col("q_id").as("id"), col("nbr"), col("sim"))
   }

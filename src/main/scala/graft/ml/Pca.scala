@@ -124,7 +124,10 @@ object Pca {
       val offset = w.zip(model.mean).map { case (a, b) => a * b }.sum
       val dotc = call_function("graft_dot", col("_xd"),
         array(w.toSeq.map(lit): _*)) - lit(offset)
-      if (whiten) dotc / lit(math.sqrt(varI + eps)) else dotc
+      // clamp: a rank-deficient direction's eigenvalue can come out a
+      // hair NEGATIVE from the Jacobi tolerance — sqrt would poison the
+      // whole coordinate with NaN instead of the intended eps floor
+      if (whiten) dotc / lit(math.sqrt(math.max(varI, 0.0) + eps)) else dotc
     }
     df.withColumn("_xd", expr("CAST(embedding AS array<double>)"))
       .withColumn("proj", array(coords.toSeq: _*))

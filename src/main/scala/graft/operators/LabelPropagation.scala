@@ -114,9 +114,14 @@ object LabelPropagation {
                                       edges: DataFrame, seedFrontier: DataFrame,
                                       maxRounds: Int = 50): (DataFrame, Seq[Long]) = {
     val ids = nodes.select(col("id")).localCheckpoint()
-    // vote targets restricted to the node set ([[run]]'s semantics: an
-    // edge endpoint outside `nodes` casts no vote) — the adjacency
-    // contract refreshOnAdjacency documents
+    // vote targets restricted to the node set — the adjacency contract
+    // refreshOnAdjacency documents. STRICTER than run() for
+    // out-of-contract inputs: run() drops an outside endpoint's vote in
+    // round 1 but lets it vote its COMPUTED label from round 2 on (it
+    // acquires a label row as an adjacency source); here it never votes.
+    // For contract-conforming inputs (edge endpoints ⊆ nodes — what
+    // run()'s own scaladoc asks for) the two are identical, which is the
+    // scope of the refresh == full-recompute suite pins.
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))

@@ -375,17 +375,18 @@ object LlmOps {
     bm25Scored(docs, queryTerms.distinct.toDF("w"), topK)
   }
 
-  /** PUBLIC table-parametric CURATION PIPELINE — the composition behind
-    * q_curate (quality >= 0.3 ∧ language-ID agrees with the declared lang
-    * ∧ near-dup cluster representative), over an ARBITRARY
-    * (doc_id, text, lang) frame instead of the harness documents table:
-    * the form the graft_curate SQL table function exposes. Same scan
-    * discipline as the gate (ONE tokenize pass feeds quality and
-    * language-ID; the 5-gram shingle self-join feeds clustering), same
-    * expressions (qualityScore, langIdFrom, docShinglesOf,
-    * ConnectedComponents) — SqlSurfaceSuite pins output equality with the
-    * gated q_curate on the documents table, so the two cannot drift. */
-  def curateDocs(docs: DataFrame): DataFrame = {
+  /** PUBLIC table-parametric CURATION PIPELINE — THE definition of the
+    * q_curate composition (quality >= 0.3 ∧ language-ID agrees with the
+    * declared lang ∧ near-dup cluster representative), over an ARBITRARY
+    * (doc_id, text, lang) frame: the gated q_curate delegates here (with
+    * its memoized shared cluster passed in) and the graft_curate SQL
+    * table function calls it directly — one statement of the pipeline,
+    * drift impossible by construction. ONE tokenize pass feeds quality
+    * and language-ID; `cluster` (doc_id, cluster_rep, cluster_size)
+    * defaults to the exact 5-gram-shingle Jaccard >= 0.8 clustering via
+    * [[graft.operators.ConnectedComponents]]. */
+  def curateDocs(docs: DataFrame,
+                 cluster: Option[DataFrame] = None): DataFrame = {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("w")).localCheckpoint()
     val quality = tok.groupBy("doc_id")
@@ -393,23 +394,25 @@ object LlmOps {
       .select(col("doc_id"),
         qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
     val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
-    val sh = docShinglesOf(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val pairs = jaccardPairs(inter, sizes, 0.8)
-      .select(col("d1").as("u"), col("d2").as("v"))
-    val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
-    val labels = docs.select("doc_id")
-      .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
-    val cluster = labels
-      .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
-      .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+    val cl = cluster.getOrElse {
+      val sh = docShinglesOf(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val pairs = jaccardPairs(inter, sizes, 0.8)
+        .select(col("d1").as("u"), col("d2").as("v"))
+      val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
+      val labels = docs.select("doc_id")
+        .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      labels
+        .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+        .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
+    }
     docs.select("doc_id", "lang")
-      .join(quality, "doc_id").join(lang, "doc_id").join(cluster, "doc_id")
+      .join(quality, "doc_id").join(lang, "doc_id").join(cl, "doc_id")
       .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
         col("cluster_rep") === col("doc_id"))
       .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
@@ -1453,26 +1456,13 @@ object LlmOps {
     // Results are bit-identical to composing the gated operators (same
     // aggregation arithmetic), so the oracle — the same three oracle SQL
     // bodies as CTEs — is unchanged.
-    "q_curate" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w")).localCheckpoint()
-      // quality over the shared tokens: count == size(split), distinct
-      // count == size(array_distinct), same double arithmetic as
-      // q_text_quality -> same 4dp values
-      val quality = tok.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
-        .select(col("doc_id"),
-          qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
-      val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
-      val cluster = queries("q_dedup_cluster")(s, d)
-      docs.select("doc_id", "lang")
-        .join(quality, "doc_id").join(lang, "doc_id").join(cluster, "doc_id")
-        .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
-          col("cluster_rep") === col("doc_id"))
-        .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
-        .orderBy("doc_id")
-    }),
+    // ONE statement of the curation pipeline: delegate to the public
+    // curateDocs with the SHARED memoized cluster (nearDupPairsShared via
+    // q_dedup_cluster) — the gate and graft_curate cannot drift because
+    // they ARE the same code.
+    "q_curate" -> ((s, d) =>
+      curateDocs(Tables(s, d, "documents"),
+        cluster = Some(queries("q_dedup_cluster")(s, d)))),
 
     // DECONTAMINATED curation — the step an actual pretraining pipeline
     // ships after curation: drop every curated TRAINING document that

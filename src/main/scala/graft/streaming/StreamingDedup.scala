@@ -138,13 +138,19 @@ object StreamingDedup {
     graft.operators.LabelPropagation.run(nodes, pairs, iters)
   }
 
-  private def labelVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
+  /** Label snapshots advance by AD-HOC calls (no replay driver), so only
+    * `_SUCCESS`-committed versions count: a torn write is invisible and
+    * the next call recomputes from the last good version, overwriting it. */
+  private def labelVersions(spark: SparkSession, stateDir: String): Seq[Long] =
+    VersionedState.committedVersions(spark, stateDir)
+
+  private def adjBatches(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/adj")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
   }
 
   /** INCREMENTALLY maintained communities — the per-batch refresh that
@@ -186,6 +192,15 @@ object StreamingDedup {
     val committed = labelVersions(spark, stateDir).maxOption
     if (committed.contains(maxBatch))
       return spark.read.parquet(s"$stateDir/v$maxBatch")
+    // crash hygiene BEFORE computing the delta: adjacency partitions above
+    // the committed label version are a previous call's uncommitted
+    // leftovers. A retry that left them in place after a NEW dedup batch
+    // arrived would re-cover the same ingest range in two partitions —
+    // duplicate rows breaking refreshOnAdjacency's uniqueness contract
+    // (double-counted votes). Deleting them restores the invariant that
+    // the adjacency dir covers exactly the committed range.
+    adjBatches(spark, stateDir).filter(b => !committed.exists(b <= _))
+      .foreach(b => VersionedState.delete(spark, s"$stateDir/adj/batch=$b"))
     val (labels0, newPairs, newNodes, frontier, nodes) = committed match {
       case None =>
         // cold start: everyone is their own label, everyone is active
@@ -226,10 +241,8 @@ object StreamingDedup {
       .refreshOnAdjacency(labels0, nodes, adj, frontier, maxRounds)
     refreshed.write.mode("overwrite").parquet(s"$stateDir/v$maxBatch")
     committed.foreach { p =>
-      val pp = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       labelVersions(spark, stateDir).filter(_ < p).foreach(v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true))
+        VersionedState.delete(spark, s"$stateDir/v$v"))
     }
     spark.read.parquet(s"$stateDir/v$maxBatch")
   }

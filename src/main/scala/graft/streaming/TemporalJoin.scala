@@ -43,14 +43,8 @@ import graft.operators.{AsOfJoin, GroupLimits}
   */
 object TemporalJoin {
 
-  private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
-  }
+  private def versions(spark: SparkSession, stateDir: String): Seq[Long] =
+    VersionedState.versions(spark, stateDir)
 
   /** One micro-batch of the temporal join. `facts`/`dims` carry the same
     * `key` and event-time `ts` column names; `tieBreak` orders equal-ts
@@ -128,12 +122,8 @@ object TemporalJoin {
       // below the predecessor this batch read is unreachable (reads
       // resolve newest-strictly-below, retries re-read the predecessor)
       prevVersion.foreach { p =>
-        val (fs, _) = {
-          val pp = new org.apache.hadoop.fs.Path(stateDir)
-          (pp.getFileSystem(spark.sparkContext.hadoopConfiguration), pp)
-        }
         versions(spark, stateDir).filter(_ < p).foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true))
+          VersionedState.delete(spark, s"$stateDir/v$v"))
       }
     } finally {
       val live = sc.getPersistentRDDs

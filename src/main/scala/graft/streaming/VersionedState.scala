@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE `v<N>` snapshot-directory naming convention shared by the
+  * streaming state machines ([[TemporalJoin]] labels/history snapshots,
+  * [[StreamingDedup]] community labelings).
+  *
+  * Two listing modes, matched to each caller's recovery contract:
+  *   - `versions` (no commit gate): for state advanced ONLY by the
+  *     streaming engine's foreachBatch replay — a torn snapshot is always
+  *     the newest version and the engine re-runs exactly that batch,
+  *     overwriting it before any later batch reads it ([[TemporalJoin]]).
+  *   - `committedVersions` (`_SUCCESS`-gated): for state advanced by
+  *     ad-hoc calls with no replay driver — a torn write must be
+  *     INVISIBLE so the next call recomputes from the last good version
+  *     and overwrites the torn dir ([[StreamingDedup.refreshCommunities]],
+  *     the DedupIndex.isCommitted discipline).
+  */
+private[streaming] object VersionedState {
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val (f, p) = fs(spark, stateDir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+  }
+
+  def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val (f, _) = fs(spark, stateDir)
+    versions(spark, stateDir).filter(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+  }
+
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    f.delete(p, true)
+  }
+}

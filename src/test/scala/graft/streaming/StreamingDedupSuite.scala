@@ -116,6 +116,46 @@ class StreamingDedupSuite extends SparkSpec {
     assert(cold === inc, "incremental refresh diverged from the cold start")
   }
 
+  test("incremental communities: torn snapshots and orphan adjacency deltas self-heal") {
+    val idx = tmp("sdedup-heal-idx")
+    val out = tmp("sdedup-heal-out")
+    val st = tmp("sdedup-heal-labels")
+    DedupIndex.build(frame(100L -> X, 101L -> W), idx)
+    StreamingDedup.applyBatch(
+      frame(200L -> X, 201L -> Y, 202L -> Y, 203L -> Z), idx, out, batchId = 0L)
+    StreamingDedup.applyBatch(frame(300L -> Y, 301L -> V), idx, out, batchId = 1L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clean = toMap(StreamingDedup.refreshCommunities(spark, out, st))
+    // TORN SNAPSHOT: drop the commit marker — exactly what a crash during
+    // the label write leaves. The version must become invisible (not an
+    // early-returned read of a half-written dir) and the next call must
+    // recompute and recommit the same labeling.
+    val marker = new java.io.File(s"$st/v1/_SUCCESS")
+    assert(marker.exists() && marker.delete())
+    assert(toMap(StreamingDedup.refreshCommunities(spark, out, st)) === clean,
+      "torn snapshot must be recomputed, not read")
+    assert(new java.io.File(s"$st/v1/_SUCCESS").exists(), "recommit must restore the marker")
+    // ORPHAN ADJACENCY DELTA: a crashed call that wrote its delta but not
+    // its labels leaves adj partitions above the committed version; after
+    // a NEW batch arrives, the retry's delta would overlap them —
+    // duplicate rows double-counting votes. The orphan must be swept.
+    val orphanDir = new java.io.File(s"$st/adj/batch=7")
+    val src = new java.io.File(s"$st/adj/batch=1")
+    orphanDir.mkdirs()
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(orphanDir, f.getName).toPath)
+    }
+    StreamingDedup.applyBatch(frame(400L -> W, 401L ->
+      "gold silver bronze copper iron tin lead zinc nickel cobalt chrome brass"),
+      idx, out, batchId = 2L)
+    val healed = toMap(StreamingDedup.refreshCommunities(spark, out, st))
+    assert(!orphanDir.exists(), "orphan adjacency delta must be swept before the refresh")
+    val cold = toMap(StreamingDedup.refreshCommunities(spark, out, tmp("sdedup-heal-cold")))
+    assert(healed === cold, "healed incremental labeling diverged from a cold rebuild")
+  }
+
   test("retry converges: a torn index append is swept and re-run equals the clean result") {
     val idx = tmp("sdedup-retry-idx")
     val out = tmp("sdedup-retry-out")
