@@ -427,4 +427,21 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("UDF"), s"probe must be built-ins only:\n$p")
   }
+
+  test("q_text_novelty: first-seen join is hash equi, no cartesian, no UDF") {
+    val p = plan("q_text_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"shingle-first_seen join must be an equi join:\n$p")
+    assert(!p.contains("UDF"), p)
+  }
+
+  test("q_sim_topk_pca: reduced-space kernel is the one bounded broadcast product, projection UDF-free") {
+    val p = plan("q_sim_topk_pca")
+    // the query-side broadcast product is the kernel BY DESIGN (10 fixed
+    // queries); nothing else may nest loops, and the PCA projection must
+    // stay codegen'd built-ins
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("UDF"), s"projection must be built-ins only:\n$p")
+  }
 }
