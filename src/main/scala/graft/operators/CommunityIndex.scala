@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.streaming.VersionedState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED incremental community index — the fourth on-disk index family
+  * (after [[DedupIndex]], [[graft.ml.IvfIndex]], [[graft.ml.KnnGraph]]):
+  * a versioned labeling of a growing undirected graph, advanced batch by
+  * batch through frontier-driven label propagation
+  * ([[LabelPropagation.refreshOnAdjacency]]) so that per-append work is
+  * ∝ the delta's neighborhood, never O(|E|).
+  *
+  * [[graft.streaming.StreamingDedup.refreshCommunities]] is this machine
+  * specialized to the dedup stream's outputs; this is the PUBLIC form for
+  * library callers who maintain their own edge feed (citation arrivals,
+  * link crawls, similarity pairs from any source). Closing the gap the
+  * round-9 roadmap names: the generic `LabelPropagation.refresh` rebuilds
+  * the symmetrized adjacency — one O(|E|) distinct — per call; here the
+  * adjacency is STATE, appended delta-by-delta.
+  *
+  * On-disk layout under `path` (the shared versioned-state conventions —
+  * docs/versioned-state-machines.md):
+  *   - `adj/batch=<v>`: adjacency deltas — symmetrized new edges plus one
+  *     self-loop per first-seen node. The union of all committed deltas IS
+  *     the vote adjacency; nothing ever rewrites it.
+  *   - `v<v>`: the committed labeling (id, label) at version v,
+  *     `_SUCCESS`-gated; snapshots below the predecessor are pruned so at
+  *     most two exist (the one linear-in-|V| step per advance — columnar
+  *     write, no shuffle).
+  *
+  * Crash contract (ad-hoc caller, no replay driver): labels commit AFTER
+  * their adjacency delta, so on entry any `adj/batch=` above the committed
+  * label head is a torn previous call and is deleted before recomputing —
+  * the adjacency dir then covers exactly the committed range, preserving
+  * [[LabelPropagation.refreshOnAdjacency]]'s (src, dst)-uniqueness
+  * contract (a duplicate edge double-counts votes). Re-advancing to an
+  * already-committed version is a no-op returning the stored labeling.
+  *
+  * Determinism: inherits the synchronous-LPA tie rules (plurality, min
+  * label) — the labeling is a pure function of the committed batch
+  * sequence.
+  */
+object CommunityIndex {
+
+  /** Newest committed labeling version, if any. */
+  def version(spark: SparkSession, path: String): Option[Long] =
+    VersionedState.committedVersions(spark, path).maxOption
+
+  /** The committed head labeling (id, label). */
+  def labels(spark: SparkSession, path: String): DataFrame = {
+    val v = version(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed community index under $path"))
+    spark.read.parquet(s"$path/v$v")
+  }
+
+  /** The accumulated vote adjacency (symmetrized + self-loops), committed
+    * range only — call after the entry hygiene [[advance]] runs, or on a
+    * quiesced index. */
+  def adjacency(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/adj").select("src", "dst")
+
+  /** Initialize the index: converged labeling over (`nodes`, `edges`) as
+    * version 0. `edges` (src, dst) undirected, each pair once; endpoints
+    * need not appear in `nodes`. Fails if the path already holds a
+    * committed index (use [[append]] to grow one). */
+  def build(nodes: DataFrame, edges: DataFrame, path: String,
+            maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    require(version(spark, path).isEmpty,
+      s"$path already holds a committed community index — append to it")
+    advance(path, 0L, nodes, edges, maxRounds)
+  }
+
+  /** Grow the index by one delta: new nodes (possibly isolated) and new
+    * undirected edges (each pair once; MAY repeat edges already indexed —
+    * repeats are dropped against the committed adjacency with one
+    * broadcast-delta anti-join, a scan of the adjacency, no shuffle of
+    * it). Advances the labeling to version head+1 by frontier refresh
+    * seeded with the delta's endpoints, and returns it. */
+  def append(newNodes: DataFrame, newEdges: DataFrame, path: String,
+             maxRounds: Int = 50): DataFrame = {
+    val spark = newNodes.sparkSession
+    val head = version(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed community index under $path — build first"))
+    advance(path, head + 1, newNodes, newEdges, maxRounds)
+  }
+
+  /** The idempotent core: bring the labeling to `newVersion` with the
+    * given delta. `newVersion` must be the committed head (retry — stored
+    * labeling returned, nothing recomputed) or any later version (gaps
+    * allowed: versions are watermarks, not a dense sequence).
+    * `assumeUniqueDelta` skips the repeat-edge scan for callers whose feed
+    * guarantees each undirected edge arrives exactly once across the
+    * index's life ([[graft.streaming.StreamingDedup]]'s pair stream: a
+    * doc's pairs surface only the batch it arrives). */
+  def advance(path: String, newVersion: Long, newNodes: DataFrame,
+              newEdges: DataFrame, maxRounds: Int = 50,
+              assumeUniqueDelta: Boolean = false): DataFrame = {
+    val spark = newNodes.sparkSession
+    val committed = version(spark, path)
+    require(committed.forall(_ <= newVersion),
+      s"version $newVersion is below the committed head ${committed.get} of $path")
+    if (committed.contains(newVersion))
+      return spark.read.parquet(s"$path/v$newVersion")
+    // entry hygiene: adjacency deltas above the committed head are a torn
+    // previous call — remove them before this call writes its own
+    adjBatches(spark, path).filter(b => !committed.exists(b <= _))
+      .foreach(b => VersionedState.delete(spark, s"$path/adj/batch=$b"))
+
+    val edges = newEdges.select(col("src"), col("dst"))
+    val explicitIds = newNodes.select(col("id"))
+    val endpointIds = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .unionByName(explicitIds)
+      .distinct()
+    val (labels0, arrivals, frontier, nodes) = committed match {
+      case None =>
+        // cold start: everyone seeds as their own label, everyone active
+        (endpointIds.limit(0).select(col("id"), col("id").as("label")),
+          endpointIds, endpointIds, endpointIds)
+      case Some(v) =>
+        val base = spark.read.parquet(s"$path/v$v")
+        val arrivals = endpointIds.join(base.select("id"), Seq("id"), "left_anti")
+        // set union as one full-outer join (union-free: both branches would
+        // reference `base` — the Catalyst constraint-rewrite trap)
+        val all = base.select(col("id"))
+          .join(endpointIds, Seq("id"), "full_outer").select(col("id"))
+        (base, arrivals, endpointIds, all)
+    }
+    // symmetrize the delta and drop in-delta repeats (delta-sized
+    // distinct); against the COMMITTED adjacency, repeats fall to a
+    // broadcast anti-join — the committed side is scanned once, never
+    // shuffled
+    val symm0 = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val symm = if (assumeUniqueDelta) symm0 else symm0.distinct()
+    val newLinks = committed match {
+      case _ if assumeUniqueDelta => symm
+      case None => symm
+      case Some(_) =>
+        // rows of symm already indexed, WITHOUT shuffling the committed
+        // adjacency: scan it once against the broadcast delta (semi-join,
+        // output ≤ delta-sized), then drop those from the delta — both
+        // sides of the second join are delta-sized broadcasts
+        val dup = adjacency(spark, path)
+          .join(broadcast(symm), Seq("src", "dst"), "left_semi")
+        symm.join(broadcast(dup), Seq("src", "dst"), "left_anti")
+    }
+    newLinks
+      .unionByName(arrivals.select(col("id").as("src"), col("id").as("dst")))
+      .write.mode("overwrite").parquet(s"$path/adj/batch=$newVersion")
+    val adj = spark.read.parquet(s"$path/adj").select("src", "dst")
+    val (refreshed, _) = LabelPropagation
+      .refreshOnAdjacency(labels0, nodes, adj, frontier, maxRounds)
+    refreshed.write.mode("overwrite").parquet(s"$path/v$newVersion")
+    // prune: keep {predecessor, current} — the retry window
+    committed.foreach { p =>
+      VersionedState.committedVersions(spark, path).filter(_ < p)
+        .foreach(v => VersionedState.delete(spark, s"$path/v$v"))
+    }
+    spark.read.parquet(s"$path/v$newVersion")
+  }
+
+  private def adjBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/adj")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+  }
+}

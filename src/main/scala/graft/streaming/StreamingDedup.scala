@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{ConnectedComponents, DedupIndex}
+import graft.operators.{CommunityIndex, ConnectedComponents, DedupIndex}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -126,8 +126,7 @@ object StreamingDedup {
     * of every observed pair (a seed-index doc enters once it witnesses a
     * rejection). Recompute-per-call is the honest baseline: `iters`
     * synchronous rounds of O(|E|) equi-joins over a pair graph LINEAR in
-    * rejections; an edge-delta incremental refresh is the designed next
-    * step (ROADMAP). */
+    * rejections; [[refreshCommunities]] is the incremental form. */
   def communities(spark: SparkSession, outDir: String, iters: Int = 4): DataFrame = {
     val pairs = observedPairs(spark, outDir)
       .select(col("d1").as("src"), col("d2").as("dst"))
@@ -138,48 +137,23 @@ object StreamingDedup {
     graft.operators.LabelPropagation.run(nodes, pairs, iters)
   }
 
-  /** Label snapshots advance by AD-HOC calls (no replay driver), so only
-    * `_SUCCESS`-committed versions count: a torn write is invisible and
-    * the next call recomputes from the last good version, overwriting it. */
-  private def labelVersions(spark: SparkSession, stateDir: String): Seq[Long] =
-    VersionedState.committedVersions(spark, stateDir)
-
-  private def adjBatches(spark: SparkSession, stateDir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/adj")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-  }
-
   /** INCREMENTALLY maintained communities — the per-batch refresh that
     * replaces [[communities]]' full recompute in a long-running stream.
-    * Two pieces of state live under `stateDir`:
-    *   - `v<batch>`: the committed labeling at that batch watermark;
-    *   - `adj/batch=<batch>`: adjacency DELTAS — the symmetrized new
-    *     pairs plus self-loops for first-seen nodes, appended per refresh
-    *     (pair uniqueness holds by construction: a pair's d2 arrives
-    *     exactly once, and a self-loop is written the batch its node
-    *     first appears). The union of all deltas IS the vote adjacency —
-    *     no per-call symmetrize/distinct over the accumulated graph.
-    * Each call advances the labeling to the stream's current commit
-    * state by frontier-driven label propagation
-    * ([[graft.operators.LabelPropagation.refreshOnAdjacency]]) seeded
-    * with ONLY the delta since the committed version — endpoints of new
-    * pairs plus newly accepted docs. Per-call SHUFFLE is ∝ the delta's
-    * neighborhood (the committed labeling is the immutable base; rounds
-    * accumulate small overrides), never O(|E|); the committed snapshot
-    * write is the one linear-in-|V| step — columnar output, no shuffle.
-    * On a stable graph (no new batches) the call is a pure read of the
-    * committed labeling. Cold start (no committed state) seeds every
-    * node — a full convergence run through the same code path.
-    *
-    * Label-snapshot discipline mirrors [[TemporalJoin]]: labels land at
-    * `stateDir/v<maxBatch>` (overwrite-idempotent), versions below the
-    * predecessor are pruned — at most two snapshots ever exist. The
-    * adjacency deltas accumulate: they ARE the graph (state linear in
-    * observed pairs, the same bound [[communities]] reads). */
+    * The state machine is [[graft.operators.CommunityIndex]] (versioned
+    * labeling snapshots + accumulated adjacency deltas under `stateDir`;
+    * crash hygiene, pruning and the frontier-driven refresh live there);
+    * this wrapper derives the DELTA from the dedup stream's committed
+    * outputs — pairs and accepted docs in batches above the labeling's
+    * version watermark — and advances the index to the stream's current
+    * maxBatch. Pair uniqueness across the index's life holds by stream
+    * construction (a doc's pairs surface only the batch it arrives), so
+    * the repeat-edge scan is skipped (`assumeUniqueDelta`).
+    * Per-call SHUFFLE is ∝ the delta's neighborhood (the committed
+    * labeling is the immutable base; rounds accumulate small overrides),
+    * never O(|E|); the committed snapshot write is the one linear-in-|V|
+    * step — columnar output, no shuffle. On a stable graph (no new
+    * batches) the call is a pure read of the committed labeling. Cold
+    * start seeds every node — a full convergence run, same code path. */
   def refreshCommunities(spark: SparkSession, outDir: String,
                          stateDir: String, maxRounds: Int = 50): DataFrame = {
     val pairsAll = observedPairs(spark, outDir)
@@ -189,61 +163,15 @@ object StreamingDedup {
       .agg(max(col("b"))).head()
     require(!maxRow.isNullAt(0), s"no committed dedup batches under $outDir")
     val maxBatch = maxRow.getLong(0)
-    val committed = labelVersions(spark, stateDir).maxOption
-    if (committed.contains(maxBatch))
-      return spark.read.parquet(s"$stateDir/v$maxBatch")
-    // crash hygiene BEFORE computing the delta: adjacency partitions above
-    // the committed label version are a previous call's uncommitted
-    // leftovers. A retry that left them in place after a NEW dedup batch
-    // arrived would re-cover the same ingest range in two partitions —
-    // duplicate rows breaking refreshOnAdjacency's uniqueness contract
-    // (double-counted votes). Deleting them restores the invariant that
-    // the adjacency dir covers exactly the committed range.
-    adjBatches(spark, stateDir).filter(b => !committed.exists(b <= _))
-      .foreach(b => VersionedState.delete(spark, s"$stateDir/adj/batch=$b"))
-    val (labels0, newPairs, newNodes, frontier, nodes) = committed match {
-      case None =>
-        // cold start: everyone is their own label, everyone is active
-        val edges = pairsAll.select(col("d1").as("src"), col("d2").as("dst"))
-        val all = acceptedAll.select(col("doc_id").as("id"))
-          .unionByName(edges.select(col("src").as("id")))
-          .unionByName(edges.select(col("dst").as("id")))
-          .distinct()
-        (all.limit(0).select(col("id"), col("id").as("label")),
-          pairsAll, all, all, all)
-      case Some(v) =>
-        val np = pairsAll.filter(col("batch").cast("long") > v)
-        val newAccepted = acceptedAll.filter(col("batch").cast("long") > v)
-        val seed = np.select(col("d1").as("id"))
-          .unionByName(np.select(col("d2").as("id")))
-          .unionByName(newAccepted.select(col("doc_id").as("id")))
-          .distinct()
-        val base = spark.read.parquet(s"$stateDir/v$v")
-        // first-seen nodes = active nodes absent from the committed
-        // labeling, and the CURRENT node set = committed ids + those
-        // arrivals (the labeling covers every node seen so far by
-        // invariant) — no O(|V|+|E|) re-distinct of the whole graph
-        val arrivals = seed.join(base.select("id"), Seq("id"), "left_anti")
-        // set union as one full-outer join (union-free: both branches
-        // would reference `base`, the Catalyst constraint-rewrite trap)
-        val all = base.select(col("id"))
-          .join(seed, Seq("id"), "full_outer").select(col("id"))
-        (base, np, arrivals, seed, all)
+    val committed = CommunityIndex.version(spark, stateDir)
+    val (newPairs, newAccepted) = committed match {
+      case None => (pairsAll, acceptedAll)
+      case Some(v) => (pairsAll.filter(col("batch").cast("long") > v),
+        acceptedAll.filter(col("batch").cast("long") > v))
     }
-    // adjacency delta: symmetrized new pairs + self-loops for first-seen
-    // nodes — overwrite-idempotent per batch partition
-    newPairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(newPairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .unionByName(newNodes.select(col("id").as("src"), col("id").as("dst")))
-      .write.mode("overwrite").parquet(s"$stateDir/adj/batch=$maxBatch")
-    val adj = spark.read.parquet(s"$stateDir/adj").select("src", "dst")
-    val (refreshed, _) = graft.operators.LabelPropagation
-      .refreshOnAdjacency(labels0, nodes, adj, frontier, maxRounds)
-    refreshed.write.mode("overwrite").parquet(s"$stateDir/v$maxBatch")
-    committed.foreach { p =>
-      labelVersions(spark, stateDir).filter(_ < p).foreach(v =>
-        VersionedState.delete(spark, s"$stateDir/v$v"))
-    }
-    spark.read.parquet(s"$stateDir/v$maxBatch")
+    CommunityIndex.advance(stateDir, maxBatch,
+      newNodes = newAccepted.select(col("doc_id").as("id")),
+      newEdges = newPairs.select(col("d1").as("src"), col("d2").as("dst")),
+      maxRounds = maxRounds, assumeUniqueDelta = true)
   }
 }

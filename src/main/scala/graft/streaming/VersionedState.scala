@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   *     ad-hoc calls with no replay driver — a torn write must be
   *     INVISIBLE so the next call recomputes from the last good version
   *     and overwrites the torn dir ([[StreamingDedup.refreshCommunities]],
-  *     the DedupIndex.isCommitted discipline).
+  *     [[graft.operators.CommunityIndex]], the DedupIndex.isCommitted
+  *     discipline).
   */
-private[streaming] object VersionedState {
+private[graft] object VersionedState {
 
   private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
