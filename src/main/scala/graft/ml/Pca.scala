@@ -33,9 +33,9 @@ object Pca {
   final case class Model(mean: Array[Double], components: Array[Array[Double]],
                          variances: Array[Double])
 
-  /** Fit on (embedding: array<float|double>) rows; keep `k` components. */
-  def fit(emb: DataFrame, k: Int): Model = {
-    require(k >= 1, s"need k >= 1, got $k")
+  /** The ONE data-scale pass both fitters share: mean and covariance from
+    * a single `graft_gram` aggregation over the bias-augmented vectors. */
+  private def meanAndCov(emb: DataFrame): (Array[Double], Array[Array[Double]]) = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val aug = emb.select(
       expr("concat(CAST(embedding AS array<double>), array(CAST(1 AS DOUBLE)))").as("x"))
@@ -43,22 +43,121 @@ object Pca {
     val da = math.sqrt(gArr.length.toDouble).toInt
     require(da > 1, "pca: empty training frame")
     val d = da - 1
-    require(k <= d, s"need k <= dim; got k=$k dim=$d")
     val n = gArr(da * da - 1) // the [1,1] cell counts rows
     require(n > 0, "pca: empty training frame")
     val mean = Array.tabulate(d)(i => gArr(i * da + d) / n)
     val cov = Array.tabulate(d, d)((i, j) =>
       gArr(i * da + j) / n - mean(i) * mean(j))
+    (mean, cov)
+  }
+
+  /** Fit on (embedding: array<float|double>) rows; keep `k` components. */
+  def fit(emb: DataFrame, k: Int): Model = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val (mean, cov) = meanAndCov(emb)
+    val d = mean.length
+    require(k <= d, s"need k <= dim; got k=$k dim=$d")
     val (values, vectors) = jacobiEigen(cov)
     // descending eigenvalue, ties to the lower original index
     val order = values.indices.sortBy(i => (-values(i), i)).take(k)
+    Model(mean, order.map(i => signPin(vectors(i))).toArray,
+      order.map(values).toArray)
+  }
+
+  /** Pin the eigenvector sign ambiguity: the largest-|entry| coordinate
+    * (first index on ties) is made positive. */
+  private def signPin(v: Array[Double]): Array[Double] = {
+    val m = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    if (v(m) < 0) v.map(-_) else v
+  }
+
+  /** Randomized top-`k` fit — the d ≥ 512 path. Same ONE distributed
+    * Gram pass as [[fit]]; the driver solve drops from Jacobi's O(d³) per
+    * sweep to O(d²·(k+oversample)) per power iteration (Halko, Martinsson,
+    * Tropp 2011 randomized range finder + Rayleigh–Ritz): project the
+    * covariance onto a seeded random (k+oversample)-dim test basis,
+    * orthonormalize-and-multiply `powerIters` times (subspace iteration —
+    * each step sharpens the spectral gap), then solve the tiny
+    * (k+p)×(k+p) Ritz problem with the SAME Jacobi kernel and lift its
+    * top-k back through the basis.
+    *
+    * Deterministic by construction: the test basis is a splitmix64 hash
+    * of (seed, row, col) through Box–Muller (StrictMath — no RNG state,
+    * no platform libm variance), the Gram pass is partition-order exact,
+    * and everything after is fixed driver arithmetic — same model bytes
+    * on every partitioning, suite-pinned. Accuracy: Ritz values
+    * lower-bound the true eigenvalues (Rayleigh–Ritz interlacing — holds
+    * on ANY spectrum, suite-pinned on the near-isotropic real
+    * embeddings); with oversampling and power iterations the top-k
+    * subspace matches Jacobi's to high precision whenever the spectrum
+    * decays (suite-pinned on a planted decaying fixture). On a perfectly
+    * flat spectrum no solver can order the axes — use [[fit]] there if
+    * exact ordering matters and d permits. */
+  def fitRandomized(emb: DataFrame, k: Int, oversample: Int = 8,
+                    powerIters: Int = 4, seed: Long = 42L): Model = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(oversample >= 0 && powerIters >= 1,
+      s"need oversample >= 0 and powerIters >= 1, got $oversample/$powerIters")
+    val (mean, cov) = meanAndCov(emb)
+    val d = mean.length
+    require(k <= d, s"need k <= dim; got k=$k dim=$d")
+    val m = math.min(d, k + oversample)
+    // seeded gaussian test matrix: no RNG object, a pure (seed, i, j) hash
+    def gauss(i: Int, j: Int): Double = {
+      def mix(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val h1 = mix(seed ^ (i.toLong << 32) ^ j.toLong)
+      val h2 = mix(h1)
+      val u1 = ((h1 >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
+      val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+      StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+        StrictMath.cos(2.0 * StrictMath.PI * u2)
+    }
+    var q = orthonormalize(Array.tabulate(m, d)((j, i) => gauss(i, j)))
+    for (_ <- 1 to powerIters) q = orthonormalize(q.map(matVec(cov, _)))
+    require(q.length >= k,
+      s"randomized basis collapsed to rank ${q.length} < k=$k — raise oversample")
+    // Rayleigh–Ritz on the projected covariance: B = Qᵀ C Q, symmetric
+    val cq = q.map(matVec(cov, _)) // rows: C·q_j
+    val b = Array.tabulate(q.length, q.length)((i, j) => dot(q(i), cq(j)))
+    val (values, vectors) = jacobiEigen(b)
+    val order = values.indices.sortBy(i => (-values(i), i)).take(k)
     val comps = order.map { i =>
-      val v = vectors(i)
-      // sign pin: the largest-|entry| coordinate is positive
-      val m = v.indices.maxBy(j => (math.abs(v(j)), -j))
-      if (v(m) < 0) v.map(-_) else v
+      val w = vectors(i) // coefficients over the basis rows
+      signPin(Array.tabulate(d)(c => w.indices.map(j => w(j) * q(j)(c)).sum))
     }.toArray
     Model(mean, comps, order.map(values).toArray)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def matVec(a: Array[Array[Double]], x: Array[Double]): Array[Double] =
+    Array.tabulate(a.length)(i => dot(a(i), x))
+
+  /** Modified Gram–Schmidt with one re-orthogonalization pass (rows are
+    * the vectors); numerically-dead rows (norm below 1e-12 of the
+    * original) are dropped — deterministic, no pivot randomness. */
+  private def orthonormalize(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (r0 <- rows) {
+      val r = r0.clone()
+      val norm0 = StrictMath.sqrt(dot(r, r))
+      for (_ <- 0 until 2; b <- out) {
+        val c = dot(r, b)
+        var i = 0
+        while (i < r.length) { r(i) -= c * b(i); i += 1 }
+      }
+      val n = StrictMath.sqrt(dot(r, r))
+      if (n > 1e-12 * math.max(norm0, 1.0)) out += r.map(_ / n)
+    }
+    out.toArray
   }
 
   /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi

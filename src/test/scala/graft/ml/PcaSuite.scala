@@ -148,5 +148,110 @@ class PcaSuite extends SparkSpec {
     intercept[IllegalArgumentException] { Pca.fit(emb.filter(col("vec_id") < 0), 2) }
     intercept[IllegalArgumentException] { Pca.fit(emb, 0) }
     intercept[IllegalArgumentException] { Pca.fit(emb, 65) }
+    intercept[IllegalArgumentException] { Pca.fitRandomized(emb, 0) }
+    intercept[IllegalArgumentException] { Pca.fitRandomized(emb, 65) }
+  }
+
+  test("randomized fit recovers the planted axes like Jacobi") {
+    val df = anisotropic(600, 16)
+    val m = Pca.fitRandomized(df, k = 3)
+    val u = Array.tabulate(16)(j => if (j % 2 == 0) 1.0 else 0.0).map(_ / math.sqrt(8.0))
+    val w = Array.tabulate(16)(j => if (j % 2 == 1) 1.0 else 0.0).map(_ / math.sqrt(8.0))
+    assert(math.abs(dot(m.components(0), u)) > 0.99,
+      s"first axis missed the variance-25 direction: ${dot(m.components(0), u)}")
+    assert(math.abs(dot(m.components(1), w)) > 0.99,
+      s"second axis missed the variance-4 direction: ${dot(m.components(1), w)}")
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val d0 = dot(m.components(i), m.components(j))
+      assert(math.abs(d0 - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"components not orthonormal at ($i,$j): $d0")
+    }
+  }
+
+  /** Decaying planted spectrum: variance ~ 30/2^a along axis a for the
+    * first 6 canonical axes, 0.01 noise elsewhere — the regime (any
+    * spectral decay) where the randomized solver must MATCH Jacobi. */
+  private def decaying(n: Int, d: Int) = {
+    import spark.implicits._
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    def gauss(s0: Long): Double = {
+      var s = s0; var acc = 0.0
+      for (_ <- 1 to 4) { s = lcg(s); acc += (s >>> 11).toDouble / (1L << 53).toDouble }
+      (acc - 2.0) * math.sqrt(3.0)
+    }
+    (0 until n).map { i =>
+      val x = Array.tabulate(d) { j =>
+        val planted = if (j < 6) math.sqrt(30.0 / (1 << j)) * gauss(i * 7919L + j * 13L + 1)
+          else 0.0
+        (planted + 0.1 * gauss(i * 31L + j * 17L + 3)).toFloat
+      }
+      (i.toLong, x)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("randomized fit matches Jacobi on a decaying spectrum") {
+    val df = decaying(800, 32)
+    val k = 5
+    val exact = Pca.fit(df, k)
+    val rnd = Pca.fitRandomized(df, k)
+    assert(rnd.mean.toSeq === exact.mean.toSeq,
+      "mean differs — both come from the same Gram pass")
+    for (i <- 0 until k) {
+      val rel = math.abs(rnd.variances(i) - exact.variances(i)) /
+        math.max(exact.variances(i), 1e-12)
+      assert(rel < 1e-3, s"eigenvalue $i off by $rel: " +
+        s"${rnd.variances(i)} vs ${exact.variances(i)}")
+      // each randomized component lies in Jacobi's top-k subspace
+      // (principal angle ~ 0) — immune to residual near-ties
+      val inSub = math.sqrt(exact.components.map(e =>
+        math.pow(dot(rnd.components(i), e), 2)).sum)
+      assert(inSub > 0.999,
+        s"component $i leaves the exact top-$k subspace: $inSub")
+    }
+    // a different seed moves the test basis, not the recovered subspace
+    val m3 = Pca.fitRandomized(df, k, seed = 7L)
+    for (i <- 0 until k) {
+      val inSub = math.sqrt(exact.components.map(e =>
+        math.pow(dot(m3.components(i), e), 2)).sum)
+      assert(inSub > 0.999, s"seed changed the recovered subspace: $inSub")
+    }
+  }
+
+  test("randomized fit on a FLAT spectrum: Ritz bounds hold even where ordering cannot") {
+    // the real embeddings are near-isotropic gaussians — the honest
+    // worst case for randomized range finding (no spectral gap to
+    // sharpen). The ALWAYS-true guarantees are what we pin: Ritz values
+    // lower-bound their exact counterparts (Rayleigh–Ritz + Cauchy
+    // interlacing) and the captured-variance total stays close even when
+    // individual axes are unidentifiable.
+    val emb = Tables(spark, sf, "embeddings")
+    val k = 8
+    val exact = Pca.fit(emb, k)
+    val rnd = Pca.fitRandomized(emb, k)
+    assert(rnd.mean.toSeq === exact.mean.toSeq)
+    for (i <- 0 until k) {
+      assert(rnd.variances(i) <= exact.variances(i) * (1 + 1e-9),
+        s"Ritz value $i exceeds the exact eigenvalue: " +
+          s"${rnd.variances(i)} vs ${exact.variances(i)}")
+      for (j <- 0 until k) {
+        val d0 = dot(rnd.components(i), rnd.components(j))
+        assert(math.abs(d0 - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"components not orthonormal at ($i,$j): $d0")
+      }
+    }
+    assert(rnd.variances.sum >= 0.95 * exact.variances.sum,
+      s"captured variance ${rnd.variances.sum} far below exact ${exact.variances.sum}")
+  }
+
+  test("randomized model is partition-order and call-order exact") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = Pca.fitRandomized(emb, k = 4)
+    for (df <- Seq(emb.repartition(1), emb.repartition(13, col("vec_id")))) {
+      val m2 = Pca.fitRandomized(df, k = 4)
+      assert(m2.mean.toSeq === m.mean.toSeq)
+      assert(m2.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq,
+        "randomized PCA model not partition-order exact")
+      assert(m2.variances.toSeq === m.variances.toSeq)
+    }
   }
 }
