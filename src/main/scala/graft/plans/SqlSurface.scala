@@ -264,20 +264,24 @@ object SqlSurface {
       exprs.lift(2).map(dblLit(fn, "lambda", _)).getOrElse(1.0))
   }
 
-  /** graft_pca(emb, k[, whiten]) — one-pass PCA (ml.Pca): fit mean +
-    * top-k axes on the table's `embedding` column at analysis time, add
-    * the (optionally whitened) centered projection as `proj`. */
+  /** graft_pca(emb, k[, whiten[, randomized]]) — one-pass PCA (ml.Pca):
+    * fit mean + top-k axes on the table's `embedding` column at analysis
+    * time, add the (optionally whitened) centered projection as `proj`.
+    * `randomized` selects [[graft.ml.Pca.fitRandomized]] — the
+    * O(d²k)-driver solver for wide embeddings. */
   def pcaBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "graft_pca"
-    require(exprs.size == 2 || exprs.size == 3,
-      s"$fn(emb, k[, whiten]) takes 2-3 args (TABLE(...) with an embedding column, int k, boolean whiten), got ${exprs.size}")
-    val whiten = exprs.lift(2).map {
+    require(exprs.size >= 2 && exprs.size <= 4,
+      s"$fn(emb, k[, whiten[, randomized]]) takes 2-4 args (TABLE(...) with an embedding column, int k, boolean whiten, boolean randomized), got ${exprs.size}")
+    def boolArg(name: String, e: Expression): Boolean = e match {
       case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
       case other => throw new IllegalArgumentException(
-        s"$fn: whiten must be a boolean literal, got $other")
-    }.getOrElse(false)
+        s"$fn: $name must be a boolean literal, got $other")
+    }
     PcaPlaceholder(tableArg(fn, "first", exprs.head),
-      intLit(fn, "k", exprs(1)), whiten)
+      intLit(fn, "k", exprs(1)),
+      exprs.lift(2).exists(boolArg("whiten", _)),
+      exprs.lift(3).exists(boolArg("randomized", _)))
   }
 
   /** graft_curate(docs) — the curation PIPELINE composition
@@ -439,7 +443,8 @@ case class LinearProbePlaceholder(train: LogicalPlan, score: LogicalPlan,
 
 /** Unresolved marker for the SQL PCA projection; expanded by
   * [[ResolveGraftIndexFunctions]]. */
-case class PcaPlaceholder(child: LogicalPlan, k: Int, whiten: Boolean)
+case class PcaPlaceholder(child: LogicalPlan, k: Int, whiten: Boolean,
+    randomized: Boolean = false)
     extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] =
@@ -542,7 +547,9 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
         .queryExecution.analyzed
     case p: PcaPlaceholder if p.childrenResolved =>
       val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child)
-      graft.ml.Pca.transform(df, graft.ml.Pca.fit(df, p.k), whiten = p.whiten)
+      val model = if (p.randomized) graft.ml.Pca.fitRandomized(df, p.k)
+        else graft.ml.Pca.fit(df, p.k)
+      graft.ml.Pca.transform(df, model, whiten = p.whiten)
         .queryExecution.analyzed
   }
 }

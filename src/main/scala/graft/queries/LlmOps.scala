@@ -669,6 +669,40 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL communities through the PERSISTED CommunityIndex — the
+    // fourth on-disk index family under the gate (after DedupIndex,
+    // IvfIndex, KnnGraph): the near-dup pair graph arrives in two batches
+    // (edge-parity split), the index builds on the first and APPENDS the
+    // second through the versioned-commit protocol (adjacency deltas +
+    // frontier-driven label refresh — per-append work ∝ the delta's
+    // neighborhood, never O(|E|)). Serving reads the committed labeling
+    // snapshot. Convergence-based (not fixed-iters) -> rows-only;
+    // CommunityIndexSuite pins append == full recompute, crash hygiene,
+    // retry idempotence, and snapshot pruning.
+    "q_graph_communities_inc" -> ((s, d) => {
+      val pairs = nearDupPairsShared(s, d).select("d1", "d2")
+      val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
+      val path = graft.operators.Scratch.dir(
+        "graft-cidx", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        // version checks make the memo safe across JVMs sharing the path:
+        // a committed index is deterministic per corpus — reuse, don't
+        // re-build (build refuses to overwrite by contract)
+        val ci = graft.operators.CommunityIndex
+        if (ci.version(s, path).isEmpty)
+          ci.build(nodes,
+            pairs.filter((col("d1") + col("d2")) % 2 === 0)
+              .select(col("d1").as("src"), col("d2").as("dst")), path)
+        if (ci.version(s, path).contains(0L))
+          ci.append(nodes.limit(0),
+            pairs.filter((col("d1") + col("d2")) % 2 =!= 0)
+              .select(col("d1").as("src"), col("d2").as("dst")), path)
+      }
+      graft.operators.CommunityIndex.labels(s, path)
+        .select(col("id").as("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash over 5-gram SHINGLES (16 affine perms) -> LSH (4 bands x 4
     // rows) -> candidate pairs -> exact shingle-Jaccard >= 0.8 verification:
     // the LSH-accelerated twin of q_dedup_near. Shingles, not tokens: this

@@ -269,6 +269,13 @@ class SqlSurfaceSuite extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).map(v => math.round(v * 1e9)))).toSet
     assert(rows(sql) === rows(api))
+    // 4th arg selects the randomized solver — same one-code-path contract
+    val sqlRnd = spark.sql(
+      "SELECT vec_id, proj FROM graft_pca(TABLE(SELECT * FROM sql_pca_emb), 2, true, true)")
+    val apiRnd = graft.ml.Pca.transform(spark.table("sql_pca_emb"),
+      graft.ml.Pca.fitRandomized(spark.table("sql_pca_emb"), 2), whiten = true)
+      .select("vec_id", "proj")
+    assert(rows(sqlRnd) === rows(apiRnd))
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM graft_pca('sql_pca_emb')").collect())
     assert(e.getMessage.contains("graft_pca"), e.getMessage)
