@@ -133,6 +133,26 @@ object Pca {
     Model(mean, comps, order.map(values).toArray)
   }
 
+  /** Persist a fitted model (single-row parquet beside an index — the
+    * [[IvfIndex.saveModel]] discipline): serving sessions load the model
+    * instead of refitting, so the projection every index consumer applies
+    * is frozen at build time with the index it preprocesses for. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    Seq((model.mean.toSeq, model.components.map(_.toSeq).toSeq,
+        model.variances.toSeq))
+      .toDF("mean", "components", "variances")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).select("mean", "components", "variances").head()
+    Model(r.getSeq[Double](0).toArray,
+      r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
+      r.getSeq[Double](2).toArray)
+  }
+
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }

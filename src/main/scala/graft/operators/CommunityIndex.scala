@@ -162,6 +162,38 @@ object CommunityIndex {
     spark.read.parquet(s"$path/v$newVersion")
   }
 
+  /** Fold every adjacency delta into one `batch=<head>` partition — the
+    * maintenance op bounding file-listing cost on a long-appended index
+    * (the [[DedupIndex.compact]] discipline). Logical content unchanged:
+    * the vote adjacency IS the union of its deltas. Crash-safe by
+    * content-preservation: the compacted copy lands fully (with
+    * `_SUCCESS`) under a sibling staging dir before the original moves,
+    * then two renames swap it in — a crash leaves old, new, or a
+    * recoverable stage, never a torn union. Single QUIESCED writer only.
+    * Returns the number of delta dirs folded away. */
+  def compact(spark: SparkSession, path: String): Int = {
+    val head = version(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed community index under $path"))
+    // entry hygiene (the advance() rule): deltas above the committed head
+    // are a torn previous call — never fold them in
+    adjBatches(spark, path).filter(_ > head)
+      .foreach(b => VersionedState.delete(spark, s"$path/adj/batch=$b"))
+    val vs = adjBatches(spark, path)
+    if (vs.size <= 1) return 0
+    adjacency(spark, path)
+      .write.mode("overwrite").parquet(s"$path/adj_compact/batch=$head")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/adj")
+    val old = new org.apache.hadoop.fs.Path(s"$path/adj_old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compact: could not stage adj aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/adj_compact"), live),
+      s"compact: could not swap in compacted adj (originals at adj_old)")
+    fs.delete(old, true)
+    vs.size - 1
+  }
+
   private def adjBatches(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/adj")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

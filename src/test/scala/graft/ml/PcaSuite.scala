@@ -243,6 +243,23 @@ class PcaSuite extends SparkSpec {
       s"captured variance ${rnd.variances.sum} far below exact ${exact.variances.sum}")
   }
 
+  test("saveModel/loadModel round-trips the model exactly") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = Pca.fitRandomized(emb, k = 4)
+    val path = java.nio.file.Files.createTempDirectory("pca-model").toString + "/m"
+    Pca.saveModel(spark, m, path)
+    val l = Pca.loadModel(spark, path)
+    assert(l.mean.toSeq === m.mean.toSeq)
+    assert(l.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq)
+    assert(l.variances.toSeq === m.variances.toSeq)
+    // loaded model projects identically (the serving-session contract)
+    val a = Pca.transform(emb, m, whiten = true).select("vec_id", "proj").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val b = Pca.transform(emb, l, whiten = true).select("vec_id", "proj").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(a === b)
+  }
+
   test("randomized model is partition-order and call-order exact") {
     val emb = Tables(spark, sf, "embeddings")
     val m = Pca.fitRandomized(emb, k = 4)

@@ -97,6 +97,27 @@ class CommunityIndexSuite extends SparkSpec {
     assert(CommunityIndex.adjacency(spark, path).count() === 4L) // 4 self-loops
   }
 
+  test("compact folds adjacency deltas without changing the graph; appends continue") {
+    val path = tmp("cidx-compact")
+    CommunityIndex.build(nodes(1L, 2L, 3L), edges(1L -> 2L), path)
+    CommunityIndex.append(nodes(), edges(2L -> 3L), path)
+    CommunityIndex.append(nodes(4L), edges(3L -> 4L), path)
+    val before = CommunityIndex.adjacency(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a torn delta above the head must be swept, not folded in
+    edges(9L -> 9L).write.mode("overwrite").parquet(s"$path/adj/batch=99")
+    assert(CommunityIndex.compact(spark, path) === 2) // 3 dirs -> 1
+    val after = CommunityIndex.adjacency(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "compaction changed the adjacency content")
+    assert(CommunityIndex.compact(spark, path) === 0) // idempotent
+    // the index still advances past a compaction
+    val l = toMap(CommunityIndex.append(nodes(), edges(4L -> 5L), path))
+    val full = toMap(LabelPropagation.run(nodes(1L to 5L: _*),
+      edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L), iters = 6))
+    assert(l === full, "append after compact diverged from the full recompute")
+  }
+
   test("guard rails: build refuses an existing index, append an empty path") {
     val path = tmp("cidx-guard")
     CommunityIndex.build(nodes(1L), edges(), path)
