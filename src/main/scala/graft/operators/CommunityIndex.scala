@@ -138,14 +138,7 @@ object CommunityIndex {
     val newLinks = committed match {
       case _ if assumeUniqueDelta => symm
       case None => symm
-      case Some(_) =>
-        // rows of symm already indexed, WITHOUT shuffling the committed
-        // adjacency: scan it once against the broadcast delta (semi-join,
-        // output ≤ delta-sized), then drop those from the delta — both
-        // sides of the second join are delta-sized broadcasts
-        val dup = adjacency(spark, path)
-          .join(broadcast(symm), Seq("src", "dst"), "left_semi")
-        symm.join(broadcast(dup), Seq("src", "dst"), "left_anti")
+      case Some(_) => dropIndexed(adjacency(spark, path), symm)
     }
     newLinks
       .unionByName(arrivals.select(col("id").as("src"), col("id").as("dst")))
@@ -192,6 +185,17 @@ object CommunityIndex {
       s"compact: could not swap in compacted adj (originals at adj_old)")
     fs.delete(old, true)
     vs.size - 1
+  }
+
+  /** Rows of `symm` already present in the committed adjacency are
+    * dropped WITHOUT shuffling the committed side: scan it once against
+    * the broadcast delta (semi-join, output ≤ delta-sized), then drop
+    * those from the delta — both sides of the second join are
+    * delta-sized broadcasts. Plan shape suite-pinned (no Exchange on the
+    * adjacency scan). */
+  private[graft] def dropIndexed(adjacency: DataFrame, symm: DataFrame): DataFrame = {
+    val dup = adjacency.join(broadcast(symm), Seq("src", "dst"), "left_semi")
+    symm.join(broadcast(dup), Seq("src", "dst"), "left_anti")
   }
 
   private def adjBatches(spark: SparkSession, path: String): Seq[Long] = {

@@ -191,6 +191,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_curate"),
       new ExpressionInfo(classOf[CuratePlaceholder].getName, "graft_curate"),
       SqlSurface.curateBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_community_labels"),
+      new ExpressionInfo(classOf[CommunityLabelsPlaceholder].getName,
+        "graft_community_labels"),
+      SqlSurface.communityLabelsBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -284,6 +284,18 @@ object SqlSurface {
       exprs.lift(3).exists(boolArg("randomized", _)))
   }
 
+  /** graft_community_labels('path') — the committed head labeling of a
+    * persisted [[graft.operators.CommunityIndex]]: version resolution
+    * over `_SUCCESS`-gated snapshots, which a raw `parquet.` path read
+    * cannot express (it would happily read a torn snapshot). Completes
+    * by-path SQL access across all FOUR index families. */
+  def communityLabelsBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_community_labels"
+    require(exprs.size == 1,
+      s"$fn(path) takes 1 arg (index path string), got ${exprs.size}")
+    CommunityLabelsPlaceholder(strLit(fn, "path", exprs.head))
+  }
+
   /** graft_curate(docs) — the curation PIPELINE composition
     * (queries.LlmOps.curateDocs): quality ∧ language-agreement ∧ near-dup
     * cluster representative over any (doc_id, text, lang) table. */
@@ -464,6 +476,15 @@ case class CuratePlaceholder(child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL community-labels read; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class CommunityLabelsPlaceholder(path: String)
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("CommunityLabelsPlaceholder.output")
+}
+
 /** Expands [[AsOfBackwardPlaceholder]] by calling the Scala operator on
   * the resolved children — the SQL surface and the Scala API are the SAME
   * code path by construction, so they cannot drift. */
@@ -544,6 +565,9 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: CuratePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.curateDocs(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
+        .queryExecution.analyzed
+    case p: CommunityLabelsPlaceholder =>
+      graft.operators.CommunityIndex.labels(session, p.path)
         .queryExecution.analyzed
     case p: PcaPlaceholder if p.childrenResolved =>
       val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child)

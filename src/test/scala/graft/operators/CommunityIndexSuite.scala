@@ -118,6 +118,20 @@ class CommunityIndexSuite extends SparkSpec {
     assert(l === full, "append after compact diverged from the full recompute")
   }
 
+  test("dup-drop plan: the committed adjacency is scanned, never shuffled") {
+    val path = tmp("cidx-plan")
+    CommunityIndex.build(nodes(1L, 2L, 3L), edges(1L -> 2L, 2L -> 3L), path)
+    val adj = CommunityIndex.adjacency(spark, path)
+    val symm = edges(1L -> 3L, 3L -> 1L, 1L -> 2L, 2L -> 1L)
+    val p = CommunityIndex.dropIndexed(adj, symm)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchanges are the delta-side broadcasts — no data shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"committed adjacency must not hash-shuffle:\n$p")
+  }
+
   test("guard rails: build refuses an existing index, append an empty path") {
     val path = tmp("cidx-guard")
     CommunityIndex.build(nodes(1L), edges(), path)

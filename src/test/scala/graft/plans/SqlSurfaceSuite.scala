@@ -281,6 +281,25 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(e.getMessage.contains("graft_pca"), e.getMessage)
   }
 
+  test("graft_community_labels: SQL by path equals the Scala labels read") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("sql-cidx").toString
+    graft.operators.CommunityIndex.build(
+      (1L to 4L).toDF("id"),
+      Seq(1L -> 2L, 3L -> 4L).toDF("src", "dst"), path)
+    graft.operators.CommunityIndex.append(
+      spark.emptyDataFrame.select(lit(0L).as("id")).limit(0),
+      Seq(2L -> 3L).toDF("src", "dst"), path)
+    val sql = spark.sql(s"SELECT * FROM graft_community_labels('$path') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val api = graft.operators.CommunityIndex.labels(spark, path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sql === api && sql.size === 4)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_community_labels('/definitely/not/an/index')").collect())
+    assert(e.getMessage.contains("community index"), e.getMessage)
+  }
+
   test("graft_curate: SQL pipeline composition equals the gated q_curate") {
     val sf = "/root/testdata/sf0.001"
     graft.Tables(spark, sf, "documents").createOrReplaceTempView("sql_curate_docs")

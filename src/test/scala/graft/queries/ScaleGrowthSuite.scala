@@ -46,7 +46,8 @@ class ScaleGrowthSuite extends SparkSpec {
   }
 
   test("graph analytics: per-round join work grows like the pair graph, far under n^2") {
-    for (q <- Seq("q_graph_pagerank", "q_graph_communities")) {
+    for (q <- Seq("q_graph_pagerank", "q_graph_communities",
+        "q_graph_communities_inc")) {
       val big = m(q, "sf0.1")
       // the heaviest join across ALL executions (rounds run inside
       // localCheckpoint jobs) touches well under 1% of all doc pairs

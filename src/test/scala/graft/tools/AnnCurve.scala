@@ -94,6 +94,23 @@ object AnnCurve {
       rows += ((s"ivf_nprobe_$nprobe", recallOf(topIds(run)), time3(run.collect())))
     }
 
+    // whitened-ANN composition (the q_ann_ivf_pca pipeline): IVF in the
+    // randomized-PCA-whitened 16-dim space, recall measured against the
+    // RAW-space exact top-5 — the end-user metric of the preprocessing
+    // trade (dim reduction changes the metric; what matters is how many
+    // true full-space neighbors survive it at 1/4 the dot work)
+    val pcaModel = graft.ml.Pca.fitRandomized(emb, k = 16)
+    val proj = graft.ml.Pca.transform(emb, pcaModel, whiten = true)
+      .select(col("vec_id"), col("proj").as("embedding"))
+    val wc = proj.filter(col("vec_id") >= 10)
+    val wq = proj.filter(col("vec_id") < 10)
+    val wModel = graft.ml.IvfIndex.train(wc, k = k, iters = 3)
+    for (nprobe <- Seq(2, 4, 8, 16)) {
+      def run = graft.ml.IvfIndex.search(spark, wc, wq, wModel,
+        topK = 5, nprobe = nprobe).select("q_id", "rn", "c_id")
+      rows += ((s"pca16_ivf_nprobe_$nprobe", recallOf(topIds(run)), time3(run.collect())))
+    }
+
     rows.foreach { case (name, recall, sec) =>
       println(f"[ann] $name%-16s recall@5=${recall}%5.3f  ${sec}%6.3f s")
     }

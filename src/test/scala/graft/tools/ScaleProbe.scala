@@ -74,7 +74,11 @@ object ScaleProbe {
     * it (q_dedup_near, measured ~n^1.0). Rounds run inside
     * localCheckpoint jobs, so like the KnnGraph twins only the
     * all-executions tally sees them. */
-  val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities")
+  val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities",
+    // the persisted incremental index: a fresh probe JVM measures the
+    // real cold build + append (Memo is per-JVM), so the tallied work is
+    // the whole CommunityIndex lifecycle, not just the snapshot read
+    "q_graph_communities_inc")
 
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
