@@ -243,6 +243,32 @@ class PcaSuite extends SparkSpec {
       s"captured variance ${rnd.variances.sum} far below exact ${exact.variances.sum}")
   }
 
+  test("neighbor survival under projection is a spectral-decay trade (the ANN_CURVE claim)") {
+    // ANN_CURVE's pca16 rows collapse on the ISOTROPIC testdata; this pin
+    // is the other half of that sentence: on a decaying spectrum the same
+    // projection preserves the top-5 neighbor sets almost verbatim.
+    val df = decaying(400, 32).localCheckpoint()
+    val m = Pca.fit(df, k = 16)
+    val p = Pca.transform(df, m)
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("x"), col("proj"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    def top5(vec: ((Long, Array[Double], Array[Double])) => Array[Double]): Map[Long, Set[Long]] =
+      p.take(20).map { q =>
+        q._1 -> p.filter(_._1 != q._1)
+          .map(c => (cos(vec(q), vec(c)), c._1)).sortBy(t => (-t._1, t._2))
+          .take(5).map(_._2).toSet
+      }.toMap
+    val raw = top5(_._2)
+    val proj = top5(_._3)
+    val recall = raw.keys.toSeq
+      .map(q => raw(q).intersect(proj(q)).size / 5.0).sum / raw.size
+    assert(recall >= 0.9,
+      f"decaying-spectrum projection lost neighbor structure: recall $recall%.2f")
+  }
+
   test("saveModel/loadModel round-trips the model exactly") {
     val emb = Tables(spark, sf, "embeddings")
     val m = Pca.fitRandomized(emb, k = 4)

@@ -122,7 +122,16 @@ object AnnCurve {
       "\n  ],\n  \"note\": \"recall vs exact cosine top-5 (ties to lowest id); sec = " +
       "median-of-3 collect of the search, local[32]; testdata embeddings are " +
       "unclustered Gaussians, so nprobe/k bounds recall more tightly than a real " +
-      "clustered corpus would\"\n}\n"
+      "clustered corpus would. The pca16_* rows are the HONEST NEGATIVE on this " +
+      "corpus: near-isotropic 64-dim pair cosines concentrate at std ~1/sqrt(64), " +
+      "and any 16-dim projection adds ranking noise ~1/sqrt(16) that swamps the " +
+      "top-5 gaps - raw-space recall collapses EVEN AT nprobe=k (the composition " +
+      "mechanics are exact: IvfIndexSuite pins whitened-space nprobe=k == whitened " +
+      "brute force; what costs is the metric change itself). Dim-reduce-then-index " +
+      "is a spectral-decay trade: on the suite's planted decaying spectrum the " +
+      "same 16 axes carry >99 percent of variance and neighbor structure survives; " +
+      "a production corpus sits between, which is why the pipeline ships with the " +
+      "recall curve rather than a blanket claim\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_CURVE.json"),
       json.getBytes("UTF-8"))
     println("wrote ANN_CURVE.json")
