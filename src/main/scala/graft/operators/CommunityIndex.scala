@@ -103,12 +103,19 @@ object CommunityIndex {
       s"version $newVersion is below the committed head ${committed.get} of $path")
     if (committed.contains(newVersion))
       return spark.read.parquet(s"$path/v$newVersion")
-    // entry hygiene: adjacency deltas above the committed head are a torn
-    // previous call — remove them before this call writes its own
+    // entry hygiene: first finish/undo any crashed compact (the adjacency
+    // dir must exist and staging dirs must never be mistaken for state),
+    // then drop adjacency deltas above the committed head — a torn
+    // previous call — before this call writes its own
+    recoverCompact(spark, path)
     adjBatches(spark, path).filter(b => !committed.exists(b <= _))
       .foreach(b => VersionedState.delete(spark, s"$path/adj/batch=$b"))
 
+    // self-edges are the INDEX's bookkeeping (one self-loop per node,
+    // written when the node first appears) — a caller's (a, a) edge would
+    // double a's own-label vote next to that self-loop, so strip them
     val edges = newEdges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
     val explicitIds = newNodes.select(col("id"))
     val endpointIds = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id")))
@@ -167,6 +174,10 @@ object CommunityIndex {
   def compact(spark: SparkSession, path: String): Int = {
     val head = version(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed community index under $path"))
+    // finish/undo a previously crashed compact FIRST: a stale adj_compact
+    // from an earlier attempt (written at an older head) would otherwise
+    // ride along this attempt's rename and duplicate every pre-crash edge
+    recoverCompact(spark, path)
     // entry hygiene (the advance() rule): deltas above the committed head
     // are a torn previous call — never fold them in
     adjBatches(spark, path).filter(_ > head)
@@ -175,17 +186,38 @@ object CommunityIndex {
     if (vs.size <= 1) return 0
     adjacency(spark, path)
       .write.mode("overwrite").parquet(s"$path/adj_compact/batch=$head")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(spark, path)
     val live = new org.apache.hadoop.fs.Path(s"$path/adj")
     val old = new org.apache.hadoop.fs.Path(s"$path/adj_old")
-    fs.delete(old, true)
     require(fs.rename(live, old), s"compact: could not stage adj aside")
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/adj_compact"), live),
       s"compact: could not swap in compacted adj (originals at adj_old)")
     fs.delete(old, true)
     vs.size - 1
   }
+
+  /** Recovery for a compact() crashed at any point — restores the
+    * invariant every reader/writer needs: `adj` exists and no staging
+    * dirs remain. Crash windows: (a) staging written, no rename yet —
+    * delete the stale stage (it reflects an OLD head; folding it in
+    * later would duplicate edges); (b) between the renames — `adj`
+    * missing, originals intact at `adj_old`: move them back, drop the
+    * stage (content-identical either way, restoring originals is the
+    * simplest); (c) after the swap — compacted `adj` live, `adj_old`
+    * sweep pending: just delete leftovers. */
+  private def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val live = new org.apache.hadoop.fs.Path(s"$path/adj")
+    val old = new org.apache.hadoop.fs.Path(s"$path/adj_old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"compact recovery: could not restore adj at $path")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/adj_compact"), true)
+    fs.delete(old, true)
+  }
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Rows of `symm` already present in the committed adjacency are
     * dropped WITHOUT shuffling the committed side: scan it once against
@@ -198,12 +230,6 @@ object CommunityIndex {
     symm.join(broadcast(dup), Seq("src", "dst"), "left_anti")
   }
 
-  private def adjBatches(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/adj")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
-  }
+  private def adjBatches(spark: SparkSession, path: String): Seq[Long] =
+    VersionedState.versions(spark, s"$path/adj", prefix = "batch=")
 }

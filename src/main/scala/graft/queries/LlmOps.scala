@@ -2138,12 +2138,16 @@ object LlmOps {
       // re-invocations time projection + cell-probe serving, never a
       // refit's corpus pass
       graft.operators.Memo.once(path) {
-        val model = graft.ml.Pca.fitRandomized(emb, k = 16)
+        // fit on the CORPUS only — at build time the future queries don't
+        // exist, and a model fitted on them would leak serve-side data
+        // into the frozen projection
+        val corpus = emb.filter(col("vec_id") >= 10)
+        val model = graft.ml.Pca.fitRandomized(corpus, k = 16)
         graft.ml.Pca.saveModel(s, model, s"$path/pca")
         graft.ml.IvfIndex.buildIndex(
-          graft.ml.Pca.transform(emb, model, whiten = true)
-            .select(col("vec_id"), col("proj").as("embedding"))
-            .filter(col("vec_id") >= 10), k = 8, iters = 3, path)
+          graft.ml.Pca.transform(corpus, model, whiten = true)
+            .select(col("vec_id"), col("proj").as("embedding")),
+          k = 8, iters = 3, path)
       }
       val model = graft.ml.Pca.loadModel(s, s"$path/pca")
       val queries = graft.ml.Pca.transform(emb.filter(col("vec_id") < 10),

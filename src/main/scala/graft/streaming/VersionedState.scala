@@ -25,12 +25,13 @@ private[graft] object VersionedState {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
+  def versions(spark: SparkSession, stateDir: String,
+               prefix: String = "v"): Seq[Long] = {
     val (f, p) = fs(spark, stateDir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
   }
 
   def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {

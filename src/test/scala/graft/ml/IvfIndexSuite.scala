@@ -292,9 +292,11 @@ class IvfIndexSuite extends SparkSpec {
 
   // ---- whitened-ANN composition (Pca ∘ IvfIndex — q_ann_ivf_pca) ------
 
-  /** The q_ann_ivf_pca projection: randomized-PCA whiten to 16 dims. */
+  /** The q_ann_ivf_pca projection: randomized-PCA whiten to 16 dims,
+    * fitted on the CORPUS only (queries must not leak into the
+    * build-time model — the gate's frozen-projection contract). */
   private def whitened = {
-    val model = Pca.fitRandomized(embeddings, k = 16)
+    val model = Pca.fitRandomized(embeddings.filter(col("vec_id") >= 10), k = 16)
     Pca.transform(embeddings, model, whiten = true)
       .select(col("vec_id"), col("proj").as("embedding"))
   }

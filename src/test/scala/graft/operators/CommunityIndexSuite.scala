@@ -118,6 +118,44 @@ class CommunityIndexSuite extends SparkSpec {
     assert(l === full, "append after compact diverged from the full recompute")
   }
 
+  test("a caller's self-edge never doubles the node's self-vote") {
+    val path = tmp("cidx-selfedge")
+    CommunityIndex.build(nodes(1L, 2L), edges(1L -> 2L), path)
+    // 7 arrives via a self-link plus a real edge: the (7,7) caller edge
+    // must collapse into the index's own single self-loop
+    val l = toMap(CommunityIndex.append(nodes(), edges(7L -> 7L, 1L -> 7L), path))
+    assert(l.keySet === Set(1L, 2L, 7L))
+    val adj = CommunityIndex.adjacency(spark, path)
+    assert(adj.count() === adj.distinct().count(),
+      "self-edge duplicated an adjacency row")
+    assert(adj.filter(col("src") === lit(7L) && col("dst") === lit(7L)).count() === 1L)
+  }
+
+  test("a crashed compact is recovered at the next compact or advance") {
+    val path = tmp("cidx-crashed-compact")
+    CommunityIndex.build(nodes(1L, 2L, 3L), edges(1L -> 2L), path)
+    CommunityIndex.append(nodes(), edges(2L -> 3L), path)
+    val before = CommunityIndex.adjacency(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window (a): staging written at an OLD head, crash before any rename
+    CommunityIndex.adjacency(spark, path)
+      .write.mode("overwrite").parquet(s"$path/adj_compact/batch=1")
+    assert(CommunityIndex.compact(spark, path) === 1) // 2 dirs -> 1
+    val after = CommunityIndex.adjacency(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before, "stale staging dir leaked into the compacted adjacency")
+    // window (b): crash between the two renames — adj gone, adj_old intact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/adj"),
+      new org.apache.hadoop.fs.Path(s"$path/adj_old")))
+    val healed = toMap(CommunityIndex.append(nodes(), edges(1L -> 3L), path))
+    val full = toMap(LabelPropagation.run(nodes(1L, 2L, 3L),
+      edges(1L -> 2L, 2L -> 3L, 1L -> 3L), iters = 4))
+    assert(healed === full, "between-renames crash not recovered by advance")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/adj_old")))
+  }
+
   test("dup-drop plan: the committed adjacency is scanned, never shuffled") {
     val path = tmp("cidx-plan")
     CommunityIndex.build(nodes(1L, 2L, 3L), edges(1L -> 2L, 2L -> 3L), path)

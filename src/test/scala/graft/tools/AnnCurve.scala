@@ -99,7 +99,8 @@ object AnnCurve {
     // RAW-space exact top-5 — the end-user metric of the preprocessing
     // trade (dim reduction changes the metric; what matters is how many
     // true full-space neighbors survive it at 1/4 the dot work)
-    val pcaModel = graft.ml.Pca.fitRandomized(emb, k = 16)
+    // fit on the corpus only — the build-time model must not see queries
+    val pcaModel = graft.ml.Pca.fitRandomized(corpus, k = 16)
     val proj = graft.ml.Pca.transform(emb, pcaModel, whiten = true)
       .select(col("vec_id"), col("proj").as("embedding"))
     val wc = proj.filter(col("vec_id") >= 10)
