@@ -224,10 +224,23 @@ object IvfIndex {
   }
 
   /** Delete data of ingest versions that never committed (a stream that
-    * died mid-batch and was never retried). Single-writer only. */
+    * died mid-batch and was never retried). Also recovers a
+    * [[compactCells]] crashed between its two renames — live `cells`
+    * missing, originals intact at `cells_old` — and sweeps staging
+    * leftovers (a stale `cells_compact` is harmless to a LATER compact
+    * here because writePartitioned statically overwrites the whole
+    * staging root, unlike the per-batch-dir writers in
+    * CommunityIndex/DedupIndex — swept anyway for hygiene).
+    * Single-writer only. */
   def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit = {
     val cur = committedIngestVersion(spark, path)
     val (fs, cellsRoot) = hadoopFs(spark, s"$path/cells")
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/cells_old")
+    if (!fs.exists(cellsRoot) && fs.exists(oldRoot))
+      require(fs.rename(oldRoot, cellsRoot),
+        s"compactCells recovery: could not restore cells at $path")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_compact"), true)
+    fs.delete(oldRoot, true)
     if (fs.exists(cellsRoot))
       fs.listStatus(cellsRoot).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("cell="))

@@ -612,6 +612,7 @@ object KnnGraph {
     * append this would eat its half-written output). */
   def cleanupUncommittedIndex(spark: org.apache.spark.sql.SparkSession,
                               path: String): Unit = {
+    recoverCompactVectors(spark, path)
     val cur = committedVersions(spark, path).maxOption.getOrElse(-1L)
     val (fs, p) = hadoopFs(spark, s"$path/vectors")
     if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath)
@@ -670,9 +671,28 @@ object KnnGraph {
     * new, or a loud missing-dir error, never a partial union.
     * Single-writer, QUIESCED (a concurrent append would write its batch
     * into the dir mid-swap). Returns the number of dirs folded away. */
+  /** Recovery for a [[compactVectors]] crashed at any point (the
+    * CommunityIndex/DedupIndex discipline): a stale `vectors_compact`
+    * from an earlier attempt must never ride a later attempt's rename
+    * (its fold batch carries an OLDER vmin — duplicating every pre-crash
+    * vector), and a crash between the two renames leaves `vectors`
+    * missing with the originals intact at `vectors_old` — restore them.
+    * Runs from [[cleanupUncommittedIndex]], i.e. at every index write
+    * entry. */
+  private def recoverCompactVectors(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Unit = {
+    val (fs, vroot) = hadoopFs(spark, s"$path/vectors")
+    val old = new org.apache.hadoop.fs.Path(s"$path/vectors_old")
+    if (!fs.exists(vroot) && fs.exists(old))
+      require(fs.rename(old, vroot),
+        s"compactVectors recovery: could not restore vectors at $path")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"), true)
+    fs.delete(old, true)
+  }
+
   def compactVectors(spark: org.apache.spark.sql.SparkSession,
                      path: String): Int = {
-    cleanupUncommittedIndex(spark, path) // orphans must not be folded in
+    cleanupUncommittedIndex(spark, path) // orphans must not be folded in; also recovers a crashed compact
     val vs = committedVersions(spark, path)
     require(vs.nonEmpty, s"no committed graph index at $path")
     val vmin = vs.min

@@ -110,12 +110,35 @@ object DedupIndex {
     * missing `_SUCCESS` in ANY subtable is deleted from ALL of them, so
     * subsequent reads see only committed versions. Single-writer only —
     * running this concurrently with a live append would eat its output. */
-  def cleanupUncommitted(spark: SparkSession, path: String): Unit =
+  def cleanupUncommitted(spark: SparkSession, path: String): Unit = {
+    recoverCompact(spark, path)
     allVersions(spark, path).filterNot(isCommitted(spark, path, _)).foreach { v =>
       SubTables.foreach { t =>
         val (fs, p) = hadoopFs(spark, s"$path/$t/batch=$v")
         fs.delete(p, true)
       }
+    }
+  }
+
+  /** Recovery for a [[compact]] crashed at any point (the
+    * [[CommunityIndex.compact]] discipline): a stale `${t}_compact` from
+    * an earlier attempt must never ride a later attempt's rename (it
+    * holds the full union as of an OLDER head under a different batch
+    * number — folding it in duplicates every pre-crash row), and a crash
+    * between a subtable's two renames leaves the live dir missing with
+    * the originals intact at `${t}_old` — restore them. Runs at every
+    * cleanup/compact entry; per-subtable, so a crash mid-swap-loop
+    * (some subtables swapped, others not) also lands back on a valid
+    * layout (each side of the swap is the identical logical union). */
+  private def recoverCompact(spark: SparkSession, path: String): Unit =
+    SubTables.foreach { t =>
+      val (fs, live) = hadoopFs(spark, s"$path/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${t}_old")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live),
+          s"compact recovery: could not restore $t at $path")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${t}_compact"), true)
+      fs.delete(old, true)
     }
 
   /** Fold every committed `batch=V` partition into one — the maintenance

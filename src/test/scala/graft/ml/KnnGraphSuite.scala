@@ -346,6 +346,25 @@ class KnnGraphSuite extends SparkSpec {
       oldBatch.limit(3).withColumn("vec_id", col("vec_id") + 20000))
     assert(KnnGraph.currentVersion(spark, dir) === 3L)
     assert(corpus(3).size === c2.size + 3)
+
+    // crashed-compact recovery: (a) a stale staging dir from a dead
+    // attempt must never ride a later fold in (it carries an older vmin)
+    val cNow = corpus(3)
+    spark.read.option("basePath", s"$dir/vectors").parquet(s"$dir/vectors")
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/vectors_compact/batch=0")
+    KnnGraph.pruneVersions(spark, dir, keep = 1)
+    KnnGraph.compactVectors(spark, dir)
+    assert(corpus(3) === cNow, "stale staging leaked into the folded corpus")
+    // (b) crash between the renames: vectors gone, originals at _old —
+    // any write-entry (cleanupUncommittedIndex) restores them
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsys.rename(new org.apache.hadoop.fs.Path(s"$dir/vectors"),
+      new org.apache.hadoop.fs.Path(s"$dir/vectors_old")))
+    KnnGraph.cleanupUncommittedIndex(spark, dir)
+    assert(corpus(3) === cNow, "between-renames crash not recovered")
+    assert(!new java.io.File(s"$dir/vectors_old").exists())
   }
 
   test("index: buildIndex refuses to wipe a directory that is not an index") {

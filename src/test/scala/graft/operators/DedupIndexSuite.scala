@@ -83,6 +83,31 @@ class DedupIndexSuite extends SparkSpec {
     assert(DedupIndex.compact(spark, idle) === 0)
   }
 
+  test("a crashed compact is recovered: stale staging never folds in, renames restore") {
+    val path = tmp("graft-dedup-compact-crash")
+    DedupIndex.build(corpusA, path)
+    DedupIndex.append(batchB.filter(col("doc_id") % 10 === 0), path)
+    val probe = () => DedupIndex.dedupAgainst(path,
+      batchB.filter(col("doc_id") % 10 === 5)).collect().map(_.toSeq).toSeq
+    val before = probe()
+    // window (a): a previous attempt wrote staging at an OLD head and died
+    spark.read.parquet(s"$path/bands")
+      .select("doc_id", "band", "bkey")
+      .write.mode("overwrite").parquet(s"$path/bands_compact/batch=0")
+    assert(DedupIndex.compact(spark, path) === 1)
+    assert(probe() === before, "stale staging leaked into the compacted index")
+    // window (b): crash between the renames of one subtable
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/shingles"),
+      new org.apache.hadoop.fs.Path(s"$path/shingles_old")))
+    // recovery runs at write/maintenance entries (cleanupUncommitted),
+    // not on pure reads — the single-writer contract
+    DedupIndex.cleanupUncommitted(spark, path)
+    assert(probe() === before, "between-renames crash not recovered")
+    assert(!new java.io.File(s"$path/shingles_old").exists())
+  }
+
   test("build refuses to wipe a directory that is not an index") {
     val path = tmp("graft-dedup-guard")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
