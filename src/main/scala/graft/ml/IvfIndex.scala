@@ -234,13 +234,10 @@ object IvfIndex {
     * Single-writer only. */
   def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit = {
     val cur = committedIngestVersion(spark, path)
+    graft.streaming.VersionedState.recoverSwap(spark,
+      live = s"$path/cells", old = s"$path/cells_old",
+      stage = s"$path/cells_compact")
     val (fs, cellsRoot) = hadoopFs(spark, s"$path/cells")
-    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/cells_old")
-    if (!fs.exists(cellsRoot) && fs.exists(oldRoot))
-      require(fs.rename(oldRoot, cellsRoot),
-        s"compactCells recovery: could not restore cells at $path")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells_compact"), true)
-    fs.delete(oldRoot, true)
     if (fs.exists(cellsRoot))
       fs.listStatus(cellsRoot).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("cell="))

@@ -671,24 +671,15 @@ object KnnGraph {
     * new, or a loud missing-dir error, never a partial union.
     * Single-writer, QUIESCED (a concurrent append would write its batch
     * into the dir mid-swap). Returns the number of dirs folded away. */
-  /** Recovery for a [[compactVectors]] crashed at any point (the
-    * CommunityIndex/DedupIndex discipline): a stale `vectors_compact`
-    * from an earlier attempt must never ride a later attempt's rename
-    * (its fold batch carries an OLDER vmin — duplicating every pre-crash
-    * vector), and a crash between the two renames leaves `vectors`
-    * missing with the originals intact at `vectors_old` — restore them.
-    * Runs from [[cleanupUncommittedIndex]], i.e. at every index write
-    * entry. */
+  /** Recovery for a [[compactVectors]] crashed at any point
+    * ([[graft.streaming.VersionedState.recoverSwap]] — the shared
+    * compactor discipline). Runs from [[cleanupUncommittedIndex]], i.e.
+    * at every index write entry. */
   private def recoverCompactVectors(spark: org.apache.spark.sql.SparkSession,
-                                    path: String): Unit = {
-    val (fs, vroot) = hadoopFs(spark, s"$path/vectors")
-    val old = new org.apache.hadoop.fs.Path(s"$path/vectors_old")
-    if (!fs.exists(vroot) && fs.exists(old))
-      require(fs.rename(old, vroot),
-        s"compactVectors recovery: could not restore vectors at $path")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"), true)
-    fs.delete(old, true)
-  }
+                                    path: String): Unit =
+    graft.streaming.VersionedState.recoverSwap(spark,
+      live = s"$path/vectors", old = s"$path/vectors_old",
+      stage = s"$path/vectors_compact")
 
   def compactVectors(spark: org.apache.spark.sql.SparkSession,
                      path: String): Int = {

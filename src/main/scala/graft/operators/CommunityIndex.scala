@@ -142,11 +142,9 @@ object CommunityIndex {
     val symm0 = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
     val symm = if (assumeUniqueDelta) symm0 else symm0.distinct()
-    val newLinks = committed match {
-      case _ if assumeUniqueDelta => symm
-      case None => symm
-      case Some(_) => dropIndexed(adjacency(spark, path), symm)
-    }
+    val newLinks =
+      if (assumeUniqueDelta || committed.isEmpty) symm
+      else dropIndexed(adjacency(spark, path), symm)
     newLinks
       .unionByName(arrivals.select(col("id").as("src"), col("id").as("dst")))
       .write.mode("overwrite").parquet(s"$path/adj/batch=$newVersion")
@@ -186,7 +184,7 @@ object CommunityIndex {
     if (vs.size <= 1) return 0
     adjacency(spark, path)
       .write.mode("overwrite").parquet(s"$path/adj_compact/batch=$head")
-    val fs = hadoopFs(spark, path)
+    val fs = VersionedState.fileSystem(spark, path)
     val live = new org.apache.hadoop.fs.Path(s"$path/adj")
     val old = new org.apache.hadoop.fs.Path(s"$path/adj_old")
     require(fs.rename(live, old), s"compact: could not stage adj aside")
@@ -196,28 +194,13 @@ object CommunityIndex {
     vs.size - 1
   }
 
-  /** Recovery for a compact() crashed at any point — restores the
-    * invariant every reader/writer needs: `adj` exists and no staging
-    * dirs remain. Crash windows: (a) staging written, no rename yet —
-    * delete the stale stage (it reflects an OLD head; folding it in
-    * later would duplicate edges); (b) between the renames — `adj`
-    * missing, originals intact at `adj_old`: move them back, drop the
-    * stage (content-identical either way, restoring originals is the
-    * simplest); (c) after the swap — compacted `adj` live, `adj_old`
-    * sweep pending: just delete leftovers. */
-  private def recoverCompact(spark: SparkSession, path: String): Unit = {
-    val fs = hadoopFs(spark, path)
-    val live = new org.apache.hadoop.fs.Path(s"$path/adj")
-    val old = new org.apache.hadoop.fs.Path(s"$path/adj_old")
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"compact recovery: could not restore adj at $path")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/adj_compact"), true)
-    fs.delete(old, true)
-  }
-
-  private def hadoopFs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Recovery for a compact() crashed at any point ([[VersionedState
+    * .recoverSwap]] — the shared compactor discipline): restores the
+    * invariant every reader/writer needs — `adj` exists, no staging
+    * dirs remain, a stale stage never rides a later rename. */
+  private def recoverCompact(spark: SparkSession, path: String): Unit =
+    VersionedState.recoverSwap(spark,
+      live = s"$path/adj", old = s"$path/adj_old", stage = s"$path/adj_compact")
 
   /** Rows of `symm` already present in the committed adjacency are
     * dropped WITHOUT shuffling the committed side: scan it once against

@@ -120,25 +120,17 @@ object DedupIndex {
     }
   }
 
-  /** Recovery for a [[compact]] crashed at any point (the
-    * [[CommunityIndex.compact]] discipline): a stale `${t}_compact` from
-    * an earlier attempt must never ride a later attempt's rename (it
-    * holds the full union as of an OLDER head under a different batch
-    * number — folding it in duplicates every pre-crash row), and a crash
-    * between a subtable's two renames leaves the live dir missing with
-    * the originals intact at `${t}_old` — restore them. Runs at every
-    * cleanup/compact entry; per-subtable, so a crash mid-swap-loop
-    * (some subtables swapped, others not) also lands back on a valid
-    * layout (each side of the swap is the identical logical union). */
+  /** Recovery for a [[compact]] crashed at any point
+    * ([[graft.streaming.VersionedState.recoverSwap]] — the shared
+    * compactor discipline), per-subtable so a crash mid-swap-loop (some
+    * subtables swapped, others not) also lands back on a valid layout
+    * (each side of the swap is the identical logical union). Runs at
+    * every cleanup/compact entry. */
   private def recoverCompact(spark: SparkSession, path: String): Unit =
     SubTables.foreach { t =>
-      val (fs, live) = hadoopFs(spark, s"$path/$t")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${t}_old")
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live),
-          s"compact recovery: could not restore $t at $path")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${t}_compact"), true)
-      fs.delete(old, true)
+      graft.streaming.VersionedState.recoverSwap(spark,
+        live = s"$path/$t", old = s"$path/${t}_old",
+        stage = s"$path/${t}_compact")
     }
 
   /** Fold every committed `batch=V` partition into one — the maintenance

@@ -41,7 +41,7 @@ object StreamingCommunities {
     // happened — advance() would reject below-head versions, so gate here
     if (CommunityIndex.version(spark, path).exists(_ >= version)) return
     CommunityIndex.advance(path, version,
-      newNodes = edges.select(edges("src").as("id")).limit(0),
+      newNodes = edges.limit(0).select(org.apache.spark.sql.functions.col("src").as("id")),
       newEdges = edges.select("src", "dst"), maxRounds = maxRounds)
     ()
   }

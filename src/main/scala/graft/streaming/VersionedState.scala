@@ -44,4 +44,25 @@ private[graft] object VersionedState {
     val (f, p) = fs(spark, path)
     f.delete(p, true)
   }
+
+  def fileSystem(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    fs(spark, dir)._1
+
+  /** Finish/undo a crashed staged-rename swap (`live` → `old`,
+    * `stage` → `live`) — the ONE recovery every compactor shares (see
+    * docs/versioned-state-machines.md "Compaction itself needs entry
+    * recovery"): restore `old` to `live` if the live dir went missing
+    * between the two renames, then sweep stage and old unconditionally
+    * (a stale stage from a dead attempt must never ride a later
+    * attempt's rename). */
+  def recoverSwap(spark: SparkSession, live: String, old: String,
+                  stage: String): Unit = {
+    val (f, livePath) = fs(spark, live)
+    val oldPath = new org.apache.hadoop.fs.Path(old)
+    if (!f.exists(livePath) && f.exists(oldPath))
+      require(f.rename(oldPath, livePath),
+        s"swap recovery: could not restore $live from $old")
+    f.delete(new org.apache.hadoop.fs.Path(stage), true)
+    f.delete(oldPath, true)
+  }
 }
