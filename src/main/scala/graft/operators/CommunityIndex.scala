@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *     self-loop per first-seen node. The union of all committed deltas IS
   *     the vote adjacency; nothing ever rewrites it.
   *   - `v<v>`: the committed labeling (id, label) at version v,
-  *     `_SUCCESS`-gated; snapshots below the predecessor are pruned so at
-  *     most two exist (the one linear-in-|V| step per advance — columnar
-  *     write, no shuffle).
+  *     `_SUCCESS`-gated; the newest `keepVersions` snapshots survive
+  *     (default 2 = {predecessor, current}, the minimum retry window;
+  *     raise it for [[labelsAt]] time-travel reads). The snapshot write
+  *     is the one linear-in-|V| step per advance — columnar, no shuffle.
   *
   * Crash contract (ad-hoc caller, no replay driver): labels commit AFTER
   * their adjacency delta, so on entry any `adj/batch=` above the committed
@@ -52,6 +53,17 @@ object CommunityIndex {
     val v = version(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed community index under $path"))
     spark.read.parquet(s"$path/v$v")
+  }
+
+  /** The labeling AS OF a specific committed version — the time-travel
+    * read (how did the communities look at watermark v?). Available for
+    * the newest `keepVersions` snapshots ([[advance]]'s retention knob,
+    * default 2); older watermarks are pruned. */
+  def labelsAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    require(VersionedState.committedVersions(spark, path).contains(version),
+      s"version $version is not committed under $path — retention keeps " +
+        "only the newest keepVersions snapshots")
+    spark.read.parquet(s"$path/v$version")
   }
 
   /** The accumulated vote adjacency (symmetrized + self-loops), committed
@@ -79,11 +91,12 @@ object CommunityIndex {
     * it). Advances the labeling to version head+1 by frontier refresh
     * seeded with the delta's endpoints, and returns it. */
   def append(newNodes: DataFrame, newEdges: DataFrame, path: String,
-             maxRounds: Int = 50): DataFrame = {
+             maxRounds: Int = 50, keepVersions: Int = 2): DataFrame = {
     val spark = newNodes.sparkSession
     val head = version(spark, path).getOrElse(
       throw new IllegalStateException(s"no committed community index under $path — build first"))
-    advance(path, head + 1, newNodes, newEdges, maxRounds)
+    advance(path, head + 1, newNodes, newEdges, maxRounds,
+      keepVersions = keepVersions)
   }
 
   /** The idempotent core: bring the labeling to `newVersion` with the
@@ -93,11 +106,16 @@ object CommunityIndex {
     * `assumeUniqueDelta` skips the repeat-edge scan for callers whose feed
     * guarantees each undirected edge arrives exactly once across the
     * index's life ([[graft.streaming.StreamingDedup]]'s pair stream: a
-    * doc's pairs surface only the batch it arrives). */
+    * doc's pairs surface only the batch it arrives). `keepVersions` is
+    * the snapshot retention (newest N committed labelings survive;
+    * ≥ 2 preserves the retry window — see [[labelsAt]]). */
   def advance(path: String, newVersion: Long, newNodes: DataFrame,
               newEdges: DataFrame, maxRounds: Int = 50,
-              assumeUniqueDelta: Boolean = false): DataFrame = {
+              assumeUniqueDelta: Boolean = false,
+              keepVersions: Int = 2): DataFrame = {
     val spark = newNodes.sparkSession
+    require(keepVersions >= 2,
+      s"need keepVersions >= 2 (the retry window reads the predecessor), got $keepVersions")
     val committed = version(spark, path)
     require(committed.forall(_ <= newVersion),
       s"version $newVersion is below the committed head ${committed.get} of $path")
@@ -152,11 +170,11 @@ object CommunityIndex {
     val (refreshed, _) = LabelPropagation
       .refreshOnAdjacency(labels0, nodes, adj, frontier, maxRounds)
     refreshed.write.mode("overwrite").parquet(s"$path/v$newVersion")
-    // prune: keep {predecessor, current} — the retry window
-    committed.foreach { p =>
-      VersionedState.committedVersions(spark, path).filter(_ < p)
-        .foreach(v => VersionedState.delete(spark, s"$path/v$v"))
-    }
+    // prune to the newest keepVersions committed snapshots (default 2 =
+    // {predecessor, current}, the minimum retry window)
+    VersionedState.committedVersions(spark, path).sorted.reverse
+      .drop(keepVersions)
+      .foreach(v => VersionedState.delete(spark, s"$path/v$v"))
     spark.read.parquet(s"$path/v$newVersion")
   }
 

@@ -97,6 +97,28 @@ class CommunityIndexSuite extends SparkSpec {
     assert(CommunityIndex.adjacency(spark, path).count() === 4L) // 4 self-loops
   }
 
+  test("keepVersions retention enables labelsAt time travel") {
+    val path = tmp("cidx-asof")
+    CommunityIndex.build(nodes(1L, 2L), edges(1L -> 2L), path)
+    val atV0 = toMap(CommunityIndex.labels(spark, path))
+    CommunityIndex.append(nodes(3L), edges(2L -> 3L), path, keepVersions = 4)
+    CommunityIndex.append(nodes(), edges(1L -> 3L), path, keepVersions = 4)
+    val vs = graft.streaming.VersionedState.committedVersions(spark, path).sorted
+    assert(vs === Seq(0L, 1L, 2L), s"retention dropped a kept snapshot: $vs")
+    // the watermark-v0 read is the labeling as committed THEN
+    assert(toMap(CommunityIndex.labelsAt(spark, path, 0L)) === atV0)
+    assert(toMap(CommunityIndex.labelsAt(spark, path, 2L)) ===
+      toMap(CommunityIndex.labels(spark, path)))
+    // a pruned (or never-committed) watermark fails loudly
+    intercept[IllegalArgumentException] {
+      CommunityIndex.labelsAt(spark, path, 9L)
+    }
+    // the retry window cannot be disabled
+    intercept[IllegalArgumentException] {
+      CommunityIndex.advance(path, 10L, nodes(), edges(), keepVersions = 1)
+    }
+  }
+
   test("compact folds adjacency deltas without changing the graph; appends continue") {
     val path = tmp("cidx-compact")
     CommunityIndex.build(nodes(1L, 2L, 3L), edges(1L -> 2L), path)
