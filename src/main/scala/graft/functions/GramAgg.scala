@@ -352,3 +352,154 @@ object MomentsAgg {
     MomentsAgg(exprs(0), exprs(1))
   }
 }
+
+/** `graft_matvec(x, B)`: the Gram–basis product (XᵀX)·Bᵀ as ONE mergeable
+  * aggregate — the MATRIX-FREE scale path for [[graft.ml.Pca.fitMatFree]]
+  * at widths where even the d² Gram is too heavy to materialize (d ≥ ~4k:
+  * 128 MB+ driver matrices, d=65k ⇒ 34 GB). `B` is a FOLDABLE literal
+  * `array<array<double>>` — the m×d block basis of a subspace iteration,
+  * m = k + oversample ≪ d. Per input row the identity
+  * `(xxᵀ)·b_j = x·(x·b_j)` turns the rank-1 outer-product contribution
+  * into m dot products plus m scaled copies of x — O(m·d) work and ZERO
+  * allocation against a persistent m·d-cell buffer, never the O(d²) of
+  * the full Gram. Returns the m·d products flattened basis-row-major
+  * (`array<double>`, cell (j,i) = Σ_rows x_i·(x·b_j) at j·d + i).
+  *
+  * Determinism: the per-row dot products are a fixed-order IEEE loop (a
+  * pure function of the row), and the cross-row sums run on the
+  * [[Grid128]] 1e-9 grid — partition-order exact, same contract as
+  * [[GramAgg]]. Null arrays skip (sum semantics); null elements reject. */
+case class MatVecAgg(
+    vec: Expression,
+    basis: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[GramAgg.Buf] {
+
+  override def children: Seq[Expression] = Seq(vec, basis)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, basis.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        if (basis.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_matvec: basis must be a foldable literal (the driver-side block basis)")
+      case (v, b) => TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec expects (array<double>, array<array<double>>), got (${v.sql}, ${b.sql})")
+    }
+
+  /** The basis rows, evaluated ONCE from the foldable literal. */
+  @transient private lazy val b: Array[Array[Double]] = {
+    val arr = basis.eval(null).asInstanceOf[ArrayData]
+    val rows = Array.tabulate(arr.numElements()) { j =>
+      arr.getArray(j).toDoubleArray()
+    }
+    require(rows.nonEmpty, "graft_matvec: empty basis")
+    require(rows.forall(_.length == rows.head.length),
+      "graft_matvec: ragged basis rows")
+    rows
+  }
+
+  override def createAggregationBuffer(): GramAgg.Buf = new GramAgg.Buf(-1, null)
+
+  private lazy val elemNullable: Boolean = vec.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def update(buf: GramAgg.Buf, input: InternalRow): GramAgg.Buf = {
+    val v = vec.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    if (elemNullable) {
+      var i = 0
+      while (i < d) {
+        require(!arr.isNullAt(i), s"graft_matvec: null element at index $i")
+        i += 1
+      }
+    }
+    require(d == b.head.length,
+      s"graft_matvec: vector length $d != basis width ${b.head.length}")
+    val m = b.length
+    if (buf.d < 0) {
+      buf.d = d
+      buf.cells = new Array[Long](2 * m * d)
+    } else require(buf.d == d,
+      s"graft_matvec: inconsistent vector length (${buf.d} vs $d)")
+    val x = arr.toDoubleArray()
+    var j = 0
+    while (j < m) {
+      val bj = b(j)
+      var t = 0.0
+      var i = 0
+      while (i < d) { t += x(i) * bj(i); i += 1 }
+      val base = j * d
+      i = 0
+      while (i < d) {
+        Grid128.add(buf.cells, base + i, Grid128.toGrid(x(i) * t))
+        i += 1
+      }
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(buf: GramAgg.Buf, other: GramAgg.Buf): GramAgg.Buf = {
+    if (other.d < 0) return buf
+    if (buf.d < 0) { buf.d = other.d; buf.cells = other.cells.clone(); return buf }
+    require(buf.d == other.d,
+      s"graft_matvec: inconsistent vector length (${buf.d} vs ${other.d})")
+    val n = buf.cells.length / 2
+    var i = 0
+    while (i < n) { Grid128.addCell(buf.cells, other.cells, i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: GramAgg.Buf): Any = {
+    if (buf.d < 0) return new GenericArrayData(Array.empty[Double])
+    val n = buf.cells.length / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = Grid128.toDouble(buf.cells, i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: GramAgg.Buf): Array[Byte] = {
+    val n = if (buf.d < 0) 0 else buf.cells.length
+    val bb = ByteBuffer.allocate(4 + 8 * n)
+    bb.putInt(if (buf.d < 0) -1 else buf.d)
+    var i = 0
+    while (i < n) { bb.putLong(buf.cells(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): GramAgg.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val d = bb.getInt()
+    if (d < 0) new GramAgg.Buf(-1, null)
+    else {
+      val cells = new Array[Long]((bytes.length - 4) / 8)
+      var i = 0
+      while (i < cells.length) { cells(i) = bb.getLong(); i += 1 }
+      new GramAgg.Buf(d, cells)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MatVecAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MatVecAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MatVecAgg =
+    copy(vec = newChildren(0), basis = newChildren(1))
+}
+
+object MatVecAgg {
+  def fromArgs(exprs: Seq[Expression]): MatVecAgg = {
+    require(exprs.size == 2,
+      s"graft_matvec(x, basis) takes 2 arguments, got ${exprs.size}")
+    MatVecAgg(exprs(0), exprs(1))
+  }
+}

@@ -107,5 +107,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "graft_moments", exprs => MomentsAgg.fromArgs(exprs).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_matvec", exprs => MatVecAgg.fromArgs(exprs).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -102,22 +102,7 @@ object Pca {
     val d = mean.length
     require(k <= d, s"need k <= dim; got k=$k dim=$d")
     val m = math.min(d, k + oversample)
-    // seeded gaussian test matrix: no RNG object, a pure (seed, i, j) hash
-    def gauss(i: Int, j: Int): Double = {
-      def mix(x0: Long): Long = {
-        var x = x0 + 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
-      val h1 = mix(seed ^ (i.toLong << 32) ^ j.toLong)
-      val h2 = mix(h1)
-      val u1 = ((h1 >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
-      val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
-      StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
-        StrictMath.cos(2.0 * StrictMath.PI * u2)
-    }
-    var q = orthonormalize(Array.tabulate(m, d)((j, i) => gauss(i, j)))
+    var q = orthonormalize(Array.tabulate(m, d)((j, i) => gauss(seed, i, j)))
     for (_ <- 1 to powerIters) q = orthonormalize(q.map(matVec(cov, _)))
     require(q.length >= k,
       s"randomized basis collapsed to rank ${q.length} < k=$k — raise oversample")
@@ -128,6 +113,95 @@ object Pca {
     val order = values.indices.sortBy(i => (-values(i), i)).take(k)
     val comps = order.map { i =>
       val w = vectors(i) // coefficients over the basis rows
+      signPin(Array.tabulate(d)(c => w.indices.map(j => w(j) * q(j)(c)).sum))
+    }.toArray
+    Model(mean, comps, order.map(values).toArray)
+  }
+
+  /** Seeded gaussian test-matrix entry: no RNG object, a pure
+    * (seed, i, j) splitmix64 hash through Box–Muller (StrictMath — no
+    * platform libm variance). Shared by [[fitRandomized]] and
+    * [[fitMatFree]] so the two solvers start from the SAME basis. */
+  private def gauss(seed: Long, i: Int, j: Int): Double = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val h1 = mix(seed ^ (i.toLong << 32) ^ j.toLong)
+    val h2 = mix(h1)
+    val u1 = ((h1 >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
+    val u2 = (h2 >>> 11).toDouble / (1L << 53).toDouble
+    StrictMath.sqrt(-2.0 * StrictMath.log(u1)) *
+      StrictMath.cos(2.0 * StrictMath.PI * u2)
+  }
+
+  /** MATRIX-FREE randomized top-`k` fit — the d ≥ ~4k path, where even
+    * the d² covariance of [[fit]]/[[fitRandomized]]'s one Gram pass is
+    * too heavy to ship to the driver (d=16k ⇒ 2 GB, d=65k ⇒ 34 GB; the
+    * round-9 roadmap's "block power iteration with the Gram never
+    * materialized"). The d×d matrix NEVER exists anywhere: each subspace
+    * iteration is one distributed `graft_matvec` pass computing
+    * (XᵀX)·Qᵀ directly ([[graft.functions.MatVecAgg]] — per row the
+    * rank-1 identity (xxᵀ)q = x·(x·q), O(m·d) work, an m·d buffer), and
+    * the driver sees only m×d panels (m = k + oversample ≪ d; d=65k,
+    * m=24 ⇒ 12 MB). Centering folds in algebraically:
+    * C·q = (XᵀX·q)/n − μ(μ·q), with μ from one d-length moments pass.
+    *
+    * Cost shape vs [[fitRandomized]]: powerIters + 2 passes over the data
+    * (mean, powerIters iterations, final Rayleigh–Ritz) instead of ONE —
+    * the price of never holding d² anywhere. Per-pass shuffle traffic is
+    * one m·d buffer per partition. Use [[fitRandomized]] while d² fits
+    * the driver comfortably; this is the wide-embedding escape hatch.
+    *
+    * Deterministic by construction, same contract as [[fitRandomized]]:
+    * seeded hash basis (the SAME basis — shared [[gauss]]), Grid128
+    * partition-order-exact passes, fixed driver arithmetic — model bytes
+    * identical across partitionings (suite-pinned). The Ritz matrix is
+    * explicitly symmetrized before Jacobi: the grid rounds (C·q_j)
+    * panels once per pass, so qᵢ·(Cq)ⱼ and qⱼ·(Cq)ᵢ can differ in the
+    * last grid ulp. */
+  def fitMatFree(emb: DataFrame, k: Int, oversample: Int = 8,
+                 powerIters: Int = 4, seed: Long = 42L): Model = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(oversample >= 0 && powerIters >= 1,
+      s"need oversample >= 0 and powerIters >= 1, got $oversample/$powerIters")
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val aug = emb.select(expr("CAST(embedding AS array<double>)").as("x"))
+    // pass 0: mean + count — d-length state, also fixes d for the basis
+    val r0 = aug.agg(
+      element_at(call_function("graft_moments", lit(0L), col("x")), lit(0L)).as("sum"),
+      count(col("x")).as("n")).head()
+    val n = r0.getLong(1)
+    require(n > 0, "pca: empty training frame")
+    val sum = r0.getSeq[Double](0).toArray
+    val d = sum.length
+    require(k <= d, s"need k <= dim; got k=$k dim=$d")
+    val mean = sum.map(_ / n)
+    val m = math.min(d, k + oversample)
+    // one distributed pass: rows C·q_j for all j at once, d² nowhere
+    def covTimes(q: Array[Array[Double]]): Array[Array[Double]] = {
+      val basisLit = typedlit[Seq[Seq[Double]]](q.map(_.toSeq).toSeq)
+      val g = aug.agg(call_function("graft_matvec", col("x"), basisLit))
+        .head().getSeq[Double](0)
+      Array.tabulate(q.length) { j =>
+        val mq = dot(mean, q(j))
+        Array.tabulate(d)(i => g(j * d + i) / n - mean(i) * mq)
+      }
+    }
+    var q = orthonormalize(Array.tabulate(m, d)((j, i) => gauss(seed, i, j)))
+    for (_ <- 1 to powerIters) q = orthonormalize(covTimes(q))
+    require(q.length >= k,
+      s"matrix-free basis collapsed to rank ${q.length} < k=$k — raise oversample")
+    // Rayleigh–Ritz through one more pass; symmetrize the grid's last ulp
+    val cq = covTimes(q)
+    val b = Array.tabulate(q.length, q.length)((i, j) =>
+      0.5 * (dot(q(i), cq(j)) + dot(q(j), cq(i))))
+    val (values, vectors) = jacobiEigen(b)
+    val order = values.indices.sortBy(i => (-values(i), i)).take(k)
+    val comps = order.map { i =>
+      val w = vectors(i)
       signPin(Array.tabulate(d)(c => w.indices.map(j => w(j) * q(j)(c)).sum))
     }.toArray
     Model(mean, comps, order.map(values).toArray)

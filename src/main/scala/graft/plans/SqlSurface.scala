@@ -264,36 +264,52 @@ object SqlSurface {
       exprs.lift(2).map(dblLit(fn, "lambda", _)).getOrElse(1.0))
   }
 
-  /** graft_pca(emb, k[, whiten[, randomized]]) — one-pass PCA (ml.Pca):
+  /** graft_pca(emb, k[, whiten[, solver]]) — one-pass PCA (ml.Pca):
     * fit mean + top-k axes on the table's `embedding` column at analysis
     * time, add the (optionally whitened) centered projection as `proj`.
-    * `randomized` selects [[graft.ml.Pca.fitRandomized]] — the
-    * O(d²k)-driver solver for wide embeddings. */
+    * `solver` is `'exact'` (Jacobi, default), `'randomized'`
+    * ([[graft.ml.Pca.fitRandomized]] — the O(d²k)-driver solver for wide
+    * embeddings), or `'matfree'` ([[graft.ml.Pca.fitMatFree]] — block
+    * subspace iteration, d² materialized NOWHERE, for widths where even
+    * the Gram is too heavy); booleans stay accepted for compatibility
+    * (`true` = randomized). */
   def pcaBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "graft_pca"
     require(exprs.size >= 2 && exprs.size <= 4,
-      s"$fn(emb, k[, whiten[, randomized]]) takes 2-4 args (TABLE(...) with an embedding column, int k, boolean whiten, boolean randomized), got ${exprs.size}")
+      s"$fn(emb, k[, whiten[, solver]]) takes 2-4 args (TABLE(...) with an embedding column, int k, boolean whiten, solver 'exact'|'randomized'|'matfree'), got ${exprs.size}")
     def boolArg(name: String, e: Expression): Boolean = e match {
       case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
       case other => throw new IllegalArgumentException(
         s"$fn: $name must be a boolean literal, got $other")
     }
+    val solver = exprs.lift(3).map {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) =>
+        if (b) "randomized" else "exact"
+      case Literal(s: UTF8String, StringType)
+          if Set("exact", "randomized", "matfree")(s.toString) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: solver must be 'exact', 'randomized', 'matfree' or a boolean, got $other")
+    }.getOrElse("exact")
     PcaPlaceholder(tableArg(fn, "first", exprs.head),
       intLit(fn, "k", exprs(1)),
       exprs.lift(2).exists(boolArg("whiten", _)),
-      exprs.lift(3).exists(boolArg("randomized", _)))
+      solver)
   }
 
-  /** graft_community_labels('path') — the committed head labeling of a
-    * persisted [[graft.operators.CommunityIndex]]: version resolution
-    * over `_SUCCESS`-gated snapshots, which a raw `parquet.` path read
-    * cannot express (it would happily read a torn snapshot). Completes
-    * by-path SQL access across all FOUR index families. */
+  /** graft_community_labels('path'[, version]) — the committed head
+    * labeling of a persisted [[graft.operators.CommunityIndex]]: version
+    * resolution over `_SUCCESS`-gated snapshots, which a raw `parquet.`
+    * path read cannot express (it would happily read a torn snapshot).
+    * With the optional `version` arg it is the AS-OF time-travel read
+    * ([[graft.operators.CommunityIndex.labelsAt]]) — available for the
+    * newest `keepVersions` committed snapshots. Completes by-path SQL
+    * access across all FOUR index families. */
   def communityLabelsBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "graft_community_labels"
-    require(exprs.size == 1,
-      s"$fn(path) takes 1 arg (index path string), got ${exprs.size}")
-    CommunityLabelsPlaceholder(strLit(fn, "path", exprs.head))
+    require(exprs.size == 1 || exprs.size == 2,
+      s"$fn(path[, version]) takes 1-2 args, got ${exprs.size}")
+    CommunityLabelsPlaceholder(strLit(fn, "path", exprs.head),
+      exprs.lift(1).map(intLit(fn, "version", _).toLong))
   }
 
   /** graft_curate(docs) — the curation PIPELINE composition
@@ -454,9 +470,10 @@ case class LinearProbePlaceholder(train: LogicalPlan, score: LogicalPlan,
 }
 
 /** Unresolved marker for the SQL PCA projection; expanded by
-  * [[ResolveGraftIndexFunctions]]. */
+  * [[ResolveGraftIndexFunctions]]. `solver` is one of
+  * exact | randomized | matfree (validated by the builder). */
 case class PcaPlaceholder(child: LogicalPlan, k: Int, whiten: Boolean,
-    randomized: Boolean = false)
+    solver: String = "exact")
     extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] =
@@ -477,8 +494,9 @@ case class CuratePlaceholder(child: LogicalPlan)
 }
 
 /** Unresolved marker for the SQL community-labels read; expanded by
-  * [[ResolveGraftIndexFunctions]]. */
-case class CommunityLabelsPlaceholder(path: String)
+  * [[ResolveGraftIndexFunctions]]. `version` = None reads the committed
+  * head, Some(v) the retained snapshot at watermark v. */
+case class CommunityLabelsPlaceholder(path: String, version: Option[Long])
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] =
@@ -567,12 +585,16 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
         .queryExecution.analyzed
     case p: CommunityLabelsPlaceholder =>
-      graft.operators.CommunityIndex.labels(session, p.path)
-        .queryExecution.analyzed
+      p.version.fold(graft.operators.CommunityIndex.labels(session, p.path)) {
+          v => graft.operators.CommunityIndex.labelsAt(session, p.path, v)
+        }.queryExecution.analyzed
     case p: PcaPlaceholder if p.childrenResolved =>
       val df = org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child)
-      val model = if (p.randomized) graft.ml.Pca.fitRandomized(df, p.k)
-        else graft.ml.Pca.fit(df, p.k)
+      val model = p.solver match {
+        case "randomized" => graft.ml.Pca.fitRandomized(df, p.k)
+        case "matfree" => graft.ml.Pca.fitMatFree(df, p.k)
+        case _ => graft.ml.Pca.fit(df, p.k)
+      }
       graft.ml.Pca.transform(df, model, whiten = p.whiten)
         .queryExecution.analyzed
   }

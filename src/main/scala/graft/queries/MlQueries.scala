@@ -184,6 +184,23 @@ object MlQueries {
         .orderBy("vec_id")
     }),
 
+    // MATRIX-FREE PCA (ml.Pca.fitMatFree): the d >= ~4k scale path —
+    // block subspace iteration where each step is ONE distributed
+    // graft_matvec pass (functions.MatVecAgg) and the d² covariance
+    // never exists anywhere, driver OR executor. Gated beside q_vec_pca
+    // so the wide-embedding solver runs under the driver's eye;
+    // rows-only (iterative eigensolve, like q_vec_pca) — PcaSuite pins
+    // Jacobi agreement on a decaying spectrum, Ritz interlacing on this
+    // corpus, and partition-exact model bytes.
+    "q_vec_pca_matfree" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val model = graft.ml.Pca.fitMatFree(emb, k = 2, powerIters = 2)
+      graft.ml.Pca.transform(emb, model, whiten = true)
+        .select(col("vec_id"), round(expr("proj[0]"), 6).as("p0"),
+          round(expr("proj[1]"), 6).as("p1"))
+        .orderBy("vec_id")
+    }),
+
     // R8: Hamming loss of the trivial hypothesis sign(x0) applied to every
     // label, against one-vs-all encoding.
     "q_ml_hamming_eval" -> ((s, d) => Tables(s, d, "embeddings")

@@ -297,4 +297,97 @@ class PcaSuite extends SparkSpec {
       assert(m2.variances.toSeq === m.variances.toSeq)
     }
   }
+
+  test("graft_matvec: the mergeable (XᵀX)·B pass equals driver arithmetic") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(5)(j => ((i * 13 + j * 7) % 11 - 5) * 0.25))
+    }
+    val basis = Array(Array(1.0, 0.0, -0.5, 0.25, 2.0),
+                      Array(0.0, 1.0, 1.0, -1.0, 0.125))
+    val expect = basis.map { b =>
+      val acc = new Array[Double](5)
+      rows.foreach { case (_, x) =>
+        val t = x.zip(b).map { case (a, c) => a * c }.sum
+        for (i <- 0 until 5) acc(i) += x(i) * t
+      }
+      acc
+    }.flatten
+    val basisLit = typedlit[Seq[Seq[Double]]](basis.map(_.toSeq).toSeq)
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("id", "x").repartition(parts)
+        .agg(call_function("graft_matvec", col("x"), basisLit))
+        .head().getSeq[Double](0)
+      assert(got.length === 10)
+      got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+        // one 1e-9 grid rounding per row per cell
+        assert(math.abs(g - e) < 40 * 1e-9, s"cell $i: $g vs $e")
+      }
+    }
+    // width mismatch between rows and basis fails loudly
+    val bad = intercept[Exception] {
+      rows.toDF("id", "x")
+        .agg(call_function("graft_matvec", col("x"),
+          typedlit[Seq[Seq[Double]]](Seq(Seq(1.0, 2.0))))).head()
+    }
+    val msgs = Iterator.iterate(bad: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("basis width"), msgs)
+  }
+
+  test("matrix-free fit matches Jacobi on a decaying spectrum; d² nowhere") {
+    val df = decaying(800, 32)
+    val k = 5
+    val exact = Pca.fit(df, k)
+    val mf = Pca.fitMatFree(df, k)
+    // the moments-pass mean grids x_i exactly like the Gram's bias column
+    // (x_i·1.0 == x_i in IEEE) — identical, not merely close
+    assert(mf.mean.toSeq === exact.mean.toSeq,
+      "mean differs between the moments pass and the Gram bias column")
+    for (i <- 0 until k) {
+      val rel = math.abs(mf.variances(i) - exact.variances(i)) /
+        math.max(exact.variances(i), 1e-12)
+      assert(rel < 1e-3, s"eigenvalue $i off by $rel: " +
+        s"${mf.variances(i)} vs ${exact.variances(i)}")
+      val inSub = math.sqrt(exact.components.map(e =>
+        math.pow(dot(mf.components(i), e), 2)).sum)
+      assert(inSub > 0.999,
+        s"component $i leaves the exact top-$k subspace: $inSub")
+    }
+  }
+
+  test("matrix-free fit on the flat real corpus: Ritz bounds + orthonormality") {
+    val emb = Tables(spark, sf, "embeddings")
+    val k = 8
+    val exact = Pca.fit(emb, k)
+    val mf = Pca.fitMatFree(emb, k)
+    assert(mf.mean.toSeq === exact.mean.toSeq)
+    for (i <- 0 until k) {
+      // Rayleigh–Ritz interlacing holds on ANY spectrum; the grid's
+      // per-pass rounding adds at most a hair, hence the 1e-6 slack
+      assert(mf.variances(i) <= exact.variances(i) * (1 + 1e-6),
+        s"Ritz value $i exceeds the exact eigenvalue: " +
+          s"${mf.variances(i)} vs ${exact.variances(i)}")
+      for (j <- 0 until k) {
+        val d0 = dot(mf.components(i), mf.components(j))
+        assert(math.abs(d0 - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"components not orthonormal at ($i,$j): $d0")
+      }
+    }
+    assert(mf.variances.sum >= 0.95 * exact.variances.sum,
+      s"captured variance ${mf.variances.sum} far below exact ${exact.variances.sum}")
+  }
+
+  test("matrix-free model is partition-order exact") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = Pca.fitMatFree(emb, k = 4, powerIters = 2)
+    for (df <- Seq(emb.repartition(1), emb.repartition(13, col("vec_id")))) {
+      val m2 = Pca.fitMatFree(df, k = 4, powerIters = 2)
+      assert(m2.mean.toSeq === m.mean.toSeq)
+      assert(m2.components.map(_.toSeq).toSeq === m.components.map(_.toSeq).toSeq,
+        "matrix-free PCA model not partition-order exact")
+      assert(m2.variances.toSeq === m.variances.toSeq)
+    }
+  }
 }

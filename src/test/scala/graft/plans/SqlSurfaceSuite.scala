@@ -276,6 +276,16 @@ class SqlSurfaceSuite extends SparkSpec {
       graft.ml.Pca.fitRandomized(spark.table("sql_pca_emb"), 2), whiten = true)
       .select("vec_id", "proj")
     assert(rows(sqlRnd) === rows(apiRnd))
+    // the 4th arg also takes a solver NAME: 'matfree' = the d²-nowhere path
+    val sqlMf = spark.sql(
+      "SELECT vec_id, proj FROM graft_pca(TABLE(SELECT * FROM sql_pca_emb), 2, true, 'matfree')")
+    val apiMf = graft.ml.Pca.transform(spark.table("sql_pca_emb"),
+      graft.ml.Pca.fitMatFree(spark.table("sql_pca_emb"), 2), whiten = true)
+      .select("vec_id", "proj")
+    assert(rows(sqlMf) === rows(apiMf))
+    val badSolver = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_pca(TABLE(SELECT * FROM sql_pca_emb), 2, true, 'qr')").collect())
+    assert(badSolver.getMessage.contains("solver"), badSolver.getMessage)
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM graft_pca('sql_pca_emb')").collect())
     assert(e.getMessage.contains("graft_pca"), e.getMessage)
@@ -295,6 +305,27 @@ class SqlSurfaceSuite extends SparkSpec {
     val api = graft.operators.CommunityIndex.labels(spark, path)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sql === api && sql.size === 4)
+    // one more delta (edge 1-3) collapses everything into one community;
+    // keepVersions=3 keeps all three watermarks for the AS-OF reads
+    graft.operators.CommunityIndex.append(
+      spark.emptyDataFrame.select(lit(0L).as("id")).limit(0),
+      Seq(1L -> 3L).toDF("src", "dst"), path, keepVersions = 3)
+    val head = spark.sql(s"SELECT * FROM graft_community_labels('$path')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(head(2L) === head(3L), s"head should be one community: $head")
+    // optional version arg = the AS-OF read: version 0 predates the
+    // bridges, so 2 and 3 still sit in different communities there
+    val asOf = spark.sql(
+      s"SELECT * FROM graft_community_labels('$path', 0) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val apiAt = graft.operators.CommunityIndex.labelsAt(spark, path, 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(asOf === apiAt)
+    assert(asOf.toMap.apply(2L) !== asOf.toMap.apply(3L),
+      s"v0 should predate the merge: $asOf")
+    val pruned = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_community_labels('$path', 99)").collect())
+    assert(pruned.getMessage.contains("not committed"), pruned.getMessage)
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM graft_community_labels('/definitely/not/an/index')").collect())
     assert(e.getMessage.contains("community index"), e.getMessage)
