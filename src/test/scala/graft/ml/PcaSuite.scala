@@ -379,6 +379,30 @@ class PcaSuite extends SparkSpec {
       s"captured variance ${mf.variances.sum} far below exact ${exact.variances.sum}")
   }
 
+  test("matrix-free at d=1024 agrees with the randomized solver (Jacobi impractical there)") {
+    // the width regime fitMatFree exists for: cyclic Jacobi at d=1024 is
+    // ~1e9 ops PER SWEEP (not run here), the randomized solver still
+    // works (O(d²m) driver) and cross-checks the d²-nowhere path. The
+    // two differ only in where the covariance is applied — driver
+    // doubles vs the per-pass 1e-9 grid — so agreement is tight.
+    val df = decaying(300, 1024)
+    val k = 4
+    val rnd = Pca.fitRandomized(df, k)
+    val mf = Pca.fitMatFree(df, k)
+    assert(mf.mean.toSeq === rnd.mean.toSeq,
+      "moments-pass mean differs from the Gram bias column")
+    for (i <- 0 until k) {
+      val rel = math.abs(mf.variances(i) - rnd.variances(i)) /
+        math.max(rnd.variances(i), 1e-12)
+      assert(rel < 1e-3, s"eigenvalue $i off by $rel: " +
+        s"${mf.variances(i)} vs ${rnd.variances(i)}")
+      val inSub = math.sqrt(rnd.components.map(e =>
+        math.pow(dot(mf.components(i), e), 2)).sum)
+      assert(inSub > 0.999,
+        s"component $i leaves the randomized top-$k subspace: $inSub")
+    }
+  }
+
   test("matrix-free model is partition-order exact") {
     val emb = Tables(spark, sf, "embeddings")
     val m = Pca.fitMatFree(emb, k = 4, powerIters = 2)
