@@ -104,6 +104,64 @@ object LlmOps {
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))"))).as("sh"))
 
+  /** EXACT-SUBSTRING dedup spans (the "ExactSubstr" pass of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every `w`-token window whose exact text occurs ≥2 times in the
+    * corpus is marked for removal at every occurrence EXCEPT the
+    * canonical first one (min (doc_id, pos) — arrival order), and the
+    * per-document marks are merged into maximal spans (gaps-and-islands
+    * over a doc_id-partitioned window). Returns
+    * (doc_id, span_start, span_end), 1-based inclusive token positions.
+    *
+    * Distinct from the rest of the dedup family: doc-level ops
+    * (minhash/simhash/containment) keep or drop whole documents; this
+    * removes VERBATIM repeated passages (licenses, templates, quoted
+    * chunks) inside otherwise-unique documents — within-doc repeats are
+    * marked too. Scale shape: one groupBy(window) with a map-combining
+    * (count, min) — repeated-window table is tiny vs the corpus — then
+    * one N:1 equi-join back (output exactly |windows|, no fan-out; a
+    * hot boilerplate window skews one shuffle partition, which AQE
+    * skew-split handles since the other side is one row), then one
+    * doc-partitioned window merge. Never doc×doc. `hashKeys` swaps the
+    * ~8·w-byte window text for its xxhash64 in the group/join keys — the
+    * production shuffle-width cut (collision odds ~n²/2⁶⁵; the suite
+    * pins hash-twin == text-keyed output on the test corpora). */
+  private def substrSpans(s: SparkSession, d: String, w: Int,
+                          hashKeys: Boolean): DataFrame =
+    substrSpansOf(Tables(s, d, "documents"), w, hashKeys)
+
+  private[graft] def substrSpansOf(docs: DataFrame, w: Int,
+                                   hashKeys: Boolean): DataFrame = {
+    val key = if (hashKeys) xxhash64(col("sh")) else col("sh")
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
+        .as(Seq("i", "sh")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
+        key.as("k"))
+    val rep = sh.groupBy("k").agg(
+        count(lit(1)).as("cnt"),
+        min(col("doc_id") * 1000000L + col("pos")).as("canon"))
+      .filter(col("cnt") >= 2)
+    val marks = sh.join(rep, "k")
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("canon"))
+      .select(col("doc_id"), col("pos").as("s0"),
+        (col("pos") + (w - 1)).as("e0"))
+    val ord = Window.partitionBy("doc_id").orderBy("s0", "e0")
+    marks
+      .withColumn("pmax",
+        max(col("e0")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("fresh"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("s0").as("span_start"), max("e0").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** The ONE band-key expression (numBands bands of `rows` consecutive
     * sketch slots, '-'-joined) — shared by sketchBandCandidates and
     * operators.DedupIndex for the same no-drift reason. */
@@ -1321,6 +1379,46 @@ object LlmOps {
           sum(col("boiler")).as("n_removed"),
           sum(when(col("boiler") === 1, lit(0L))
             .otherwise(size(split(col("line"), " ")).cast("long"))).as("n_tokens_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // EXACT-SUBSTRING dedup (ExactSubstr, Lee et al. 2022): merged
+    // removal spans of verbatim 12-token passages repeated anywhere in
+    // the corpus, keeping the canonical first occurrence — the
+    // span-level pass that runs BESIDE doc-level dedup (licenses,
+    // templates, quoted chunks inside otherwise-unique docs). See
+    // substrSpans for the full shape; full DuckDB oracle (exact string
+    // keys, integer positions, deterministic islands).
+    "q_dedup_substr" -> ((s, d) =>
+      substrSpans(s, d, w = 12, hashKeys = false)
+        .orderBy("doc_id", "span_start")),
+
+    // The hashed-key production twin: xxhash64(window) group/join keys
+    // cut the shuffle width ~10× at w=12. Rows-only (xxhash64 not in
+    // DuckDB); LlmOpsSubstrSuite pins output == q_dedup_substr exactly.
+    "q_dedup_substr_xxh" -> ((s, d) =>
+      substrSpans(s, d, w = 12, hashKeys = true)
+        .orderBy("doc_id", "span_start")),
+
+    // The APPLY step: drop every token covered by a q_dedup_substr span
+    // and re-join the survivors — per-doc counts + the cleaned text, for
+    // ALL docs (untouched docs pass through). One extra broadcast-sized
+    // join (spans are rare) + a codegen'd HOF filter per row.
+    "q_dedup_substr_clean" -> ((s, d) => {
+      val spans = substrSpans(s, d, w = 12, hashKeys = false)
+        .groupBy("doc_id").agg(collect_list(
+          struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          expr("""filter(transform(t, (tok, i) -> struct(tok AS tok, CAST(i + 1 AS BIGINT) AS p)),
+                 |       x -> spans IS NULL OR
+                 |            NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e))"""
+            .stripMargin).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+          expr("array_join(transform(kept, x -> x.tok), ' ')").as("clean"))
         .orderBy("doc_id")
     }),
 
@@ -2945,6 +3043,62 @@ object LlmOps {
         |                     ELSE len(string_split(line, ' ')) END) AS BIGINT) AS n_tokens_kept
         |FROM lines JOIN freq USING (line)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS sh
+        |  FROM t, UNNEST(generate_series(1, len(t) - 11)) AS u(i)),
+        |rep AS (SELECT sh, min(doc_id*1000000 + pos) AS canon
+        |        FROM sh GROUP BY sh HAVING count(*) >= 2),
+        |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 11 AS e0
+        |          FROM sh s JOIN rep r ON s.sh = r.sh
+        |          WHERE s.doc_id*1000000 + s.pos <> r.canon),
+        |ord AS (SELECT doc_id, s0, e0,
+        |          max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM marks),
+        |isl AS (SELECT doc_id, s0, e0,
+        |          SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM ord)
+        |SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_substr_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS sh
+        |  FROM t, UNNEST(generate_series(1, len(t) - 11)) AS u(i)),
+        |rep AS (SELECT sh, min(doc_id*1000000 + pos) AS canon
+        |        FROM sh GROUP BY sh HAVING count(*) >= 2),
+        |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 11 AS e0
+        |          FROM sh s JOIN rep r ON s.sh = r.sh
+        |          WHERE s.doc_id*1000000 + s.pos <> r.canon),
+        |ord AS (SELECT doc_id, s0, e0,
+        |          max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM marks),
+        |isl AS (SELECT doc_id, s0, e0,
+        |          SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM ord),
+        |merged AS MATERIALIZED (
+        |  SELECT doc_id, min(s0) AS s, max(e0) AS e FROM isl GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, t[i] AS tok, i AS p
+        |        FROM t, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |kept AS (SELECT k.doc_id, k.tok, k.p FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |                           WHERE m.doc_id = k.doc_id AND k.p >= m.s AND k.p <= m.e)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(tok, ' ' ORDER BY p) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(a.clean, '') AS clean
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q_text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
