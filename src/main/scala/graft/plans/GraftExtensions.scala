@@ -196,6 +196,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CommunityLabelsPlaceholder].getName,
         "graft_community_labels"),
       SqlSurface.communityLabelsBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_substr_spans"),
+      new ExpressionInfo(classOf[SubstrSpansPlaceholder].getName,
+        "graft_substr_spans"),
+      SqlSurface.substrSpansBuilder _))
     ext.injectResolutionRule(ResolveAsOfBackward.apply)
     ext.injectResolutionRule(ResolveGraftIndexFunctions.apply)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)

@@ -321,6 +321,26 @@ object SqlSurface {
       s"$fn(docs) takes 1 arg (TABLE(...) of doc_id/text/lang), got ${exprs.size}")
     CuratePlaceholder(tableArg(fn, "first", exprs.head))
   }
+
+  /** graft_substr_spans(docs[, w[, use_hash]]) — exact-substring dedup
+    * spans (queries.LlmOps.substrSpansOf, the ExactSubstr pass) over any
+    * (doc_id, text) table: merged removal spans of verbatim `w`-token
+    * passages (default 12) repeated anywhere in the table, canonical
+    * first occurrence kept. `use_hash` selects the xxhash64-keyed
+    * production shuffle. */
+  def substrSpansBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_substr_spans"
+    require(exprs.size >= 1 && exprs.size <= 3,
+      s"$fn(docs[, w[, use_hash]]) takes 1-3 args (TABLE(...) of doc_id/text, int window, boolean), got ${exprs.size}")
+    val w = exprs.lift(1).map(intLit(fn, "w", _)).getOrElse(12)
+    require(w >= 2, s"$fn: window must be >= 2 tokens, got $w")
+    val useHash = exprs.lift(2).exists {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: use_hash must be a boolean literal, got $other")
+    }
+    SubstrSpansPlaceholder(tableArg(fn, "first", exprs.head), w, useHash)
+  }
 }
 
 /** Unresolved marker for the SQL as-of join. AsOfJoin.asofBackward needs
@@ -493,6 +513,18 @@ case class CuratePlaceholder(child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL exact-substring-spans call; expanded by
+  * [[ResolveGraftIndexFunctions]]. Same never-survives-analysis contract
+  * as [[AsOfBackwardPlaceholder]]. */
+case class SubstrSpansPlaceholder(child: LogicalPlan, w: Int, useHash: Boolean)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("SubstrSpansPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): SubstrSpansPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL community-labels read; expanded by
   * [[ResolveGraftIndexFunctions]]. `version` = None reads the committed
   * head, Some(v) the retained snapshot at watermark v. */
@@ -583,6 +615,11 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: CuratePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.curateDocs(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child))
+        .queryExecution.analyzed
+    case p: SubstrSpansPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.substrSpansOf(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          w = p.w, hashKeys = p.useHash)
         .queryExecution.analyzed
     case p: CommunityLabelsPlaceholder =>
       p.version.fold(graft.operators.CommunityIndex.labels(session, p.path)) {

@@ -331,6 +331,27 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(e.getMessage.contains("community index"), e.getMessage)
   }
 
+  test("graft_substr_spans: SQL round trip equals the gated query; args validated") {
+    val sf = "/root/testdata/sf0.001"
+    graft.Tables(spark, sf, "documents").createOrReplaceTempView("sql_substr_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_substr_spans(TABLE(SELECT * FROM sql_substr_docs)) " +
+        "ORDER BY doc_id, span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val api = graft.SparkEntry.queries("q_dedup_substr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sql === api && sql.nonEmpty)
+    // explicit window + hashed keys reproduce the xxh production twin
+    val sqlHash = spark.sql(
+      "SELECT * FROM graft_substr_spans(TABLE(SELECT * FROM sql_substr_docs), 12, true) " +
+        "ORDER BY doc_id, span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sqlHash === api)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_substr_spans(TABLE(SELECT * FROM sql_substr_docs), 1)").collect())
+    assert(e.getMessage.contains("window"), e.getMessage)
+  }
+
   test("graft_curate: SQL pipeline composition equals the gated q_curate") {
     val sf = "/root/testdata/sf0.001"
     graft.Tables(spark, sf, "documents").createOrReplaceTempView("sql_curate_docs")
