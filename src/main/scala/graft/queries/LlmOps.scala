@@ -1400,6 +1400,30 @@ object LlmOps {
       substrSpans(s, d, w = 12, hashKeys = true)
         .orderBy("doc_id", "span_start")),
 
+    // INCREMENTAL exact-substring dedup via the persisted window index
+    // (operators.SubstrIndex): index the first 80% of doc_ids ONCE per
+    // (app, corpus), then mark the last-20% batch's repeated-passage
+    // spans against the index + within the batch — the daily-pipeline
+    // shape where yesterday's corpus is never re-windowed. The doc_id
+    // cut is MONOTONE (the index's arrival-order contract, which makes
+    // canonical-first exemption exact across batches). Rows-only
+    // (xxhash64 keys); SubstrIndexSuite pins output == the batch
+    // q_dedup_substr_xxh restricted to new-doc spans, plus append/
+    // compact/crash invariants.
+    "q_dedup_substr_inc" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val cut = docs.agg((max(col("doc_id")) * 8 / 10).cast("long").as("c"))
+        .head().getLong(0)
+      val path = graft.operators.Scratch.dir(
+        "graft-substr-index", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.operators.SubstrIndex.build(docs.filter(col("doc_id") < cut), path)
+      }
+      graft.operators.SubstrIndex
+        .dedupAgainst(path, docs.filter(col("doc_id") >= cut))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // The APPLY step: drop every token covered by a q_dedup_substr span
     // and re-join the survivors — per-doc counts + the cleaned text, for
     // ALL docs (untouched docs pass through). One extra broadcast-sized

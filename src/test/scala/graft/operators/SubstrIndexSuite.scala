@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SubstrIndexSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("substr-idx").toString + "/idx"
+
+  private def spans(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("crafted: cross-batch marking with the canonical safely in the index") {
+    import spark.implicits._
+    val path = tmp()
+    SubstrIndex.build(Seq(
+      (1L, s"${words("a", 3)} $passage ${words("b", 3)}"), // canonical at pos 4
+      (2L, words("c", 20)),
+    ).toDF("doc_id", "text"), path)
+    // new batch: doc 10 repeats the indexed passage (marked whole), doc
+    // 11 repeats a NEW passage twice (within-batch: second marked only),
+    // doc 12 is untouched
+    val fresh = (1 to 12).map(i => s"q$i").mkString(" ")
+    val out = spans(SubstrIndex.dedupAgainst(path, Seq(
+      (10L, s"${words("d", 2)} $passage"),
+      (11L, s"$fresh ${words("e", 3)} $fresh"),
+      (12L, words("f", 15)),
+    ).toDF("doc_id", "text")))
+    assert(out === Seq((10L, 3L, 14L), (11L, 16L, 27L)))
+    assert(SubstrIndex.width(spark, path) === 12)
+  }
+
+  test("incremental == batch q_dedup_substr_xxh restricted to the new docs") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val cut = 399L
+    val path = tmp()
+    SubstrIndex.build(docs.filter(col("doc_id") < cut), path)
+    val inc = spans(SubstrIndex.dedupAgainst(path, docs.filter(col("doc_id") >= cut)))
+    val batch = spans(graft.queries.LlmOps
+      .substrSpansOf(docs, w = 12, hashKeys = true)
+      .filter(col("doc_id") >= cut))
+    assert(inc === batch, "incremental drifted from batch-over-everything")
+    assert(inc.nonEmpty, "expected planted repeats to reach the new slice")
+  }
+
+  test("append == rebuild; appendVersion retry is idempotent; compact preserves") {
+    import spark.implicits._
+    val a = Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text")
+    val b = Seq((2L, s"${words("b", 2)} $passage")).toDF("doc_id", "text")
+    val probe = Seq((9L, s"${words("z", 3)} $passage ${words("y", 2)}"))
+      .toDF("doc_id", "text")
+    val grown = tmp(); val rebuilt = tmp()
+    SubstrIndex.build(a, grown)
+    SubstrIndex.appendVersion(b, grown, 1L)
+    SubstrIndex.build(a.unionByName(b), rebuilt)
+    val fromGrown = spans(SubstrIndex.dedupAgainst(grown, probe))
+    assert(fromGrown === spans(SubstrIndex.dedupAgainst(rebuilt, probe)))
+    assert(fromGrown === Seq((9L, 4L, 15L)))
+    // retry of the same version overwrites its own dir — no double state
+    SubstrIndex.appendVersion(b, grown, 1L)
+    assert(spans(SubstrIndex.dedupAgainst(grown, probe)) === fromGrown)
+    // compact folds to one committed batch dir with identical serving
+    assert(SubstrIndex.compact(spark, grown) === 2)
+    assert(spans(SubstrIndex.dedupAgainst(grown, probe)) === fromGrown)
+    val dirs = graft.streaming.VersionedState.versions(spark, s"$grown/win", "batch=")
+    assert(dirs.size === 1, s"expected one folded dir, got $dirs")
+  }
+
+  test("torn append batch is invisible; crashed compact recovers at entry") {
+    import spark.implicits._
+    val path = tmp()
+    SubstrIndex.build(Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text"), path)
+    val probe = Seq((9L, passage)).toDF("doc_id", "text")
+    val before = spans(SubstrIndex.dedupAgainst(path, probe))
+    assert(before === Seq((9L, 1L, 12L)))
+    // torn batch: a committed-looking dir missing _SUCCESS must be swept
+    val junk = Seq((50L, words("junkrow", 20))).toDF("doc_id", "text")
+    SubstrIndex.appendVersion(junk, path, 7L)
+    val fs = graft.streaming.VersionedState.fileSystem(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/win/batch=7/_SUCCESS"), false)
+    assert(spans(SubstrIndex.dedupAgainst(path, probe)) === before)
+    assert(graft.streaming.VersionedState
+      .versions(spark, s"$path/win", "batch=") === Seq(0L))
+    // crashed compact window between the two renames: live dir gone,
+    // old dir present, stale stage lying around — entry recovery restores
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/win"),
+      new org.apache.hadoop.fs.Path(s"$path/win_old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/win_compact/batch=9"))
+    assert(spans(SubstrIndex.dedupAgainst(path, probe)) === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/win_compact")))
+  }
+
+  test("build refuses to wipe a directory that is not a substr index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("substr-guard").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/precious.txt"), "do not delete")
+    val e = intercept[IllegalArgumentException] {
+      SubstrIndex.build(Seq((1L, passage)).toDF("doc_id", "text"), dir)
+    }
+    assert(e.getMessage.contains("refusing to wipe"), e.getMessage)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/precious.txt")))
+  }
+}
