@@ -45,6 +45,21 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("exact-substring family: window-join work grows linearly, never doc x doc") {
+    // windows ∝ corpus tokens and the repeated-occurrence list ∝ the
+    // answer, so both the batch xxh form and the index-backed
+    // incremental form must grow ~n^1 (measured ~1.0-1.1) and touch a
+    // vanishing fraction of the doc-pair space the op conceptually
+    // sweeps
+    for (q <- Seq("q_dedup_substr_xxh", "q_dedup_substr_inc")) {
+      val big = m(q, "sf0.1")
+      assert(big.joinRowsMax < 0.05 * big.brutePairs,
+        s"$q: ${big.joinRowsMax} join rows vs ${big.brutePairs} brute doc pairs")
+      val e = exponent(q, _.joinRowsMax)
+      assert(e <= 1.5, s"$q pairing-work growth exponent $e")
+    }
+  }
+
   test("graph analytics: per-round join work grows like the pair graph, far under n^2") {
     for (q <- Seq("q_graph_pagerank", "q_graph_communities",
         "q_graph_communities_inc")) {

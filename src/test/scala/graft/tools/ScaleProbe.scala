@@ -41,7 +41,12 @@ object ScaleProbe {
     * are bounded by bucket collisions, not n^2". */
   val BandedFamilies: Seq[String] = Seq(
     "q_dedup_minhash_xxh", "q_dedup_minhash_sketch_xxh", "q_dedup_simhash64",
-    "q_dedup_winnow_xxh", "q_dedup_embed_lsh", "q_dedup_incremental")
+    "q_dedup_winnow_xxh", "q_dedup_embed_lsh", "q_dedup_incremental",
+    // exact-substring family: the window equi-join's output is exactly
+    // the repeated-window occurrence list (linear in corpus tokens),
+    // never a doc x doc product; the incremental form adds the
+    // seen-keys join against the persisted index (N:1, no fan-out)
+    "q_dedup_substr_xxh", "q_dedup_substr_inc")
 
   /** Quadratic / exact witnesses: q_dedup_embed is the all-pairs
     * brute-force cosine join BY DESIGN; q_dedup_near is the exact
