@@ -112,6 +112,10 @@ object LlmOps {
     * per-document marks are merged into maximal spans (gaps-and-islands
     * over a doc_id-partitioned window). Returns
     * (doc_id, span_start, span_end), 1-based inclusive token positions.
+    * Canonical ordering packs (doc_id, pos) as doc_id·10⁶ + pos — exact
+    * while docs stay under 1M tokens (three orders above this corpus; a
+    * longer doc only shifts WHICH occurrence is exempt, never the
+    * repeated-window set itself, and the oracle packs identically).
     *
     * Distinct from the rest of the dedup family: doc-level ops
     * (minhash/simhash/containment) keep or drop whole documents; this

@@ -35,12 +35,21 @@ object StreamingSubstr {
     val version = batchId + 1
     SubstrIndex.cleanupUncommitted(spark, indexPath)
     if (SubstrIndex.isCommitted(spark, indexPath, version)) return
-    val docs = batch.select("doc_id", "text").localCheckpoint()
+    // sweep this batch's checkpoint blocks on exit (the batch's own AND
+    // dedupAgainst's internal window checkpoint) — a long-lived stream
+    // must not accumulate per-batch blocks (docs/long-lived-spark-jvm-
+    // hygiene.md); both frames are fully consumed inside this call
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     try {
+      val docs = batch.select("doc_id", "text").localCheckpoint()
       SubstrIndex.dedupAgainst(indexPath, docs)
         .write.mode("overwrite").parquet(s"$outDir/spans/batch=$version")
       SubstrIndex.appendVersion(docs, indexPath, version)
-    } finally docs.unpersist()
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** Attach the ingest to a streaming (doc_id, text) frame. `indexPath`

@@ -293,7 +293,11 @@ object ScaleProbe {
       "Graph family (pagerank/communities over the near-dup graph, allExec tally like " +
       "the knn twins - rounds run inside localCheckpoint jobs): every round is O(|E|) " +
       "equi-joins, and |E| grows like the exact shingle join that builds it " +
-      "(q_dedup_near ~n^1.0), so near-linear exponents, far under the n^2 line.\"\n}\n"
+      "(q_dedup_near ~n^1.0), so near-linear exponents, far under the n^2 line. " +
+      "Exact-substring family (q_dedup_substr_xxh batch / q_dedup_substr_inc " +
+      "index-backed): the window equi-join's output is the repeated-window " +
+      "occurrence list — linear in corpus tokens, measured ~n^1.0, never doc x doc; " +
+      "the incremental form's tally includes its cold index build (fresh probe JVM).\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
