@@ -166,6 +166,31 @@ object LlmOps {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** Apply exact-substring removal spans to documents: drop every token
+    * covered by a (doc_id, span_start, span_end) row and re-join the
+    * survivors — (doc_id, n_tokens, n_removed, clean) for ALL docs
+    * (untouched docs pass through; fully-covered docs yield clean="").
+    * Shared by the gated q_dedup_substr_clean and the streaming ingest's
+    * per-batch clean emission ([[graft.streaming.StreamingSubstr]]) so
+    * the apply semantics cannot drift between the batch and streaming
+    * paths. One broadcast-sized join (spans are rare) + a codegen'd HOF
+    * filter per row. */
+  private[graft] def applySpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val spanArr = spans.groupBy("doc_id").agg(collect_list(
+      struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr("""filter(transform(t, (tok, i) -> struct(tok AS tok, CAST(i + 1 AS BIGINT) AS p)),
+               |       x -> spans IS NULL OR
+               |            NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e))"""
+          .stripMargin).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("array_join(transform(kept, x -> x.tok), ' ')").as("clean"))
+  }
+
   /** The ONE band-key expression (numBands bands of `rows` consecutive
     * sketch slots, '-'-joined) — shared by sketchBandCandidates and
     * operators.DedupIndex for the same no-drift reason. */
@@ -1432,23 +1457,10 @@ object LlmOps {
     // and re-join the survivors — per-doc counts + the cleaned text, for
     // ALL docs (untouched docs pass through). One extra broadcast-sized
     // join (spans are rare) + a codegen'd HOF filter per row.
-    "q_dedup_substr_clean" -> ((s, d) => {
-      val spans = substrSpans(s, d, w = 12, hashKeys = false)
-        .groupBy("doc_id").agg(collect_list(
-          struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
-      Tables(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-          expr("""filter(transform(t, (tok, i) -> struct(tok AS tok, CAST(i + 1 AS BIGINT) AS p)),
-                 |       x -> spans IS NULL OR
-                 |            NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e))"""
-            .stripMargin).as("kept"))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
-          expr("array_join(transform(kept, x -> x.tok), ' ')").as("clean"))
-        .orderBy("doc_id")
-    }),
+    "q_dedup_substr_clean" -> ((s, d) =>
+      applySpans(Tables(s, d, "documents"),
+          substrSpans(s, d, w = 12, hashKeys = false))
+        .orderBy("doc_id")),
 
     "q_text_chunk" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -44,6 +44,11 @@ object StreamingSubstr {
       val docs = batch.select("doc_id", "text").localCheckpoint()
       SubstrIndex.dedupAgainst(indexPath, docs)
         .write.mode("overwrite").parquet(s"$outDir/spans/batch=$version")
+      // the APPLY step rides the landed spans (read back, not recomputed)
+      // so clean/ and spans/ can never disagree within a batch
+      graft.queries.LlmOps.applySpans(docs,
+          spark.read.parquet(s"$outDir/spans/batch=$version"))
+        .write.mode("overwrite").parquet(s"$outDir/clean/batch=$version")
       SubstrIndex.appendVersion(docs, indexPath, version)
     } finally {
       val live = spark.sparkContext.getPersistentRDDs
@@ -66,4 +71,10 @@ object StreamingSubstr {
     * `batch` = the arrival batch that marked them). */
   def observedSpans(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/spans")
+
+  /** Every ingested doc with its spans APPLIED — (doc_id, n_tokens,
+    * n_removed, clean) per arrival batch; untouched docs pass through
+    * with clean == their text. The training-ready output stream. */
+  def cleanedDocs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/clean")
 }

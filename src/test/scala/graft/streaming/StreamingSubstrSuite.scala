@@ -46,6 +46,22 @@ class StreamingSubstrSuite extends SparkSpec {
     assert(spans(all.filter(col("batch") === 2)) === exp2)
     assert(exp1.nonEmpty && exp2.nonEmpty, "fixture must plant repeats in both slices")
 
+    // the clean emission applies exactly the landed spans: equal to the
+    // batch apply-step over the arrival prefix, restricted to the batch
+    val cleanRows = StreamingSubstr.cleanedDocs(spark, out)
+      .filter(col("batch") === 2)
+      .select("doc_id", "n_tokens", "n_removed", "clean")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sorted
+    val expClean = graft.queries.LlmOps.applySpans(b2,
+        graft.queries.LlmOps.substrSpansOf(docs, w = 12, hashKeys = true)
+          .filter(col("doc_id") >= 400))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq.sorted
+    assert(cleanRows === expClean)
+    assert(cleanRows.exists(_._3 > 0) && cleanRows.exists(_._3 == 0),
+      "fixture should have both touched and untouched docs")
+
     // a redelivered committed batch is a whole no-op
     val versionsBefore = VersionedState.versions(spark, s"$idx/win", "batch=").sorted
     StreamingSubstr.applyBatch(b1, idx, out, batchId = 0L)
