@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   *
   * On-disk layout under `path` (the [[DedupIndex]] conventions —
   * docs/versioned-state-machines.md):
-  *   - `meta/`: the window width `w` (fixed at build; appends reuse it).
+  *   - `meta/`: the window width `w` and the tokenizer expression
+  *     (both fixed at build; every append and serve reuses them).
   *   - `win/batch=<v>`: (k, canon) — distinct xxhash64 window keys of
   *     batch v with the batch-min canonical position. `_SUCCESS`-gated;
   *     a retried [[appendVersion]] overwrites its own dir
@@ -45,10 +46,12 @@ object SubstrIndex {
   /** (doc_id, pos, k): 1-based window positions and xxhash64 keys of all
     * w-token windows — the SAME windowing as the gated q_dedup_substr_xxh
     * (LlmOps.substrSpansOf with hashKeys=true) so incremental == batch
-    * cannot drift on tokenization. */
-  private def windows(docs: DataFrame, w: Int): DataFrame =
+    * cannot drift on tokenization. `tokenizeSql` is the persisted
+    * tokenizer (meta) — every append and serve of an index runs the
+    * SAME expression, fixed at build time. */
+  private def windows(docs: DataFrame, w: Int, tokenizeSql: String): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(tokenizeSql).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
@@ -83,19 +86,36 @@ object SubstrIndex {
   }
 
   /** The window width the index was built with. */
-  def width(spark: SparkSession, path: String): Int =
-    spark.read.json(s"$path/meta").collect().head.getAs[Long]("w").toInt
+  def width(spark: SparkSession, path: String): Int = params(spark, path)._1
+
+  /** (w, tokenizeSql) the index was built with. Indexes from before the
+    * tokenizer hook carry no `tokenize` field — default whitespace. */
+  def params(spark: SparkSession, path: String): (Int, String) = {
+    val r = spark.read.json(s"$path/meta").collect().head
+    val tok = scala.util.Try(r.getAs[String]("tokenize")).toOption
+      .filter(_ != null).getOrElse(DefaultTokenize)
+    (r.getAs[Long]("w").toInt, tok)
+  }
+
+  /** The whitespace default — the gated queries' tokenization. */
+  val DefaultTokenize: String = "split(text, ' ')"
 
   private def writeBatch(docs: DataFrame, path: String, w: Int,
-                         version: Long): Unit =
-    windows(docs, w)
+                         tokenizeSql: String, version: Long): Unit =
+    windows(docs, w, tokenizeSql)
       .groupBy("k")
       .agg(min(col("doc_id") * 1000000L + col("pos")).as("canon"))
       .write.mode("overwrite").parquet(s"$path/win/batch=$version")
 
   /** Build (overwrite) the index from a (doc_id, text) frame as batch 0.
-    * Wipes ONLY a path that is empty or already holds a substr index. */
-  def build(docs: DataFrame, path: String, w: Int = 12): Unit = {
+    * Wipes ONLY a path that is empty or already holds a substr index.
+    * `tokenize` is any SQL expression over `text` yielding
+    * array<string> — e.g. `split(lower(text), '[^a-z0-9]+')` for
+    * case/punctuation-insensitive spans on non-whitespace corpora; it is
+    * persisted in meta so appends and serves can never tokenize
+    * differently than the build. */
+  def build(docs: DataFrame, path: String, w: Int = 12,
+            tokenize: String = DefaultTokenize): Unit = {
     require(w >= 2, s"need window width >= 2 tokens, got $w")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -107,8 +127,8 @@ object SubstrIndex {
           s"(found ${children.take(5).mkString(", ")}); delete it yourself if intended")
       fs.delete(root, true)
     }
-    writeBatch(docs, path, w, 0L)
-    Seq(w.toLong).toDF("w")
+    writeBatch(docs, path, w, tokenize, 0L)
+    Seq((w.toLong, tokenize)).toDF("w", "tokenize")
       .repartition(1).write.mode("overwrite").json(s"$path/meta")
   }
 
@@ -125,7 +145,8 @@ object SubstrIndex {
     require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
     val spark = docs.sparkSession
     recoverCompact(spark, path)
-    writeBatch(docs, path, width(spark, path), version)
+    val (w, tok) = params(spark, path)
+    writeBatch(docs, path, w, tok, version)
   }
 
   /** Merged removal spans (doc_id, span_start, span_end) of `newDocs`
@@ -136,8 +157,8 @@ object SubstrIndex {
   def dedupAgainst(path: String, newDocs: DataFrame): DataFrame = {
     val spark = newDocs.sparkSession
     cleanupUncommitted(spark, path)
-    val w = width(spark, path)
-    val sh = windows(newDocs, w).localCheckpoint()
+    val (w, tok) = params(spark, path)
+    val sh = windows(newDocs, w, tok).localCheckpoint()
     val seen = spark.read.parquet(s"$path/win").select(col("k")).distinct()
     val batchAgg = sh.groupBy("k").agg(
       count(lit(1)).as("cnt"),

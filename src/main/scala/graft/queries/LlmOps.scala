@@ -134,11 +134,18 @@ object LlmOps {
                           hashKeys: Boolean): DataFrame =
     substrSpansOf(Tables(s, d, "documents"), w, hashKeys)
 
+  /** `tokens` generalizes the whitespace tokenization for library
+    * callers on non-whitespace corpora (e.g.
+    * `split(lower(col("text")), "[^a-z0-9]+")` for case/punctuation-
+    * insensitive spans); the gated queries and their oracles keep the
+    * default. Span positions are 1-based indices into THIS token
+    * stream. */
   private[graft] def substrSpansOf(docs: DataFrame, w: Int,
-                                   hashKeys: Boolean): DataFrame = {
+                                   hashKeys: Boolean,
+                                   tokens: Column = split(col("text"), " ")): DataFrame = {
     val key = if (hashKeys) xxhash64(col("sh")) else col("sh")
     val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))

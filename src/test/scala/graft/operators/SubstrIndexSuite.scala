@@ -99,6 +99,29 @@ class SubstrIndexSuite extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/win_compact")))
   }
 
+  test("custom tokenizer persists in meta: case/punctuation-insensitive spans") {
+    import spark.implicits._
+    val path = tmp()
+    val pass = (1 to 12).map(i => s"tok$i").mkString(" ")
+    SubstrIndex.build(
+      Seq((1L, s"intro words $pass")).toDF("doc_id", "text"),
+      path, w = 12, tokenize = "split(lower(text), '[^a-z0-9]+')")
+    assert(SubstrIndex.params(spark, path) ===
+      (12, "split(lower(text), '[^a-z0-9]+')"))
+    // a SHOUTED, comma-riddled copy still matches under the tokenizer:
+    // doc 10 tokens = [lead, in, tok1..tok12, ""] -> passage at 3..14
+    val noisy = pass.toUpperCase.replace(" ", ", ")
+    val out = spans(SubstrIndex.dedupAgainst(path,
+      Seq((10L, s"Lead-in: $noisy!")).toDF("doc_id", "text")))
+    assert(out === Seq((10L, 3L, 14L)))
+    // the whitespace default would have seen none of it
+    val plain = tmp()
+    SubstrIndex.build(
+      Seq((1L, s"intro words $pass")).toDF("doc_id", "text"), plain)
+    assert(spans(SubstrIndex.dedupAgainst(plain,
+      Seq((10L, s"Lead-in: $noisy!")).toDF("doc_id", "text"))).isEmpty)
+  }
+
   test("build refuses to wipe a directory that is not a substr index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("substr-guard").toString
