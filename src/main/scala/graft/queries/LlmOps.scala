@@ -663,6 +663,29 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE train/test split — the eval-hygiene step after
+    // clustering: near-dup cluster members land on the SAME side (a test
+    // doc whose near-copy sits in train is leakage), so the 80/20 coin
+    // is flipped per CLUSTER_REP, not per doc, with a Knuth
+    // multiplicative hash (rep·2654435761 mod 2³²) both engines compute
+    // in exact integer arithmetic — deterministic, engine-portable, and
+    // balanced even though reps are sequential ids. Composition of the
+    // verified q_dedup_cluster labels + one arithmetic column; the
+    // no-cross-side-pair property is suite-pinned independently.
+    "q_split_leakage_safe" -> ((s, d) => {
+      val pairs = nearDupPairsShared(s, d)
+        .select(col("d1").as("u"), col("d2").as("v"))
+      val (comp, _) = graft.operators.ConnectedComponents.run(pairs)
+      Tables(s, d, "documents").select("doc_id")
+        .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+        .withColumn("side",
+          when(expr("(cluster_rep * 2654435761) % 4294967296") < lit(3435973837L),
+            lit("train")).otherwise(lit("test")))
+        .select("doc_id", "cluster_rep", "side")
+        .orderBy("doc_id")
+    }),
+
     // Canonical-doc selection — the curation move AFTER clustering: keep
     // the highest-quality doc per near-dup cluster (the q_text_quality
     // score), not the arbitrary min-id. One row per cluster. The argmax
@@ -2748,6 +2771,31 @@ object LlmOps {
         |csz AS (SELECT cluster_rep, count(*) AS cluster_size FROM rep GROUP BY 1)
         |SELECT doc_id, cluster_rep, cluster_size
         |FROM rep JOIN csz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |                     WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |       FROM t, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT d1, d2 FROM (
+        |            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS mn FROM reach GROUP BY 1),
+        |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
+        |        FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, cluster_rep,
+        |       CASE WHEN (cluster_rep * 2654435761) % 4294967296 < 3435973837
+        |            THEN 'train' ELSE 'test' END AS side
+        |FROM rep ORDER BY doc_id""".stripMargin,
 
     // Same recursive-closure clusters, then the kept doc by quality with
     // a rank window — independent of the Spark side's struct-max argmax.

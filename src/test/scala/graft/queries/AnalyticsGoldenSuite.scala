@@ -136,4 +136,27 @@ class AnalyticsGoldenSuite extends SparkSpec {
     // purchases), which pins the filter rather than silently passing
     assert(TimeSeries.queries("q_ts_attribution")(spark, dir).collect().isEmpty)
   }
+
+  test("q_split_leakage_safe: no near-dup pair crosses sides; both sides populated") {
+    // the END-TO-END leakage property, independent of how the split is
+    // built: join the actual near-dup pairs against the assignment and
+    // demand zero cross-side pairs — a per-doc coin (what this op
+    // exists to prevent) fails it with high probability
+    val sf = "/root/testdata/sf0.01"
+    val split = graft.SparkEntry.queries("q_split_leakage_safe")(spark, sf)
+    val side = split.select(col("doc_id"), col("side"))
+    val pairs = graft.SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select(col("d1"), col("d2"))
+    val crossers = pairs
+      .join(side.select(col("doc_id").as("d1"), col("side").as("s1")), "d1")
+      .join(side.select(col("doc_id").as("d2"), col("side").as("s2")), "d2")
+      .filter(col("s1") =!= col("s2"))
+    assert(crossers.count() === 0L, "a near-dup pair crossed the split")
+    val bySide = split.groupBy("side").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySide.getOrElse("train", 0L) > 0 && bySide.getOrElse("test", 0L) > 0)
+    // the hash is balanced-ish despite sequential cluster reps
+    val frac = bySide("train").toDouble / (bySide("train") + bySide("test"))
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac drifted from 0.8")
+  }
 }
