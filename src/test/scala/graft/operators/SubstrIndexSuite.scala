@@ -122,6 +122,84 @@ class SubstrIndexSuite extends SparkSpec {
       Seq((10L, s"Lead-in: $noisy!")).toDF("doc_id", "text"))).isEmpty)
   }
 
+  test("tokenizer validation: reflective calls and subqueries rejected at build AND at load") {
+    import spark.implicits._
+    val docs = Seq((1L, passage)).toDF("doc_id", "text")
+    for (bad <- Seq(
+      "split(java_method('java.lang.System', 'getenv', 'PATH'), ' ')",
+      "split(reflect('java.lang.System', 'getenv', 'PATH'), ' ')",
+      "split(cast((select 1) as string), ' ')")) {
+      val e = intercept[IllegalArgumentException] {
+        SubstrIndex.build(docs, tmp(), tokenize = bad)
+      }
+      assert(e.getMessage.contains("tokenizer"), s"$bad -> ${e.getMessage}")
+    }
+    // a TAMPERED meta (the on-disk expression swapped for a reflective
+    // call after build) must refuse to load — expr() on it would
+    // otherwise execute the call on every append/serve
+    val path = tmp()
+    SubstrIndex.build(docs, path)
+    val metaDir = java.nio.file.Paths.get(s"$path/meta")
+    // wipe the written meta (incl. its .crc sidecars — a stale checksum
+    // would fail the read before validation gets a look) and plant the
+    // attacker's expression
+    java.nio.file.Files.list(metaDir).forEach(p => java.nio.file.Files.delete(p))
+    java.nio.file.Files.writeString(metaDir.resolve("tampered.json"),
+      """{"w":12,"tokenize":"split(java_method('java.lang.System','getenv','PATH'), ' ')"}""")
+    val e = intercept[IllegalArgumentException] {
+      SubstrIndex.params(spark, path)
+    }
+    assert(e.getMessage.contains("tokenizer"), e.getMessage)
+  }
+
+  test("bloom prefilter: seen found, novel skips index, torn bloom degrades, append repairs") {
+    import spark.implicits._
+    val base = Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text")
+    val probeSeen = Seq((9L, s"${words("z", 3)} $passage")).toDF("doc_id", "text")
+    val fresh = (1 to 12).map(i => s"n$i").mkString(" ")
+    // novel probe: no indexed window, ONE within-batch repeat
+    def probeNovel(id: Long) =
+      Seq((id, s"$fresh ${words("w", 3)} $fresh")).toDF("doc_id", "text")
+
+    val withBloom = tmp(); val bloomless = tmp()
+    SubstrIndex.build(base, withBloom)
+    SubstrIndex.build(base, bloomless, bloomBits = 0)
+    val fs = graft.streaming.VersionedState.fileSystem(spark, withBloom)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$withBloom/bloom")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bloomless/bloom")))
+    // no false negatives: the indexed passage is marked under the bloom
+    // exactly as under the exact path
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
+    assert(spans(SubstrIndex.dedupAgainst(bloomless, probeSeen)) === Seq((9L, 4L, 15L)))
+    // fully-novel batch: candidate set provably empty — only the
+    // within-batch repeat marks (positions 16..27), index never joined
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeNovel(10L))) ===
+      Seq((10L, 16L, 27L)))
+    // torn bloom state degrades to the exact path, never to a wrong answer
+    fs.delete(new org.apache.hadoop.fs.Path(s"$withBloom/bloom"), true)
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
+    // append REPAIRS the bloom (rebuild-from-win before the OR) and the
+    // appended batch's keys probe as seen immediately after
+    SubstrIndex.appendVersion(
+      Seq((20L, s"$fresh ${words("v", 2)}")).toDF("doc_id", "text"), withBloom, 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$withBloom/bloom")))
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeNovel(108L))) ===
+      Seq((108L, 1L, 12L), (108L, 16L, 27L)))
+  }
+
+  test("sweep releases dedupAgainst's pinned checkpoint blocks") {
+    import spark.implicits._
+    val path = tmp()
+    SubstrIndex.build(Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text"), path)
+    SubstrIndex.sweep(spark) // drain pins from earlier tests
+    val out = SubstrIndex.dedupAgainst(path,
+      Seq((9L, s"${words("z", 3)} $passage")).toDF("doc_id", "text"))
+    assert(out.count() === 1)
+    assert(SubstrIndex.sweep(spark) >= 1, "expected at least the windows checkpoint")
+    assert(SubstrIndex.sweep(spark) === 0, "second sweep must find nothing")
+  }
+
   test("build refuses to wipe a directory that is not a substr index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("substr-guard").toString

@@ -159,4 +159,22 @@ class AnalyticsGoldenSuite extends SparkSpec {
     val frac = bySide("train").toDouble / (bySide("train") + bySide("test"))
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac drifted from 0.8")
   }
+
+  test("knuthHash32: split multiply == rep·A mod 2³² past the int64 overflow bound") {
+    import spark.implicits._
+    // reps above ~3.47e9 overflow the naive rep*2654435761 in BIGINT (the
+    // r9 ADVICE finding: Spark wrapped negative → every such doc 'train',
+    // DuckDB errored); the 16×16 split form must equal the exact
+    // arbitrary-precision product for all of them
+    val reps = Seq(0L, 1L, 12345L, 2147483647L, 3469999999L, 3470000001L,
+      4294967295L, 4294967296L, 1L << 40, (1L << 62) + 987654321L)
+    val got = reps.toDF("cluster_rep")
+      .selectExpr("cluster_rep", LlmOps.knuthHash32("cluster_rep") + " AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.foreach { r =>
+      val exp = ((BigInt(r) * BigInt(2654435761L)) % BigInt(4294967296L)).toLong
+      assert(got(r) === exp, s"rep $r: got ${got(r)}, want $exp")
+      assert(got(r) >= 0, s"rep $r hashed negative — the overflow wrap is back")
+    }
+  }
 }

@@ -69,6 +69,25 @@ class SubstrDedupSuite extends SparkSpec {
     assert(spans === Seq((11L, 1L, 16L)), s"got $spans")
   }
 
+  test("canonical selection survives a >1M-token document (struct min, no packed alias)") {
+    import spark.implicits._
+    // doc 1 carries the passage at position 1,050,001 — past the 1M-token
+    // bound where the r9 doc_id·10⁶+pos packing aliased doc 1's positions
+    // into doc 2's range and wrongly ceded the canonical to doc 2
+    // (1·10⁶+1050001 = 2050001 > 2·10⁶+1). Lexicographic struct(doc_id,
+    // pos) min keeps doc 1 canonical: ONLY doc 2's occurrence is marked.
+    val n = 1050000
+    val sb = new StringBuilder(n * 10)
+    var i = 0
+    while (i < n) { sb.append('u').append(i).append(' '); i += 1 }
+    sb.append(passage)
+    val docs = Seq((1L, sb.toString), (2L, s"$passage ${words("z", 4)}"))
+      .toDF("doc_id", "text")
+    val spans = LlmOps.substrSpansOf(docs, w = 12, hashKeys = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans === Seq((2L, 1L, 12L)), s"got $spans")
+  }
+
   test("xxh twin equals the string-keyed form on the real corpus") {
     val a = SparkEntryAccess.run("q_dedup_substr", sf)
     val b = SparkEntryAccess.run("q_dedup_substr_xxh", sf)

@@ -86,6 +86,28 @@ class StreamingSubstrSuite extends SparkSpec {
     assert(spans(StreamingSubstr.observedSpans(spark, out)) === clean)
   }
 
+  test("clean emission uses the index's persisted tokenizer, not the whitespace default") {
+    import spark.implicits._
+    val pass = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val idx = tmp("ssub-tok-idx"); val out = tmp("ssub-tok-out")
+    SubstrIndex.build(
+      Seq((1L, s"intro words $pass")).toDF("doc_id", "text"),
+      idx, w = 12, tokenize = "split(lower(text), '[^a-z0-9]+')")
+    // noisy re-occurrence: SHOUTED and comma-riddled — invisible to a
+    // whitespace split, found and cleaned under the index's tokenizer
+    val noisy = pass.toUpperCase.replace(" ", ", ")
+    StreamingSubstr.applyBatch(
+      Seq((10L, s"Lead-in: $noisy!")).toDF("doc_id", "text"), idx, out, 0L)
+    assert(spans(StreamingSubstr.observedSpans(spark, out)) === Seq((10L, 3L, 14L)))
+    val r = StreamingSubstr.cleanedDocs(spark, out)
+      .select("doc_id", "n_tokens", "n_removed", "clean").collect()
+    assert(r.length === 1)
+    // tokenizer stream of doc 10 = [lead, in, tok1..tok12, ""] (trailing
+    // empty from the '!') — 15 tokens, 12 removed, survivors re-joined
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2), r.head.getString(3))
+      === ((10L, 15L, 12L, "lead in ")))
+  }
+
   test("MemoryStream end-to-end equals direct applyBatch") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
