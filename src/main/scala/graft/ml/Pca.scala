@@ -207,6 +207,52 @@ object Pca {
     Model(mean, comps, order.map(values).toArray)
   }
 
+  /** Projection drift report — the [[IvfIndex.staleness]] analogue for a
+    * persisted PCA model, which is otherwise frozen forever beside the
+    * index it preprocesses for: (n, capturedVariance, totalVariance,
+    * capturedFraction) of `emb` under the model's axes. The captured
+    * fraction Σⱼ wⱼᵀC·wⱼ / trace(C) — covariance centered at the NEW
+    * data's own mean — is the "does this projection still explain the
+    * corpus" gauge: appends from the fitted distribution keep it near the
+    * build-time explained-variance share; a drifted distribution (new
+    * dominant directions the frozen axes miss) drops it, the "refit the
+    * projection" alarm a weekly pipeline thresholds on (suite-pinned
+    * separation in PcaSuite's drift drill).
+    *
+    * One distributed pass, d² nowhere (works at matrix-free widths): a
+    * single aggregation computes (XᵀX)·Wᵀ via `graft_matvec` (k·d
+    * driver panel), the coordinate sums via `graft_moments`, Σ‖x‖² as a
+    * DECIMAL sum, and n. Driver arithmetic folds the centering in:
+    * wᵀCw = (wᵀ(XᵀX)w)/n − (μ·w)², trace(C) = Σ‖x‖²/n − ‖μ‖². */
+  def staleness(emb: DataFrame, model: Model): (Long, Double, Double, Double) = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val aug = emb.select(expr("CAST(embedding AS array<double>)").as("x"))
+    val basisLit = typedlit[Seq[Seq[Double]]](model.components.map(_.toSeq).toSeq)
+    val r = aug.agg(
+      call_function("graft_matvec", col("x"), basisLit).as("g"),
+      element_at(call_function("graft_moments", lit(0L), col("x")), lit(0L)).as("sum"),
+      sum(call_function("graft_dot", col("x"), col("x"))
+        .cast("decimal(38,12)")).cast("double").as("ss"),
+      count(col("x")).as("n")).head()
+    val n = r.getLong(3)
+    require(n > 0, "pca staleness: empty frame")
+    val g = r.getSeq[Double](0)
+    val mean = r.getSeq[Double](1).map(_ / n).toArray
+    val d = mean.length
+    require(d == model.mean.length,
+      s"pca staleness: dim mismatch (model ${model.mean.length}, data $d)")
+    val total = r.getDouble(2) / n - dot(mean, mean)
+    val captured = model.components.zipWithIndex.map { case (w, j) =>
+      val xtxw = Array.tabulate(d)(i => g(j * d + i))
+      dot(w, xtxw) / n - { val mw = dot(mean, w); mw * mw }
+    }.sum
+    // a degenerate corpus (all rows identical) has zero variance in every
+    // direction: report full capture (nothing left to explain) rather
+    // than 0/0
+    val frac = if (total <= 0.0) 1.0 else captured / total
+    (n, captured, total, frac)
+  }
+
   /** Persist a fitted model (single-row parquet beside an index — the
     * [[IvfIndex.saveModel]] discipline): serving sessions load the model
     * instead of refitting, so the projection every index consumer applies

@@ -1482,6 +1482,17 @@ object LlmOps {
       substrSpans(s, d, w = 12, hashKeys = true)
         .orderBy("doc_id", "span_start")),
 
+    // Width sweep: the SAME operator at w=8 under its own full oracle —
+    // w is the family's one tuning knob (Lee et al. used 50 BPE tokens;
+    // the harness corpus plants 12-token repeats), and a second
+    // hash-verified width pins that the windowing/canonical/island
+    // machinery is width-generic, not w=12-shaped. Smaller w marks MORE
+    // (every 8-token sub-window of a repeated passage repeats, plus
+    // shorter incidental repeats).
+    "q_dedup_substr_w8" -> ((s, d) =>
+      substrSpans(s, d, w = 8, hashKeys = false)
+        .orderBy("doc_id", "span_start")),
+
     // INCREMENTAL exact-substring dedup via the persisted window index
     // (operators.SubstrIndex): index the first 80% of doc_ids ONCE per
     // (app, corpus), then mark the last-20% batch's repeated-passage
@@ -3172,6 +3183,28 @@ object LlmOps {
         |rep AS (SELECT sh, min({'d': doc_id, 'p': pos}) AS canon
         |        FROM sh GROUP BY sh HAVING count(*) >= 2),
         |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 11 AS e0
+        |          FROM sh s JOIN rep r ON s.sh = r.sh
+        |          WHERE s.doc_id <> r.canon.d OR s.pos <> r.canon.p),
+        |ord AS (SELECT doc_id, s0, e0,
+        |          max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |        FROM marks),
+        |isl AS (SELECT doc_id, s0, e0,
+        |          SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM ord)
+        |SELECT doc_id, min(s0) AS span_start, max(e0) AS span_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_substr_w8" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS sh
+        |  FROM t, UNNEST(generate_series(1, len(t) - 7)) AS u(i)),
+        |rep AS (SELECT sh, min({'d': doc_id, 'p': pos}) AS canon
+        |        FROM sh GROUP BY sh HAVING count(*) >= 2),
+        |marks AS (SELECT s.doc_id, s.pos AS s0, s.pos + 7 AS e0
         |          FROM sh s JOIN rep r ON s.sh = r.sh
         |          WHERE s.doc_id <> r.canon.d OR s.pos <> r.canon.p),
         |ord AS (SELECT doc_id, s0, e0,

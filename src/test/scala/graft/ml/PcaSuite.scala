@@ -414,4 +414,69 @@ class PcaSuite extends SparkSpec {
       assert(m2.variances.toSeq === m.variances.toSeq)
     }
   }
+
+  /** Fresh anisotropic rows (same planted u/w directions, disjoint seeds)
+    * — the "next week's in-distribution batch" for the drift drill. */
+  private def anisotropicFresh(n: Int, d: Int, off: Long) = {
+    import spark.implicits._
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val u = Array.tabulate(d)(j => if (j % 2 == 0) 1.0 else 0.0).map(_ / math.sqrt(d / 2))
+    val w = Array.tabulate(d)(j => if (j % 2 == 1) 1.0 else 0.0).map(_ / math.sqrt(d / 2))
+    def gauss(s0: Long): Double = {
+      var s = s0; var acc = 0.0
+      for (_ <- 1 to 4) { s = lcg(s); acc += (s >>> 11).toDouble / (1L << 53).toDouble }
+      (acc - 2.0) * math.sqrt(3.0)
+    }
+    (0 until n).map { i0 =>
+      val i = i0 + off
+      val a = 5.0 * gauss(i * 7919L + 1)
+      val b = 2.0 * gauss(i * 104729L + 2)
+      val x = Array.tabulate(d)(j =>
+        (a * u(j) + b * w(j) + 0.1 * gauss(i * 31L + j * 17L + 3)).toFloat)
+      (i, x)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("staleness: exact self-capture; in-distribution stays high, drift fires the alarm") {
+    val d = 16
+    val train = anisotropic(600, d)
+    val m = Pca.fit(train, k = 2)
+    // on the TRAINING corpus itself, captured variance == the model's own
+    // eigenvalue sum and the total == the covariance trace — exact up to
+    // the Jacobi tolerance and the aggregation grid
+    val (n0, cap0, tot0, f0) = Pca.staleness(train, m)
+    assert(n0 === 600L)
+    assert(math.abs(cap0 - m.variances.sum) / m.variances.sum < 1e-6,
+      s"self-capture $cap0 vs eigenvalue sum ${m.variances.sum}")
+    assert(f0 > 0.95 && f0 <= 1.0 + 1e-12, s"self fraction $f0")
+    assert(tot0 > cap0, "noise coordinates must contribute residual variance")
+    // next week, same distribution: the frozen projection still explains it
+    val (_, _, _, fIn) = Pca.staleness(anisotropicFresh(400, d, off = 100000L), m)
+    assert(fIn > 0.9, s"in-distribution capture dropped to $fIn")
+    // drifted batch: the dominant direction rotates to t ⟂ {u, w} — the
+    // frozen axes explain almost none of it; a weekly threshold on the
+    // captured fraction separates the two regimes cleanly
+    val drifted = {
+      import spark.implicits._
+      def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+      def gauss(s0: Long): Double = {
+        var s = s0; var acc = 0.0
+        for (_ <- 1 to 4) { s = lcg(s); acc += (s >>> 11).toDouble / (1L << 53).toDouble }
+        (acc - 2.0) * math.sqrt(3.0)
+      }
+      val t = Array.tabulate(d)(j =>
+        if (j % 2 == 0) { if ((j / 2) % 2 == 0) 1.0 else -1.0 } else 0.0)
+        .map(_ / math.sqrt(d / 2))
+      (0 until 400).map { i =>
+        val a = 5.0 * gauss(i * 50021L + 9)
+        val x = Array.tabulate(d)(j =>
+          (a * t(j) + 0.1 * gauss(i * 37L + j * 13L + 5)).toFloat)
+        (i.toLong, x)
+      }.toDF("vec_id", "embedding")
+    }
+    val (_, _, totD, fDrift) = Pca.staleness(drifted, m)
+    assert(totD > 10, s"drift fixture lost its planted variance: $totD")
+    assert(fDrift < 0.2, s"drifted capture $fDrift — alarm would not fire")
+    assert(fIn - fDrift > 0.6, s"separation too narrow: $fIn vs $fDrift")
+  }
 }
