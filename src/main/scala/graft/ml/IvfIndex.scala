@@ -369,6 +369,216 @@ object IvfIndex {
       loadModel(spark, s"$path/model"), topK, nprobe,
       maxBatch = Some(committedIngestVersion(spark, path)))
 
+  // ---------------------------------------------------------------------
+  // IVF-PQ: product-quantized residual codes — the serving shape between
+  // "int8 scan" (4× shrink, q_vec_quantize) and a recall cliff. Each
+  // stored vector becomes its coarse cell id plus m sub-codes indexing
+  // per-subspace codebooks trained on the RESIDUAL v − centroid(cell):
+  // m=8, ksub=16 over d=64 doubles turns 512 bytes into 8 nibble-codes —
+  // the ~64× compression a 100 TB embedding store serves from. Search is
+  // asymmetric (ADC): the query stays exact; score(candidate) ≈ q·cent +
+  // Σ_s q_s·codeword_s, where the per-subspace dot table (LUT) is
+  // computed ONCE per query (cell-independent — residual codebooks are
+  // shared across cells) and each candidate costs m table lookups
+  // (codegen'd element_at sum) instead of d multiplies.
+  //
+  // Determinism (same contract as the coarse trainer): codeword init =
+  // residual sub-slices of the ksub lowest vec_ids, assignment argmin
+  // with strict < (ties to the lowest code), DECIMAL per-dimension mean
+  // updates — model bytes identical across partitionings (suite-pinned).
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace residual codebooks: codebooks(s)(c) is codeword c of
+    * subspace s, each of length d/m. */
+  case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def ksub: Int = codebooks(0).length
+    def dsub: Int = codebooks(0)(0).length
+  }
+
+  private def residUdf(cents: Array[Array[Double]]) =
+    udf { (v: Seq[Double], cell: Int) =>
+      val c = cents(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i)).toSeq
+    }
+
+  /** (vec_id, cell, r): normalized vectors with their coarse residual. */
+  private def residuals(df: DataFrame, model: Model): DataFrame =
+    assign(df, model)
+      .withColumn("r", residUdf(model.centroids)(col("v"), col("cell")))
+      .select("vec_id", "cell", "r")
+
+  private def encodeUdf(books: Array[Array[Array[Double]]]) = udf { r: Seq[Double] =>
+    val m = books.length
+    val dsub = books(0)(0).length
+    Array.tabulate(m) { s =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < books(s).length) {
+        val cw = books(s)(c)
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) { val t = r(s * dsub + j) - cw(j); dist += t * t; j += 1 }
+        if (dist < bestD) { bestD = dist; best = c } // strict <: ties keep lowest
+        c += 1
+      }
+      best
+    }.toSeq
+  }
+
+  /** Deterministic per-subspace Lloyd over coarse residuals. Requires at
+    * least `ksub` corpus rows (codeword init = the ksub lowest vec_ids'
+    * residual slices) and d divisible by `m`. */
+  def trainPq(df: DataFrame, coarse: Model, m: Int, ksub: Int, iters: Int): PqModel = {
+    val spark = df.sparkSession
+    val d = coarse.centroids(0).length
+    require(m >= 1 && d % m == 0, s"need d ($d) divisible by m ($m)")
+    require(ksub >= 1 && iters >= 0, s"need ksub >= 1, iters >= 0")
+    val dsub = d / m
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // materialize residuals once: every Lloyd pass (and the seed
+      // collect) reuses them; swept in finally (fully consumed here)
+      val res = residuals(df, coarse).localCheckpoint()
+      val seeds = res.orderBy("vec_id").limit(ksub).collect()
+        .map(_.getSeq[Double](2))
+      require(seeds.length >= ksub,
+        s"pq: need at least ksub=$ksub rows, got ${seeds.length}")
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+        Array.tabulate(ksub)(c => seeds(c).slice(s * dsub, (s + 1) * dsub).toArray))
+      for (_ <- 1 to iters) {
+        val sums = res
+          .select(posexplode(encodeUdf(books)(col("r"))).as(Seq("sub", "code")), col("r"))
+          .select(col("sub"), col("code"),
+            posexplode(expr(s"slice(r, sub * $dsub + 1, $dsub)")).as(Seq("dim", "x")))
+          .groupBy("sub", "code", "dim")
+          .agg(sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+            count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+          byCell.get((s, c)) match {
+            case Some(rows) => // per-dim decimal mean; empty codes keep codeword
+              rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4)).toArray
+            case None => books(s)(c)
+          }))
+      }
+      PqModel(books)
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** (vec_id, cell, codes): the PQ-compressed corpus — the m sub-codes
+    * replace the vector; this is the whole stored payload at serve time. */
+  def encodePq(df: DataFrame, coarse: Model, pq: PqModel): DataFrame =
+    residuals(df, coarse)
+      .withColumn("codes", encodeUdf(pq.codebooks)(col("r")))
+      .select("vec_id", "cell", "codes")
+
+  /** Persist per-subspace codebooks beside the index (one row per
+    * codeword — KB-scale, the saveModel discipline). */
+  def savePqModel(spark: SparkSession, pq: PqModel, path: String): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until pq.m; c <- 0 until pq.ksub)
+      yield (s, c, pq.codebooks(s)(c).toSeq))
+      .toDF("sub", "code", "codeword")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path).select("sub", "code", "codeword").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    PqModel(Array.tabulate(m) { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    })
+  }
+
+  /** Build THE persisted PQ index: coarse quantizer + residual codebooks
+    * + the cell-partitioned CODES layout (vec_id, codes — no vectors; the
+    * ~64× shrink is the point). Serving needs only the path. */
+  def buildPqIndex(df: DataFrame, k: Int, iters: Int, m: Int, ksub: Int,
+                   pqIters: Int, path: String): (Model, PqModel) = {
+    val coarse = train(df, k, iters)
+    saveModel(df.sparkSession, coarse, s"$path/model")
+    val pq = trainPq(df, coarse, m, ksub, pqIters)
+    savePqModel(df.sparkSession, pq, s"$path/pq_model")
+    graft.sources.PartitionedLayout.writePartitioned(
+      encodePq(df, coarse, pq), s"$path/codes", "cell")
+    (coarse, pq)
+  }
+
+  /** Query-side LUT: lut(s·ksub + c) = q_s · codeword_c^s — computed once
+    * per query, cell-independent (residual codebooks are shared). */
+  private def lutUdf(books: Array[Array[Array[Double]]]) = udf { qv: Seq[Double] =>
+    val m = books.length
+    val ksub = books(0).length
+    val dsub = books(0)(0).length
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val cw = books(s)(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) { acc += qv(s * dsub + j) * cw(j); j += 1 }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    out.toSeq
+  }
+
+  private def qDotCentUdf(cents: Array[Array[Double]]) =
+    udf { (qv: Seq[Double], cell: Int) =>
+      val c = cents(cell)
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { acc += qv(i) * c(i); i += 1 }
+      acc
+    }
+
+  /** ADC search over a [[buildPqIndex]] layout: probe nprobe cell
+    * directories (partition-pruned file listing, same as
+    * [[searchPartitioned]]), score candidates as q·cent + m LUT lookups —
+    * a codegen'd element_at sum, no per-candidate d-length dot, and the
+    * corpus vectors are never read (they are not even stored). Returns
+    * (q_id, rn, c_id, score) where score approximates the cosine of
+    * normalized vectors; ties rank by c_id. */
+  def searchPqIndex(spark: SparkSession, path: String, queries: DataFrame,
+                    topK: Int, nprobe: Int): DataFrame = {
+    val coarse = loadModel(spark, s"$path/model")
+    val pq = loadPqModel(spark, s"$path/pq_model")
+    require(nprobe >= 1 && nprobe <= coarse.k)
+    val qc = normalized(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("lut", lutUdf(pq.codebooks)(col("qv")))
+      .withColumn("cell", explode(nearestCellsUdf(coarse.centroids, nprobe)(col("qv"))))
+      .withColumn("qdotc", qDotCentUdf(coarse.centroids)(col("qv"), col("cell")))
+    val probed = qc.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val codes = graft.sources.PartitionedLayout.read(spark, s"$path/codes")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("vec_id").as("c_id"), col("codes"), col("cell"))
+    // ADC: codegen'd sum of m lookups (1-based element_at; codes are
+    // 0-based per subspace, offset s·ksub into the flattened LUT)
+    val adc = (0 until pq.m).map(s =>
+      element_at(col("lut"),
+        element_at(col("codes"), s + 1) + lit(s * pq.ksub) + lit(1)))
+      .reduce(_ + _)
+    val scored = qc.join(codes, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", col("qdotc") + adc)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select("q_id", "rn", "c_id", "score")
+  }
+
   /** [[search]] against a [[writeCells]] layout. The probed-cell union is
     * collected driver-side (queries are the tiny side by construction) and
     * pushed as an `isin` PARTITION filter, so Catalyst's file listing

@@ -2360,6 +2360,33 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // IVF-PQ — the last rung of the vector-store compression ladder
+    // (float scan -> int8 4x (q_sim_topk_quant) -> PQ ~32-64x): the
+    // persisted index stores ONLY (vec_id, cell, m sub-codes); serving is
+    // asymmetric-distance (ADC) — one cell-independent LUT per query,
+    // then m codegen'd table lookups per candidate instead of a d-length
+    // dot, over partition-pruned cell directories. Rows-only for the
+    // driver (iterative k-means at two levels); IvfIndexSuite pins
+    // byte-determinism across partitionings, ADC == brute force exactly
+    // on a corpus whose residuals the codebooks represent losslessly, a
+    // recall floor on a clustered corpus, and the honest floor on this
+    // unclustered one (see ANN_CURVE.json's note — PQ is a structure
+    // bet, and the testdata has none).
+    "q_ann_ivf_pq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val path = graft.operators.Scratch.dir(
+        "graft-ivf-pq", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+          m = 16, ksub = 16, pqIters = 3, path)
+      }
+      graft.ml.IvfIndex.searchPqIndex(s, path, queries, topK = 5, nprobe = 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("q_id", "rn")
+    }),
+
     // Distributed k-NN GRAPH (ml.KnnGraph, NN-Descent): LSH-seeded,
     // join-shaped neighbor-of-neighbor refinement with internal
     // oversampling, top-k per node through this repo's own TopKPerKey

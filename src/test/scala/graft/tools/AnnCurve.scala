@@ -112,6 +112,21 @@ object AnnCurve {
       rows += ((s"pca16_ivf_nprobe_$nprobe", recallOf(topIds(run)), time3(run.collect())))
     }
 
+    // IVF-PQ rows (the q_ann_ivf_pq pipeline): codes-only ADC serving at
+    // ~32–64× compression. Recall on THIS corpus is the documented honest
+    // negative — unclustered Gaussians leave no residual structure for
+    // the codebooks; IvfIndexSuite pins the high-recall regime (0.86+)
+    // on a structured-residual fixture and exact reconstruction when the
+    // codebooks cover every residual.
+    val pqDir = java.nio.file.Files.createTempDirectory("ann-curve-pq").toString + "/idx"
+    graft.ml.IvfIndex.buildPqIndex(corpus, k = k, iters = 3,
+      m = 16, ksub = 16, pqIters = 3, pqDir)
+    for (nprobe <- Seq(2, 4, 8, 16)) {
+      def run = graft.ml.IvfIndex.searchPqIndex(spark, pqDir, queries,
+        topK = 5, nprobe = nprobe).select("q_id", "rn", "c_id")
+      rows += ((s"ivfpq_m16_nprobe_$nprobe", recallOf(topIds(run)), time3(run.collect())))
+    }
+
     rows.foreach { case (name, recall, sec) =>
       println(f"[ann] $name%-16s recall@5=${recall}%5.3f  ${sec}%6.3f s")
     }
@@ -132,7 +147,11 @@ object AnnCurve {
       "is a spectral-decay trade: on the suite's planted decaying spectrum the " +
       "same 16 axes carry >99 percent of variance and neighbor structure survives; " +
       "a production corpus sits between, which is why the pipeline ships with the " +
-      "recall curve rather than a blanket claim\"\n}\n"
+      "recall curve rather than a blanket claim. The ivfpq_* rows are the same " +
+      "honest negative one rung further down the compression ladder (codes-only " +
+      "ADC, ~32-64x): residual codebooks need residual STRUCTURE, and this corpus " +
+      "has none - IvfIndexSuite pins recall 0.86+ on a structured-residual fixture " +
+      "and exact ADC==brute reconstruction when codebooks cover every residual\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_CURVE.json"),
       json.getBytes("UTF-8"))
     println("wrote ANN_CURVE.json")
