@@ -53,7 +53,10 @@ import org.apache.spark.sql.functions._
   * skip the index entirely (a fully-novel batch touches ZERO index
   * files), and only the surviving candidates semi-join the stored keys
   * (index streamed map-side against the broadcast candidate set when the
-  * batch is mostly novel — AQE picks the build side). Plus the same
+  * batch is mostly novel — AQE picks the build side). The prefilter
+  * auto-engages only past [[BloomMinIndexBytes]] of stored keys (its
+  * fixed costs beat a small index's scan; one FS listing decides —
+  * override with the explicit `useBloom` arg). Plus the same
   * map-combining within-batch group and doc_id-partitioned island merge
   * as the batch operator. Work per day ∝ the day's batch, never the
   * corpus.
@@ -183,25 +186,32 @@ object SubstrIndex {
       .repartition(1).write.mode("overwrite").json(s"$path/bloom_meta")
   }
 
+  private def bloomMeta(spark: SparkSession, path: String): Option[(Int, Int)] = {
+    val (fs, p) = hadoopFs(spark, s"$path/bloom_meta")
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val m = spark.read.json(s"$path/bloom_meta").collect().head
+      (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
+    }.toOption
+  }
+
   private def readBloom(spark: SparkSession,
                         path: String): Option[(DataFrame, Int, Int)] =
-    scala.util.Try {
-      val m = spark.read.json(s"$path/bloom_meta").collect().head
-      val bits = m.getAs[Long]("num_bits").toInt
-      val hashes = m.getAs[Long]("num_hashes").toInt
-      val bf = spark.read.parquet(s"$path/bloom")
-      require(bf.count() == 1, "bloom must be exactly one row")
-      (bf, bits, hashes)
-    }.toOption
+    bloomMeta(spark, path).flatMap { case (bits, hashes) =>
+      scala.util.Try {
+        require(hadoopFs(spark, s"$path/bloom")._1
+          .exists(new org.apache.hadoop.fs.Path(s"$path/bloom")), "no bloom dir")
+        val bf = spark.read.parquet(s"$path/bloom")
+        require(bf.count() == 1, "bloom must be exactly one row")
+        (bf, bits, hashes)
+      }.toOption
+    }
 
   /** Recompute the seen-filter from the full stored key set — the repair
     * path after a torn bloom write (one full index key scan; appends keep
     * it current afterwards). No-op if the index was built bloomless. */
   def rebuildBloom(spark: SparkSession, path: String): Unit =
-    scala.util.Try {
-      val m = spark.read.json(s"$path/bloom_meta").collect().head
-      (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
-    }.toOption.foreach { case (bits, hashes) =>
+    bloomMeta(spark, path).foreach { case (bits, hashes) =>
       writeBloom(spark, path,
         bloomBitsOf(spark.read.parquet(s"$path/win").select("k"), bits, hashes),
         bits, hashes)
@@ -212,11 +222,7 @@ object SubstrIndex {
     * crash history). Skips indexes built without a bloom. */
   private def growBloom(spark: SparkSession, path: String, docs: DataFrame,
                         w: Int, tok: String): Unit = {
-    val metaOpt = scala.util.Try {
-      val m = spark.read.json(s"$path/bloom_meta").collect().head
-      (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
-    }.toOption
-    metaOpt.foreach { case (bits, hashes) =>
+    bloomMeta(spark, path).foreach { case (bits, hashes) =>
       val stored: Seq[Long] = readBloom(spark, path) match {
         case Some((bf, _, _)) => bf.collect().head.getSeq[Long](0)
         case None => // torn bloom: rebuild the committed part from win/
@@ -339,7 +345,24 @@ object SubstrIndex {
     * never reads `win/` at all, otherwise only the candidate keys
     * semi-join the stored set. Call [[sweep]] after consuming the
     * result (see the block-hygiene note in the class doc). */
-  def dedupAgainst(path: String, newDocs: DataFrame): DataFrame = {
+  /** Stored-key bytes below which [[dedupAgainst]] skips the bloom: the
+    * prefilter costs a bitset read+broadcast plus one extra pass over the
+    * batch windows (the empty-candidate short-circuit) — measured ~0.5 s
+    * of fixed overhead at local scale, which only pays for itself once
+    * the index-side read it can skip is bigger than that. One FS content
+    * listing decides; explicit `useBloom` overrides. */
+  val BloomMinIndexBytes: Long = 64L << 20
+
+  private def winBytes(spark: SparkSession, path: String): Long =
+    scala.util.Try(hadoopFs(spark, s"$path/win")._1
+      .getContentSummary(new org.apache.hadoop.fs.Path(s"$path/win"))
+      .getLength).getOrElse(0L)
+
+  def dedupAgainst(path: String, newDocs: DataFrame): DataFrame =
+    dedupAgainst(path, newDocs, useBloom = None)
+
+  def dedupAgainst(path: String, newDocs: DataFrame,
+                   useBloom: Option[Boolean]): DataFrame = {
     val spark = newDocs.sparkSession
     cleanupUncommitted(spark, path)
     val (w, tok) = params(spark, path)
@@ -347,9 +370,12 @@ object SubstrIndex {
     val batchAgg = sh.groupBy("k").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("bcanon"))
+    val bloomWorthIt = useBloom.getOrElse(
+      winBytes(spark, path) >= BloomMinIndexBytes)
     // bloom prefilter: candidate keys = batch keys the filter might have
     // seen. None ⇒ provably nothing is in the index — skip reading it.
-    val candKeys: Option[DataFrame] = readBloom(spark, path) match {
+    val candKeys: Option[DataFrame] =
+      (if (bloomWorthIt) readBloom(spark, path) else None) match {
       case Some((bf, bits, hashes)) =>
         val c = batchAgg.select("k").join(broadcast(bf))
           .filter(expr(graft.functions.BloomAgg.mightContainSql(

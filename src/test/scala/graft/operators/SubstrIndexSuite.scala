@@ -167,25 +167,32 @@ class SubstrIndexSuite extends SparkSpec {
     val fs = graft.streaming.VersionedState.fileSystem(spark, withBloom)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$withBloom/bloom")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$bloomless/bloom")))
+    // useBloom = Some(true): the test index sits far below the
+    // BloomMinIndexBytes auto-gate, so the bloom path must be forced
+    def withB(path: String, probe: org.apache.spark.sql.DataFrame) =
+      spans(SubstrIndex.dedupAgainst(path, probe, useBloom = Some(true)))
     // no false negatives: the indexed passage is marked under the bloom
     // exactly as under the exact path
-    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
+    assert(withB(withBloom, probeSeen) === Seq((9L, 4L, 15L)))
     assert(spans(SubstrIndex.dedupAgainst(bloomless, probeSeen)) === Seq((9L, 4L, 15L)))
     // fully-novel batch: candidate set provably empty — only the
     // within-batch repeat marks (positions 16..27), index never joined
-    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeNovel(10L))) ===
-      Seq((10L, 16L, 27L)))
+    assert(withB(withBloom, probeNovel(10L)) === Seq((10L, 16L, 27L)))
     // torn bloom state degrades to the exact path, never to a wrong answer
     fs.delete(new org.apache.hadoop.fs.Path(s"$withBloom/bloom"), true)
-    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
+    assert(withB(withBloom, probeSeen) === Seq((9L, 4L, 15L)))
     // append REPAIRS the bloom (rebuild-from-win before the OR) and the
     // appended batch's keys probe as seen immediately after
     SubstrIndex.appendVersion(
       Seq((20L, s"$fresh ${words("v", 2)}")).toDF("doc_id", "text"), withBloom, 1L)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$withBloom/bloom")))
-    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeSeen)) === Seq((9L, 4L, 15L)))
-    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeNovel(108L))) ===
+    assert(withB(withBloom, probeSeen) === Seq((9L, 4L, 15L)))
+    assert(withB(withBloom, probeNovel(108L)) ===
       Seq((108L, 1L, 12L), (108L, 16L, 27L)))
+    // the auto-gate itself: default call on this tiny index = exact path,
+    // same answer (the gate is a cost decision, never a semantic one)
+    assert(spans(SubstrIndex.dedupAgainst(withBloom, probeNovel(208L))) ===
+      Seq((208L, 1L, 12L), (208L, 16L, 27L)))
   }
 
   test("sweep releases dedupAgainst's pinned checkpoint blocks") {
