@@ -220,6 +220,23 @@ object CommunityIndex {
     VersionedState.recoverSwap(spark,
       live = s"$path/adj", old = s"$path/adj_old", stage = s"$path/adj_compact")
 
+  /** The standalone entry-hygiene sweep ([[advance]] and [[compact]] run
+    * the same steps on entry; this exposes it as the uniform `recover`
+    * verb — [[IndexMaintenance]]): finish/undo a crashed compact, delete
+    * adjacency deltas above the committed label head (a torn previous
+    * call's work-in-progress), and delete label snapshot dirs that never
+    * committed. Single-writer only. */
+  def cleanupUncommitted(spark: SparkSession, path: String): Unit = {
+    recoverCompact(spark, path)
+    val head = version(spark, path)
+    adjBatches(spark, path).filter(b => head.forall(_ < b))
+      .foreach(b => VersionedState.delete(spark, s"$path/adj/batch=$b"))
+    val committed = VersionedState.committedVersions(spark, path).toSet
+    VersionedState.versions(spark, path, prefix = "v")
+      .filterNot(committed.contains)
+      .foreach(v => VersionedState.delete(spark, s"$path/v$v"))
+  }
+
   /** Rows of `symm` already present in the committed adjacency are
     * dropped WITHOUT shuffling the committed side: scan it once against
     * the broadcast delta (semi-join, output ≤ delta-sized), then drop
