@@ -147,6 +147,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IvfSearchPlaceholder].getName, "graft_ivf_search"),
       SqlSurface.ivfSearchBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_pq_search"),
+      new ExpressionInfo(classOf[PqSearchPlaceholder].getName, "graft_pq_search"),
+      SqlSurface.pqSearchBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search"),
       new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
       SqlSurface.knnSearchBuilder _))

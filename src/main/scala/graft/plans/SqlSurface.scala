@@ -142,6 +142,19 @@ object SqlSurface {
       intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
   }
 
+  /** graft_pq_search('path', TABLE(queries), k, nprobe) — ADC top-k per
+    * query against the persisted IVF-PQ index at `path` (codes-only
+    * store, [[graft.ml.IvfIndex.searchPqIndex]]): the compressed serving
+    * rung is SQL-reachable like every other index family. */
+  def pqSearchBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pq_search"
+    require(exprs.size == 4,
+      s"$fn(path, queries, k, nprobe) takes 4 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe), got ${exprs.size}")
+    PqSearchPlaceholder(strLit(fn, "path", exprs.head),
+      tableArg(fn, "second", exprs(1)),
+      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
+  }
+
   /** graft_knn_search(graph, corpus, queries, k[, beam, rounds]) — graph-
     * ANN beam search over a prebuilt KnnGraph.build graph: completes SQL
     * access across all three index families (dedup, IVF, graph). `graph`
@@ -383,6 +396,17 @@ case class IvfSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL IVF-PQ search; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("PqSearchPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): PqSearchPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL graph-ANN search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class KnnSearchPlaceholder(graph: LogicalPlan, corpus: LogicalPlan,
@@ -563,6 +587,11 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
         .queryExecution.analyzed
     case p: IvfSearchPlaceholder if p.childrenResolved =>
       graft.ml.IvfIndex.searchIndex(session, p.path,
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          topK = p.k, nprobe = p.nprobe)
+        .queryExecution.analyzed
+    case p: PqSearchPlaceholder if p.childrenResolved =>
+      graft.ml.IvfIndex.searchPqIndex(session, p.path,
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           topK = p.k, nprobe = p.nprobe)
         .queryExecution.analyzed

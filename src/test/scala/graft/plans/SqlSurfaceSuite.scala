@@ -127,6 +127,24 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graft_pq_search: SQL round trip equals the Scala IVF-PQ operator") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-pq-idx").toString
+    graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+      m = 16, ksub = 16, pqIters = 3, dir)
+    queries.createOrReplaceTempView("sql_pq_q")
+    val sql = spark.sql(
+      s"SELECT * FROM graft_pq_search('$dir', TABLE(SELECT * FROM sql_pq_q), 5, 2)")
+    val api = graft.ml.IvfIndex.searchPqIndex(spark, dir, queries, topK = 5, nprobe = 2)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val want = api.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("graft_knn_search: SQL round trip equals the Scala graph operator") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 50)
