@@ -199,26 +199,34 @@ object IvfIndex {
     * QUIESCED (same discipline as [[graft.operators.DedupIndex.compact]]:
     * a replay of a batch id below the head would re-land folded rows).
     * Returns the number of batches folded away. */
-  def compactCells(spark: SparkSession, path: String): Int = {
-    cleanupUncommittedIngest(spark, path) // torn data must not be folded in
+  def compactCells(spark: SparkSession, path: String): Int =
+    compactLayout(spark, path, "cells", Seq("vec_id", "v", "cell"))
+
+  /** [[compactCells]] for the PQ codes layout. */
+  def compactPqCodes(spark: SparkSession, path: String): Int =
+    compactLayout(spark, path, "codes", Seq("vec_id", "codes", "cell"))
+
+  private def compactLayout(spark: SparkSession, path: String, dir: String,
+                            dataCols: Seq[String]): Int = {
+    cleanupUncommittedLayout(spark, path, dir) // torn data must not be folded in
     val head = committedIngestVersion(spark, path)
-    val cells = graft.sources.PartitionedLayout.read(spark, s"$path/cells")
+    val cells = graft.sources.PartitionedLayout.read(spark, s"$path/$dir")
     // partition-column discovery may infer int or long for `batch`
     val batches = cells.select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0))
     if (batches.length <= 1) return 0
     graft.sources.PartitionedLayout.writePartitioned(
       cells.filter(col("batch") <= head)
-        .select(col("vec_id"), col("v"), col("cell"))
+        .select(dataCols.map(col): _*)
         .withColumn("batch", lit(head)),
-      s"$path/cells_compact", "cell", "batch")
+      s"$path/${dir}_compact", "cell", "batch")
     val (fs, _) = hadoopFs(spark, path)
-    val live = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells_old")
+    val live = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${dir}_old")
     fs.delete(old, true)
-    require(fs.rename(live, old), s"compactCells: could not stage cells aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/cells_compact"), live),
-      s"compactCells: could not swap in compacted cells (originals at cells_old)")
+    require(fs.rename(live, old), s"compact: could not stage $dir aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/${dir}_compact"), live),
+      s"compact: could not swap in compacted $dir (originals at ${dir}_old)")
     fs.delete(old, true)
     batches.length - 1
   }
@@ -232,14 +240,22 @@ object IvfIndex {
     * staging root, unlike the per-batch-dir writers in
     * CommunityIndex/DedupIndex — swept anyway for hygiene).
     * Single-writer only. */
-  def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit = {
+  def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit =
+    cleanupUncommittedLayout(spark, path, "cells")
+
+  /** [[cleanupUncommittedIngest]] for the PQ codes layout. */
+  def cleanupUncommittedPq(spark: SparkSession, path: String): Unit =
+    cleanupUncommittedLayout(spark, path, "codes")
+
+  private def cleanupUncommittedLayout(spark: SparkSession, path: String,
+                                       dir: String): Unit = {
     val cur = committedIngestVersion(spark, path)
     graft.streaming.VersionedState.recoverSwap(spark,
-      live = s"$path/cells", old = s"$path/cells_old",
-      stage = s"$path/cells_compact")
-    val (fs, cellsRoot) = hadoopFs(spark, s"$path/cells")
-    if (fs.exists(cellsRoot))
-      fs.listStatus(cellsRoot).toSeq.map(_.getPath)
+      live = s"$path/$dir", old = s"$path/${dir}_old",
+      stage = s"$path/${dir}_compact")
+    val (fs, root) = hadoopFs(spark, s"$path/$dir")
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq.map(_.getPath)
         .filter(_.getName.startsWith("cell="))
         .flatMap(c => fs.listStatus(c).toSeq.map(_.getPath))
         .filter { b =>
@@ -499,8 +515,13 @@ object IvfIndex {
   }
 
   /** Build THE persisted PQ index: coarse quantizer + residual codebooks
-    * + the cell-partitioned CODES layout (vec_id, codes — no vectors; the
-    * ~64× shrink is the point). Serving needs only the path. */
+    * + the (cell, batch)-partitioned CODES layout (vec_id, codes — no
+    * vectors; the ~64× shrink is the point). The base corpus is batch 0;
+    * daily arrivals land as committed ingest versions
+    * ([[appendPqVersion]] — same markers/recovery as the float cells
+    * layout, applied to codes). Serving needs only the path. Use a path
+    * distinct from a [[buildIndex]] float index — the two would fight
+    * over `model/` and `ingest/`. */
   def buildPqIndex(df: DataFrame, k: Int, iters: Int, m: Int, ksub: Int,
                    pqIters: Int, path: String): (Model, PqModel) = {
     val coarse = train(df, k, iters)
@@ -508,8 +529,43 @@ object IvfIndex {
     val pq = trainPq(df, coarse, m, ksub, pqIters)
     savePqModel(df.sparkSession, pq, s"$path/pq_model")
     graft.sources.PartitionedLayout.writePartitioned(
-      encodePq(df, coarse, pq), s"$path/codes", "cell")
+      encodePq(df, coarse, pq).withColumn("batch", lit(0L)),
+      s"$path/codes", "cell", "batch")
     (coarse, pq)
+  }
+
+  /** Idempotent versioned PQ append: encode `newVecs` under the FROZEN
+    * coarse quantizer and codebooks (one map-side pass — the quantizer
+    * freeze is what makes append(A, B) produce the committed content an
+    * encode of A ∪ B under model(A) would, suite-pinned), land them as
+    * `batch=version` leaf partitions of the codes layout, then commit
+    * the marker. Retry of a committed version is a no-op; a torn attempt
+    * overwrites exactly its own partitions. */
+  def appendPqVersion(spark: SparkSession, path: String, newVecs: DataFrame,
+                      version: Long): Unit = {
+    val cur = committedIngestVersion(spark, path)
+    require(version >= 1, s"version must be >= 1 (0 is the base build), got $version")
+    require(version <= cur + 1,
+      s"append version must be <= current+1 (=${cur + 1}), got $version")
+    if (version <= cur) return // already committed: deterministic content, no-op
+    val coarse = loadModel(spark, s"$path/model")
+    val pq = loadPqModel(spark, s"$path/pq_model")
+    graft.sources.PartitionedLayout.overwritePartitions(
+      encodePq(newVecs, coarse, pq).withColumn("batch", lit(version)),
+      s"$path/codes", "cell", "batch")
+    val (fs, _) = hadoopFs(spark, path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/ingest/v=$version"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/ingest/v=$version/_SUCCESS"), true).close()
+  }
+
+  /** Add a batch as the next committed version (NOT retry-safe — picks
+    * current+1 fresh; at-least-once callers name their version via
+    * [[appendPqVersion]]). Returns the number of vectors appended. */
+  def appendToPqIndex(spark: SparkSession, path: String,
+                      newVecs: DataFrame): Long = {
+    appendPqVersion(spark, path, newVecs, committedIngestVersion(spark, path) + 1)
+    newVecs.count()
   }
 
   /** Query-side LUT: lut(s·ksub + c) = q_s · codeword_c^s — computed once
@@ -562,9 +618,15 @@ object IvfIndex {
       .withColumn("cell", explode(nearestCellsUdf(coarse.centroids, nprobe)(col("qv"))))
       .withColumn("qdotc", qDotCentUdf(coarse.centroids)(col("qv"), col("cell")))
     val probed = qc.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val codes = graft.sources.PartitionedLayout.read(spark, s"$path/codes")
+    val raw = graft.sources.PartitionedLayout.read(spark, s"$path/codes")
       .filter(col("cell").isin(probed.toSeq: _*))
-      .select(col("vec_id").as("c_id"), col("codes"), col("cell"))
+    // committed ingest versions only (directory-pruned second-level
+    // filter); a pre-versioning static layout has no batch column — skip
+    val committed =
+      if (raw.columns.contains("batch"))
+        raw.filter(col("batch") <= committedIngestVersion(spark, path))
+      else raw
+    val codes = committed.select(col("vec_id").as("c_id"), col("codes"), col("cell"))
     // ADC: codegen'd sum of m lookups (1-based element_at; codes are
     // 0-based per subspace, offset s·ksub into the flattened LUT)
     val adc = (0 until pq.m).map(s =>

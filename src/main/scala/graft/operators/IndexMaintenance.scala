@@ -27,12 +27,17 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexMaintenance {
 
-  /** The five persisted index families. */
+  /** The persisted index families (the PQ codes layout counts separately
+    * from the float cells layout — same machinery, different path). */
   sealed abstract class Family(val name: String)
   /** Doc-level near-dup index — [[DedupIndex]]. */
   case object Dedup extends Family("dedup")
-  /** IVF / IVF-PQ vector index — [[graft.ml.IvfIndex]]. */
+  /** Float IVF vector index ([[graft.ml.IvfIndex.buildIndex]] cells
+    * layout). */
   case object Ivf extends Family("ivf")
+  /** IVF-PQ codes-only index ([[graft.ml.IvfIndex.buildPqIndex]] codes
+    * layout) — distinct path, same ingest machinery. */
+  case object IvfPq extends Family("ivf-pq")
   /** k-NN graph index — [[graft.ml.KnnGraph]]. */
   case object Knn extends Family("knn")
   /** Incremental community labeling — [[CommunityIndex]]. */
@@ -40,13 +45,14 @@ object IndexMaintenance {
   /** Exact-substring window index — [[SubstrIndex]]. */
   case object Substr extends Family("substr")
 
-  val families: Seq[Family] = Seq(Dedup, Ivf, Knn, Community, Substr)
+  val families: Seq[Family] = Seq(Dedup, Ivf, IvfPq, Knn, Community, Substr)
 
   /** Entry-hygiene sweep: crashed-compact recovery + torn-batch cleanup. */
   def recover(spark: SparkSession, family: Family, path: String): Unit =
     family match {
       case Dedup => DedupIndex.cleanupUncommitted(spark, path)
       case Ivf => graft.ml.IvfIndex.cleanupUncommittedIngest(spark, path)
+      case IvfPq => graft.ml.IvfIndex.cleanupUncommittedPq(spark, path)
       case Knn => graft.ml.KnnGraph.cleanupUncommittedIndex(spark, path)
       case Community => CommunityIndex.cleanupUncommitted(spark, path)
       case Substr => SubstrIndex.cleanupUncommitted(spark, path)
@@ -57,6 +63,7 @@ object IndexMaintenance {
     family match {
       case Dedup => DedupIndex.compact(spark, path)
       case Ivf => graft.ml.IvfIndex.compactCells(spark, path)
+      case IvfPq => graft.ml.IvfIndex.compactPqCodes(spark, path)
       case Knn => graft.ml.KnnGraph.compactVectors(spark, path)
       case Community => CommunityIndex.compact(spark, path)
       case Substr => SubstrIndex.compact(spark, path)

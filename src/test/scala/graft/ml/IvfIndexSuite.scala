@@ -482,9 +482,54 @@ class IvfIndexSuite extends SparkSpec {
     assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
       trained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     // the stored payload really is codes-only: no vector column on disk
+    // (batch is the ingest-version partition column, not data)
     val stored = graft.sources.PartitionedLayout.read(spark, s"$dir/codes")
-    assert(stored.columns.sorted.toSeq === Seq("cell", "codes", "vec_id"),
+    assert(stored.columns.sorted.toSeq === Seq("batch", "cell", "codes", "vec_id"),
       s"codes layout must not store vectors: ${stored.columns.toSeq}")
+  }
+
+  test("pq: versioned append — frozen-model encode, torn invisible, retry no-op, compact preserves") {
+    val a = subclustered(nPerSub = 3, idBase = 0, noiseSeed = 1)
+    val b = subclustered(nPerSub = 1, idBase = 200000, noiseSeed = 3)
+    val qs = subclustered(nPerSub = 1, idBase = 300000, noiseSeed = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString + "/idx"
+    val (coarse, pq) = IvfIndex.buildPqIndex(a, k = 8, iters = 2,
+      m = 16, ksub = 16, pqIters = 2, dir)
+    IvfIndex.appendPqVersion(spark, dir, b, 1L)
+    // committed content == encode of A ∪ B under the FROZEN models — the
+    // append contract, checked on the stored bytes themselves
+    def stored() = graft.sources.PartitionedLayout.read(spark, s"$dir/codes")
+      .filter(col("batch") <= IvfIndex.committedIngestVersion(spark, dir))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val want = IvfIndex.encodePq(a.unionByName(b), coarse, pq)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored() === want, "appended codes drifted from frozen-model encode of the union")
+    // the appended vectors are genuinely searched
+    val hits = IvfIndex.searchPqIndex(spark, dir, qs, topK = 5, nprobe = 8)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits.exists(_ >= 200000L), "no appended vector ever surfaced in search")
+    // retry of a committed version is a no-op
+    IvfIndex.appendPqVersion(spark, dir, b, 1L)
+    assert(stored() === want)
+    // a torn append (marker deleted) is invisible to serving; its retry
+    // re-lands exactly its own partitions and commits
+    val b2 = subclustered(nPerSub = 1, idBase = 400000, noiseSeed = 5)
+    IvfIndex.appendPqVersion(spark, dir, b2, 2L)
+    val fs = graft.streaming.VersionedState.fileSystem(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ingest/v=2/_SUCCESS"), false)
+    assert(IvfIndex.committedIngestVersion(spark, dir) === 1L)
+    assert(stored() === want, "torn batch leaked into committed reads")
+    IvfIndex.appendPqVersion(spark, dir, b2, 2L)
+    assert(IvfIndex.committedIngestVersion(spark, dir) === 2L)
+    val want3 = IvfIndex.encodePq(a.unionByName(b).unionByName(b2), coarse, pq)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored() === want3)
+    // compact folds the per-batch dirs; committed content unchanged
+    assert(IvfIndex.compactPqCodes(spark, dir) === 2)
+    assert(stored() === want3)
+    assert(graft.sources.PartitionedLayout.read(spark, s"$dir/codes")
+      .select(col("batch").cast("long")).distinct().count() === 1L)
   }
 
   test("pq: honest floor on the unclustered harness corpus (structure bet, documented)") {

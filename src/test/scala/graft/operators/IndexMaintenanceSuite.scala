@@ -4,7 +4,7 @@ import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** The uniform maintenance dialect actually reaches every family: for
-  * each of the five, build + append through the family API, then drive
+  * each of the six, build + append through the family API, then drive
   * recover/compact/prune ONLY through the facade and assert the served
   * result is unchanged (each family's own suite pins the deep crash
   * windows; this pins the wiring). */
@@ -14,7 +14,7 @@ class IndexMaintenanceSuite extends SparkSpec {
   private def tmp(n: String): String =
     java.nio.file.Files.createTempDirectory(n).toString + "/idx"
 
-  test("recover + compact + prune reach all five families; serving unchanged") {
+  test("recover + compact + prune reach all six families; serving unchanged") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val emb = Tables(spark, sf, "embeddings")
@@ -58,6 +58,20 @@ class IndexMaintenanceSuite extends SparkSpec {
     assert(IndexMaintenance.compact(spark, IndexMaintenance.Ivf, iPath) === 1)
     assert(IndexMaintenance.prune(spark, IndexMaintenance.Ivf, iPath) === Nil)
     assert(iOut() === iBefore)
+
+    // --- ivf-pq -------------------------------------------------------
+    val pPath = tmp("im-pq")
+    graft.ml.IvfIndex.buildPqIndex(emb.filter(col("vec_id") >= 10 && col("vec_id") % 5 =!= 0),
+      k = 4, iters = 2, m = 8, ksub = 16, pqIters = 2, pPath)
+    graft.ml.IvfIndex.appendPqVersion(spark, pPath,
+      emb.filter(col("vec_id") >= 10 && col("vec_id") % 5 === 0), 1L)
+    def pOut() = graft.ml.IvfIndex.searchPqIndex(spark, pPath, iq, topK = 3, nprobe = 2)
+      .orderBy("q_id", "rn").collect().map(_.toSeq.toVector).toVector
+    val pBefore = pOut()
+    IndexMaintenance.recover(spark, IndexMaintenance.IvfPq, pPath)
+    assert(IndexMaintenance.compact(spark, IndexMaintenance.IvfPq, pPath) === 1)
+    assert(IndexMaintenance.prune(spark, IndexMaintenance.IvfPq, pPath) === Nil)
+    assert(pOut() === pBefore)
 
     // --- knn ----------------------------------------------------------
     val kPath = tmp("im-knn")
