@@ -131,6 +131,10 @@ object SubstrIndex {
   /** The whitespace default — the gated queries' tokenization. */
   val DefaultTokenize: String = "split(text, ' ')"
 
+  /** Sentinel for [[build]]'s `bloomBits`: size the seen-filter from the
+    * build corpus' measured distinct window count. */
+  val AutoBloomBits: Int = -1
+
   /** Functions a tokenizer expression may call: string/array shaping
     * only. Anything else — reflect(), java_method(), UDF names,
     * non-deterministic builtins — is rejected at build and at load. */
@@ -207,6 +211,20 @@ object SubstrIndex {
       }.toOption
     }
 
+  /** Fraction of set bits in the stored seen-filter, if one exists — the
+    * saturation gauge: false-positive rate at `h` hashes ≈ fill^h, so
+    * fill 0.5 means ~6% of novel windows needlessly reach the exact
+    * join. [[growBloom]] warns past [[BloomFillWarn]]; the repair is
+    * [[rebuildBloom]] after re-building with more bits (or accepting the
+    * fp rate — correctness is unaffected either way). */
+  def bloomFillFraction(spark: SparkSession, path: String): Option[Double] =
+    readBloom(spark, path).map { case (bf, bits, _) =>
+      bf.collect().head.getSeq[Long](0)
+        .map(java.lang.Long.bitCount(_).toLong).sum.toDouble / bits
+    }
+
+  private val BloomFillWarn = 0.5
+
   /** Recompute the seen-filter from the full stored key set — the repair
     * path after a torn bloom write (one full index key scan; appends keep
     * it current afterwards). No-op if the index was built bloomless. */
@@ -231,8 +249,14 @@ object SubstrIndex {
       val fresh = bloomBitsOf(windows(docs, w, tok).select("k"), bits, hashes)
       require(fresh.length == stored.length,
         s"bitset length mismatch: ${fresh.length} vs ${stored.length}")
-      writeBloom(spark, path,
-        fresh.zip(stored).map { case (a, b) => a | b }, bits, hashes)
+      val merged = fresh.zip(stored).map { case (a, b) => a | b }
+      val fill = merged.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / bits
+      if (fill > BloomFillWarn)
+        System.err.println(f"[substr-index] seen-filter at $path is $fill%.2f full " +
+          f"(fp ≈ ${math.pow(fill, hashes)}%.3f at $hashes hashes) — novel windows " +
+          "increasingly reach the exact join; rebuild the index with more bloomBits " +
+          "(correctness unaffected)")
+      writeBloom(spark, path, merged, bits, hashes)
     }
   }
 
@@ -285,11 +309,15 @@ object SubstrIndex {
     * case/punctuation-insensitive spans on non-whitespace corpora; it is
     * persisted in meta so appends and serves can never tokenize
     * differently than the build. `bloomBits` sizes the seen-filter
-    * bitset (0 disables it; 2²³ bits = 1 MB holds ~1.2M keys at 4 hashes
-    * under 5% fp — size to the expected DISTINCT window count). */
+    * bitset: the [[AutoBloomBits]] default measures the build corpus'
+    * distinct window count and allocates 16 bits per key (fp ≈ 0.24% at
+    * 4 hashes), power-of-two clamped to [2²⁰, 2²⁷] (128 KB – 16 MB);
+    * 0 disables the filter; an explicit positive value is used as-is
+    * (size to the index's EVENTUAL key count if appends will dominate —
+    * [[growBloom]] warns at half-full, [[bloomFillFraction]] reports). */
   def build(docs: DataFrame, path: String, w: Int = 12,
             tokenize: String = DefaultTokenize,
-            bloomBits: Int = 1 << 23, bloomHashes: Int = 4): Unit = {
+            bloomBits: Int = AutoBloomBits, bloomHashes: Int = 4): Unit = {
     require(w >= 2, s"need window width >= 2 tokens, got $w")
     val spark = docs.sparkSession
     validateTokenizer(spark, tokenize)
@@ -307,10 +335,20 @@ object SubstrIndex {
     // loudly at the first read and a re-build overwrites it.
     Seq((w.toLong, tokenize)).toDF("w", "tokenize")
       .repartition(1).write.mode("overwrite").json(s"$path/meta")
-    if (bloomBits > 0)
+    val bits =
+      if (bloomBits == 0) 0
+      else if (bloomBits > 0) bloomBits
+      else { // auto: 16 bits per distinct build key, clamped power of two
+        val n = windows(docs, w, tokenize)
+          .agg(approx_count_distinct(col("k"))).head().getLong(0)
+        var b = 1L << 20
+        while (b < 16L * math.max(n, 1L) && b < (1L << 27)) b <<= 1
+        b.toInt
+      }
+    if (bits > 0)
       writeBloom(spark, path,
-        bloomBitsOf(windows(docs, w, tokenize).select("k"), bloomBits, bloomHashes),
-        bloomBits, bloomHashes)
+        bloomBitsOf(windows(docs, w, tokenize).select("k"), bits, bloomHashes),
+        bits, bloomHashes)
     writeBatch(docs, path, w, tokenize, 0L)
   }
 

@@ -195,6 +195,34 @@ class SubstrIndexSuite extends SparkSpec {
       Seq((208L, 1L, 12L), (208L, 16L, 27L)))
   }
 
+  test("bloom auto-sizing and the fill gauge") {
+    import spark.implicits._
+    val docs = Seq((1L, s"$passage ${words("a", 8)}")).toDF("doc_id", "text")
+    // auto default: tiny corpus clamps to the 2^20 floor
+    val auto = tmp()
+    SubstrIndex.build(docs, auto)
+    val fillAuto = SubstrIndex.bloomFillFraction(spark, auto)
+    assert(fillAuto.isDefined && fillAuto.get > 0 && fillAuto.get < 0.01,
+      s"auto-sized bloom should be nearly empty on a tiny corpus: $fillAuto")
+    // a deliberately starved bitset saturates — the gauge reports it
+    // (growBloom's stderr warning keys off the same fraction)
+    val starved = tmp()
+    SubstrIndex.build(
+      (1L to 40L).map(i => (i, words(s"w$i", 30))).toDF("doc_id", "text"),
+      starved, bloomBits = 64)
+    val fillStarved = SubstrIndex.bloomFillFraction(spark, starved)
+    assert(fillStarved.exists(_ > 0.5), s"starved bloom should saturate: $fillStarved")
+    // saturation costs false positives only: the exact join still
+    // resolves them — a novel probe yields no spans
+    assert(spans(SubstrIndex.dedupAgainst(starved,
+      Seq((99L, words("zz", 20))).toDF("doc_id", "text"),
+      useBloom = Some(true))).isEmpty)
+    // bloomless build reports no gauge
+    val off = tmp()
+    SubstrIndex.build(docs, off, bloomBits = 0)
+    assert(SubstrIndex.bloomFillFraction(spark, off).isEmpty)
+  }
+
   test("sweep releases dedupAgainst's pinned checkpoint blocks") {
     import spark.implicits._
     val path = tmp()
