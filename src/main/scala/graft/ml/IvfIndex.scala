@@ -514,6 +514,73 @@ object IvfIndex {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // OPQ-style rotation (the non-parametric init of Ge, He, Ke, Sun,
+  // "Optimized Product Quantization", CVPR 2013): rotate the space with
+  // an ORTHONORMAL matrix before coarse+PQ so per-subspace variance
+  // balances — PCA axes sorted by descending eigenvalue are dealt
+  // round-robin into the m subspaces. The rotation is applied WITHOUT
+  // centering, so q·v = (Rq)·(Rv) EXACTLY (orthogonality) — semantics
+  // are untouched, only the quantization error moves. Deterministic:
+  // Pca.fit is partition-order exact and the dealing is a fixed
+  // permutation.
+  // ---------------------------------------------------------------------
+
+  /** Orthonormal d×d rotation (rows) from PCA axes dealt round-robin so
+    * subspace s receives axes s, s+m, s+2m, … of the descending-variance
+    * order. Driver Jacobi at d×d — fine for d ≤ ~512 (the corpus pass is
+    * still the ONE graft_gram aggregation). */
+  def trainRotation(df: DataFrame, m: Int): Array[Array[Double]] = {
+    val probe = df.select(expr("size(embedding)")).head().getInt(0)
+    require(probe % m == 0, s"need d ($probe) divisible by m ($m)")
+    val full = Pca.fit(df, k = probe)
+    val dsub = probe / m
+    // row j of R (j = s*dsub + r) = the (r*m + s)-th axis: subspace s's
+    // rows are axes s, s+m, ... — consecutive output coordinates of one
+    // subspace carry interleaved variance ranks
+    Array.tabulate(probe) { j =>
+      val s = j / dsub; val r = j % dsub
+      full.components(r * m + s)
+    }
+  }
+
+  private def rotateUdf(rot: Array[Array[Double]]) = udf { v: Seq[Double] =>
+    val d = rot.length
+    val out = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      val row = rot(j)
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += row(i) * v(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** Replace `embedding` with its rotation (array&lt;double&gt;). */
+  private[ml] def applyRotation(df: DataFrame, rot: Array[Array[Double]]): DataFrame =
+    df.withColumn("embedding",
+      rotateUdf(rot)(expr("CAST(embedding AS array<double>)")))
+
+  /** Persist/load a rotation (one row per output coordinate). */
+  def saveRotation(spark: SparkSession, rot: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    rot.zipWithIndex.toSeq.map { case (r, j) => (j, r.toSeq) }
+      .toDF("j", "row")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadRotation(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).select("j", "row").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  private def rotationOf(spark: SparkSession, path: String): Option[Array[Array[Double]]] = {
+    val (fs, p) = hadoopFs(spark, s"$path/rot")
+    if (fs.exists(p)) Some(loadRotation(spark, s"$path/rot")) else None
+  }
+
   /** Build THE persisted PQ index: coarse quantizer + residual codebooks
     * + the (cell, batch)-partitioned CODES layout (vec_id, codes — no
     * vectors; the ~64× shrink is the point). The base corpus is batch 0;
@@ -523,13 +590,25 @@ object IvfIndex {
     * distinct from a [[buildIndex]] float index — the two would fight
     * over `model/` and `ingest/`. */
   def buildPqIndex(df: DataFrame, k: Int, iters: Int, m: Int, ksub: Int,
-                   pqIters: Int, path: String): (Model, PqModel) = {
-    val coarse = train(df, k, iters)
-    saveModel(df.sparkSession, coarse, s"$path/model")
-    val pq = trainPq(df, coarse, m, ksub, pqIters)
-    savePqModel(df.sparkSession, pq, s"$path/pq_model")
+                   pqIters: Int, path: String,
+                   rotate: Boolean = false): (Model, PqModel) = {
+    val spark = df.sparkSession
+    // OPQ-style preprocessing: persist the rotation FIRST (appends and
+    // serves apply it from disk — the same frozen-preprocessing
+    // discipline as the q_ann_ivf_pca model), then build in rotated space
+    val work =
+      if (!rotate) df
+      else {
+        val r = trainRotation(df, m)
+        saveRotation(spark, r, s"$path/rot")
+        applyRotation(df, r)
+      }
+    val coarse = train(work, k, iters)
+    saveModel(spark, coarse, s"$path/model")
+    val pq = trainPq(work, coarse, m, ksub, pqIters)
+    savePqModel(spark, pq, s"$path/pq_model")
     graft.sources.PartitionedLayout.writePartitioned(
-      encodePq(df, coarse, pq).withColumn("batch", lit(0L)),
+      encodePq(work, coarse, pq).withColumn("batch", lit(0L)),
       s"$path/codes", "cell", "batch")
     (coarse, pq)
   }
@@ -550,8 +629,12 @@ object IvfIndex {
     if (version <= cur) return // already committed: deterministic content, no-op
     val coarse = loadModel(spark, s"$path/model")
     val pq = loadPqModel(spark, s"$path/pq_model")
+    val work = rotationOf(spark, path) match {
+      case Some(r) => applyRotation(newVecs, r) // frozen build-time rotation
+      case None => newVecs
+    }
     graft.sources.PartitionedLayout.overwritePartitions(
-      encodePq(newVecs, coarse, pq).withColumn("batch", lit(version)),
+      encodePq(work, coarse, pq).withColumn("batch", lit(version)),
       s"$path/codes", "cell", "batch")
     val (fs, _) = hadoopFs(spark, path)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/ingest/v=$version"))
@@ -612,7 +695,14 @@ object IvfIndex {
     val coarse = loadModel(spark, s"$path/model")
     val pq = loadPqModel(spark, s"$path/pq_model")
     require(nprobe >= 1 && nprobe <= coarse.k)
-    val qc = normalized(queries)
+    // an OPQ-rotated index rotates its queries through the persisted R —
+    // q·v is EXACTLY preserved (orthogonality, no centering), so scores
+    // approximate the same raw-space cosine
+    val qIn = rotationOf(spark, path) match {
+      case Some(r) => applyRotation(queries, r)
+      case None => queries
+    }
+    val qc = normalized(qIn)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("lut", lutUdf(pq.codebooks)(col("qv")))
       .withColumn("cell", explode(nearestCellsUdf(coarse.centroids, nprobe)(col("qv"))))

@@ -532,6 +532,89 @@ class IvfIndexSuite extends SparkSpec {
       .select(col("batch").cast("long")).distinct().count() === 1L)
   }
 
+  /** Low-rank correlated fixture: 8 DENSE latent directions (not
+    * axis-aligned) with decaying variance + small noise — every PQ
+    * subspace slice mixes all the signal, the regime OPQ rotation exists
+    * for (PCA concentrates the signal into few axes, round-robin dealing
+    * gives each subspace a fine-quantizable share). */
+  private def lowRank(n: Int, base: Long) = {
+    import spark.implicits._
+    def u01(s0: Long): Double = {
+      val s = lcg(lcg(s0)); (s >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val d = 64; val rank = 8
+    val g = Array.tabulate(rank, d)((t, i) => u01(t * 977L + i * 31L + 7) - 0.5)
+    (0 until n).map { r =>
+      val a = Array.tabulate(rank)(t =>
+        (3.0 / (1 + t)) * (u01(base + r * 17L + t * 131L) - 0.5))
+      val x = Array.tabulate(d) { i =>
+        var s = 0.0; var t = 0
+        while (t < rank) { s += a(t) * g(t)(i); t += 1 }
+        (s + 0.02 * (u01(base + 7919L * r + i) - 0.5)).toFloat
+      }
+      (base + r, x.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pq + OPQ rotation: orthonormal, deterministic, recall lift on correlated data, frozen for appends") {
+    val corpus = lowRank(800, 0)
+    val qs = lowRank(40, 100000)
+    val exact = bruteTop5Rows(corpus, qs).groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(_._3).toSet }
+    def recallOf(dir: String): Double = {
+      val got = IvfIndex.searchPqIndex(spark, dir, qs, topK = 5, nprobe = 8)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+      val rs = exact.map { case (q, top) =>
+        got.get(q).map(g => top.count(g.contains).toDouble / top.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val plain = java.nio.file.Files.createTempDirectory("opq-plain").toString + "/idx"
+    val rot = java.nio.file.Files.createTempDirectory("opq-rot").toString + "/idx"
+    IvfIndex.buildPqIndex(corpus, k = 8, iters = 3, m = 16, ksub = 16,
+      pqIters = 3, plain)
+    IvfIndex.buildPqIndex(corpus, k = 8, iters = 3, m = 16, ksub = 16,
+      pqIters = 3, rot, rotate = true)
+    val (rPlain, rRot) = (recallOf(plain), recallOf(rot))
+    info(f"opq recall@5: unrotated $rPlain%.3f vs rotated $rRot%.3f")
+    assert(rRot >= 0.25, s"rotated recall $rRot below the measured floor")
+    assert(rRot > rPlain + 0.1,
+      s"rotation stopped paying on correlated data: $rRot vs $rPlain")
+    // the persisted rotation is orthonormal — with no centering anywhere,
+    // that is exactly what preserves q·v through the rotated index
+    val r = IvfIndex.loadRotation(spark, s"$rot/rot")
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows not orthonormal at ($i,$j): $dot")
+    }
+    // deterministic: a rebuild from a different partitioning is byte-equal
+    val rot2 = java.nio.file.Files.createTempDirectory("opq-rot2").toString + "/idx"
+    IvfIndex.buildPqIndex(corpus.repartition(13, col("vec_id")), k = 8,
+      iters = 3, m = 16, ksub = 16, pqIters = 3, rot2, rotate = true)
+    assert(IvfIndex.loadRotation(spark, s"$rot2/rot").map(_.toSeq).toSeq ===
+      r.map(_.toSeq).toSeq)
+    assert(IvfIndex.loadPqModel(spark, s"$rot2/pq_model")
+      .codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      IvfIndex.loadPqModel(spark, s"$rot/pq_model")
+        .codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // appends ride the FROZEN build-time rotation: committed content ==
+    // encode of the rotated union under the frozen models
+    val b = lowRank(60, 200000)
+    IvfIndex.appendPqVersion(spark, rot, b, 1L)
+    val stored = graft.sources.PartitionedLayout.read(spark, s"$rot/codes")
+      .filter(col("batch") <= IvfIndex.committedIngestVersion(spark, rot))
+      .select("vec_id", "cell", "codes")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getSeq[Int](2))).toSet
+    val want = IvfIndex.encodePq(
+        IvfIndex.applyRotation(corpus.unionByName(b), r),
+        IvfIndex.loadModel(spark, s"$rot/model"),
+        IvfIndex.loadPqModel(spark, s"$rot/pq_model"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getSeq[Int](2))).toSet
+    assert(stored === want, "append did not apply the frozen rotation")
+  }
+
   test("pq: honest floor on the unclustered harness corpus (structure bet, documented)") {
     // the testdata embeddings are unclustered Gaussians — PQ's compression
     // has no residual structure to exploit, so recall is LOW by the nature
