@@ -2387,6 +2387,28 @@ object LlmOps {
         .orderBy("q_id", "rn")
     }),
 
+    // The OPQ composition: the same PQ store built in a PCA-rotated
+    // space (axes dealt round-robin across subspaces — Ge et al. 2013
+    // non-parametric init; orthonormal, NO centering, so scores
+    // approximate the SAME raw-space cosine). The rotation is persisted
+    // beside the index and frozen for appends/serves. Rows-only
+    // (iterative eigensolve + two-level k-means); IvfIndexSuite pins the
+    // 2.8× recall lift on correlated data and byte-determinism.
+    "q_ann_ivf_pq_opq" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val path = graft.operators.Scratch.dir(
+        "graft-ivf-pq-opq", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+          m = 16, ksub = 16, pqIters = 3, path, rotate = true)
+      }
+      graft.ml.IvfIndex.searchPqIndex(s, path, queries, topK = 5, nprobe = 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("q_id", "rn")
+    }),
+
     // Distributed k-NN GRAPH (ml.KnnGraph, NN-Descent): LSH-seeded,
     // join-shaped neighbor-of-neighbor refinement with internal
     // oversampling, top-k per node through this repo's own TopKPerKey

@@ -58,4 +58,38 @@ object StreamingIvf {
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
              topK: Int, nprobe: Int): DataFrame =
     IvfIndex.searchIndex(spark, indexPath, queries, topK, nprobe)
+
+  // -------------------------------------------------------------------
+  // The IVF-PQ twins: identical exactly-once recipe over the codes
+  // layout ([[IvfIndex.appendPqVersion]] — encode under the FROZEN
+  // coarse quantizer + codebooks + optional OPQ rotation, land as
+  // committed (cell, batch) partitions). Per batch: two KB-scale model
+  // broadcasts + one map-side encode + a write of |B| CODE rows (~m
+  // bytes each) — the cheapest possible durable ingest of an embedding
+  // stream, and the stored corpus is again never touched.
+  // -------------------------------------------------------------------
+
+  /** One micro-batch into a [[IvfIndex.buildPqIndex]] index. */
+  def applyBatchPq(batch: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val version = batchId + 1
+    if (IvfIndex.committedIngestVersion(spark, indexPath) >= version) return
+    IvfIndex.appendPqVersion(spark, indexPath, batch, version)
+  }
+
+  /** Attach the ingest to a streaming (vec_id, embedding) frame;
+    * `indexPath` must hold a [[IvfIndex.buildPqIndex]] over the seed
+    * corpus. */
+  def ingestSinkPq(emb: DataFrame, indexPath: String,
+                   checkpointDir: String): StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatchPq(b.toDF(), indexPath, id))
+      .start()
+
+  /** ADC top-k against everything committed so far. */
+  def searchPq(spark: SparkSession, indexPath: String, queries: DataFrame,
+               topK: Int, nprobe: Int): DataFrame =
+    IvfIndex.searchPqIndex(spark, indexPath, queries, topK, nprobe)
 }

@@ -157,4 +157,37 @@ class StreamingIvfSuite extends SparkSpec {
     assert(buildN === seed.count())
     assert(nowN === seed.count() + b1.count() + b2.count())
   }
+
+  test("pq twins: stream-of-batches == one-shot appends; torn invisible; retry no-op") {
+    val idx = tmp("sivf-pq-idx")
+    IvfIndex.buildPqIndex(seed, k = 8, iters = 2, m = 16, ksub = 16,
+      pqIters = 2, idx)
+    StreamingIvf.applyBatchPq(b1, idx, batchId = 0L)
+    StreamingIvf.applyBatchPq(b2, idx, batchId = 1L)
+    assert(IvfIndex.committedIngestVersion(spark, idx) === 2L)
+    val ref = tmp("sivf-pq-ref")
+    IvfIndex.buildPqIndex(seed, k = 8, iters = 2, m = 16, ksub = 16,
+      pqIters = 2, ref)
+    IvfIndex.appendPqVersion(spark, ref, b1, 1L)
+    IvfIndex.appendPqVersion(spark, ref, b2, 2L)
+    val qs = emb.filter(col("vec_id") % 7 === 0).limit(10)
+    def pqSet(path: String) = StreamingIvf.searchPq(spark, path, qs,
+        topK = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    assert(pqSet(idx) === pqSet(ref))
+    // a redelivered committed batch is a whole no-op
+    StreamingIvf.applyBatchPq(b1, idx, batchId = 0L)
+    assert(pqSet(idx) === pqSet(ref))
+    // torn batch (marker gone) is invisible; its retry completes it
+    val b3 = b1.filter(col("vec_id") < 100).withColumn("vec_id", col("vec_id") + 100000L)
+    StreamingIvf.applyBatchPq(b3, idx, batchId = 2L)
+    val before = pqSet(idx)
+    val fs = VersionedState.fileSystem(spark, idx)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/ingest/v=3/_SUCCESS"), false)
+    assert(IvfIndex.committedIngestVersion(spark, idx) === 2L)
+    StreamingIvf.applyBatchPq(b3, idx, batchId = 2L)
+    assert(IvfIndex.committedIngestVersion(spark, idx) === 3L)
+    assert(pqSet(idx) === before)
+  }
 }
