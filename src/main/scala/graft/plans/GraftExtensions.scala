@@ -151,6 +151,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqSearchPlaceholder].getName, "graft_pq_search"),
       SqlSurface.pqSearchBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_ivf_staleness"),
+      new ExpressionInfo(classOf[IvfStalenessPlaceholder].getName, "graft_ivf_staleness"),
+      SqlSurface.ivfStalenessBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_pca_staleness"),
+      new ExpressionInfo(classOf[PcaStalenessPlaceholder].getName, "graft_pca_staleness"),
+      SqlSurface.pcaStalenessBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search"),
       new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
       SqlSurface.knnSearchBuilder _))

@@ -155,6 +155,28 @@ object SqlSurface {
       intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
   }
 
+  /** graft_ivf_staleness('path') — the IVF drift report as one SQL row
+    * (vectors_at_build, vectors_now, mean_sq_dist_build,
+    * mean_sq_dist_now, ratio): the weekly retrain alarm is queryable
+    * where the pipelines live. */
+  def ivfStalenessBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ivf_staleness"
+    require(exprs.size == 1,
+      s"$fn(path) takes 1 arg (index path string), got ${exprs.size}")
+    IvfStalenessPlaceholder(strLit(fn, "path", exprs.head))
+  }
+
+  /** graft_pca_staleness('modelPath', TABLE(emb)) — captured-variance
+    * fraction of a corpus under a persisted frozen projection
+    * ([[graft.ml.Pca.staleness]]) as one SQL row. */
+  def pcaStalenessBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pca_staleness"
+    require(exprs.size == 2,
+      s"$fn(modelPath, emb) takes 2 args (model path string, TABLE(...) with an embedding column), got ${exprs.size}")
+    PcaStalenessPlaceholder(strLit(fn, "modelPath", exprs.head),
+      tableArg(fn, "second", exprs(1)))
+  }
+
   /** graft_knn_search(graph, corpus, queries, k[, beam, rounds]) — graph-
     * ANN beam search over a prebuilt KnnGraph.build graph: completes SQL
     * access across all three index families (dedup, IVF, graph). `graph`
@@ -396,6 +418,26 @@ case class IvfSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL IVF staleness report; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class IvfStalenessPlaceholder(path: String)
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("IvfStalenessPlaceholder.output")
+}
+
+/** Unresolved marker for the SQL PCA staleness report; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class PcaStalenessPlaceholder(path: String, child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("PcaStalenessPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): PcaStalenessPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL IVF-PQ search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int)
@@ -594,6 +636,21 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.ml.IvfIndex.searchPqIndex(session, p.path,
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           topK = p.k, nprobe = p.nprobe)
+        .queryExecution.analyzed
+    case p: IvfStalenessPlaceholder =>
+      val (bn, nn, mb, mn, ratio) = graft.ml.IvfIndex.staleness(session, p.path)
+      import session.implicits._
+      Seq((bn, nn, mb, mn, ratio))
+        .toDF("vectors_at_build", "vectors_now", "mean_sq_dist_build",
+          "mean_sq_dist_now", "ratio")
+        .queryExecution.analyzed
+    case p: PcaStalenessPlaceholder if p.childrenResolved =>
+      val model = graft.ml.Pca.loadModel(session, p.path)
+      val (n, cap, tot, frac) = graft.ml.Pca.staleness(
+        org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), model)
+      import session.implicits._
+      Seq((n, cap, tot, frac))
+        .toDF("n", "captured_variance", "total_variance", "captured_frac")
         .queryExecution.analyzed
     case p: KnnSearchPlaceholder if p.childrenResolved =>
       val bridge = org.apache.spark.sql.GraftSqlBridge

@@ -145,6 +145,32 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graft_ivf_staleness / graft_pca_staleness: SQL rows equal the Scala gauges") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    // IVF drift report
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sql-stale-ivf").toString
+    graft.ml.IvfIndex.buildIndex(corpus, k = 4, iters = 2, idxDir)
+    val (bn, nn, mb, mn, ratio) = graft.ml.IvfIndex.staleness(spark, idxDir)
+    val ivfRow = spark.sql(s"SELECT * FROM graft_ivf_staleness('$idxDir')").collect()
+    assert(ivfRow.length === 1)
+    assert((ivfRow.head.getLong(0), ivfRow.head.getLong(1), ivfRow.head.getDouble(2),
+      ivfRow.head.getDouble(3), ivfRow.head.getDouble(4)) === ((bn, nn, mb, mn, ratio)))
+    // PCA projection drift
+    val pcaDir = java.nio.file.Files.createTempDirectory("graft-sql-stale-pca").toString + "/m"
+    val model = graft.ml.Pca.fitRandomized(corpus, k = 8)
+    graft.ml.Pca.saveModel(spark, model, pcaDir)
+    val (n, cap, tot, frac) = graft.ml.Pca.staleness(corpus, model)
+    corpus.createOrReplaceTempView("sql_stale_emb")
+    val pcaRow = spark.sql(
+      s"SELECT * FROM graft_pca_staleness('$pcaDir', TABLE(SELECT * FROM sql_stale_emb))")
+      .collect()
+    assert(pcaRow.length === 1)
+    assert((pcaRow.head.getLong(0), pcaRow.head.getDouble(1), pcaRow.head.getDouble(2),
+      pcaRow.head.getDouble(3)) === ((n, cap, tot, frac)))
+    assert(frac > 0 && frac <= 1.0)
+  }
+
   test("graft_knn_search: SQL round trip equals the Scala graph operator") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 50)
