@@ -35,9 +35,14 @@ object Bench {
   // ~0.15-0.3s of fixed single-thread work on a modern core. Fixed WORK (not
   // fixed time) so samples within one run are directly comparable.
   private val SpinIters = 300000000L
-  private val WindowSize = 8
+  // window size and retry threshold are env-overridable so the one-off
+  // stability sweep (retry-rate vs artifact noise across settings) can
+  // drive them without a rebuild; defaults are the round-5 constants
+  private val WindowSize =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW", "8").toInt
   private val MaxRetryWindows = 6
-  private val RetryDevPct = 10.0
+  private val RetryDevPct =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV", "10.0").toDouble
 
   private def spin(): Double = {
     var x = 0x9E3779B97F4A7C15L

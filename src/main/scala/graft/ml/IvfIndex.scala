@@ -202,9 +202,16 @@ object IvfIndex {
   def compactCells(spark: SparkSession, path: String): Int =
     compactLayout(spark, path, "cells", Seq("vec_id", "v", "cell"))
 
-  /** [[compactCells]] for the PQ codes layout. */
-  def compactPqCodes(spark: SparkSession, path: String): Int =
-    compactLayout(spark, path, "codes", Seq("vec_id", "codes", "cell"))
+  /** [[compactCells]] for the PQ codes layout — and for the float re-rank
+    * twin (`cells`) when the index was built `keepFloat = true`: the two
+    * layouts share ingest markers, so compaction folds them in lockstep. */
+  def compactPqCodes(spark: SparkSession, path: String): Int = {
+    val folded = compactLayout(spark, path, "codes", Seq("vec_id", "codes", "cell"))
+    val (fs, cells) = hadoopFs(spark, s"$path/cells")
+    if (fs.exists(cells))
+      compactLayout(spark, path, "cells", Seq("vec_id", "v", "cell"))
+    folded
+  }
 
   private def compactLayout(spark: SparkSession, path: String, dir: String,
                             dataCols: Seq[String]): Int = {
@@ -243,9 +250,13 @@ object IvfIndex {
   def cleanupUncommittedIngest(spark: SparkSession, path: String): Unit =
     cleanupUncommittedLayout(spark, path, "cells")
 
-  /** [[cleanupUncommittedIngest]] for the PQ codes layout. */
-  def cleanupUncommittedPq(spark: SparkSession, path: String): Unit =
+  /** [[cleanupUncommittedIngest]] for the PQ codes layout (and the float
+    * re-rank twin when present — same markers, same torn batches). */
+  def cleanupUncommittedPq(spark: SparkSession, path: String): Unit = {
     cleanupUncommittedLayout(spark, path, "codes")
+    val (fs, cells) = hadoopFs(spark, s"$path/cells")
+    if (fs.exists(cells)) cleanupUncommittedLayout(spark, path, "cells")
+  }
 
   private def cleanupUncommittedLayout(spark: SparkSession, path: String,
                                        dir: String): Unit = {
@@ -544,6 +555,125 @@ object IvfIndex {
     }
   }
 
+  /** Reconstruction of a coded row in rotated space: centroid(cell) plus
+    * the concatenated codewords — the y the quantizer stands for. */
+  private def decodeUdf(cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]]) =
+    udf { (cell: Int, codes: Seq[Int]) =>
+      val m = books.length
+      val dsub = books(0)(0).length
+      val c = cents(cell)
+      val out = new Array[Double](m * dsub)
+      var s = 0
+      while (s < m) {
+        val cw = books(s)(codes(s))
+        var j = 0
+        while (j < dsub) { out(s * dsub + j) = c(s * dsub + j) + cw(j); j += 1 }
+        s += 1
+      }
+      out.toSeq
+    }
+
+  /** One parametric-OPQ rotation update (the R-step of Ge et al. 2013
+    * §4's alternating loop): with the cells/codes FROZEN, the orthonormal
+    * R minimizing Σᵢ‖R·x̂ᵢ − yᵢ‖² (x̂ = raw normalized vector, y = the
+    * quantizer's reconstruction in rotated space) is the orthogonal
+    * Procrustes solution R = U·Vᵀ of the cross-covariance M = Σ y x̂ᵀ.
+    *
+    * Distributed shape: ONE `graft_gram` aggregation over the
+    * concatenated [x̂; y] pairs gives M as the off-diagonal block of a
+    * (2d)² partition-order-exact buffer; the SVD is driver arithmetic —
+    * MᵀM through the shared Jacobi kernel gives V and σ², U = M·V/σ,
+    * with σ≈0 columns completed deterministically from the canonical
+    * basis (Gram–Schmidt, first-index order). Returns rows of R. */
+  private def procrustesStep(df: DataFrame, rot: Array[Array[Double]],
+                             coarse: Model, pq: PqModel): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val d = rot.length
+    val xhat = normalized(df).select(col("vec_id"), col("v").as("x"))
+    val y = encodePq(applyRotation(df, rot), coarse, pq)
+      .withColumn("y", decodeUdf(coarse.centroids, pq.codebooks)(col("cell"), col("codes")))
+      .select("vec_id", "y")
+    val g = xhat.join(y, "vec_id")
+      .select(concat(col("x"), col("y")).as("z"))
+      .agg(expr("graft_gram(z)")).head().getSeq[Double](0)
+    val d2 = 2 * d
+    require(g.length == d2 * d2, s"opq: gram size ${g.length} != ${d2 * d2}")
+    // M(i)(j) = Σ y_i x̂_j — rows d..2d-1, cols 0..d-1 of the z-gram
+    val mM = Array.tabulate(d, d)((i, j) => g((d + i) * d2 + j))
+    // SVD via the symmetric kernel: MᵀM = V Σ² Vᵀ
+    val mtm = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => mM(t)(i) * mM(t)(j)).sum)
+    val (vals, vecs) = Pca.jacobiEigen(mtm)
+    val order = vals.indices.sortBy(i => (-vals(i), i))
+    val vRows = order.map(vecs).toArray // right singular vectors, desc σ
+    val frob = math.sqrt(mM.map(r => r.map(x => x * x).sum).sum)
+    val tol = 1e-12 * math.max(frob, 1.0)
+    val uCols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (v <- vRows) {
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => mM(i)(j) * v(j)).sum)
+      val s = math.sqrt(math.max(0.0, vals(order(uCols.length))))
+      if (s > tol) uCols += mv.map(_ / s)
+      else {
+        // degenerate direction: any completion keeps optimality — take
+        // the first canonical vector independent of the span (fixed order)
+        val u = Array.fill(d)(0.0)
+        var e = 0
+        var done = false
+        while (!done && e < d) {
+          val cand = Array.tabulate(d)(i => if (i == e) 1.0 else 0.0)
+          for (_ <- 0 until 2; b <- uCols) {
+            val c = cand.zip(b).map { case (a, x) => a * x }.sum
+            var i = 0
+            while (i < d) { cand(i) -= c * b(i); i += 1 }
+          }
+          val n = math.sqrt(cand.map(x => x * x).sum)
+          if (n > 1e-6) { for (i <- 0 until d) u(i) = cand(i) / n; done = true }
+          e += 1
+        }
+        require(done, "opq: could not complete a degenerate singular basis")
+        uCols += u
+      }
+    }
+    // R = U Vᵀ, re-orthonormalized to sweep float drift; stays d×d
+    val r = Pca.orthonormalize(Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(t => uCols(t)(i) * vRows(t)(j)).sum))
+    require(r.length == d, s"opq: rotation degenerated to rank ${r.length}")
+    r
+  }
+
+  /** Mean squared reconstruction error ‖v − y‖²/n of a persisted PQ index
+    * over `df` — the PQ analogue of [[staleness]]'s tightness gauge and
+    * the objective the OPQ loop descends. One pass: encode under the
+    * frozen models, decode, DECIMAL-summed squared error (partition-order
+    * exact). Measures in rotated space = raw space (orthonormal R). */
+  def pqReconstructionError(spark: SparkSession, path: String,
+                            df: DataFrame): Double = {
+    val coarse = loadModel(spark, s"$path/model")
+    val pq = loadPqModel(spark, s"$path/pq_model")
+    val work = rotationOf(spark, path) match {
+      case Some(r) => applyRotation(df, r)
+      case None => df
+    }
+    val enc = assign(work, coarse)
+      .withColumn("codes", encodeUdf(pq.codebooks)(
+        residUdf(coarse.centroids)(col("v"), col("cell"))))
+      .withColumn("y", decodeUdf(coarse.centroids, pq.codebooks)(col("cell"), col("codes")))
+    val errUdf = udf { (v: Seq[Double], y: Seq[Double]) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - y(i); s += t * t; i += 1 }
+      s
+    }
+    val r = enc.select(errUdf(col("v"), col("y")).as("e"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e").cast("decimal(28,12)")).cast("double").as("se")).head()
+    val n = r.getLong(0)
+    require(n > 0, "pqReconstructionError: empty frame")
+    r.getDouble(1) / n
+  }
+
   private def rotateUdf(rot: Array[Array[Double]]) = udf { v: Seq[Double] =>
     val d = rot.length
     val out = new Array[Double](d)
@@ -588,18 +718,45 @@ object IvfIndex {
     * ([[appendPqVersion]] — same markers/recovery as the float cells
     * layout, applied to codes). Serving needs only the path. Use a path
     * distinct from a [[buildIndex]] float index — the two would fight
-    * over `model/` and `ingest/`. */
+    * over `model/` and `ingest/`.
+    *
+    * `keepFloat = true` additionally writes the float vectors as a
+    * `cells` layout beside the codes — the COLD re-rank tier: ADC scans
+    * the hot ~64×-compressed codes, then [[searchPqIndex]]'s `rerank`
+    * stage restores exact scores by re-scoring only the per-query
+    * shortlist against the floats (the standard two-tier serving shape;
+    * the float bytes are touched for R rows per query, not per scan).
+    * Both layouts share the ingest markers, so appends/compaction/torn
+    * recovery stay in lockstep.
+    *
+    * `opqIters > 0` (requires `rotate = true`) runs the PARAMETRIC OPQ
+    * loop (Ge et al. 2013 §4) on top of the non-parametric init:
+    * alternately train coarse+codebooks in the current rotated space,
+    * then solve the orthogonal Procrustes update of R against the frozen
+    * reconstruction ([[procrustesStep]] — one distributed gram pass +
+    * a driver d×d SVD per iteration). The FINAL rotation is what gets
+    * persisted; appends and serves are unchanged — they apply whatever
+    * `rot/` holds. */
   def buildPqIndex(df: DataFrame, k: Int, iters: Int, m: Int, ksub: Int,
                    pqIters: Int, path: String,
-                   rotate: Boolean = false): (Model, PqModel) = {
+                   rotate: Boolean = false,
+                   keepFloat: Boolean = false,
+                   opqIters: Int = 0): (Model, PqModel) = {
     val spark = df.sparkSession
+    require(opqIters == 0 || rotate,
+      "opqIters refines a rotation — pass rotate = true with opqIters > 0")
     // OPQ-style preprocessing: persist the rotation FIRST (appends and
     // serves apply it from disk — the same frozen-preprocessing
     // discipline as the q_ann_ivf_pca model), then build in rotated space
     val work =
       if (!rotate) df
       else {
-        val r = trainRotation(df, m)
+        var r = trainRotation(df, m)
+        for (_ <- 1 to opqIters) {
+          val c = train(applyRotation(df, r), k, iters)
+          val p = trainPq(applyRotation(df, r), c, m, ksub, pqIters)
+          r = procrustesStep(df, r, c, p)
+        }
         saveRotation(spark, r, s"$path/rot")
         applyRotation(df, r)
       }
@@ -610,6 +767,10 @@ object IvfIndex {
     graft.sources.PartitionedLayout.writePartitioned(
       encodePq(work, coarse, pq).withColumn("batch", lit(0L)),
       s"$path/codes", "cell", "batch")
+    if (keepFloat)
+      graft.sources.PartitionedLayout.writePartitioned(
+        assign(work, coarse).withColumn("batch", lit(0L)),
+        s"$path/cells", "cell", "batch")
     (coarse, pq)
   }
 
@@ -636,6 +797,13 @@ object IvfIndex {
     graft.sources.PartitionedLayout.overwritePartitions(
       encodePq(work, coarse, pq).withColumn("batch", lit(version)),
       s"$path/codes", "cell", "batch")
+    // float re-rank twin (keepFloat builds): land the batch's floats
+    // BEFORE the marker — one marker commits both layouts atomically
+    val (fsC, cellsP) = hadoopFs(spark, s"$path/cells")
+    if (fsC.exists(cellsP))
+      graft.sources.PartitionedLayout.overwritePartitions(
+        assign(work, coarse).withColumn("batch", lit(version)),
+        s"$path/cells", "cell", "batch")
     val (fs, _) = hadoopFs(spark, path)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/ingest/v=$version"))
     fs.create(new org.apache.hadoop.fs.Path(
@@ -689,9 +857,21 @@ object IvfIndex {
     * a codegen'd element_at sum, no per-candidate d-length dot, and the
     * corpus vectors are never read (they are not even stored). Returns
     * (q_id, rn, c_id, score) where score approximates the cosine of
-    * normalized vectors; ties rank by c_id. */
+    * normalized vectors; ties rank by c_id.
+    *
+    * `rerank = R > 0` (requires a `keepFloat = true` index) adds the
+    * exact second tier: the ADC pass keeps its top-max(R, topK)
+    * shortlist per query, the shortlist joins back against the float
+    * `cells` twin (pruned to the probed cell directories and committed
+    * batches — the cold floats are read for shortlist rows only), and
+    * the final topK ranks by the EXACT dot q·v, so `score` is the true
+    * cosine, not the quantized approximation. With R ≥ the probed
+    * candidate count this equals the float IVF search at the same
+    * nprobe exactly (suite-pinned); small R (2–10×topK) restores most
+    * of the quantization-lost recall at a per-query float cost of R
+    * rows — the standard PQ serving shape (Jégou et al. 2011 §V). */
   def searchPqIndex(spark: SparkSession, path: String, queries: DataFrame,
-                    topK: Int, nprobe: Int): DataFrame = {
+                    topK: Int, nprobe: Int, rerank: Int = 0): DataFrame = {
     val coarse = loadModel(spark, s"$path/model")
     val pq = loadPqModel(spark, s"$path/pq_model")
     require(nprobe >= 1 && nprobe <= coarse.k)
@@ -727,8 +907,36 @@ object IvfIndex {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("score", col("qdotc") + adc)
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
-      .select("q_id", "rn", "c_id", "score")
+    if (rerank <= 0)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+        .select("q_id", "rn", "c_id", "score")
+    else {
+      val (fs, cellsP) = hadoopFs(spark, s"$path/cells")
+      require(fs.exists(cellsP),
+        s"searchPqIndex(rerank=$rerank) needs the float re-rank twin at " +
+          s"$path/cells — build the index with keepFloat = true")
+      val shortR = math.max(rerank, topK)
+      // tier 1: ADC keeps the top-R shortlist (approximate order)
+      val shortlist = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= shortR)
+        .select("q_id", "qv", "c_id")
+      // tier 2: exact dots for shortlist rows only — the float read is
+      // pruned to the probed cell directories + committed batches, and
+      // the join key set is |Q|·R rows (broadcast-scale by construction)
+      val rawF = graft.sources.PartitionedLayout.read(spark, s"$path/cells")
+        .filter(col("cell").isin(probed.toSeq: _*))
+      val floats =
+        (if (rawF.columns.contains("batch"))
+           rawF.filter(col("batch") <= committedIngestVersion(spark, path))
+         else rawF)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      graft.functions.VectorFunctions.register(spark)
+      val exact = shortlist.join(floats, Seq("c_id"))
+        .withColumn("score", expr("graft_dot(qv, cv)"))
+      val w2 = Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= topK)
+        .select("q_id", "rn", "c_id", "score")
+    }
   }
 
   /** [[search]] against a [[writeCells]] layout. The probed-cell union is

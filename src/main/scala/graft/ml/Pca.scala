@@ -283,8 +283,9 @@ object Pca {
 
   /** Modified Gram–Schmidt with one re-orthogonalization pass (rows are
     * the vectors); numerically-dead rows (norm below 1e-12 of the
-    * original) are dropped — deterministic, no pivot randomness. */
-  private def orthonormalize(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    * original) are dropped — deterministic, no pivot randomness.
+    * `private[ml]`: [[IvfIndex]]'s OPQ Procrustes step reuses it. */
+  private[ml] def orthonormalize(rows: Array[Array[Double]]): Array[Array[Double]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     for (r0 <- rows) {
       val r = r0.clone()
@@ -303,8 +304,9 @@ object Pca {
   /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi
     * rotations: returns (eigenvalues, eigenvectors as rows). O(d³) per
     * sweep, converges quadratically; deterministic (fixed sweep order,
-    * fixed tolerance). */
-  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    * fixed tolerance). `private[ml]`: [[IvfIndex]]'s OPQ Procrustes step
+    * reuses it (SVD via the eigendecomposition of MᵀM). */
+  private[ml] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

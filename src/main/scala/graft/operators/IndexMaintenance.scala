@@ -35,8 +35,10 @@ object IndexMaintenance {
   /** Float IVF vector index ([[graft.ml.IvfIndex.buildIndex]] cells
     * layout). */
   case object Ivf extends Family("ivf")
-  /** IVF-PQ codes-only index ([[graft.ml.IvfIndex.buildPqIndex]] codes
-    * layout) — distinct path, same ingest machinery. */
+  /** IVF-PQ index ([[graft.ml.IvfIndex.buildPqIndex]] codes layout —
+    * distinct path, same ingest machinery). A `keepFloat` build's float
+    * re-rank twin (`cells/` beside the codes) rides the SAME verbs:
+    * recover/compact sweep and fold both layouts in lockstep. */
   case object IvfPq extends Family("ivf-pq")
   /** k-NN graph index — [[graft.ml.KnnGraph]]. */
   case object Knn extends Family("knn")

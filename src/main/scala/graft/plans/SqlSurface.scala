@@ -142,17 +142,20 @@ object SqlSurface {
       intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
   }
 
-  /** graft_pq_search('path', TABLE(queries), k, nprobe) — ADC top-k per
-    * query against the persisted IVF-PQ index at `path` (codes-only
-    * store, [[graft.ml.IvfIndex.searchPqIndex]]): the compressed serving
-    * rung is SQL-reachable like every other index family. */
+  /** graft_pq_search('path', TABLE(queries), k, nprobe[, rerank]) — ADC
+    * top-k per query against the persisted IVF-PQ index at `path`
+    * (codes-only store, [[graft.ml.IvfIndex.searchPqIndex]]): the
+    * compressed serving rung is SQL-reachable like every other index
+    * family. `rerank = R > 0` adds the exact float second tier (needs a
+    * keepFloat build — see searchPqIndex). */
   def pqSearchBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "graft_pq_search"
-    require(exprs.size == 4,
-      s"$fn(path, queries, k, nprobe) takes 4 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe), got ${exprs.size}")
+    require(exprs.size == 4 || exprs.size == 5,
+      s"$fn(path, queries, k, nprobe[, rerank]) takes 4-5 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe, optional int rerank), got ${exprs.size}")
     PqSearchPlaceholder(strLit(fn, "path", exprs.head),
       tableArg(fn, "second", exprs(1)),
-      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
+      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)),
+      if (exprs.size == 5) intLit(fn, "rerank", exprs(4)) else 0)
   }
 
   /** graft_ivf_staleness('path') — the IVF drift report as one SQL row
@@ -440,7 +443,8 @@ case class PcaStalenessPlaceholder(path: String, child: LogicalPlan)
 
 /** Unresolved marker for the SQL IVF-PQ search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
-case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int)
+case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int,
+    rerank: Int = 0)
     extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] =
@@ -635,7 +639,7 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: PqSearchPlaceholder if p.childrenResolved =>
       graft.ml.IvfIndex.searchPqIndex(session, p.path,
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
-          topK = p.k, nprobe = p.nprobe)
+          topK = p.k, nprobe = p.nprobe, rerank = p.rerank)
         .queryExecution.analyzed
     case p: IvfStalenessPlaceholder =>
       val (bn, nn, mb, mn, ratio) = graft.ml.IvfIndex.staleness(session, p.path)

@@ -2390,10 +2390,14 @@ object LlmOps {
     // The OPQ composition: the same PQ store built in a PCA-rotated
     // space (axes dealt round-robin across subspaces — Ge et al. 2013
     // non-parametric init; orthonormal, NO centering, so scores
-    // approximate the SAME raw-space cosine). The rotation is persisted
-    // beside the index and frozen for appends/serves. Rows-only
-    // (iterative eigensolve + two-level k-means); IvfIndexSuite pins the
-    // 2.8× recall lift on correlated data and byte-determinism.
+    // approximate the SAME raw-space cosine), then ONE parametric
+    // refinement sweep (the alternating R/codebook loop, opqIters = 1:
+    // re-train in rotated space, Procrustes-update R against the frozen
+    // reconstruction). The final rotation is persisted beside the index
+    // and frozen for appends/serves. Rows-only (iterative eigensolve +
+    // two-level k-means); IvfIndexSuite pins the recall lift on
+    // correlated data, the refinement's reconstruction-error descent,
+    // and byte-determinism.
     "q_ann_ivf_pq_opq" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 10)
@@ -2402,9 +2406,35 @@ object LlmOps {
         "graft-ivf-pq-opq", s.sparkContext.applicationId, d)
       graft.operators.Memo.once(path) {
         graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
-          m = 16, ksub = 16, pqIters = 3, path, rotate = true)
+          m = 16, ksub = 16, pqIters = 3, path, rotate = true, opqIters = 1)
       }
       graft.ml.IvfIndex.searchPqIndex(s, path, queries, topK = 5, nprobe = 2)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("q_id", "rn")
+    }),
+
+    // The PQ serving shape at 100 TB is TWO-tier (Jégou et al. 2011 §V):
+    // ADC over the hot ~64×-compressed codes picks a per-query shortlist,
+    // then the exact float dot re-scores ONLY those R rows against the
+    // cold float twin stored beside the codes (keepFloat build) — the
+    // float bytes are touched R-per-query, never per-scan, and `score`
+    // is the TRUE cosine again instead of the quantized approximation.
+    // Rows-only (iterative two-level k-means); IvfIndexSuite pins
+    // full-shortlist re-rank == float IVF search bit-for-bit, recall
+    // monotonicity at small R, lockstep append/compaction/torn-recovery
+    // of the float twin, and loud failure on a codes-only index.
+    "q_ann_ivf_pq_rerank" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val path = graft.operators.Scratch.dir(
+        "graft-ivf-pq-rr", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+          m = 16, ksub = 16, pqIters = 3, path, keepFloat = true)
+      }
+      graft.ml.IvfIndex.searchPqIndex(s, path, queries, topK = 5,
+          nprobe = 2, rerank = 25)
         .withColumn("score", round(col("score"), 4))
         .orderBy("q_id", "rn")
     }),

@@ -143,6 +143,18 @@ class SqlSurfaceSuite extends SparkSpec {
     val want = api.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
     assert(got === want)
     assert(got.nonEmpty)
+    // the 5-arg re-rank form round-trips too (keepFloat build)
+    val dirRr = java.nio.file.Files.createTempDirectory("graft-sql-pq-rr").toString
+    graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+      m = 16, ksub = 16, pqIters = 3, dirRr, keepFloat = true)
+    val sqlRr = spark.sql(
+      s"SELECT * FROM graft_pq_search('$dirRr', TABLE(SELECT * FROM sql_pq_q), 5, 2, 25)")
+    val apiRr = graft.ml.IvfIndex.searchPqIndex(spark, dirRr, queries,
+      topK = 5, nprobe = 2, rerank = 25)
+    val gotRr = sqlRr.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val wantRr = apiRr.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(gotRr === wantRr)
+    assert(gotRr.nonEmpty)
   }
 
   test("graft_ivf_staleness / graft_pca_staleness: SQL rows equal the Scala gauges") {

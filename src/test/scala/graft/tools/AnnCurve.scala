@@ -120,11 +120,23 @@ object AnnCurve {
     // codebooks cover every residual.
     val pqDir = java.nio.file.Files.createTempDirectory("ann-curve-pq").toString + "/idx"
     graft.ml.IvfIndex.buildPqIndex(corpus, k = k, iters = 3,
-      m = 16, ksub = 16, pqIters = 3, pqDir)
+      m = 16, ksub = 16, pqIters = 3, pqDir, keepFloat = true)
     for (nprobe <- Seq(2, 4, 8, 16)) {
       def run = graft.ml.IvfIndex.searchPqIndex(spark, pqDir, queries,
         topK = 5, nprobe = nprobe).select("q_id", "rn", "c_id")
       rows += ((s"ivfpq_m16_nprobe_$nprobe", recallOf(topIds(run)), time3(run.collect())))
+    }
+
+    // Two-tier serving (ADC shortlist -> exact float re-rank of R rows):
+    // the recall-restoring second stage. At R large enough to cover the
+    // probed candidates this MUST meet the float IVF row at the same
+    // nprobe (suite-pinned bit-equality); the sweep shows how fast small
+    // R closes the gap on a corpus where ADC order is noisy.
+    for (nprobe <- Seq(2, 8, 16); rr <- Seq(25, 100)) {
+      def run = graft.ml.IvfIndex.searchPqIndex(spark, pqDir, queries,
+        topK = 5, nprobe = nprobe, rerank = rr).select("q_id", "rn", "c_id")
+      rows += ((s"ivfpq_rerank${rr}_nprobe_$nprobe", recallOf(topIds(run)),
+        time3(run.collect())))
     }
 
     // OPQ-rotated IVF-PQ (Ge et al. 2013 non-parametric init: PCA axes
@@ -166,7 +178,11 @@ object AnnCurve {
       "honest negative one rung further down the compression ladder (codes-only " +
       "ADC, ~32-64x): residual codebooks need residual STRUCTURE, and this corpus " +
       "has none - IvfIndexSuite pins recall 0.86+ on a structured-residual fixture " +
-      "and exact ADC==brute reconstruction when codebooks cover every residual\"\n}\n"
+      "and exact ADC==brute reconstruction when codebooks cover every residual. " +
+      "The ivfpq_rerank* rows are the two-tier repair: exact float re-rank of the " +
+      "ADC top-R restores the float IVF recall at the same nprobe while the scan " +
+      "stays over codes - the quantization loss is recoverable, the nprobe loss " +
+      "is not\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("ANN_CURVE.json"),
       json.getBytes("UTF-8"))
     println("wrote ANN_CURVE.json")
