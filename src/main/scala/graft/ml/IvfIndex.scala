@@ -97,11 +97,20 @@ object IvfIndex {
       .select("vec_id", "v", "cell")
 
   /** Top-k cosine neighbors per query, scanning only the nprobe nearest
-    * cells. nprobe = model.k degrades to exact brute force (suite-pinned). */
+    * cells. nprobe = model.k degrades to exact brute force (suite-pinned).
+    *
+    * `allowed` (a (vec_id, …) frame) restricts candidates to its ids —
+    * FILTERED vector search, the metadata-constrained form every serving
+    * stack needs (the cells layout stores no metadata columns, so the
+    * constraint arrives as an id allowlist computed from the metadata
+    * table; a selective allowlist broadcasts, Catalyst picks). Top-k is
+    * computed AFTER the restriction — k survivors per query, not
+    * post-filtered holes. */
   def search(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-             model: Model, topK: Int, nprobe: Int): DataFrame = {
+             model: Model, topK: Int, nprobe: Int,
+             allowed: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.k)
-    val assigned = assign(corpus, model)
+    val assigned = restrict(assign(corpus, model), allowed)
     // each query probes its nprobe nearest cells
     val qcells = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -115,6 +124,13 @@ object IvfIndex {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select("q_id", "rn", "c_id", "cos_sim")
   }
+
+  /** Allowlist restriction for filtered search: left-semi on vec_id. */
+  private def restrict(corpus: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed match {
+      case Some(a) => corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi")
+      case None => corpus
+    }
 
   private def nearestCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
     udf { v: Seq[Double] =>
@@ -391,10 +407,12 @@ object IvfIndex {
     * partitions (batch above the last commit marker) are filtered out, so
     * serving never sees half a batch. */
   def searchIndex(spark: SparkSession, path: String, queries: DataFrame,
-                  topK: Int, nprobe: Int): DataFrame =
+                  topK: Int, nprobe: Int,
+                  allowed: Option[DataFrame] = None): DataFrame =
     searchPartitioned(spark, s"$path/cells", queries,
       loadModel(spark, s"$path/model"), topK, nprobe,
-      maxBatch = Some(committedIngestVersion(spark, path)))
+      maxBatch = Some(committedIngestVersion(spark, path)),
+      allowed = allowed)
 
   // ---------------------------------------------------------------------
   // IVF-PQ: product-quantized residual codes — the serving shape between
@@ -869,9 +887,14 @@ object IvfIndex {
     * candidate count this equals the float IVF search at the same
     * nprobe exactly (suite-pinned); small R (2–10×topK) restores most
     * of the quantization-lost recall at a per-query float cost of R
-    * rows — the standard PQ serving shape (Jégou et al. 2011 §V). */
+    * rows — the standard PQ serving shape (Jégou et al. 2011 §V).
+    *
+    * `allowed` restricts candidates to an id allowlist BEFORE the ADC
+    * scoring (filtered search — see [[search]]); the re-rank shortlist
+    * then inherits the restriction for free. */
   def searchPqIndex(spark: SparkSession, path: String, queries: DataFrame,
-                    topK: Int, nprobe: Int, rerank: Int = 0): DataFrame = {
+                    topK: Int, nprobe: Int, rerank: Int = 0,
+                    allowed: Option[DataFrame] = None): DataFrame = {
     val coarse = loadModel(spark, s"$path/model")
     val pq = loadPqModel(spark, s"$path/pq_model")
     require(nprobe >= 1 && nprobe <= coarse.k)
@@ -892,10 +915,10 @@ object IvfIndex {
       .filter(col("cell").isin(probed.toSeq: _*))
     // committed ingest versions only (directory-pruned second-level
     // filter); a pre-versioning static layout has no batch column — skip
-    val committed =
+    val committed = restrict(
       if (raw.columns.contains("batch"))
         raw.filter(col("batch") <= committedIngestVersion(spark, path))
-      else raw
+      else raw, allowed)
     val codes = committed.select(col("vec_id").as("c_id"), col("codes"), col("cell"))
     // ADC: codegen'd sum of m lookups (1-based element_at; codes are
     // 0-based per subspace, offset s·ksub into the flattened LUT)
@@ -948,7 +971,8 @@ object IvfIndex {
     * (IvfIndexSuite pins both the equality and the pruned listing). */
   def searchPartitioned(spark: SparkSession, path: String, queries: DataFrame,
                         model: Model, topK: Int, nprobe: Int,
-                        maxBatch: Option[Long] = None): DataFrame = {
+                        maxBatch: Option[Long] = None,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.k)
     val qcells = normalized(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -959,10 +983,12 @@ object IvfIndex {
     // committed-versions-only read for versioned layouts: `batch` is a
     // second-level partition column, so this filter prunes directories
     // too. A static writeCells layout has no batch column — skip.
-    val corpus = maxBatch match {
+    // The allowlist restriction (filtered search — see [[search]]) lands
+    // AFTER the partition pruning, so the directory-level skip survives.
+    val corpus = restrict(maxBatch match {
       case Some(v) if raw.columns.contains("batch") => raw.filter(col("batch") <= v)
       case _ => raw
-    }
+    }, allowed)
     graft.functions.VectorFunctions.register(spark)
     val scored = qcells.join(corpus.select(col("vec_id").as("c_id"),
         col("v").as("cv"), col("cell")), Seq("cell"))

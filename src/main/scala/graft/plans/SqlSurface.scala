@@ -131,15 +131,18 @@ object SqlSurface {
       tableArg(fn, "second", exprs(1)))
   }
 
-  /** graft_ivf_search('path', TABLE(queries), k, nprobe) — ANN top-k per
-    * query vector against the persisted IVF index at `path`. */
+  /** graft_ivf_search('path', TABLE(queries), k, nprobe[, TABLE(allowed)])
+    * — ANN top-k per query vector against the persisted IVF index at
+    * `path`. The optional 5th TABLE restricts candidates to its vec_ids
+    * (FILTERED vector search — top-k AFTER the restriction). */
   def ivfSearchBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ivf_search"
-    require(exprs.size == 4,
-      s"$fn(path, queries, k, nprobe) takes 4 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe), got ${exprs.size}")
+    require(exprs.size == 4 || exprs.size == 5,
+      s"$fn(path, queries, k, nprobe[, allowed]) takes 4-5 args (index path string, TABLE(...) of vec_id/embedding, int k, int nprobe, optional TABLE(...) allowlist of vec_id), got ${exprs.size}")
     IvfSearchPlaceholder(strLit(fn, "path", exprs.head),
       tableArg(fn, "second", exprs(1)),
-      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)))
+      intLit(fn, "k", exprs(2)), intLit(fn, "nprobe", exprs(3)),
+      if (exprs.size == 5) Some(tableArg(fn, "fifth", exprs(4))) else None)
   }
 
   /** graft_pq_search('path', TABLE(queries), k, nprobe[, rerank]) — ADC
@@ -412,13 +415,17 @@ case class DedupAgainstPlaceholder(path: String, child: LogicalPlan)
 
 /** Unresolved marker for the SQL IVF search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
-case class IvfSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int)
-    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+case class IvfSearchPlaceholder(path: String, queries: LogicalPlan,
+    k: Int, nprobe: Int, allowed: Option[LogicalPlan] = None)
+    extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(queries) ++ allowed.toSeq
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] =
     throw new UnresolvedException("IvfSearchPlaceholder.output")
-  override protected def withNewChildInternal(newChild: LogicalPlan): IvfSearchPlaceholder =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): IvfSearchPlaceholder =
+    copy(queries = newChildren(0),
+      allowed = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
 
 /** Unresolved marker for the SQL IVF staleness report; expanded by
@@ -633,8 +640,10 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
         .queryExecution.analyzed
     case p: IvfSearchPlaceholder if p.childrenResolved =>
       graft.ml.IvfIndex.searchIndex(session, p.path,
-          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
-          topK = p.k, nprobe = p.nprobe)
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.queries),
+          topK = p.k, nprobe = p.nprobe,
+          allowed = p.allowed.map(
+            org.apache.spark.sql.GraftSqlBridge.ofRows(session, _)))
         .queryExecution.analyzed
     case p: PqSearchPlaceholder if p.childrenResolved =>
       graft.ml.IvfIndex.searchPqIndex(session, p.path,

@@ -1652,6 +1652,47 @@ object LlmOps {
     "q_search_bm25_param" -> ((s, d) =>
       bm25(Tables(s, d, "documents"), Seq("window", "scan", "column"), topK = 10)),
 
+    // HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke,
+    // Büttcher 2009) of the two arms every modern retrieval/curation
+    // stack runs side by side: BM25 over the text (top-20, the literal
+    // q_search_bm25_param terms) and embedding cosine (top-20 against the
+    // doc-0 query vector, vec_id = doc_id), both restricted to the
+    // candidate corpus doc_id >= 10. score = Σ_arms 1/(60 + rank), a
+    // missing arm contributes 0 (the standard k=60 form — rank-only
+    // fusion needs no score calibration between lexical and vector
+    // space, which is WHY it is the default at 100 TB where the two
+    // arms' score distributions drift independently). Both arms are
+    // rank-deterministic (rounded scores, doc_id ties), the fused score
+    // is exact double arithmetic on small-int ranks -> FULL DuckDB
+    // oracle. Scale shape: each arm is an already-proven top-k plan
+    // (distributed TakeOrdered / broadcast-quant kernel); the fusion
+    // itself joins two 20-row frames — driver-free, broadcast-trivial.
+    "q_search_hybrid_rrf" -> ((s, d) => {
+      val corpus = Tables(s, d, "documents").filter(col("doc_id") >= 10)
+      val lex = bm25(corpus, Seq("window", "scan", "column"), topK = 20)
+        .select(col("doc_id"), col("rn").cast("long").as("r_lex"))
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val c = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      val wv = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+      val vec = c.crossJoin(broadcast(q))
+        .select(col("doc_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+        .withColumn("r_vec", row_number().over(wv).cast("long"))
+        .select("doc_id", "r_vec")
+      val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select("rn", "doc_id", "rrf", "r_lex", "r_vec")
+        .orderBy("rn")
+    }),
+
     // Top-3 bigrams per language by frequency (ties alphabetical) — the
     // n-gram frequency profile a corpus-analysis pass ships next to
     // lang-id. Bigram generation is map-side (transform over the token
@@ -1794,6 +1835,55 @@ object LlmOps {
     "q_sim_topk" -> ((s, d) => simTopK(s, d)
       .select("q_id", "rn", "c_id", "cos_sim")
       .orderBy("q_id", "rn")),
+
+    // FILTERED similarity search — the metadata-constrained form every
+    // vector-serving stack needs ("nearest neighbors WHERE label = 3"):
+    // the constraint restricts the candidate set BEFORE top-k, so each
+    // query still gets k survivors instead of post-filtered holes. This
+    // brute witness is the FULL-oracle semantics statement; the
+    // index-backed scale path is q_ann_ivf_filtered (same allowlist
+    // pushed into the pruned cells read via a left-semi join, pinned
+    // equal to this at nprobe = k).
+    "q_sim_topk_filtered" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qe"))
+      val c = e.filter(col("vec_id") >= 10 && col("label") === 3)
+        .select(col("vec_id").as("c_id"), col("v").as("ce"))
+      val scored = c.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+        .select("q_id", "rn", "c_id", "cos_sim")
+        .orderBy("q_id", "rn")
+    }),
+
+    // The index-backed filtered search: the SAME label = 3 allowlist
+    // pushed into the persisted IVF index's pruned cells read (left-semi
+    // on vec_id AFTER the cell/batch directory pruning — the listing
+    // skip survives the restriction). Rows-only (iterative k-means);
+    // IvfIndexSuite pins filtered nprobe = k == the brute filtered
+    // witness exactly, and that no disallowed id ever surfaces at any
+    // nprobe.
+    "q_ann_ivf_filtered" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val queries = emb.filter(col("vec_id") < 10)
+      val allowed = emb.filter(col("vec_id") >= 10 && col("label") === 3)
+        .select("vec_id")
+      val path = graft.operators.Scratch.dir(
+        "graft-ivf-filt", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.ml.IvfIndex.buildIndex(corpus, k = 8, iters = 3, path)
+      }
+      graft.ml.IvfIndex.searchIndex(s, path, queries, topK = 5, nprobe = 2,
+          allowed = Some(allowed))
+        .withColumn("cos_sim", round(col("cos_sim"), 4))
+        .orderBy("q_id", "rn")
+    }),
 
     // REDUCED-DIMENSION similarity — the OPQ-style preprocessing
     // composition (ml.Pca ∘ cosine top-k): project corpus AND queries
@@ -3524,6 +3614,46 @@ object LlmOps {
         |  FROM ranked)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
+    "q_search_hybrid_rrf" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |qterms AS (SELECT unnest(['window', 'scan', 'column']) AS w),
+         |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS len FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n,
+         |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
+         |          FROM lens),
+         |scoredl AS (
+         |  SELECT tf.doc_id,
+         |         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+         |               / (tf + 1.2 * (0.25 + 0.75 * len / (suml / n))), 6) AS score_t
+         |  FROM tf JOIN qterms USING (w) JOIN dfq USING (w)
+         |       JOIN lens ON lens.doc_id = tf.doc_id, stats),
+         |rankedl AS (
+         |  SELECT doc_id,
+         |         ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+         |  FROM scoredl GROUP BY 1),
+         |lex AS (SELECT doc_id, r_lex FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+         |  FROM rankedl) WHERE r_lex <= 20),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |scoredv AS (SELECT doc_id, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
+         |vec AS (SELECT doc_id, r_vec FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+         |  FROM scoredv) WHERE r_vec <= 20),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+         |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0)
+         |               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT rn, doc_id, rrf, r_lex, r_vec FROM (
+         |  SELECT doc_id, rrf, r_lex, r_vec,
+         |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+         |  FROM fused)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
     "q_text_bigrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
@@ -3566,6 +3696,16 @@ object LlmOps {
     "q_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |scored AS (SELECT q_id, c_id, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
+         |ranked AS (SELECT q_id, c_id, cos_sim,
+         |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+         |           FROM scored)
+         |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q_sim_topk_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+         |      WHERE vec_id >= 10 AND label = 3),
          |scored AS (SELECT q_id, c_id, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
          |ranked AS (SELECT q_id, c_id, cos_sim,
          |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn

@@ -615,6 +615,51 @@ class IvfIndexSuite extends SparkSpec {
     assert(stored === want, "append did not apply the frozen rotation")
   }
 
+  test("filtered search: allowlist restricts BEFORE top-k; nprobe=k equals brute filtered; no disallowed id at any nprobe") {
+    graft.functions.VectorFunctions.register(spark)
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val allowed = embeddings.filter(col("vec_id") >= 10 && col("label") === 3)
+      .select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    assert(allowedIds.nonEmpty && allowedIds.size < 200,
+      s"fixture drifted: ${allowedIds.size} allowed ids")
+    // witness: brute top-5 over the RESTRICTED candidate set — top-k after
+    // the filter (k survivors), not post-filtered holes
+    val want = bruteTop5Rows(
+      corpus.join(allowed, Seq("vec_id"), "left_semi"), queries)
+    val got = IvfIndex.search(spark, corpus, queries, model, topK = 5,
+        nprobe = 8, allowed = Some(allowed))
+      .select("q_id", "rn", "c_id").orderBy("q_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want, "filtered nprobe=k drifted from the brute filtered witness")
+    // every query gets its full 5 survivors (the restriction leaves >5)
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // persisted index path: same allowlist through the pruned cells read
+    val dir = java.nio.file.Files.createTempDirectory("ivf-filtered").toString + "/idx"
+    IvfIndex.buildIndex(corpus, k = 8, iters = 3, dir)
+    val gotIdx = IvfIndex.searchIndex(spark, dir, queries, topK = 5,
+        nprobe = 8, allowed = Some(allowed))
+      .select("q_id", "rn", "c_id").orderBy("q_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(gotIdx === want, "persisted filtered search drifted from the witness")
+    // no disallowed id ever surfaces, at any nprobe, on any serving path
+    for (np <- Seq(2, 8)) {
+      val ids = IvfIndex.searchIndex(spark, dir, queries, topK = 5,
+        nprobe = np, allowed = Some(allowed)).collect().map(_.getLong(2))
+      assert(ids.forall(allowedIds.contains), s"disallowed id at nprobe=$np")
+    }
+    // the PQ/ADC path honors the same restriction
+    val pqDir = java.nio.file.Files.createTempDirectory("pq-filtered").toString + "/idx"
+    IvfIndex.buildPqIndex(corpus, k = 8, iters = 2, m = 16, ksub = 16,
+      pqIters = 2, pqDir, keepFloat = true)
+    for (rr <- Seq(0, 25)) {
+      val ids = IvfIndex.searchPqIndex(spark, pqDir, queries, topK = 5,
+        nprobe = 8, rerank = rr, allowed = Some(allowed)).collect().map(_.getLong(2))
+      assert(ids.nonEmpty && ids.forall(allowedIds.contains),
+        s"disallowed id through the PQ path (rerank=$rr)")
+    }
+  }
+
   test("pq parametric OPQ: alternating refinement descends the reconstruction error; deterministic; serve path unchanged") {
     val corpus = lowRank(600, 0)
     val qs = lowRank(30, 100000)

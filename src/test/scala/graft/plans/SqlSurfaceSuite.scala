@@ -125,6 +125,20 @@ class SqlSurfaceSuite extends SparkSpec {
     val want = api.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
     assert(got === want)
     assert(got.nonEmpty)
+    // the 5-arg FILTERED form (allowlist TABLE) round-trips too
+    emb.filter(col("vec_id") >= 10 && col("label") === 3).select("vec_id")
+      .createOrReplaceTempView("sql_ivf_allow")
+    val sqlF = spark.sql(
+      s"SELECT * FROM graft_ivf_search('$dir', TABLE(SELECT * FROM sql_ivf_q), 5, 8, " +
+        "TABLE(SELECT * FROM sql_ivf_allow))")
+    val apiF = graft.ml.IvfIndex.searchIndex(spark, dir, queries, topK = 5,
+      nprobe = 8, allowed = Some(spark.table("sql_ivf_allow")))
+    val gotF = sqlF.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val wantF = apiF.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(gotF === wantF)
+    assert(gotF.nonEmpty)
+    val allowedIds = spark.table("sql_ivf_allow").collect().map(_.getLong(0)).toSet
+    assert(gotF.map(_._3).forall(allowedIds.contains))
   }
 
   test("graft_pq_search: SQL round trip equals the Scala IVF-PQ operator") {
