@@ -54,6 +54,50 @@ object LlmOps {
        | / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
        |       * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** DuckDB oracle for q_search_mmr: the k = 5 greedy MMR steps unrolled
+    * into chained CTEs that mirror [[mmrRerank]]'s plan stage for stage
+    * (anti-join picked, MAX sim to picked, top-1 per query). λ and 1−λ
+    * are spelled as the SAME IEEE double expressions the Spark side
+    * computes (1.0 − 0.7 in double ≠ the decimal literal 0.3). */
+  private def mmrSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val om = s"(CAST(1.0 AS DOUBLE) - $lam)"
+    val steps = (2 to 5).map { i =>
+      val prev = s"picked${i - 1}"
+      s"""rem$i AS (SELECT c.* FROM cand c LEFT JOIN $prev p
+         |  ON c.q_id = p.q_id AND c.c_id = p.c_id WHERE p.c_id IS NULL),
+         |ms$i AS (SELECT r.q_id, r.c_id, r.rel, MAX(s.sim) AS ms
+         |  FROM rem$i r JOIN sims s ON s.q_id = r.q_id AND s.a = r.c_id
+         |  JOIN $prev p ON p.q_id = s.q_id AND p.c_id = s.b
+         |  GROUP BY 1, 2, 3),
+         |p$i AS (SELECT q_id, c_id, mmr, CAST($i AS BIGINT) AS rn FROM (
+         |  SELECT q_id, c_id, ROUND($lam * rel - $om * ms, 6) AS mmr,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ROUND($lam * rel - $om * ms, 6) DESC, c_id) AS r
+         |  FROM ms$i) WHERE r = 1),
+         |picked$i AS (SELECT q_id, c_id, mmr, rn FROM ${prev}
+         |  UNION ALL SELECT q_id, c_id, mmr, rn FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+       |scored AS (SELECT q_id, c_id, ROUND(${sqlCos("qe", "ce")}, 4) AS rel FROM c, q),
+       |cand AS (SELECT q_id, c_id, rel FROM (
+       |  SELECT q_id, c_id, rel,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS rn0
+       |  FROM scored) WHERE rn0 <= 20),
+       |cv AS (SELECT cand.q_id, cand.c_id, ce FROM cand JOIN c USING (c_id)),
+       |sims AS (SELECT x.q_id, x.c_id AS a, y.c_id AS b,
+       |                ROUND(${sqlCos("x.ce", "y.ce")}, 4) AS sim
+       |         FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+       |picked1 AS (SELECT q_id, c_id, ROUND($lam * rel, 6) AS mmr,
+       |                   CAST(1 AS BIGINT) AS rn FROM (
+       |  SELECT q_id, c_id, rel,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS r
+       |  FROM cand) WHERE r = 1),
+       |$steps
+       |SELECT q_id, rn, c_id, mmr FROM picked5 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** THE quality score — one definition for the three consumers
     * (q_text_quality, q_curate's shared-scan aggregate, and
     * q_dedup_canonical's kept-doc argmax): capped-length signal times
@@ -484,6 +528,92 @@ object LlmOps {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     import docs.sparkSession.implicits._
     bm25Scored(docs, queryTerms.distinct.toDF("w"), topK)
+  }
+
+  /** PUBLIC diversity re-rank: MAXIMAL MARGINAL RELEVANCE (Carbonell &
+    * Goldstein 1998) over per-query candidate shortlists — the standard
+    * "don't return 10 near-duplicates" second stage after any retrieval
+    * arm, and a curation primitive (diverse sampling) in its own right.
+    * Greedy: pick the relevance argmax, then k−1 times the argmax of
+    * λ·rel − (1−λ)·max(sim to already-picked); ties to the lowest c_id.
+    *
+    * Inputs: `cands` (q_id: bigint, c_id: bigint, rel: double) — the
+    * per-query shortlist with relevance scores; `sims` (q_id, a, b,
+    * sim) — pairwise similarities among each query's candidates (both
+    * directions, a ≠ b).
+    *
+    * Distributed shape: each greedy step is one anti-join (drop picked)
+    * + one semi-join onto the picked set + a max aggregation + a
+    * top-1-per-query window over the SHORTLIST-sized frames (MMR is BY
+    * DEFINITION over a bounded per-query shortlist). The per-step picks
+    * (ONE row per query) are collected and re-planted as a local
+    * relation — the same bounded-collect class as searchPartitioned's
+    * probed-cell ids; a self-referential lazy plan would otherwise
+    * TRIPLE per step (the picked set feeds two joins), going
+    * exponential in k. Driver state totals k·|Q| id/score triples — the
+    * result set itself. The shortlist frames are localCheckpointed once
+    * (every step re-reads them) and swept before return — all
+    * consumption is inside, so no pinned blocks escape.
+    *
+    * Determinism (and DuckDB parity — q_search_mmr carries a FULL
+    * oracle): rel/sim arrive pre-rounded, the MMR score is rounded to
+    * 6 dp with the (1−λ) factor computed as the same IEEE double on
+    * both engines, ties break on c_id. Returns (q_id, rn, c_id, mmr)
+    * with rn = selection order 1..k (fewer if a query's shortlist
+    * exhausts first). */
+  def mmrRerank(cands: DataFrame, sims: DataFrame, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1, s"mmr: need k >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmr: need 0 < lambda <= 1 (0 would ignore relevance entirely), got $lambda")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - lambda // ONE ieee subtraction, mirrored in the oracle
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val cd = cands.select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col("rel").cast("double")).localCheckpoint()
+      val sm = sims.select(col("q_id").cast("long"), col("a").cast("long"),
+        col("b").cast("long"), col("sim").cast("double")).localCheckpoint()
+      // step 1 is pure relevance: λ > 0 makes λ·rel order == rel order
+      val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+      val first = cd
+        .withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+        .select(col("q_id"), col("c_id"),
+          round(lit(lambda) * col("rel"), 6).as("mmr"), lit(1L).as("rn"))
+        .as[(Long, Long, Double, Long)].collect()
+      val picked = scala.collection.mutable.ArrayBuffer.from(first)
+      var step = 2
+      var exhausted = first.isEmpty
+      while (step <= k && !exhausted) {
+        val pickedDf = picked.toSeq.toDF("q_id", "c_id", "mmr", "rn")
+        val remaining = cd.join(pickedDf.select("q_id", "c_id"),
+          Seq("q_id", "c_id"), "left_anti")
+        val ms = remaining.as("r")
+          .join(sm.as("s"),
+            col("r.q_id") === col("s.q_id") && col("r.c_id") === col("s.a"))
+          .join(pickedDf.select(col("q_id").as("pq"), col("c_id").as("pc")),
+            col("s.q_id") === col("pq") && col("s.b") === col("pc"), "left_semi")
+          .groupBy(col("r.q_id").as("q_id"), col("r.c_id").as("c_id"),
+            col("r.rel").as("rel"))
+          .agg(max(col("s.sim")).as("ms"))
+          .withColumn("mmr", round(
+            lit(lambda) * col("rel") - lit(oneMinus) * col("ms"), 6))
+        val wi = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("c_id"))
+        val pi = ms.withColumn("r", row_number().over(wi)).filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("mmr"), lit(step.toLong).as("rn"))
+          .as[(Long, Long, Double, Long)].collect()
+        picked ++= pi
+        exhausted = pi.isEmpty
+        step += 1
+      }
+      picked.toSeq.toDF("q_id", "c_id", "mmr", "rn")
+        .select("q_id", "rn", "c_id", "mmr")
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** PUBLIC table-parametric CURATION PIPELINE — THE definition of the
@@ -1859,6 +1989,36 @@ object LlmOps {
       scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
         .select("q_id", "rn", "c_id", "cos_sim")
         .orderBy("q_id", "rn")
+    }),
+
+    // MMR diversity re-rank under the gate — [[mmrRerank]] over the
+    // cosine top-20 shortlist of each query (rel and pairwise sims both
+    // rounded engine-side), k = 5 picks at λ = 0.7. A GREEDY SEQUENTIAL
+    // operator with a FULL DuckDB oracle: the k selection steps unroll
+    // into k chained CTEs (anti-join picked, max-sim to picked, top-1
+    // per query) that mirror the Spark plan stage for stage — "iterative
+    // therefore rows-only" does not apply when the iteration count is a
+    // fixed small k.
+    "q_search_mmr" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qe"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("ce"))
+      val w = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+      val cand = c.crossJoin(broadcast(q))
+        .select(col("q_id"), col("c_id"), round(cosExpr("qe", "ce"), 4).as("rel"))
+        .withColumn("rn0", row_number().over(w)).filter(col("rn0") <= 20)
+        .select("q_id", "c_id", "rel")
+      val cv = cand.join(c, "c_id").select("q_id", "c_id", "ce")
+      val sims = cv.select(col("q_id"), col("c_id").as("a"), col("ce").as("va"))
+        .join(cv.select(col("q_id"), col("c_id").as("b"), col("ce").as("vb")), "q_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("q_id"), col("a"), col("b"),
+          round(cosExpr("va", "vb"), 4).as("sim"))
+      mmrRerank(cand, sims, k = 5, lambda = 0.7).orderBy("q_id", "rn")
     }),
 
     // The index-backed filtered search: the SAME label = 3 allowlist
@@ -3701,6 +3861,8 @@ object LlmOps {
          |                  row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
          |           FROM scored)
          |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "q_search_mmr" -> mmrSql,
 
     "q_sim_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** [[LlmOps.mmrRerank]] against hand-worked greedy selections on a
+  * crafted shortlist (λ=0.5, worked by hand from the MMR recurrence
+  * mmr(c) = λ·rel(c) − (1−λ)·max over picked p of sim(c, p)):
+  * the near-duplicate of the top pick must be SKIPPED, ties must break
+  * to the lowest c_id, and λ=1 must degrade to pure relevance. */
+class MmrSuite extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  // q=1: 10 (rel .9) and 11 (rel .89) are near-dups (sim .99); 12/13 are
+  // diverse. Greedy at λ=.5: pick 10 (mmr .45); then 11 scores
+  // .445−.495=−.05 while 12/13 TIE at .2 → 12 by id; then 13 at
+  // .2−.5·max(.0,.2)=.1. The pure-rel runner-up 11 never makes it.
+  private def cands = {
+    import spark.implicits._
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.5), (1L, 13L, 0.4))
+      .toDF("q_id", "c_id", "rel")
+  }
+
+  private def sims = {
+    import spark.implicits._
+    val half = Seq(
+      (1L, 10L, 11L, 0.99), (1L, 10L, 12L, 0.1), (1L, 10L, 13L, 0.0),
+      (1L, 11L, 12L, 0.1), (1L, 11L, 13L, 0.0), (1L, 12L, 13L, 0.2))
+    (half ++ half.map { case (q, a, b, s) => (q, b, a, s) })
+      .toDF("q_id", "a", "b", "sim")
+  }
+
+  test("hand-computed greedy: near-dup of the top pick skipped, tie to lowest id") {
+    val got = LlmOps.mmrRerank(cands, sims, k = 3, lambda = 0.5)
+      .orderBy("q_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 10L, 0.45), // pure relevance seed
+      (1L, 2L, 12L, 0.2),  // beats 13 only on the c_id tie-break
+      (1L, 3L, 13L, 0.1))) // 11 (rel rank 2!) never selected: mmr −0.05
+  }
+
+  test("lambda = 1 degrades to pure relevance top-k") {
+    val got = LlmOps.mmrRerank(cands, sims, k = 3, lambda = 1.0)
+      .orderBy("q_id", "rn")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 10L, 0.9), (2L, 11L, 0.89), (3L, 12L, 0.5)))
+  }
+
+  test("queries are independent groups; k beyond the shortlist returns what exists") {
+    import spark.implicits._
+    // q=2 reverses the relevance order — its greedy must not see q=1's picks
+    val c2 = cands.unionByName(
+      Seq((2L, 10L, 0.4), (2L, 11L, 0.89), (2L, 12L, 0.9)).toDF("q_id", "c_id", "rel"))
+    val s2 = sims.unionByName(sims.filter(col("a") =!= 13 && col("b") =!= 13)
+      .withColumn("q_id", lit(2L)))
+    val got = LlmOps.mmrRerank(c2, s2, k = 3, lambda = 0.5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    assert(got(1L) === Seq(10L, 12L, 13L))
+    assert(got(2L).head === 12L, s"q=2 must seed from ITS OWN relevance: ${got(2L)}")
+    assert(!got(2L).contains(13L), "q=2 has no candidate 13")
+    // k larger than the shortlist: the selection simply exhausts it
+    val exhausted = LlmOps.mmrRerank(cands, sims, k = 10, lambda = 0.5)
+      .filter(col("q_id") === 1).count()
+    assert(exhausted === 4L)
+  }
+}
