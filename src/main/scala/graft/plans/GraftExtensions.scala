@@ -163,6 +163,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
       SqlSurface.knnSearchBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_mmr"),
+      new ExpressionInfo(classOf[MmrPlaceholder].getName, "graft_mmr"),
+      SqlSurface.mmrBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search_index"),
       new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
       SqlSurface.knnSearchIndexBuilder _))

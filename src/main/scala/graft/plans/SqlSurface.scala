@@ -199,6 +199,21 @@ object SqlSurface {
       exprs.lift(5).map(intLit(fn, "rounds", _)).getOrElse(2))
   }
 
+  /** graft_mmr(cands, sims, k[, lambda]) — maximal-marginal-relevance
+    * diversity re-rank ([[graft.queries.LlmOps.mmrRerank]]) over
+    * per-query shortlists: `cands` is (q_id, c_id, rel), `sims` is
+    * (q_id, a, b, sim) pairwise among each query's candidates. Default
+    * λ = 0.7. Returns (q_id, rn, c_id, mmr). */
+  def mmrBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_mmr"
+    require(exprs.size == 3 || exprs.size == 4,
+      s"$fn(cands, sims, k[, lambda]) takes 3-4 args (TABLE(...) of q_id/c_id/rel, TABLE(...) of q_id/a/b/sim, int k, optional double lambda), got ${exprs.size}")
+    MmrPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      intLit(fn, "k", exprs(2)),
+      exprs.lift(3).map(dblLit(fn, "lambda", _)).getOrElse(0.7))
+  }
+
   /** graft_pagerank(nodes, edges, iters[, damping]) — damped power-
     * iteration PageRank over a DIRECTED edge table: completes SQL access
     * for the graph-analytics family (degree and triangles are plain SQL;
@@ -460,6 +475,19 @@ case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe:
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL MMR re-rank; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class MmrPlaceholder(cands: LogicalPlan, sims: LogicalPlan,
+    k: Int, lambda: Double) extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(cands, sims)
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("MmrPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): MmrPlaceholder =
+    copy(cands = newChildren(0), sims = newChildren(1))
+}
+
 /** Unresolved marker for the SQL graph-ANN search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class KnnSearchPlaceholder(graph: LogicalPlan, corpus: LogicalPlan,
@@ -664,6 +692,12 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       import session.implicits._
       Seq((n, cap, tot, frac))
         .toDF("n", "captured_variance", "total_variance", "captured_frac")
+        .queryExecution.analyzed
+    case p: MmrPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.mmrRerank(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.cands),
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.sims),
+          k = p.k, lambda = p.lambda)
         .queryExecution.analyzed
     case p: KnnSearchPlaceholder if p.childrenResolved =>
       val bridge = org.apache.spark.sql.GraftSqlBridge

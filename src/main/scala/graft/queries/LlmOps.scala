@@ -98,6 +98,35 @@ object LlmOps {
        |SELECT q_id, rn, c_id, mmr FROM picked5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** DuckDB oracle for q_sample_kcenter: the k = 5 greedy steps unrolled
+    * into chained CTEs mirroring [[kCenterSample]] — seed = lowest
+    * vec_id, then per step the argmax of MIN(round(1 − round(cos,4),4))
+    * to the selected set, ties to the lowest vec_id. */
+  private def kCenterSql: String = {
+    val dist = s"ROUND(CAST(1.0 AS DOUBLE) - ROUND(${sqlCos("x.ce", "y.ce")}, 4), 4)"
+    val steps = (2 to 5).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""d$i AS (SELECT x.vec_id, MIN($dist) AS mind
+         |  FROM c x JOIN c y ON y.vec_id IN (SELECT vec_id FROM $prev)
+         |  WHERE x.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY 1),
+         |p$i AS (SELECT CAST($i AS BIGINT) AS rn, vec_id, mind FROM (
+         |  SELECT vec_id, mind,
+         |         row_number() OVER (ORDER BY mind DESC, vec_id) AS r
+         |  FROM d$i) WHERE r = 1),
+         |sel$i AS (SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+       |p1 AS (SELECT CAST(1 AS BIGINT) AS rn, vec_id, CAST(NULL AS DOUBLE) AS mind
+       |       FROM (SELECT vec_id FROM c ORDER BY vec_id LIMIT 1)),
+       |sel1 AS (SELECT vec_id FROM p1),
+       |$steps
+       |SELECT rn, vec_id, mind FROM (
+       |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+       |  UNION ALL SELECT * FROM p4 UNION ALL SELECT * FROM p5)
+       |ORDER BY rn""".stripMargin
+  }
+
   /** THE quality score — one definition for the three consumers
     * (q_text_quality, q_curate's shared-scan aggregate, and
     * q_dedup_canonical's kept-doc argmax): capped-length signal times
@@ -609,6 +638,69 @@ object LlmOps {
       }
       picked.toSeq.toDF("q_id", "c_id", "mmr", "rn")
         .select("q_id", "rn", "c_id", "mmr")
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** PUBLIC diverse-corpus sampler: GREEDY K-CENTER (Gonzalez 1985, the
+    * classic 2-approximation of the k-center objective) over an
+    * embedding table — "pick k maximally-spread representatives", the
+    * corpus-level diversity primitive (training-data coverage sampling,
+    * eval-set seeding, cluster-seed selection) where [[mmrRerank]] is
+    * the per-query one. Seed = the LOWEST vec_id (deterministic);
+    * each further step adds the point maximizing the minimum cosine
+    * distance round(1 − round(cos, 4), 4) to the already-selected set,
+    * ties to the lowest vec_id.
+    *
+    * Distributed shape: the selected set lives driver-side (k id/vector
+    * pairs — model-sized by definition) and each step is ONE distributed
+    * pass: broadcast-join corpus × selected, per-row min-distance, one
+    * argmax. k passes over the data total — the honest cost of the
+    * greedy; at 100 TB run it on a pre-sampled/clustered coreset (the
+    * standard composition) rather than the raw corpus. No UDF in the
+    * distance path; plans stay flat (selected re-planted as a local
+    * relation per step, the [[mmrRerank]] discipline).
+    *
+    * Returns (rn, vec_id, mind): selection order and the min distance
+    * to the prior picks (NULL for the seed) — q_sample_kcenter carries
+    * a FULL DuckDB oracle (the k steps unroll into chained CTEs). */
+  def kCenterSample(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kcenter: need k >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val c = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("v")).localCheckpoint()
+      val seed = c.orderBy("vec_id").limit(1)
+        .as[(Long, Seq[Double])].collect()
+      require(seed.nonEmpty, "kcenter: empty corpus")
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+        (1L, seed(0)._1, None))
+      val vecs = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])](seed(0))
+      var step = 2
+      while (step <= k && picked.length == step - 1) {
+        val selDf = vecs.toSeq.toDF("s_id", "sv")
+        val top = c.join(selDf.select(col("s_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(selDf))
+          .select(col("vec_id"),
+            round(lit(1.0) - round(cosExpr("v", "sv"), 4), 4).as("dist"))
+          .groupBy("vec_id").agg(min("dist").as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .as[(Long, Double)].collect()
+        top.foreach { case (id, mind) =>
+          picked += ((step.toLong, id, Some(mind)))
+          vecs += ((id, c.filter(col("vec_id") === id).head().getSeq[Double](1)))
+        }
+        step += 1
+      }
+      picked.toSeq.map { case (rn, id, m) => (rn, id, m) }
+        .toDF("rn", "vec_id", "mind")
     } finally {
       val live = spark.sparkContext.getPersistentRDDs
       (live.keySet -- before).foreach(id =>
@@ -1990,6 +2082,14 @@ object LlmOps {
         .select("q_id", "rn", "c_id", "cos_sim")
         .orderBy("q_id", "rn")
     }),
+
+    // Greedy k-center corpus sampling under the gate — [[kCenterSample]]
+    // picks 5 maximally-spread representatives of the embedding corpus
+    // (deterministic lowest-id seed, min-cosine-distance argmax, ties to
+    // lowest id). Like q_search_mmr, a greedy sequential operator with a
+    // FULL DuckDB oracle via unrolled chained CTEs.
+    "q_sample_kcenter" -> ((s, d) =>
+      kCenterSample(Tables(s, d, "embeddings"), k = 5).orderBy("rn")),
 
     // MMR diversity re-rank under the gate — [[mmrRerank]] over the
     // cosine top-20 shortlist of each query (rel and pairwise sims both
@@ -3863,6 +3963,8 @@ object LlmOps {
          |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q_search_mmr" -> mmrSql,
+
+    "q_sample_kcenter" -> kCenterSql,
 
     "q_sim_topk_filtered" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

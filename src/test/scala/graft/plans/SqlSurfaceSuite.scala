@@ -171,6 +171,33 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(gotRr.nonEmpty)
   }
 
+  test("graft_mmr: SQL round trip equals the Scala diversity re-rank") {
+    import spark.implicits._
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.5), (1L, 13L, 0.4))
+      .toDF("q_id", "c_id", "rel").createOrReplaceTempView("sql_mmr_cands")
+    val half = Seq(
+      (1L, 10L, 11L, 0.99), (1L, 10L, 12L, 0.1), (1L, 10L, 13L, 0.0),
+      (1L, 11L, 12L, 0.1), (1L, 11L, 13L, 0.0), (1L, 12L, 13L, 0.2))
+    (half ++ half.map { case (q, a, b, s) => (q, b, a, s) })
+      .toDF("q_id", "a", "b", "sim").createOrReplaceTempView("sql_mmr_sims")
+    val sql = spark.sql(
+      "SELECT * FROM graft_mmr(TABLE(SELECT * FROM sql_mmr_cands), " +
+        "TABLE(SELECT * FROM sql_mmr_sims), 3, 0.5)")
+    val api = graft.queries.LlmOps.mmrRerank(
+      spark.table("sql_mmr_cands"), spark.table("sql_mmr_sims"),
+      k = 3, lambda = 0.5)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = api.orderBy("q_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.map(_._3) === Seq(10L, 12L, 13L)) // the hand-worked greedy
+    // default-lambda 3-arg form parses and runs
+    assert(spark.sql("SELECT * FROM graft_mmr(TABLE(SELECT * FROM sql_mmr_cands), " +
+      "TABLE(SELECT * FROM sql_mmr_sims), 2)").count() === 2L)
+  }
+
   test("graft_ivf_staleness / graft_pca_staleness: SQL rows equal the Scala gauges") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 10)

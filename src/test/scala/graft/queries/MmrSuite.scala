@@ -47,6 +47,28 @@ class MmrSuite extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L, 0.9), (2L, 11L, 0.89), (3L, 12L, 0.5)))
   }
 
+  test("k-center: hand-worked greedy on a 2-d fixture; min-dist sequence non-increasing") {
+    import spark.implicits._
+    // seed = id 0 (lowest). (0,1) is orthogonal to it -> picked 2nd;
+    // (.7,.7) sits between -> 3rd; (.99,.14) hugs the seed -> last.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.99, 0.14)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.7, 0.7)))
+      .toDF("vec_id", "embedding")
+    val got = LlmOps.kCenterSample(emb, k = 4).orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(_._2).toSeq === Seq(0L, 2L, 3L, 1L))
+    assert(got.head._3.isEmpty, "seed carries no distance")
+    // Gonzalez invariant: each pick's min-dist to the selected set is
+    // non-increasing (the greedy always takes the current farthest)
+    val minds = got.flatMap(_._3)
+    assert(minds.zip(minds.drop(1)).forall { case (a, b) => b <= a + 1e-12 },
+      s"min-dist sequence must be non-increasing: ${minds.toSeq}")
+    // k beyond the corpus exhausts it
+    assert(LlmOps.kCenterSample(emb, k = 10).count() === 4L)
+  }
+
   test("queries are independent groups; k beyond the shortlist returns what exists") {
     import spark.implicits._
     // q=2 reverses the relevance order — its greedy must not see q=1's picks
