@@ -167,6 +167,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MmrPlaceholder].getName, "graft_mmr"),
       SqlSurface.mmrBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_kcenter"),
+      new ExpressionInfo(classOf[KCenterPlaceholder].getName, "graft_kcenter"),
+      SqlSurface.kCenterBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search_index"),
       new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
       SqlSurface.knnSearchIndexBuilder _))

@@ -214,6 +214,17 @@ object SqlSurface {
       exprs.lift(3).map(dblLit(fn, "lambda", _)).getOrElse(0.7))
   }
 
+  /** graft_kcenter(emb, k) — greedy k-center diverse sampling
+    * ([[graft.queries.LlmOps.kCenterSample]]) over a (vec_id, embedding)
+    * table: k maximally-spread representatives, lowest-id seed. Returns
+    * (rn, vec_id, mind). */
+  def kCenterBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_kcenter"
+    require(exprs.size == 2,
+      s"$fn(emb, k) takes 2 args (TABLE(...) of vec_id/embedding, int k), got ${exprs.size}")
+    KCenterPlaceholder(tableArg(fn, "first", exprs.head), intLit(fn, "k", exprs(1)))
+  }
+
   /** graft_pagerank(nodes, edges, iters[, damping]) — damped power-
     * iteration PageRank over a DIRECTED edge table: completes SQL access
     * for the graph-analytics family (degree and triangles are plain SQL;
@@ -475,6 +486,17 @@ case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe:
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL k-center sampler; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class KCenterPlaceholder(child: LogicalPlan, k: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("KCenterPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): KCenterPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL MMR re-rank; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class MmrPlaceholder(cands: LogicalPlan, sims: LogicalPlan,
@@ -692,6 +714,10 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       import session.implicits._
       Seq((n, cap, tot, frac))
         .toDF("n", "captured_variance", "total_variance", "captured_frac")
+        .queryExecution.analyzed
+    case p: KCenterPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.kCenterSample(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), k = p.k)
         .queryExecution.analyzed
     case p: MmrPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.mmrRerank(

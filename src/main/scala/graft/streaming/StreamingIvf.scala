@@ -54,10 +54,12 @@ object StreamingIvf {
         applyBatch(b.toDF(), indexPath, id))
       .start()
 
-  /** Top-k IVF answers against everything committed so far. */
+  /** Top-k IVF answers against everything committed so far; `allowed`
+    * passes the filtered-search allowlist through. */
   def search(spark: SparkSession, indexPath: String, queries: DataFrame,
-             topK: Int, nprobe: Int): DataFrame =
-    IvfIndex.searchIndex(spark, indexPath, queries, topK, nprobe)
+             topK: Int, nprobe: Int,
+             allowed: Option[DataFrame] = None): DataFrame =
+    IvfIndex.searchIndex(spark, indexPath, queries, topK, nprobe, allowed)
 
   // -------------------------------------------------------------------
   // The IVF-PQ twins: identical exactly-once recipe over the codes
@@ -88,8 +90,12 @@ object StreamingIvf {
         applyBatchPq(b.toDF(), indexPath, id))
       .start()
 
-  /** ADC top-k against everything committed so far. */
+  /** ADC top-k against everything committed so far; `rerank`/`allowed`
+    * pass the exact second tier and the filtered-search allowlist
+    * through (a keepFloat index's float twin rides the same committed
+    * versions, so the re-rank stays exactly-once consistent too). */
   def searchPq(spark: SparkSession, indexPath: String, queries: DataFrame,
-               topK: Int, nprobe: Int): DataFrame =
-    IvfIndex.searchPqIndex(spark, indexPath, queries, topK, nprobe)
+               topK: Int, nprobe: Int, rerank: Int = 0,
+               allowed: Option[DataFrame] = None): DataFrame =
+    IvfIndex.searchPqIndex(spark, indexPath, queries, topK, nprobe, rerank, allowed)
 }

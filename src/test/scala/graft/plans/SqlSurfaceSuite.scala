@@ -198,6 +198,21 @@ class SqlSurfaceSuite extends SparkSpec {
       "TABLE(SELECT * FROM sql_mmr_sims), 2)").count() === 2L)
   }
 
+  test("graft_kcenter: SQL round trip equals the Scala sampler") {
+    import spark.implicits._
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.99, 0.14)),
+        (2L, Seq(0.0, 1.0)), (3L, Seq(0.7, 0.7)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("sql_kc_emb")
+    val sql = spark.sql(
+      "SELECT * FROM graft_kcenter(TABLE(SELECT * FROM sql_kc_emb), 3)")
+    val api = graft.queries.LlmOps.kCenterSample(spark.table("sql_kc_emb"), k = 3)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    val got = sql.orderBy("rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === api.orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(got.map(_._2) === Seq(0L, 2L, 3L)) // the hand-worked greedy
+  }
+
   test("graft_ivf_staleness / graft_pca_staleness: SQL rows equal the Scala gauges") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 10)
