@@ -59,10 +59,13 @@ object LlmOps {
     * (anti-join picked, MAX sim to picked, top-1 per query). λ and 1−λ
     * are spelled as the SAME IEEE double expressions the Spark side
     * computes (1.0 − 0.7 in double ≠ the decimal literal 0.3). */
-  private def mmrSql: String = {
+  /** The k−1 greedy MMR step CTEs (shared by [[mmrSql]] and
+    * [[hybridMmrSql]]): assumes CTEs `cand(q_id, c_id, rel)` and
+    * `sims(q_id, a, b, sim)` plus `picked1` are already in scope. */
+  private def mmrStepsSql(k: Int): String = {
     val lam = "CAST(0.7 AS DOUBLE)"
     val om = s"(CAST(1.0 AS DOUBLE) - $lam)"
-    val steps = (2 to 5).map { i =>
+    (2 to k).map { i =>
       val prev = s"picked${i - 1}"
       s"""rem$i AS (SELECT c.* FROM cand c LEFT JOIN $prev p
          |  ON c.q_id = p.q_id AND c.c_id = p.c_id WHERE p.c_id IS NULL),
@@ -78,6 +81,102 @@ object LlmOps {
          |picked$i AS (SELECT q_id, c_id, mmr, rn FROM ${prev}
          |  UNION ALL SELECT q_id, c_id, mmr, rn FROM p$i)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The hybrid-RRF fusion frame (doc_id, r_lex, r_vec, rrf) shared by
+    * q_search_hybrid_rrf and q_search_hybrid_mmr — BM25 top-20 for the
+    * literal terms + cosine top-20 against the doc-0 query vector over
+    * the candidate corpus doc_id >= 10, FULL OUTER rank fusion at
+    * k = 60 (a missing arm contributes 0). */
+  private def hybridFused(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables(s, d, "documents").filter(col("doc_id") >= 10)
+    val lex = bm25(corpus, Seq("window", "scan", "column"), topK = 20)
+      .select(col("doc_id"), col("rn").cast("long").as("r_lex"))
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+    val wv = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val vec = c.crossJoin(broadcast(q))
+      .select(col("doc_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+      .withColumn("r_vec", row_number().over(wv).cast("long"))
+      .select("doc_id", "r_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+  }
+
+  /** The hybrid-RRF fusion CTE list (no WITH keyword) shared by the
+    * q_search_hybrid_rrf oracle and [[hybridMmrSql]]: BM25 top-20 over
+    * the corpus docs + cosine top-20 against the doc-0 query vector,
+    * FULL OUTER rank fusion at k = 60. */
+  private def hybridFusedSql: String =
+    s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |qterms AS (SELECT unnest(['window', 'scan', 'column']) AS w),
+       |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS len FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n,
+       |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
+       |          FROM lens),
+       |scoredl AS (
+       |  SELECT tf.doc_id,
+       |         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+       |               / (tf + 1.2 * (0.25 + 0.75 * len / (suml / n))), 6) AS score_t
+       |  FROM tf JOIN qterms USING (w) JOIN dfq USING (w)
+       |       JOIN lens ON lens.doc_id = tf.doc_id, stats),
+       |rankedl AS (
+       |  SELECT doc_id,
+       |         ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
+       |  FROM scoredl GROUP BY 1),
+       |lex AS (SELECT doc_id, r_lex FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM rankedl) WHERE r_lex <= 20),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+       |scoredv AS (SELECT doc_id, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
+       |vec AS (SELECT doc_id, r_vec FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
+       |  FROM scoredv) WHERE r_vec <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+       |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0)
+       |               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0), 6) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)""".stripMargin
+
+  /** DuckDB oracle for q_search_hybrid_mmr: the WHOLE retrieval pipeline
+    * — hybrid RRF fusion top-10 ([[hybridFusedSql]]) re-ranked by MMR
+    * (k = 5, λ = 0.7, rel = the fused rrf score, sims = pairwise cosine
+    * among the fused docs' embeddings) — recomposed as one statement:
+    * composition correctness is hash-gated, the q_pipeline_full
+    * discipline applied to retrieval. */
+  private def hybridMmrSql: String =
+    s"""WITH $hybridFusedSql,
+       |hyb AS MATERIALIZED (SELECT doc_id, rrf FROM (
+       |  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused) WHERE rn <= 10),
+       |cand AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS q_id, doc_id AS c_id,
+       |                             rrf AS rel FROM hyb),
+       |cv AS (SELECT cand.c_id, embedding AS ce FROM cand
+       |       JOIN embeddings ON vec_id = cand.c_id),
+       |sims AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS q_id, x.c_id AS a,
+       |                y.c_id AS b, ROUND(${sqlCos("x.ce", "y.ce")}, 4) AS sim
+       |         FROM cv x JOIN cv y ON x.c_id <> y.c_id),
+       |picked1 AS (SELECT q_id, c_id, ROUND(CAST(0.7 AS DOUBLE) * rel, 6) AS mmr,
+       |                   CAST(1 AS BIGINT) AS rn FROM (
+       |  SELECT q_id, c_id, rel,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS r
+       |  FROM cand) WHERE r = 1),
+       |${mmrStepsSql(5)}
+       |SELECT rn, c_id AS doc_id, mmr FROM picked5 ORDER BY rn""".stripMargin
+
+  private def mmrSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val steps = mmrStepsSql(5)
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
        |scored AS (SELECT q_id, c_id, ROUND(${sqlCos("qe", "ce")}, 4) AS rel FROM c, q),
@@ -1890,28 +1989,37 @@ object LlmOps {
     // (distributed TakeOrdered / broadcast-quant kernel); the fusion
     // itself joins two 20-row frames — driver-free, broadcast-trivial.
     "q_search_hybrid_rrf" -> ((s, d) => {
-      val corpus = Tables(s, d, "documents").filter(col("doc_id") >= 10)
-      val lex = bm25(corpus, Seq("window", "scan", "column"), topK = 20)
-        .select(col("doc_id"), col("rn").cast("long").as("r_lex"))
-      val emb = Tables(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val c = emb.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
-      val wv = Window.orderBy(col("cos_sim").desc, col("doc_id"))
-      val vec = c.crossJoin(broadcast(q))
-        .select(col("doc_id"), round(cosExpr("qe", "ce"), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
-        .withColumn("r_vec", row_number().over(wv).cast("long"))
-        .select("doc_id", "r_vec")
-      val fused = lex.join(vec, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
       val w = Window.orderBy(col("rrf").desc, col("doc_id"))
-      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      hybridFused(s, d).orderBy(col("rrf").desc, col("doc_id")).limit(10)
         .withColumn("rn", row_number().over(w).cast("long"))
         .select("rn", "doc_id", "rrf", "r_lex", "r_vec")
+        .orderBy("rn")
+    }),
+
+    // The COMPOSED retrieval pipeline: hybrid RRF fusion top-10, then
+    // MMR diversification over the fused shortlist (rel = the fused rrf
+    // score, sims = pairwise cosine among the fused docs' embeddings,
+    // k = 5, λ = 0.7) — retrieve → fuse → diversify as ONE statement,
+    // with the oracle recomposing all three stages (the q_pipeline_full
+    // composition-hash discipline applied to retrieval).
+    "q_search_hybrid_mmr" -> ((s, d) => {
+      val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+      val hyb = hybridFused(s, d).orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(wf)).filter(col("rn") <= 10)
+        .select("doc_id", "rrf")
+      val cand = hyb.select(lit(0L).as("q_id"), col("doc_id").as("c_id"),
+        col("rrf").as("rel"))
+      val emb = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cv = cand.join(emb, cand("c_id") === emb("vec_id"))
+        .select(col("c_id"), col("e").as("ce"))
+      val sims = cv.select(col("c_id").as("a"), col("ce").as("va"))
+        .crossJoin(cv.select(col("c_id").as("b"), col("ce").as("vb")))
+        .filter(col("a") =!= col("b"))
+        .select(lit(0L).as("q_id"), col("a"), col("b"),
+          round(cosExpr("va", "vb"), 4).as("sim"))
+      mmrRerank(cand, sims, k = 5, lambda = 0.7)
+        .select(col("rn"), col("c_id").as("doc_id"), col("mmr"))
         .orderBy("rn")
     }),
 
@@ -3875,44 +3983,14 @@ object LlmOps {
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     "q_search_hybrid_rrf" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |qterms AS (SELECT unnest(['window', 'scan', 'column']) AS w),
-         |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-         |lens AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS len FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*) AS n,
-         |                 CAST(SUM(CAST(len AS DECIMAL(22,6))) AS DOUBLE) AS suml
-         |          FROM lens),
-         |scoredl AS (
-         |  SELECT tf.doc_id,
-         |         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
-         |               / (tf + 1.2 * (0.25 + 0.75 * len / (suml / n))), 6) AS score_t
-         |  FROM tf JOIN qterms USING (w) JOIN dfq USING (w)
-         |       JOIN lens ON lens.doc_id = tf.doc_id, stats),
-         |rankedl AS (
-         |  SELECT doc_id,
-         |         ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE), 4) AS bm25
-         |  FROM scoredl GROUP BY 1),
-         |lex AS (SELECT doc_id, r_lex FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
-         |  FROM rankedl) WHERE r_lex <= 20),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 10),
-         |scoredv AS (SELECT doc_id, ROUND(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM c, q),
-         |vec AS (SELECT doc_id, r_vec FROM (
-         |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_vec
-         |  FROM scoredv) WHERE r_vec <= 20),
-         |fused AS (
-         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
-         |         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0)
-         |               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0), 6) AS rrf
-         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+      s"""WITH $hybridFusedSql
          |SELECT rn, doc_id, rrf, r_lex, r_vec FROM (
          |  SELECT doc_id, rrf, r_lex, r_vec,
          |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
          |  FROM fused)
          |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    "q_search_hybrid_mmr" -> hybridMmrSql,
 
     "q_text_bigrams" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS t FROM documents
