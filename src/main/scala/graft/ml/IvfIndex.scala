@@ -125,12 +125,55 @@ object IvfIndex {
       .select("q_id", "rn", "c_id", "cos_sim")
   }
 
-  /** Allowlist restriction for filtered search: left-semi on vec_id. */
+  /** Allowlist restriction for filtered search, SELECTIVITY-AWARE — the
+    * 100 TB pushdown ladder:
+    *  - small allowlist (≤ `spark.graft.ivf.allowedBroadcastLimit` ids,
+    *    default 100k ≈ 800 KB of longs): EXPLICIT broadcast left-semi.
+    *    The hint matters: a filtered sub-frame of a big table often
+    *    carries a huge size ESTIMATE, so autoBroadcastJoinThreshold alone
+    *    routinely misses exactly the selective case this serves — the
+    *    restriction must never shuffle the corpus when the ids fit in a
+    *    broadcast (suite-pinned plan shape);
+    *  - large allowlist: a `graft_bloom` bitset built from the ids (ONE
+    *    pass over the allowlist, mergeable map-side partials, ~13
+    *    bits/key) is broadcast and probed by the codegen'd
+    *    [[graft.functions.BloomAgg.mightContainSql]] prefilter, so corpus
+    *    rows that cannot match are dropped MAP-SIDE before the exact
+    *    left-semi — the shuffle then carries ≈|allowed| (+ false
+    *    positives) corpus rows instead of every probed cell's rows. The
+    *    trailing semi-join keeps the result EXACT (bloom has no false
+    *    negatives; suite pins equality with the plain semi form).
+    * The allowlist count is one aggregation over the ALLOWLIST side only
+    * — never the corpus — so the selectivity probe costs O(|allowed|). */
   private def restrict(corpus: DataFrame, allowed: Option[DataFrame]): DataFrame =
     allowed match {
-      case Some(a) => corpus.join(a.select("vec_id"), Seq("vec_id"), "left_semi")
       case None => corpus
+      case Some(a) =>
+        val ids = a.select("vec_id")
+        val limit = corpus.sparkSession.conf
+          .get("spark.graft.ivf.allowedBroadcastLimit", "100000").toLong
+        val n = ids.agg(count(lit(1))).head().getLong(0)
+        if (n <= limit) corpus.join(broadcast(ids), Seq("vec_id"), "left_semi")
+        else {
+          val bits = bloomBitsFor(n)
+          val hashes = 7
+          val bf = ids.select(col("vec_id").cast("long").as("k"))
+            .agg(expr(s"graft_bloom(k, $bits, $hashes)").as("bf"))
+          corpus.join(broadcast(bf))
+            .filter(expr(graft.functions.BloomAgg.mightContainSql(
+              "vec_id", "bf", bits, hashes)))
+            .drop("bf")
+            .join(ids, Seq("vec_id"), "left_semi")
+        }
     }
+
+  /** ~13 bits/key (fp ≈ 0.8 % at 7 hashes), word-rounded, capped at
+    * BloomAgg's 2^26-bit (8 MB) limit — past the cap the fp rate rises
+    * but the trailing exact semi-join keeps results identical. */
+  private def bloomBitsFor(n: Long): Int = {
+    val want = math.min(1L << 26, math.max(64L, n * 13L))
+    (((want + 63) / 64) * 64).toInt
+  }
 
   private def nearestCellsUdf(cents: Array[Array[Double]], nprobe: Int) =
     udf { v: Seq[Double] =>
@@ -960,6 +1003,31 @@ object IvfIndex {
       exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= topK)
         .select("q_id", "rn", "c_id", "score")
     }
+  }
+
+  /** Reconstructed vectors for a PQ index's committed rows, decoded from
+    * CODES ALONE — (vec_id, v) with v = centroid(cell) + codewords. The
+    * float twin (`keepFloat`) is never touched and need not exist: this
+    * is the float-free corpus read that lets diversity/sampling operators
+    * ([[graft.queries.LlmOps.mmrRerankPq]] / `kCenterSamplePq`) run
+    * against the 64×-compressed store. Vectors are in the index's ROTATED
+    * space when an OPQ rotation is persisted; the rotation is orthonormal
+    * (no centering), so dot products — hence cosines — are exactly
+    * preserved and downstream similarity arithmetic is raw-space-faithful
+    * up to quantization error (exact in the lossless-codebook regime,
+    * suite-pinned). `allowed` restricts the read through the
+    * selectivity-aware [[restrict]] pushdown BEFORE decoding. */
+  def decodePq(spark: SparkSession, path: String,
+               allowed: Option[DataFrame] = None): DataFrame = {
+    val coarse = loadModel(spark, s"$path/model")
+    val pq = loadPqModel(spark, s"$path/pq_model")
+    val raw = graft.sources.PartitionedLayout.read(spark, s"$path/codes")
+    val committed = restrict(
+      if (raw.columns.contains("batch"))
+        raw.filter(col("batch") <= committedIngestVersion(spark, path))
+      else raw, allowed)
+    committed.select(col("vec_id"),
+      decodeUdf(coarse.centroids, pq.codebooks)(col("cell"), col("codes")).as("v"))
   }
 
   /** [[search]] against a [[writeCells]] layout. The probed-cell union is

@@ -807,6 +807,78 @@ object LlmOps {
     }
   }
 
+  /** The SHARED memoized PQ index over `embeddings` vec_id >= 10 (the
+    * corpus/query split every vector gate uses): q_ann_ivf_pq,
+    * q_search_mmr_pq and q_sample_kcenter_pq all serve from this ONE
+    * build (k = 8, m = 16, ksub = 16, PQ-only — no float twin), so the
+    * code-compression claim of the PQ diversity ops is structural: there
+    * is no float table beside this index to fall back to. */
+  private def pqIndexShared(s: SparkSession, d: String): String = {
+    val corpus = Tables(s, d, "embeddings").filter(col("vec_id") >= 10)
+    val path = graft.operators.Scratch.dir(
+      "graft-ivf-pq", s.sparkContext.applicationId, d)
+    graft.operators.Memo.once(path) {
+      graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
+        m = 16, ksub = 16, pqIters = 3, path)
+    }
+    path
+  }
+
+  /** MMR diversification OVER THE PQ STORE — [[mmrRerank]] with BOTH
+    * inputs computed without reading a float vector: rel = the ADC
+    * shortlist scores from [[graft.ml.IvfIndex.searchPqIndex]], sims =
+    * pairwise cosines among the shortlist members' DECODED
+    * reconstructions ([[graft.ml.IvfIndex.decodePq]] — codes + the
+    * driver-side model only). An OPQ rotation preserves dots, so the
+    * sims approximate raw-space cosines with quantization as the only
+    * error source; in the lossless-codebook regime decode is exact and
+    * this equals the float MMR pipeline bit-for-bit (suite-pinned).
+    *
+    * Scale shape: the decode read is restricted to the shortlist ids
+    * (≤ |Q|·shortK — the broadcast path of the selectivity-aware
+    * pushdown by construction), so diversity selection over a 100 TB
+    * corpus touches |shortlist| code rows and ZERO float rows. */
+  def mmrRerankPq(spark: SparkSession, path: String, queries: DataFrame,
+                  shortK: Int, k: Int, lambda: Double, nprobe: Int): DataFrame = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // shortlist reused three times (rel, decode-restrict, sims) —
+      // checkpoint once, swept in finally (the mmrRerank discipline)
+      val cands = graft.ml.IvfIndex.searchPqIndex(spark, path, queries,
+          topK = shortK, nprobe = nprobe)
+        .select(col("q_id"), col("c_id"), round(col("score"), 4).as("rel"))
+        .localCheckpoint()
+      val dec = graft.ml.IvfIndex.decodePq(spark, path,
+        allowed = Some(cands.select(col("c_id").as("vec_id")).distinct()))
+      val cv = cands.join(dec, cands("c_id") === dec("vec_id"))
+        .select(col("q_id"), col("c_id"), col("v"))
+      val sims = cv.select(col("q_id"), col("c_id").as("a"), col("v").as("va"))
+        .join(cv.select(col("q_id"), col("c_id").as("b"), col("v").as("vb")), "q_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("q_id"), col("a"), col("b"),
+          round(cosExpr("va", "vb"), 4).as("sim"))
+      mmrRerank(cands, sims, k, lambda)
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** Greedy k-center OVER THE PQ STORE: [[kCenterSample]] scored against
+    * decoded reconstructions ([[graft.ml.IvfIndex.decodePq]]) — corpus-
+    * level diversity sampling without a float table. The decode read is
+    * the whole committed codes layout (k-center is a corpus pass by
+    * definition — at 100 TB compose with `allowed` = an ADC shortlist or
+    * a pre-clustered coreset, the standard coreset-then-cover shape);
+    * the per-step distance passes then run over m-byte codes' decodes
+    * instead of d-float rows. Exact-regime equality with the float
+    * sampler is suite-pinned. */
+  def kCenterSamplePq(spark: SparkSession, path: String, k: Int,
+                      allowed: Option[DataFrame] = None): DataFrame =
+    kCenterSample(graft.ml.IvfIndex.decodePq(spark, path, allowed)
+      .select(col("vec_id"), col("v").as("embedding")), k)
+
   /** PUBLIC table-parametric CURATION PIPELINE — THE definition of the
     * q_curate composition (quality >= 0.3 ∧ language-ID agrees with the
     * declared lang ∧ near-dup cluster representative), over an ARBITRARY
@@ -2229,6 +2301,27 @@ object LlmOps {
       mmrRerank(cand, sims, k = 5, lambda = 0.7).orderBy("q_id", "rn")
     }),
 
+    // MMR diversification OVER THE PQ STORE — the float-free twin of
+    // q_search_mmr: shortlist rel = ADC scores, pairwise sims = cosines
+    // of DECODED code reconstructions; no float vector is read anywhere
+    // (the index is built without keepFloat). Rows-only (iterative
+    // two-level k-means under the index); IvfIndexSuite pins bit-equality
+    // with the float MMR pipeline in the lossless-codebook regime and
+    // sims-fidelity on the harness corpus.
+    "q_search_mmr_pq" -> ((s, d) => {
+      val path = pqIndexShared(s, d)
+      val queries = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+      mmrRerankPq(s, path, queries, shortK = 20, k = 5, lambda = 0.7,
+          nprobe = 4)
+        .orderBy("q_id", "rn")
+    }),
+
+    // Greedy k-center OVER THE PQ STORE — the float-free twin of
+    // q_sample_kcenter, scored against decoded reconstructions. Rows-only;
+    // the suite pins exact-regime equality with the float sampler.
+    "q_sample_kcenter_pq" -> ((s, d) =>
+      kCenterSamplePq(s, pqIndexShared(s, d), k = 5).orderBy("rn")),
+
     // The index-backed filtered search: the SAME label = 3 allowlist
     // pushed into the persisted IVF index's pruned cells read (left-semi
     // on vec_id AFTER the cell/batch directory pruning — the listing
@@ -2831,15 +2924,8 @@ object LlmOps {
     // unclustered one (see ANN_CURVE.json's note — PQ is a structure
     // bet, and the testdata has none).
     "q_ann_ivf_pq" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
-      val corpus = emb.filter(col("vec_id") >= 10)
-      val queries = emb.filter(col("vec_id") < 10)
-      val path = graft.operators.Scratch.dir(
-        "graft-ivf-pq", s.sparkContext.applicationId, d)
-      graft.operators.Memo.once(path) {
-        graft.ml.IvfIndex.buildPqIndex(corpus, k = 8, iters = 3,
-          m = 16, ksub = 16, pqIters = 3, path)
-      }
+      val queries = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+      val path = pqIndexShared(s, d)
       graft.ml.IvfIndex.searchPqIndex(s, path, queries, topK = 5, nprobe = 2)
         .withColumn("score", round(col("score"), 4))
         .orderBy("q_id", "rn")

@@ -847,4 +847,111 @@ class IvfIndexSuite extends SparkSpec {
     info(s"pq real-corpus recall@5 (nprobe=k): $mean")
     assert(mean >= 0.3, s"pq recall fell below the measured floor: $mean")
   }
+
+  test("filtered search pushdown: selective allowlist broadcasts (plan-pinned); large allowlist takes the bloom prefilter with identical results") {
+    graft.functions.VectorFunctions.register(spark)
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val allowed = embeddings.filter(col("vec_id") >= 10 && col("label") === 3)
+      .select("vec_id")
+    // selective path: the EXPLICIT broadcast left-semi — a filtered
+    // sub-frame carries a big size ESTIMATE, so relying on
+    // autoBroadcastJoinThreshold would shuffle exactly the case this
+    // pushdown exists for
+    val small = IvfIndex.search(spark, corpus, queries, model, topK = 5,
+      nprobe = 8, allowed = Some(allowed))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin") && smallPlan.contains("LeftSemi"),
+      s"selective allowlist did not broadcast:\n$smallPlan")
+    assert(!smallPlan.contains("xxhash64"),
+      "bloom prefilter appeared on the broadcast path")
+    val want = small.select("q_id", "rn", "c_id").orderBy("q_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // force the large-allowlist path and pin EXACTNESS: bloom has no
+    // false negatives and the trailing semi-join removes its false
+    // positives, so the result must be identical row for row
+    spark.conf.set("spark.graft.ivf.allowedBroadcastLimit", "1")
+    try {
+      val big = IvfIndex.search(spark, corpus, queries, model, topK = 5,
+        nprobe = 8, allowed = Some(allowed))
+      val bigPlan = big.queryExecution.executedPlan.toString
+      assert(bigPlan.contains("xxhash64"),
+        s"large allowlist did not take the bloom prefilter:\n$bigPlan")
+      val got = big.select("q_id", "rn", "c_id").orderBy("q_id", "rn")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got === want,
+        "bloom-prefiltered restriction drifted from the broadcast path")
+    } finally spark.conf.unset("spark.graft.ivf.allowedBroadcastLimit")
+  }
+
+  /** The lossless-codebook fixture of the "ADC == brute force" pin: 16
+    * distinct vectors each appearing 10x — Lloyd memorizes the points,
+    * every residual IS a codeword, so [[IvfIndex.decodePq]] reconstructs
+    * the normalized corpus to decimal(28,12) precision and quantization
+    * vanishes as an error source. */
+  private def losslessFixture = {
+    import spark.implicits._
+    val dims = 64
+    val distinct16 = Array.tabulate(16, dims) { (i, d) =>
+      var z = lcg(i * 97L + d * 31L + 5); z = lcg(z)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val c = (0 until 160).map(id =>
+      (id.toLong, distinct16(id % 16).map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val q = (0 until 4).map { i =>
+      val v = Array.tabulate(dims) { d =>
+        var z = lcg(900000L + i * 53L + d * 17L); z = lcg(z)
+        (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+      ((1000 + i).toLong, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    (c, q)
+  }
+
+  test("pq diversity: MMR over the PQ store equals the float pipeline in the lossless regime") {
+    graft.functions.VectorFunctions.register(spark)
+    val (c16, q4) = losslessFixture
+    val dir = java.nio.file.Files.createTempDirectory("pq-mmr").toString + "/idx"
+    IvfIndex.buildPqIndex(c16, k = 4, iters = 2, m = 8, ksub = 16,
+      pqIters = 2, dir)
+    val got = graft.queries.LlmOps.mmrRerankPq(spark, dir, q4,
+        shortK = 10, k = 3, lambda = 0.7, nprobe = 4)
+      .orderBy("q_id", "rn").collect().map(_.toSeq).toSeq
+    // float twin: brute cosine shortlist + raw-vector sims -> mmrRerank
+    val cos = "graft_dot(%s, %s) / sqrt(graft_dot(%s, %s) * graft_dot(%s, %s))"
+    val e = c16.select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("v"))
+    val q = q4.select(col("vec_id").as("q_id"),
+      expr("CAST(embedding AS array<double>)").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val cand = q.crossJoin(e.select(col("vec_id").as("c_id"), col("v").as("cv")))
+      .withColumn("cos", expr(cos.format("qv", "cv", "qv", "qv", "cv", "cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("rel"))
+    val cv2 = cand.join(e.select(col("vec_id").as("c_id"), col("v").as("ce")), "c_id")
+      .select("q_id", "c_id", "ce")
+    val sims = cv2.select(col("q_id"), col("c_id").as("a"), col("ce").as("va"))
+      .join(cv2.select(col("q_id"), col("c_id").as("b"), col("ce").as("vb")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(expr(cos.format("va", "vb", "va", "va", "vb", "vb")), 4).as("sim"))
+    val want = graft.queries.LlmOps.mmrRerank(cand, sims, k = 3, lambda = 0.7)
+      .orderBy("q_id", "rn").collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "PQ-store MMR drifted from the float pipeline in the exact regime")
+    assert(got.nonEmpty && got.size == 4 * 3)
+  }
+
+  test("pq diversity: k-center over the PQ store equals the float sampler in the lossless regime") {
+    val (c16, _) = losslessFixture
+    val dir = java.nio.file.Files.createTempDirectory("pq-kcenter").toString + "/idx"
+    IvfIndex.buildPqIndex(c16, k = 4, iters = 2, m = 8, ksub = 16,
+      pqIters = 2, dir)
+    val got = graft.queries.LlmOps.kCenterSamplePq(spark, dir, k = 4)
+      .orderBy("rn").collect().map(_.toSeq).toSeq
+    val want = graft.queries.LlmOps.kCenterSample(c16, k = 4)
+      .orderBy("rn").collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "PQ k-center drifted from the float sampler in the exact regime")
+    assert(got.size == 4)
+  }
 }
