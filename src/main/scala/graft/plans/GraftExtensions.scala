@@ -171,6 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KCenterPlaceholder].getName, "graft_kcenter"),
       SqlSurface.kCenterBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_semantic_dedup"),
+      new ExpressionInfo(classOf[SemanticDedupPlaceholder].getName,
+        "graft_semantic_dedup"),
+      SqlSurface.semanticDedupBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search_index"),
       new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
       SqlSurface.knnSearchIndexBuilder _))

@@ -214,6 +214,21 @@ object SqlSurface {
       exprs.lift(3).map(dblLit(fn, "lambda", _)).getOrElse(0.7))
   }
 
+  /** graft_semantic_dedup(emb, centroids, tau) — SemDeDup
+    * ([[graft.queries.LlmOps.semanticDedup]], Abbas et al. 2023):
+    * cluster-scoped embedding dedup keeping the lowest-centroid-cos
+    * member per near-dup group. `emb` is (vec_id, v: array<double>),
+    * `centroids` is (cent_id, centv: array<double>). Returns
+    * (vec_id, cent_id, cent_cos, dup_group, keep). */
+  def semanticDedupBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_semantic_dedup"
+    require(exprs.size == 3,
+      s"$fn(emb, centroids, tau) takes 3 args (TABLE(...) of vec_id/v, TABLE(...) of cent_id/centv, double tau), got ${exprs.size}")
+    SemanticDedupPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      dblLit(fn, "tau", exprs(2)))
+  }
+
   /** graft_kcenter(emb, k) — greedy k-center diverse sampling
     * ([[graft.queries.LlmOps.kCenterSample]]) over a (vec_id, embedding)
     * table: k maximally-spread representatives, lowest-id seed. Returns
@@ -486,6 +501,19 @@ case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe:
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL SemDeDup; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class SemanticDedupPlaceholder(emb: LogicalPlan, centroids: LogicalPlan,
+    tau: Double) extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(emb, centroids)
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("SemanticDedupPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): SemanticDedupPlaceholder =
+    copy(emb = newChildren(0), centroids = newChildren(1))
+}
+
 /** Unresolved marker for the SQL k-center sampler; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class KCenterPlaceholder(child: LogicalPlan, k: Int)
@@ -718,6 +746,12 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: KCenterPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.kCenterSample(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), k = p.k)
+        .queryExecution.analyzed
+    case p: SemanticDedupPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.semanticDedup(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.emb),
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.centroids),
+          tau = p.tau)
         .queryExecution.analyzed
     case p: MmrPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.mmrRerank(

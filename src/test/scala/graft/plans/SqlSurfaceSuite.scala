@@ -213,6 +213,30 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got.map(_._2) === Seq(0L, 2L, 3L)) // the hand-worked greedy
   }
 
+  test("graft_semantic_dedup: SQL round trip equals the Scala operator on a hand-worked fixture") {
+    import spark.implicits._
+    // one cluster around +x, one around +y; 10/11 near-dup in cluster 0
+    // (11 closer to the centroid, so 10 — the edge example — is kept)
+    Seq((10L, Seq(1.0, 0.05)), (11L, Seq(0.98, 0.02)),
+        (12L, Seq(0.02, 1.0)), (13L, Seq(0.6, 0.62)))
+      .toDF("vec_id", "v").createOrReplaceTempView("sql_sem_emb")
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cent_id", "centv").createOrReplaceTempView("sql_sem_cent")
+    val sql = spark.sql("SELECT * FROM graft_semantic_dedup(" +
+      "TABLE(SELECT * FROM sql_sem_emb), TABLE(SELECT * FROM sql_sem_cent), 0.99)")
+    val api = graft.queries.LlmOps.semanticDedup(
+      spark.table("sql_sem_emb"), spark.table("sql_sem_cent"), tau = 0.99)
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val got = key(sql)
+    assert(got === key(api))
+    val kept = got.filter(_._5).map(_._1)
+    assert(!kept.contains(11L) && kept.toSet === Set(10L, 12L, 13L),
+      s"hand-worked SemDeDup keep set drifted: $got")
+  }
+
   test("graft_ivf_staleness / graft_pca_staleness: SQL rows equal the Scala gauges") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 10)

@@ -858,4 +858,45 @@ class OperatorPropsSuite extends SparkSpec {
     assert(norm.map(_.getLong(1)).sum === exact.map(_.getLong(1)).sum,
       "every document lands in exactly one normalized group")
   }
+
+  test("q_dedup_semantic: SemDeDup invariants — one keeper per group, lowest centroid-cos wins, pairs are cluster-scoped") {
+    val rows = LlmOps.queries("q_dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // exactly one keeper per dup group, and it is the member with the
+    // LOWEST cosine to its centroid (ties -> lowest vec_id): the paper's
+    // keep-the-edge-example rule
+    rows.groupBy(_._4).foreach { case (g, members) =>
+      val keepers = members.filter(_._5)
+      assert(keepers.length === 1, s"group $g has ${keepers.length} keepers")
+      val want = members.minBy(m => (m._3, m._1))
+      assert(keepers.head._1 === want._1,
+        s"group $g kept ${keepers.head._1}, want ${want._1} (lowest cent_cos)")
+      // a dup group never spans clusters: pairs were cluster-scoped and
+      // components cannot bridge what the pair join never connected
+      assert(members.map(_._2).distinct.length === 1, s"group $g spans clusters")
+    }
+    // every vector appears exactly once
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
+  test("q_dedup_semantic_trained: trained-centroid twin agrees with the fixed-quantizer gate on what is a duplicate") {
+    val fixed = LlmOps.queries("q_dedup_semantic")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val trained = LlmOps.queries("q_dedup_semantic_trained")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(trained.map(_._1).toSet === fixed.keySet, "same coverage")
+    trained.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.count(_._3) === 1, s"trained group $g keeper count")
+    }
+    // NOTE deliberately NOT pinned: drop-set agreement with the fixed
+    // quantizer. This corpus' within-cluster pairs sit AT the 0.4-0.5
+    // cosine band, so which pairs are visible is a function of cluster
+    // boundaries — SemDeDup's documented recall trade-off (pairs split
+    // across cells are invisible BY DESIGN). Both paths must however
+    // actually exercise the grouping machinery:
+    assert(trained.exists(!_._3), "trained twin found zero duplicates")
+    assert(fixed.values.exists(!_), "fixed gate found zero duplicates")
+  }
 }
