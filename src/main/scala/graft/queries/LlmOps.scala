@@ -931,6 +931,32 @@ object LlmOps {
         (col("vec_id") === col("m.vec_id")).as("keep"))
   }
 
+  /** PUBLIC PER-DOMAIN CAP (RefinedWeb §"URL filtering + dedup",
+    * Penedo et al. 2023; CCNet's per-domain budgets): drop blocklisted
+    * sources, then keep at most `cap` docs per source by
+    * (quality DESC, doc_id) — the anti-domination operator of a crawl
+    * mixture. ONE tokenize pass feeds the shared [[qualityScore]];
+    * the rank column is dropped from the output ON PURPOSE so the
+    * group-limit pattern rewrites to the TopKPerKey heap (sort-free,
+    * map-side partials — see plans/RewriteRankLimit). Returns
+    * (doc_id, source, quality), the kept docs. */
+  def domainCap(docs: DataFrame, cap: Int,
+                blocked: Seq[String] = Nil): DataFrame = {
+    require(cap >= 1, s"domainCap: need cap >= 1, got $cap")
+    val base = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_distinct")))
+    val unblocked =
+      if (blocked.isEmpty) base else base.filter(!col("source").isin(blocked: _*))
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    unblocked
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select("doc_id", "source", "quality")
+  }
+
   /** PUBLIC table-parametric CURATION PIPELINE — THE definition of the
     * q_curate composition (quality >= 0.3 ∧ language-ID agrees with the
     * declared lang ∧ near-dup cluster representative), over an ARBITRARY
@@ -2244,6 +2270,20 @@ object LlmOps {
     "q_curate" -> ((s, d) =>
       curateDocs(Tables(s, d, "documents"),
         cluster = Some(queries("q_dedup_cluster")(s, d)))),
+
+    // PER-DOMAIN CAP — the RefinedWeb/CCNet curation move the pipeline
+    // ships BEFORE heavy dedup: a blocklist anti-filter, then keep at
+    // most `cap` docs per source ranked by quality (the ONE shared
+    // qualityScore), ties to the lowest doc_id. At 100 TB this is the
+    // operator that stops one crawled mega-domain from dominating the
+    // mixture. The output deliberately DROPS the rank column so the
+    // row_number window + rn <= cap filter rewrites to the sort-free
+    // TopKPerKey heap (plans/RewriteRankLimit — plan-pinned): per-domain
+    // capping never materializes a per-domain sort, and the heap keeps
+    // `cap` rows per source map-side before the shuffle.
+    "q_curate_domains" -> ((s, d) =>
+      domainCap(Tables(s, d, "documents"), cap = 15,
+        blocked = Seq("src2", "src17")).orderBy("doc_id")),
 
     // DECONTAMINATED curation — the step an actual pretraining pipeline
     // ships after curation: drop every curated TRAINING document that
@@ -4140,6 +4180,19 @@ object LlmOps {
     "q_curate" -> s"""WITH RECURSIVE $curateCtes
         |SELECT doc_id, quality, pred_lang, cluster_size
         |FROM curated ORDER BY doc_id""".stripMargin,
+
+    "q_curate_domains" ->
+      """SELECT doc_id, source, quality FROM (
+        |  SELECT doc_id, source, quality,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY quality DESC, doc_id) AS rn
+        |  FROM (SELECT doc_id, source,
+        |          ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
+        |                * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
+        |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents)
+        |        WHERE source NOT IN ('src2', 'src17')))
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     // q_curate's CTE chain + the 8-gram contamination hits, LEFT JOINed —
     // the exact recomposition contract: both components' oracles are the

@@ -336,6 +336,15 @@ class PlanQualitySuite extends SparkSpec {
     assert("Sort ".r.findAllIn(p).length <= 1, s"heap must not sort per key:\n$p")
   }
 
+  test("q_curate_domains: per-domain cap is the sort-free heap, blocklist pushed to the scan") {
+    val p = plan("q_curate_domains")
+    assert(p.contains("TopKPerKey"), s"cap must rewrite to the heap:\n$p")
+    assert(!p.contains("WindowExec"), s"no per-domain window:\n$p")
+    // the blocklist anti-filter is a scan-level predicate, not a join
+    assert(!p.contains("Join"), s"blocklist must be a filter, not a join:\n$p")
+    assert("Sort ".r.findAllIn(p).length <= 1, s"only the output order sorts:\n$p")
+  }
+
   test("q_cdc_snapshot: the replayed snapshot read is an argmax agg, no window") {
     val p = plan("q_cdc_snapshot")
     // the per-batch merges already happened at plan-build time; the final
