@@ -171,6 +171,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KCenterPlaceholder].getName, "graft_kcenter"),
       SqlSurface.kCenterBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpePlaceholder].getName, "graft_bpe"),
+      SqlSurface.bpeBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_semantic_dedup"),
       new ExpressionInfo(classOf[SemanticDedupPlaceholder].getName,
         "graft_semantic_dedup"),

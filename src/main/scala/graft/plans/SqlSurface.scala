@@ -214,6 +214,18 @@ object SqlSurface {
       exprs.lift(3).map(dblLit(fn, "lambda", _)).getOrElse(0.7))
   }
 
+  /** graft_bpe(docs, merges) — BPE merge training
+    * ([[graft.queries.LlmOps.bpeTrain]], Sennrich et al. 2016) over a
+    * (doc_id, text) table. Returns the learned merge table
+    * (rank, a, b, cnt). */
+  def bpeBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bpe"
+    require(exprs.size == 2,
+      s"$fn(docs, merges) takes 2 args (TABLE(...) of doc_id/text, int merges), got ${exprs.size}")
+    BpePlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "merges", exprs(1)))
+  }
+
   /** graft_semantic_dedup(emb, centroids, tau) — SemDeDup
     * ([[graft.queries.LlmOps.semanticDedup]], Abbas et al. 2023):
     * cluster-scoped embedding dedup keeping the lowest-centroid-cos
@@ -501,6 +513,17 @@ case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe:
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL BPE trainer; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class BpePlaceholder(child: LogicalPlan, merges: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("BpePlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): BpePlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL SemDeDup; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class SemanticDedupPlaceholder(emb: LogicalPlan, centroids: LogicalPlan,
@@ -746,6 +769,11 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: KCenterPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.kCenterSample(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), k = p.k)
+        .queryExecution.analyzed
+    case p: BpePlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.bpeTrain(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          merges = p.merges)._1
         .queryExecution.analyzed
     case p: SemanticDedupPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.semanticDedup(

@@ -648,6 +648,127 @@ object LlmOps {
       .orderBy("rn")
   }
 
+  /** The BPE word encoding both engines share: every character wrapped
+    * in its OWN pair of pipes — '|h||i|' — so a merge is ONE literal
+    * string replace('|a||b|' -> '|ab|') whose adjacent matches never
+    * share characters. That property is what makes sequential
+    * left-to-right replace() (identical semantics in Spark and DuckDB)
+    * implement BPE's greedy non-overlapping merge: with a SHARED
+    * delimiter ('|a|b|'), merging (a,a) in '|a|a|a|' would consume the
+    * middle pipe and miss the follow-up match, and RE2 (DuckDB) has no
+    * lookahead to fix it. Words containing '|' are dropped (loudly
+    * documented; U+007C inside a whitespace token is not natural-language
+    * text). */
+  private def bpeEncode(word: Column): Column =
+    concat(lit("|"), array_join(regexp_extract_all(word, lit("."), lit(0)),
+      "||"), lit("|"))
+
+  /** PUBLIC BPE MERGE TRAINING (Sennrich, Haddow & Birch 2016,
+    * arXiv:1508.07909 — the byte-pair-encoding subword algorithm):
+    * learn `merges` merge rules from a (doc_id, text) corpus. Classic
+    * dictionary-based training: the corpus collapses to a WORD-FREQUENCY
+    * table first (one map-combining groupBy — at 100 TB the vocab is
+    * millions of rows, not trillions), then each round counts adjacent
+    * symbol pairs weighted by word frequency (one hash aggregate over
+    * the vocab), picks the argmax with the deterministic
+    * (count DESC, a, b) tiebreak (a LIMIT-1 collect — one row of driver
+    * state per round), and applies the merge with a map-only string
+    * replace on the [[bpeEncode]] encoding. The vocab is
+    * localCheckpointed per round (lineage would otherwise replay all
+    * previous merges on every count pass) and swept in finally.
+    *
+    * Returns (mergeTable, vocab): mergeTable rows are
+    * (rank, a, b, cnt) — rank 1-based, cnt the weighted pair count at
+    * selection time; vocab is (w, f, enc) with `enc` the word's final
+    * symbol encoding — join corpus words against it to SEGMENT text
+    * (see q_text_bpe_apply). Stops early if no pair remains. */
+  def bpeTrain(docs: DataFrame, merges: Int,
+               tokens: Column = split(col("text"), " ")): (DataFrame, DataFrame) = {
+    require(merges >= 1, s"bpeTrain: need merges >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def baseVocab = docs.select(explode(tokens).as("w"))
+      .filter(!col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("enc", bpeEncode(col("w")))
+    def mergeExpr(a: String, b: String): Column =
+      expr(s"replace(enc, '|' || ${sqlStr(a)} || '||' || ${sqlStr(b)} || '|'," +
+        s" '|' || ${sqlStr(a)} || ${sqlStr(b)} || '|')")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      var vocab = baseVocab.localCheckpoint()
+      var rank = 1
+      var dry = false
+      while (rank <= merges && !dry) {
+        val best = vocab
+          .select(col("f"),
+            expr("split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> " +
+              "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val (a, b, c) = (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+          learned += ((rank.toLong, a, b, c))
+          vocab = vocab.withColumn("enc", mergeExpr(a, b)).localCheckpoint()
+          rank += 1
+        }
+      }
+    } finally {
+      // the in-loop checkpoints exist only to keep count passes from
+      // replaying earlier merges; sweep them ALL — the returned vocab is
+      // rebuilt below as a fresh checkpoint-free plan (one nested
+      // replace chain, codegen'd), so callers never depend on a block
+      // this sweep removed
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    val finalVocab = learned.foldLeft(baseVocab) { case (df, (_, a, b, _)) =>
+      df.withColumn("enc", mergeExpr(a, b))
+    }
+    (learned.toSeq.toDF("rank", "a", "b", "cnt"), finalVocab)
+  }
+
+  /** SQL single-quoted string literal (quotes doubled). */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB oracle CTE chain for [[bpeTrain]]: the `merges` greedy
+    * rounds unrolled into v_i / p_i / b_i levels. Every v_i is
+    * MATERIALIZED — v_i is referenced by BOTH p_{i+1} and v_{i+1}, the
+    * exact twice-per-level chained-reference shape that inlines
+    * exponentially otherwise (the house q_graph_pagerank lesson). Yields
+    * the WITH body; callers append the final SELECT. */
+  private def bpeOracleCtes(merges: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT w, f, '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|' AS enc
+        |  FROM (SELECT w, count(*) AS f
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |        WHERE NOT contains(w, '|') GROUP BY 1))""".stripMargin
+    val levels = (1 to merges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT t[i] AS a, t[i+1] AS b, sum(f) AS cnt
+         |  FROM (SELECT f, string_split(trim(enc, '|'), '||') AS t FROM v${i - 1}),
+         |       UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2 GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT w, f, replace(enc, '|' || a || '||' || b || '|',
+         |                       '|' || a || b || '|') AS enc
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    }
+    (v0 +: levels).mkString(",\n")
+  }
+
   /** PUBLIC retrieval API: BM25 ranking of `docs` (doc_id, text) for an
     * arbitrary user-supplied query-term set — the generalized operator
     * behind q_search_bm25 (which instantiates it with the corpus's top-3
@@ -2104,6 +2225,39 @@ object LlmOps {
         length(col("text")).cast("long").as("n_chars_measured"),
         col("n_chars"))
       .orderBy("doc_id")),
+
+    // BPE MERGE TRAINING (Sennrich et al. 2016) — learn the top-12
+    // merge rules from the corpus's word-frequency table. Fully
+    // hash-verified: the oracle unrolls the 12 greedy rounds into
+    // MATERIALIZED CTE levels sharing the exact pipe-delimited encoding
+    // and replace() semantics (see bpeEncode's scaladoc for why that
+    // encoding makes sequential replace == BPE's non-overlapping merge
+    // in BOTH engines). Each round is one map-combining hash aggregate
+    // over the vocab + a LIMIT-1 argmax with (cnt DESC, a, b) tiebreak;
+    // driver state is the learned merge list only.
+    "q_text_bpe" -> ((s, d) =>
+      bpeTrain(Tables(s, d, "documents"), merges = 12)._1.orderBy("rank")),
+
+    // BPE APPLICATION — the token-count estimator a pretraining pipeline
+    // runs corpus-wide once merges are learned: per document, words
+    // join the trained vocab's final encoding (an equi-join on the word
+    // — vocab-sized build side, map-side combinable) and the BPE token
+    // count is the sum of per-word symbol counts. n_bpe <= n_ws_tokens
+    // * max word length, n_bpe >= n_ws (merges only shrink) —
+    // suite-pinned; the oracle recomputes the full 12-round chain.
+    "q_text_bpe_apply" -> ((s, d) => {
+      val vocab = bpeTrain(Tables(s, d, "documents"), merges = 12)._2
+        .select(col("w"), expr(
+          "CAST(size(split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')) AS LONG)")
+          .as("n_sym"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(!col("w").contains("|"))
+        .join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
 
     // Key-collision fingerprint (sorted distinct tokens) -> cluster rep.
     "q_text_fingerprint" -> ((s, d) => {
@@ -4113,6 +4267,25 @@ object LlmOps {
         |  CAST(length(text) AS BIGINT) AS n_chars_measured,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe" -> {
+      val ranks = (1 to 12).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, a, b, cnt FROM b$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeOracleCtes(12)}
+         |SELECT * FROM (
+         |  $ranks)
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q_text_bpe_apply" ->
+      s"""WITH ${bpeOracleCtes(12)}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |       CAST(sum(len(string_split(trim(enc, '|'), '||'))) AS BIGINT) AS n_bpe
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |JOIN v12 USING (w)
+         |WHERE NOT contains(w, '|')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """WITH fp AS (

@@ -213,6 +213,20 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got.map(_._2) === Seq(0L, 2L, 3L)) // the hand-worked greedy
   }
 
+  test("graft_bpe: SQL round trip equals the Scala trainer on the Sennrich fixture") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .createOrReplaceTempView("sql_bpe_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_bpe(TABLE(SELECT * FROM sql_bpe_docs), 4)")
+    val got = sql.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
+  }
+
   test("graft_semantic_dedup: SQL round trip equals the Scala operator on a hand-worked fixture") {
     import spark.implicits._
     // one cluster around +x, one around +y; 10/11 near-dup in cluster 0
