@@ -1335,7 +1335,7 @@ object LlmOps {
       graft.functions.VectorFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 8)
-      val model = graft.ml.IvfIndex.train(corpus, k = 8, iters = 3)
+      val model = graft.ml.IvfIndex.train(corpus, k = 8, iters = 2)
       val cent = s.createDataFrame(
         s.sparkContext.parallelize(model.centroids.zipWithIndex.toSeq.map {
           case (c, i) => org.apache.spark.sql.Row(i.toLong, c.toSeq) }, 1),

@@ -148,4 +148,16 @@ class ScaleGrowthSuite extends SparkSpec {
         s"$sf: bucket join ${x.joinRowsMax} vs brute ${x.brutePairs}")
     }
   }
+
+  test("semantic dedup: cluster scoping divides the pair bill by ~k at every size") {
+    // SemDeDup's scale contract is pairs ~ n^2/k with k grown alongside n
+    // (the gate pins k = 8 for oracle parity, so the EXPONENT here is
+    // honestly 2 — the measured claim is the 1/k division, with headroom
+    // for skewed cells); production calls pass k ~ sqrt(n)
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val x = m("q_dedup_semantic", sf)
+      assert(x.joinRowsMax < 0.5 * x.brutePairs,
+        s"$sf: within-cluster pairs ${x.joinRowsMax} vs brute ${x.brutePairs}")
+    }
+  }
 }
