@@ -89,4 +89,41 @@ class MmrSuite extends SparkSpec {
       .filter(col("q_id") === 1).count()
     assert(exhausted === 4L)
   }
+
+  test("driver-side fast path equals the distributed loop bit-for-bit (fixture + real corpus)") {
+    def run(df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("q_id", "rn").collect().map(_.toSeq.toVector).toSeq
+    def both(c: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame,
+             k: Int, lambda: Double): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val local = run(LlmOps.mmrRerank(c, s, k, lambda)) // default limit: local
+      spark.conf.set("spark.graft.mmr.localLimit", "0")  // force distributed
+      try (local, run(LlmOps.mmrRerank(c, s, k, lambda)))
+      finally spark.conf.unset("spark.graft.mmr.localLimit")
+    }
+    val (lf, df) = both(cands, sims, k = 3, lambda = 0.5)
+    assert(lf === df, "paths diverged on the hand fixture")
+    // the real gate inputs: q_search_mmr's shortlists at sf0.001 — runs
+    // the rounding/tiebreak arithmetic over organic doubles
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), expr("CAST(embedding AS array<double>)").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qe"))
+    val c = e.filter(col("vec_id") >= 10).select(col("vec_id").as("c_id"), col("v").as("ce"))
+    val cos = "graft_dot(%s, %s) / sqrt(graft_dot(%s, %s) * graft_dot(%s, %s))"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
+    val cand2 = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(expr(cos.format("qe", "ce", "qe", "qe", "ce", "ce")), 4).as("rel"))
+      .withColumn("rn0", row_number().over(w)).filter(col("rn0") <= 20)
+      .select("q_id", "c_id", "rel")
+    val cv = cand2.join(c, "c_id").select("q_id", "c_id", "ce")
+    val sims2 = cv.select(col("q_id"), col("c_id").as("a"), col("ce").as("va"))
+      .join(cv.select(col("q_id"), col("c_id").as("b"), col("ce").as("vb")), "q_id")
+      .filter(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(expr(cos.format("va", "vb", "va", "va", "vb", "vb")), 4).as("sim"))
+    val (lr, dr) = both(cand2, sims2, k = 5, lambda = 0.7)
+    assert(lr.nonEmpty && lr === dr, "paths diverged on the sf0.001 shortlists")
+  }
 }
