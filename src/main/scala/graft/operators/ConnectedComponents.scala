@@ -72,14 +72,35 @@ object ConnectedComponents {
     * an edge, columns (u, label) with label = the component's minimum id;
     * rounds is the number of large+small star rounds executed.
     * Isolated nodes never appear in `edges` and so not in the result —
-    * callers left-join and coalesce to the node's own id. */
+    * callers left-join and coalesce to the node's own id.
+    *
+    * Small-graph fast path (the broadcast-join principle): when the
+    * canonical edge set fits under `spark.graft.cc.localLimit` rows
+    * (default 500k — 8 MB of id pairs), components come from a
+    * driver-side union-find (path-halving, min-label) in one collect
+    * instead of star rounds, each of which costs several driver
+    * round-trips; rounds reports 0, labels are IDENTICAL (the component
+    * minimum is algorithm-independent — suite-pinned against the star
+    * machinery). Above the limit the distributed rewriting runs — at
+    * 100 TB the near-dup pair graph is real. */
   def run(edges: DataFrame): (DataFrame, Int) = {
-    var e = edges
+    val canon = edges
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+    val localLimit = math.min(edges.sparkSession.conf
+      .get("spark.graft.cc.localLimit", "500000").toLong, 8000000L).toInt
+    val longIds = canon.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && localLimit > 0) {
+      // take(limit+1) terminates early on big graphs and pins nothing;
+      // <= limit rows means we hold the COMPLETE canonical edge set
+      val sample = canon.take(localLimit + 1)
+      if (sample.length <= localLimit)
+        return (localUnionFind(edges.sparkSession, sample), 0)
+    }
+    var e = canon.localCheckpoint()
     var rounds = 0
     var converged = e.isEmpty || isStarForest(e)
     while (!converged) {
@@ -94,5 +115,48 @@ object ConnectedComponents {
       .join(leafLabels, Seq("u"), "left_anti")
       .select(col("u"), col("u").as("label"))
     (leafLabels.unionByName(rootLabels), rounds)
+  }
+
+  /** Driver-side components over a collected canonical edge array:
+    * union-find with path halving, then label = component MINIMUM —
+    * algorithm-independent, so the output is row-identical to the star
+    * machinery's (suite-pinned). One row per node appearing in an edge,
+    * same contract as [[run]]. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val nodes = rows.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+      .toArray.distinct
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val root = find(n)
+      minOf(root) = math.min(minOf.getOrElse(root, n), n)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        nodes.toIndexedSeq.map(n =>
+          org.apache.spark.sql.Row(n, minOf(find(n)))),
+        math.max(1, math.min(8, nodes.length / 65536 + 1))),
+      schema)
   }
 }

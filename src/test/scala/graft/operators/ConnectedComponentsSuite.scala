@@ -27,17 +27,37 @@ class ConnectedComponentsSuite extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  /** Force the distributed star machinery (the small-graph fast path
+    * would otherwise absorb these fixtures). */
+  private def distributed[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localLimit", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localLimit")
+  }
+
   test("star rewriting labels a 64-node chain in <= log2(n) rounds") {
     // the shape that breaks one-hop propagation: a path 0-1-2-...-63 needs
     // 63 propagation passes (the min label travels one hop per pass);
     // star rewriting contracts it in logarithmic rounds
     val chain = (0L until 63L).map(i => (i, i + 1))
-    val (labels, rounds) = ConnectedComponents.run(edgesDf(chain))
+    val (labels, rounds) = distributed(ConnectedComponents.run(edgesDf(chain)))
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet === (0L to 63L).toSet)
     assert(got.values.forall(_ == 0L), s"all labels must be 0, got $got")
     assert(rounds <= 6,
       s"64-node chain must contract in <= log2(64)=6 rounds, took $rounds")
+  }
+
+  test("driver-side fast path (default) equals the star machinery row-for-row") {
+    val pairs = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 17) % 200), (i, (i + 37) % 200), (i + 500, i + 501)))
+      .filter(p => p._1 != p._2)
+    val fast = ConnectedComponents.run(edgesDf(pairs))
+    assert(fast._2 === 0, "small graph must take the union-find path")
+    val star = distributed(ConnectedComponents.run(edgesDf(pairs)))
+    assert(star._2 > 0, "localLimit=0 must force star rounds")
+    assert(fast._1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === star._1.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+    assert(fast._1.schema === star._1.schema)
   }
 
   test("components match a union-find witness on a multi-component graph") {
