@@ -71,7 +71,12 @@ object ScaleProbe {
       // the incremental insert: beam-search link rounds (fixed batch size
       // relative to n) + one refinement round over the merged graph —
       // growth must track the build round's O(n·k²), not n²
-      "q_knn_graph_append")
+      "q_knn_graph_append",
+      // SemDeDup: within-cluster pairs = n²/k with the gate's FIXED k=8
+      // (oracle parity), so the exponent is honestly ~2 — the measured
+      // claim is the 1/k division vs brute (ScaleGrowthSuite pins
+      // < 0.5×brute at every size); production grows k with n
+      "q_dedup_semantic")
 
   /** Graph-analytics families over the near-dup graph: every iterated
     * round is O(|E|) equi-joins (contributions / votes), and |E| — the
