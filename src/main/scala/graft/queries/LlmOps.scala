@@ -683,7 +683,8 @@ object LlmOps {
     * symbol encoding — join corpus words against it to SEGMENT text
     * (see q_text_bpe_apply). Stops early if no pair remains. */
   def bpeTrain(docs: DataFrame, merges: Int,
-               tokens: Column = split(col("text"), " ")): (DataFrame, DataFrame) = {
+               tokens: Column = split(col("text"), " "),
+               incremental: Boolean = false): (DataFrame, DataFrame) = {
     require(merges >= 1, s"bpeTrain: need merges >= 1, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -694,6 +695,17 @@ object LlmOps {
     def mergeExpr(a: String, b: String): Column =
       expr(s"replace(enc, '|' || ${sqlStr(a)} || '||' || ${sqlStr(b)} || '|'," +
         s" '|' || ${sqlStr(a)} || ${sqlStr(b)} || '|')")
+    // adjacent symbol pairs of an encoded column, as array<struct<a,b>>
+    def pairsOf(encCol: String): String =
+      s"""CASE WHEN size(split(trim(BOTH '|' FROM $encCol), '\\\\|\\\\|')) >= 2
+         |  THEN transform(sequence(1, size(split(trim(BOTH '|' FROM $encCol), '\\\\|\\\\|')) - 1),
+         |    i -> struct(element_at(split(trim(BOTH '|' FROM $encCol), '\\\\|\\\\|'), i) AS a,
+         |                element_at(split(trim(BOTH '|' FROM $encCol), '\\\\|\\\\|'), i + 1) AS b))
+         |  ELSE CAST(array() AS array<struct<a: string, b: string>>) END""".stripMargin
+    def pairCounts(vocab: DataFrame): DataFrame = vocab
+      .select(col("f"), explode(expr(pairsOf("enc"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("f")).as("cnt"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     val before = spark.sparkContext.getPersistentRDDs.keySet
     try {
@@ -701,18 +713,28 @@ object LlmOps {
       // count pass (the job that needs it anyway), not by an extra
       // eager job per round — halves the job count of training
       var vocab = baseVocab.localCheckpoint(eager = false)
+      // incremental (Sennrich's fast variant): keep the pair-count table
+      // as STATE and update it per round with the delta from the words
+      // that actually CONTAIN the merged pair — per-round input becomes
+      // |vocab| (map-only contains scan) + |distinct pairs| (the count
+      // fold) instead of |total token occurrences| (the full explode).
+      // On Zipfian natural-language corpora |T| >> |P|, so this is the
+      // 32k-merge tokenizer-budget path; on the harness's small-vocab
+      // synthetic text the recount path measures FASTER (8.7 s vs
+      // 11.4 s at 64 merges, sf0.1 — per-round job overhead dominates),
+      // which is why the gates keep recount (BASELINE.md records the
+      // measurement). Counts are exact integer arithmetic, so the
+      // chosen merges are IDENTICAL to the recount path (BpeSuite pins
+      // equality); dead pairs (cnt 0) are dropped — a pair can only
+      // reappear through a later +delta, which re-adds the key via the
+      // union.
+      var counts =
+        if (incremental) pairCounts(vocab).localCheckpoint(eager = false)
+        else null: DataFrame
       var rank = 1
       var dry = false
       while (rank <= merges && !dry) {
-        val best = vocab
-          .select(col("f"),
-            expr("split(trim(BOTH '|' FROM enc), '\\\\|\\\\|')").as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(t) - 1), i -> " +
-              "struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("f")).as("cnt"))
+        val best = (if (incremental) counts else pairCounts(vocab))
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1).collect()
         if (best.isEmpty) dry = true
@@ -720,6 +742,25 @@ object LlmOps {
           val (a, b, c) = (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
           learned += ((rank.toLong, a, b, c))
+          if (incremental) {
+            val pat = s"'|' || ${sqlStr(a)} || '||' || ${sqlStr(b)} || '|'"
+            // one scan of the AFFECTED words emits their old pairs at -f
+            // and new pairs at +f; fold into the running count table
+            val delta = vocab
+              .filter(expr(s"contains(enc, $pat)"))
+              .select(col("f"), col("enc").as("oldEnc"),
+                mergeExpr(a, b).as("enc"))
+              .select(explode(expr(
+                s"""concat(
+                   |  transform(${pairsOf("oldEnc")}, p -> struct(p.a AS a, p.b AS b, -f AS w)),
+                   |  transform(${pairsOf("enc")},    p -> struct(p.a AS a, p.b AS b,  f AS w)))"""
+                  .stripMargin)).as("d"))
+              .select(col("d.a").as("a"), col("d.b").as("b"), col("d.w").as("cnt"))
+            counts = counts.unionByName(delta)
+              .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+              .filter(col("cnt") =!= 0L)
+              .localCheckpoint(eager = false)
+          }
           vocab = vocab.withColumn("enc", mergeExpr(a, b))
             .localCheckpoint(eager = false)
           rank += 1

@@ -55,6 +55,26 @@ class BpeSuite extends SparkSpec {
     assert(vocab.collect().map(_.getString(0)).toSet === Set("ab", "x"))
   }
 
+  test("incremental (delta-count) training picks IDENTICAL merges to the recount path") {
+    import spark.implicits._
+    // fixture with ties, self-pairs and early exhaustion in one corpus
+    val docs = Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(2)("aaa")).mkString(" "))).toDF("doc_id", "text")
+    def table(inc: Boolean) =
+      LlmOps.bpeTrain(docs, merges = 8, incremental = inc)._1
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(table(inc = true) === table(inc = false))
+    // and on organic corpus text at sf0.001, the full 12-merge gate depth
+    val organic = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def org(inc: Boolean) =
+      LlmOps.bpeTrain(organic, merges = 12, incremental = inc)._1
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+    val (i, r) = (org(inc = true), org(inc = false))
+    assert(i.size === 12 && i === r,
+      "delta-count training drifted from the recount path on organic text")
+  }
+
   test("q_text_bpe_apply invariants: n_bpe between n_ws (full merge) and char count (no merge)") {
     val sf = "/root/testdata/sf0.001"
     val rows = LlmOps.queries("q_text_bpe_apply")(spark, sf).collect()
