@@ -171,6 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KCenterPlaceholder].getName, "graft_kcenter"),
       SqlSurface.kCenterBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_domain_cap"),
+      new ExpressionInfo(classOf[DomainCapPlaceholder].getName,
+        "graft_domain_cap"),
+      SqlSurface.domainCapBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[BpePlaceholder].getName, "graft_bpe"),
       SqlSurface.bpeBuilder _))

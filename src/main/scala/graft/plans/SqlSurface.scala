@@ -214,6 +214,21 @@ object SqlSurface {
       exprs.lift(3).map(dblLit(fn, "lambda", _)).getOrElse(0.7))
   }
 
+  /** graft_domain_cap(docs, cap[, blocked_csv]) — RefinedWeb-style
+    * per-domain cap ([[graft.queries.LlmOps.domainCap]]) over a
+    * (doc_id, text, source) table: blocklist anti-filter, then at most
+    * `cap` docs per source by quality. `blocked_csv` is a
+    * comma-separated source blocklist. Returns (doc_id, source,
+    * quality). */
+  def domainCapBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_domain_cap"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(docs, cap[, blocked_csv]) takes 2-3 args (TABLE(...) of doc_id/text/source, int cap, optional string blocklist), got ${exprs.size}")
+    DomainCapPlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "cap", exprs(1)),
+      exprs.lift(2).map(strLit(fn, "blocked_csv", _)).getOrElse(""))
+  }
+
   /** graft_bpe(docs, merges) — BPE merge training
     * ([[graft.queries.LlmOps.bpeTrain]], Sennrich et al. 2016) over a
     * (doc_id, text) table. Returns the learned merge table
@@ -513,6 +528,18 @@ case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe:
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL per-domain cap; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class DomainCapPlaceholder(child: LogicalPlan, cap: Int,
+    blockedCsv: String)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("DomainCapPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): DomainCapPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL BPE trainer; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class BpePlaceholder(child: LogicalPlan, merges: Int)
@@ -769,6 +796,12 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
     case p: KCenterPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.kCenterSample(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), k = p.k)
+        .queryExecution.analyzed
+    case p: DomainCapPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.domainCap(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          cap = p.cap,
+          blocked = p.blockedCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .queryExecution.analyzed
     case p: BpePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.bpeTrain(

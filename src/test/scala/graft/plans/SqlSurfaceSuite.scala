@@ -213,6 +213,21 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(got.map(_._2) === Seq(0L, 2L, 3L)) // the hand-worked greedy
   }
 
+  test("graft_domain_cap: SQL round trip equals the Scala operator incl. the blocklist") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("sql_dc_docs")
+    val sql = spark.sql("SELECT * FROM graft_domain_cap(" +
+      "TABLE(SELECT * FROM sql_dc_docs), 15, 'src2, src17')")
+    val api = graft.queries.LlmOps.domainCap(docs, cap = 15,
+      blocked = Seq("src2", "src17"))
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = key(sql)
+    assert(got === key(api) && got.nonEmpty)
+    assert(!got.exists(r => r(1) == "src2" || r(1) == "src17"))
+  }
+
   test("graft_bpe: SQL round trip equals the Scala trainer on the Sennrich fixture") {
     import spark.implicits._
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
