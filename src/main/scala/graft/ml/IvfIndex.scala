@@ -149,7 +149,12 @@ object IvfIndex {
     allowed match {
       case None => corpus
       case Some(a) =>
-        val ids = a.select("vec_id")
+        // checkpointed: the selectivity count and the join(s) would each
+        // re-execute the allowlist's producing plan (often a filter over
+        // a corpus-scale table) — one execution, blocks read thereafter.
+        // Pinned until the caller's query lifecycle ends (Bench sweeps
+        // per query; library callers: the hygiene-doc sweep contract).
+        val ids = a.select("vec_id").localCheckpoint(eager = false)
         val limit = corpus.sparkSession.conf
           .get("spark.graft.ivf.allowedBroadcastLimit", "100000").toLong
         val n = ids.agg(count(lit(1))).head().getLong(0)

@@ -84,27 +84,26 @@ object ConnectedComponents {
     * machinery). Above the limit the distributed rewriting runs — at
     * 100 TB the near-dup pair graph is real. */
   def run(edges: DataFrame): (DataFrame, Int) = {
-    val oriented = edges
+    val localLimit = math.min(edges.sparkSession.conf
+      .get("spark.graft.cc.localLimit", "500000").toLong, 8000000L).toInt
+    // checkpoint FIRST, probe the checkpoint: the upstream pipeline (a
+    // pair join, typically the caller's most expensive stage) executes
+    // exactly once whichever path runs; count/collect then read blocks.
+    // On the fast path the blocks are unpersisted before returning (the
+    // result is driver-built), so small-graph calls pin nothing.
+    var e = edges
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-    val localLimit = math.min(edges.sparkSession.conf
-      .get("spark.graft.cc.localLimit", "500000").toLong, 8000000L).toInt
-    val longIds = oriented.schema.fields.forall(
+      .distinct()
+      .localCheckpoint()
+    val longIds = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && localLimit > 0) {
-      // probe the PRE-distinct frame: take(limit+1) there is a map-only
-      // partial scan (probing after distinct would run the dedup
-      // shuffle's map side even on a 10B-edge graph), terminates early,
-      // and pins nothing; <= limit raw rows means we hold the complete
-      // edge multiset (union-find is idempotent under duplicates). A
-      // graph with <= limit DISTINCT but > limit raw edges takes the
-      // distributed path — a perf miss only, never a wrong answer.
-      val sample = oriented.take(localLimit + 1)
-      if (sample.length <= localLimit)
-        return (localUnionFind(edges.sparkSession, sample), 0)
+    if (longIds && localLimit > 0 && e.count() <= localLimit) {
+      val rows = e.collect()
+      e.unpersist(blocking = false)
+      return (localUnionFind(edges.sparkSession, rows), 0)
     }
-    var e = oriented.distinct().localCheckpoint()
     var rounds = 0
     var converged = e.isEmpty || isStarForest(e)
     while (!converged) {

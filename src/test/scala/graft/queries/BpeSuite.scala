@@ -55,6 +55,24 @@ class BpeSuite extends SparkSpec {
     assert(vocab.collect().map(_.getString(0)).toSet === Set("ab", "x"))
   }
 
+  test("merge symbols with backslashes and line terminators survive literal quoting and encoding") {
+    import spark.implicits._
+    // backslash pair wins a merge: sqlStr must double it or mergeExpr's
+    // Spark literal swallows the closing quote (review-pass finding)
+    val (m1, v1) = LlmOps.bpeTrain(
+      Seq((1L, "a\\ a\\ a\\")).toDF("doc_id", "text"), merges = 1)
+    assert(m1.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      === Seq(("a", "\\")))
+    assert(v1.collect().head.getString(2) === "|a\\|")
+    // \r inside a token: Java regex '.' would drop it silently ([\s\S]
+    // keeps every character), splitting 'b\rc' and 'bc' apart
+    val (_, v2) = LlmOps.bpeTrain(
+      Seq((1L, "b\rc bc")).toDF("doc_id", "text"), merges = 1)
+    val enc = v2.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(enc("b\rc").contains("\r"), s"\\r dropped from encoding: $enc")
+    assert(enc("b\rc") !== enc("bc"), "distinct words collapsed to one encoding")
+  }
+
   test("incremental (delta-count) training picks IDENTICAL merges to the recount path") {
     import spark.implicits._
     // fixture with ties, self-pairs and early exhaustion in one corpus

@@ -90,6 +90,23 @@ class MmrSuite extends SparkSpec {
     assert(exhausted === 4L)
   }
 
+  test("NaN relevance degrades identically on both paths (no crash)") {
+    import spark.implicits._
+    // an all-zero embedding yields 0/0 = NaN cosine; Spark's round()
+    // passes NaN through — the driver-side r6 must too, not throw
+    val c = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.5), (1L, 12L, 0.4))
+      .toDF("q_id", "c_id", "rel")
+    val s = Seq((1L, 10L, 11L, 0.1), (1L, 11L, 10L, 0.1),
+      (1L, 10L, 12L, 0.1), (1L, 12L, 10L, 0.1),
+      (1L, 11L, 12L, 0.2), (1L, 12L, 11L, 0.2)).toDF("q_id", "a", "b", "sim")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rn").collect().map(r => (r.getLong(2), r.getDouble(3).isNaN)).toSeq
+    val local = ids(LlmOps.mmrRerank(c, s, k = 3, lambda = 0.5))
+    spark.conf.set("spark.graft.mmr.localLimit", "0")
+    try assert(local === ids(LlmOps.mmrRerank(c, s, k = 3, lambda = 0.5)))
+    finally spark.conf.unset("spark.graft.mmr.localLimit")
+  }
+
   test("driver-side fast path equals the distributed loop bit-for-bit (fixture + real corpus)") {
     def run(df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
       df.orderBy("q_id", "rn").collect().map(_.toSeq.toVector).toSeq
