@@ -142,7 +142,18 @@ object Bench {
     var retryWindowsLeft = MaxRetryWindows
     var prevDev = 0.0 // the baseline measurement brackets the first window
 
-    SparkEntry.queries.toSeq.grouped(WindowSize).foreach { group =>
+    // SPARK_GRAFT_BENCH_FILTER (regex): bench only matching keys — for
+    // fast local iteration on a family. A filtered run never carries the
+    // full-surface total, so it refuses to land at BENCH_FULL.json (the
+    // same-HEAD artifact guard below sees the env and redirects).
+    val keyFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(re) => val r = re.r; n => r.findFirstIn(n).isDefined
+        case None => _ => true
+      }
+
+    SparkEntry.queries.toSeq.filter(kv => keyFilter(kv._1))
+        .grouped(WindowSize).foreach { group =>
       val first = group.map { case (name, fn) => name -> timeQuery(name, fn) }
       val s = spin(); sentinelSamples += s
       // Drain the ContextCleaner between windows: shuffle files, broadcasts
@@ -198,7 +209,10 @@ object Bench {
     // in a QUIETER window: the committed file is the record the
     // ≤2x-of-baseline bar is judged against, and BENCH_r09 showed one
     // contended end-of-round run can otherwise overwrite a clean one.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val out =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FILTERED.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val target = try {
       val p = java.nio.file.Paths.get(out)
       if (!java.nio.file.Files.exists(p)) out
