@@ -202,7 +202,31 @@ object Bench {
     // this is a derived convenience, not a substitute for a quiet window.
     val quietEquiv = total * (0.445 / spinBase)
     val head = gitHead()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct}}"""
+    // margin bookkeeping (VERDICT r10 #7): the artifact answers "2x of
+    // what?" by itself — key count, per-key quiet cost, and the key-count
+    // delta vs the previously committed full artifact (surface growth is
+    // the structural driver of raw-total growth).
+    val nKeys = results.size
+    val perKeyQuiet = if (nKeys == 0) 0.0 else quietEquiv / nKeys
+    val nKeysPrev: Int = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      if (!java.nio.file.Files.exists(p)) -1
+      else {
+        val prev = java.nio.file.Files.readString(p)
+        "\"n_keys\":([0-9]+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
+          .getOrElse {
+            // pre-r11 artifact: count the quoted keys of its queries object
+            val qstart = prev.indexOf("\"queries\":{")
+            if (qstart < 0) -1
+            else {
+              val body = prev.substring(qstart + 11, prev.indexOf('}', qstart))
+              body.count(_ == '"') / 2
+            }
+          }
+      }
+    } catch { case _: Throwable => -1 }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct}}"""
     println(json)
     // Persist the COMPLETE artifact (the driver records only a truncated
     // stdout tail) — but never replace a same-HEAD run that was measured
