@@ -145,6 +145,29 @@ object IvfIndex {
     *    negatives; suite pins equality with the plain semi form).
     * The allowlist count is one aggregation over the ALLOWLIST side only
     * — never the corpus — so the selectivity probe costs O(|allowed|). */
+  /** Blocks pinned by [[restrict]]'s allowlist checkpoints — released by
+    * [[sweep]] (ADVICE r10: a long-lived serving session issuing many
+    * filtered searches must have a release hook; Bench's per-query global
+    * unpersist already covers the harness). */
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Unpersist every allowlist block a filtered search of this JVM
+    * pinned; returns the count released. Consume-then-sweep: the blocks
+    * are lineage-truncated checkpoints, so sweeping while a returned
+    * search frame is still to be re-consumed fails that frame loudly
+    * (checkpoint-block-not-found), never silently. */
+  def sweep(spark: SparkSession): Int = {
+    val live = spark.sparkContext.getPersistentRDDs
+    var n = 0
+    val it = pinnedIds.iterator()
+    while (it.hasNext) {
+      live.get(it.next()).foreach { r => r.unpersist(blocking = false); n += 1 }
+      it.remove()
+    }
+    n
+  }
+
   private def restrict(corpus: DataFrame, allowed: Option[DataFrame]): DataFrame =
     allowed match {
       case None => corpus
@@ -153,8 +176,12 @@ object IvfIndex {
         // re-execute the allowlist's producing plan (often a filter over
         // a corpus-scale table) — one execution, blocks read thereafter.
         // Pinned until the caller's query lifecycle ends (Bench sweeps
-        // per query; library callers: the hygiene-doc sweep contract).
+        // per query; library callers call [[sweep]] — the tracked ids
+        // make the hygiene contract enforceable instead of aspirational).
+        val sc = a.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         val ids = a.select("vec_id").localCheckpoint(eager = false)
+        (sc.getPersistentRDDs.keySet -- before).foreach(pinnedIds.add)
         val limit = corpus.sparkSession.conf
           .get("spark.graft.ivf.allowedBroadcastLimit", "100000").toLong
         val n = ids.agg(count(lit(1))).head().getLong(0)

@@ -43,6 +43,39 @@ object Scratch {
     registered.add(path)
     path
   }
+
+  /** Run `body`, then release every persistent-RDD block it pinned — the
+    * ONE verb behind the library's caller-must-sweep contract
+    * (docs/long-lived-spark-jvm-hygiene.md). Several operators return
+    * LAZY frames over internal localCheckpoints they cannot unpersist
+    * themselves (SubstrIndex.dedupAgainst, LlmOps.semanticDedup /
+    * mmrRerank inputs, the memoized dedup twins); wrapping the
+    * produce-and-CONSUME sequence in `withSweep` turns the convention
+    * into code:
+    *
+    * {{{
+    * val spans = Scratch.withSweep(spark) {
+    *   SubstrIndex.dedupAgainst(path, batch).collect() // consume INSIDE
+    * }
+    * }}}
+    *
+    * Contract: consume (write/collect/count) INSIDE the block — the
+    * pinned blocks are lineage-truncated checkpoints, so a frame escaping
+    * the block lazily fails its next action loudly
+    * (checkpoint-block-not-found), never returns a wrong answer. The
+    * before/after delta is JVM-wide: like Bench's per-query sweep it
+    * assumes one pipeline at a time per JVM (concurrent pipelines should
+    * scope sweeps per index path — SubstrIndex.sweep(spark, path)). */
+  def withSweep[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try body
+    finally {
+      val live = sc.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
 }
 
 /** Run-once-per-path memo for DISK-backed index builds.

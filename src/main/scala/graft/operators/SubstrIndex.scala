@@ -62,11 +62,16 @@ import org.apache.spark.sql.functions._
   * corpus.
   *
   * Block hygiene: [[dedupAgainst]] localCheckpoints the batch windows
-  * (reused by four plan subtrees); the pinned blocks are tracked and
-  * released by [[sweep]] — call it after the consuming action
-  * ([[graft.streaming.StreamingSubstr]] sweeps per micro-batch; the
-  * bench sweeps globally per query; direct long-lived library callers
-  * own the call). [[compact]] sweeps its own blocks before returning.
+  * (reused by four plan subtrees); the pinned blocks are tracked PER
+  * INDEX PATH and released by [[sweep]] — call it after the consuming
+  * action, and only then: the blocks are lineage-truncated checkpoints,
+  * so a sweep before a still-live frame's re-consumption is a loud job
+  * failure, not a recompute (see [[sweep]]).
+  * ([[graft.streaming.StreamingSubstr]] sweeps its own path per
+  * micro-batch; the bench sweeps globally per query; direct long-lived
+  * library callers own the call — or use
+  * [[graft.operators.Scratch.withSweep]].) [[compact]] sweeps its own
+  * blocks before returning.
   */
 object SubstrIndex {
 
@@ -115,16 +120,60 @@ object SubstrIndex {
   /** The window width the index was built with. */
   def width(spark: SparkSession, path: String): Int = params(spark, path)._1
 
+  /** The canon-column format this code writes: struct<doc_id,pos>
+    * (format 2). Format 1 was the r9 packed long (doc_id·10⁶+pos) —
+    * mixing the two in one win/ tree would give compact()/serves mixed
+    * parquet schemas, so loads REFUSE format-1 indexes (ADVICE r10). */
+  val CanonFormat: Long = 2L
+
+  /** Cached format per path (legacy indexes need a one-off schema sniff;
+    * the answer cannot change under single-writer discipline except via
+    * [[build]], which re-stamps the cache). */
+  private val formatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** The canon format of the index at `path`: meta's `format` field when
+    * present (every index built at or after this version); otherwise a
+    * one-off sniff of a committed batch's parquet schema — struct canon ⇒
+    * format 2 (a pre-stamp index written by THIS format's code), anything
+    * else ⇒ format 1 (the packed-long layout). */
+  private def formatOf(spark: SparkSession, path: String, metaFormat: Option[Long]): Long =
+    metaFormat.getOrElse(formatCache.computeIfAbsent(path, _ =>
+      scala.util.Try {
+        spark.read.parquet(s"$path/win").schema("canon").dataType match {
+          case _: org.apache.spark.sql.types.StructType => 2L
+          case _ => 1L
+        }
+      }.getOrElse(CanonFormat))) // no committed batch yet: current format
+
   /** (w, tokenizeSql) the index was built with. Indexes from before the
     * tokenizer hook carry no `tokenize` field — default whitespace. The
     * loaded expression is re-validated against the function whitelist:
     * meta is on-disk state, and `expr()` on a tampered file would
-    * otherwise evaluate attacker-chosen calls on every append/serve. */
+    * otherwise evaluate attacker-chosen calls on every append/serve.
+    * Refuses an index whose stored canon format predates [[CanonFormat]]
+    * (appending onto it would mix parquet schemas in win/). */
   def params(spark: SparkSession, path: String): (Int, String) = {
     val r = spark.read.json(s"$path/meta").collect().head
     val tok = scala.util.Try(r.getAs[String]("tokenize")).toOption
       .filter(_ != null).getOrElse(DefaultTokenize)
-    validateTokenizer(spark, tok)
+    val metaFormat = scala.util.Try(r.getAs[Long]("format")).toOption
+    val fmt = formatOf(spark, path, metaFormat)
+    require(fmt == CanonFormat,
+      s"substr index at $path stores canon format $fmt (the packed-long " +
+        s"layout); this version reads/writes format $CanonFormat " +
+        "(struct<doc_id,pos>). Appending or compacting would mix parquet " +
+        "schemas under win/ — REBUILD the index from the corpus " +
+        "(SubstrIndex.build) to repair.")
+    try validateTokenizer(spark, tok)
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"persisted tokenizer of the index at $path fails validation " +
+          "(the expression whitelist tightened, or meta was edited). The " +
+          "repair is a REBUILD with a whitelisted tokenizer (or, if you " +
+          "audited the expression yourself, editing meta/ to a whitelisted " +
+          s"equivalent): ${e.getMessage}", e)
+    }
     (r.getAs[Long]("w").toInt, tok)
   }
 
@@ -135,15 +184,33 @@ object SubstrIndex {
     * build corpus' measured distinct window count. */
   val AutoBloomBits: Int = -1
 
-  /** Functions a tokenizer expression may call: string/array shaping
-    * only. Anything else — reflect(), java_method(), UDF names,
-    * non-deterministic builtins — is rejected at build and at load. */
+  /** Functions a tokenizer expression may call: deterministic
+    * string/array shaping only. Anything else — reflect(),
+    * java_method(), UDF names, non-deterministic builtins — is rejected
+    * at build and at load. Deliberately WIDE across the deterministic
+    * string/array builtins (ADVICE r10: a benign tokenizer outside a
+    * narrow list would make a pre-existing index permanently unreadable);
+    * the security property is the absence of eval/reflection/IO, not a
+    * minimal surface. */
   private val TokenizerFunctionWhitelist: Set[String] = Set(
-    "split", "lower", "upper", "trim", "ltrim", "rtrim", "btrim",
-    "regexp_replace", "regexp_extract_all", "translate", "replace",
-    "substring", "substr", "concat", "concat_ws", "repeat", "reverse",
-    "filter", "transform", "flatten", "slice", "array_remove",
-    "array_compact", "array_distinct", "coalesce", "nullif")
+    // split / case / trim / regex / edit
+    "split", "split_part", "lower", "upper", "initcap", "trim", "ltrim",
+    "rtrim", "btrim", "lpad", "rpad", "regexp_replace", "regexp_extract",
+    "regexp_extract_all", "regexp_substr", "translate", "replace",
+    "substring", "substr", "substring_index", "left", "right", "concat",
+    "concat_ws", "repeat", "reverse", "sentences", "format_string",
+    "chr", "ascii", "length", "char_length", "character_length",
+    // array shaping / HOFs
+    "filter", "transform", "flatten", "slice", "array", "array_remove",
+    "array_compact", "array_distinct", "array_sort", "sort_array",
+    "array_union", "array_intersect", "array_except", "array_join",
+    "array_repeat", "array_position", "array_contains", "arrays_zip",
+    "zip_with", "aggregate", "reduce", "exists", "forall", "element_at",
+    "array_append", "array_prepend", "array_insert", "array_size", "size",
+    "sequence",
+    // null/branch plumbing
+    "coalesce", "nullif", "nvl", "nvl2", "if", "ifnull", "isnull",
+    "isnotnull", "greatest", "least")
 
   /** Parse `tokenizeSql` and reject any function call outside the
     * whitelist and any subquery — the guard that makes evaluating a
@@ -264,33 +331,55 @@ object SubstrIndex {
   // Pinned-block tracking: dedupAgainst returns a LAZY frame over a
   // localCheckpoint, so it cannot unpersist its own blocks — callers
   // sweep after the consuming action. compact() consumes internally and
-  // sweeps itself.
+  // sweeps itself. Tracking is scoped PER INDEX PATH (ADVICE r10): two
+  // concurrent streams/indexes sweeping per micro-batch must not kill
+  // each other's in-flight batch blocks.
   // -------------------------------------------------------------------
 
   private val pinnedIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[Int]]()
 
-  private def trackPinned[T](spark: SparkSession)(f: => T): T = {
+  private def trackPinned[T](spark: SparkSession, path: String)(f: => T): T = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val r = f
+    val set = pinnedIds.computeIfAbsent(path,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
     (spark.sparkContext.getPersistentRDDs.keySet -- before)
-      .foreach(id => pinnedIds.add(id))
+      .foreach(id => set.add(id))
     r
   }
 
-  /** Unpersist every block a [[dedupAgainst]] call of this JVM pinned —
-    * call AFTER the returned frame's consuming action (write/collect).
-    * Returns the number of blocks released. Safe to call any time: a
-    * sweep between materialization and a RE-consumption only costs a
-    * recompute, never correctness. */
+  /** Unpersist the blocks pinned by [[dedupAgainst]] calls of this JVM —
+    * all of them, or only those of one index `path` — and return the
+    * number released. Call AFTER the returned frame's consuming action
+    * (write/collect).
+    *
+    * NOT safe at arbitrary times: the tracked blocks come from
+    * localCheckpoint(), which TRUNCATES lineage — sweeping between
+    * materialization and a later re-consumption of a still-live
+    * [[dedupAgainst]] frame makes that frame unrecomputable, so the next
+    * action on it fails with a checkpoint-block-not-found error (loudly —
+    * never a wrong answer). The contract is consume-then-sweep; a frame
+    * needed past the sweep must be copied out (write to parquet) first.
+    * Concurrent pipelines on DIFFERENT indexes should sweep with their
+    * own `path` so they cannot release each other's in-flight blocks. */
+  def sweep(spark: SparkSession, path: String): Int =
+    Option(pinnedIds.remove(path)).map(releaseAll(spark, _)).getOrElse(0)
+
+  /** JVM-wide sweep (every tracked path) — the harness/bench form. */
   def sweep(spark: SparkSession): Int = {
+    var n = 0
+    val keys = pinnedIds.keySet().iterator()
+    while (keys.hasNext) { n += sweep(spark, keys.next()) }
+    n
+  }
+
+  private def releaseAll(spark: SparkSession, ids: java.util.Set[Int]): Int = {
     val live = spark.sparkContext.getPersistentRDDs
     var n = 0
-    val it = pinnedIds.iterator()
-    while (it.hasNext) {
-      val id = it.next()
+    ids.forEach { id =>
       live.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
-      it.remove()
     }
     n
   }
@@ -332,9 +421,12 @@ object SubstrIndex {
     }
     // meta FIRST: a crash mid-build must never leave batches a later
     // params() read chokes on (win-without-meta); meta-without-win fails
-    // loudly at the first read and a re-build overwrites it.
-    Seq((w.toLong, tokenize)).toDF("w", "tokenize")
+    // loudly at the first read and a re-build overwrites it. `format`
+    // stamps the canon layout so a later version can refuse (instead of
+    // schema-mixing) an index written under an older one.
+    Seq((w.toLong, tokenize, CanonFormat)).toDF("w", "tokenize", "format")
       .repartition(1).write.mode("overwrite").json(s"$path/meta")
+    formatCache.put(path, CanonFormat)
     val bits =
       if (bloomBits == 0) 0
       else if (bloomBits > 0) bloomBits
@@ -404,7 +496,7 @@ object SubstrIndex {
     val spark = newDocs.sparkSession
     cleanupUncommitted(spark, path)
     val (w, tok) = params(spark, path)
-    val sh = trackPinned(spark)(windows(newDocs, w, tok).localCheckpoint())
+    val sh = trackPinned(spark, path)(windows(newDocs, w, tok).localCheckpoint())
     val batchAgg = sh.groupBy("k").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("bcanon"))

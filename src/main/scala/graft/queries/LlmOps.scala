@@ -807,16 +807,30 @@ object LlmOps {
     } finally {
       // the in-loop checkpoints exist only to keep count passes from
       // replaying earlier merges; sweep them ALL — the returned vocab is
-      // rebuilt below as a fresh checkpoint-free plan (one nested
-      // replace chain, codegen'd), so callers never depend on a block
-      // this sweep removed
+      // rebuilt below as a fresh checkpoint-free plan, so callers never
+      // depend on a block this sweep removed
       val live = spark.sparkContext.getPersistentRDDs
       (live.keySet -- before).foreach(id =>
         live.get(id).foreach(_.unpersist(blocking = false)))
     }
-    val finalVocab = learned.foldLeft(baseVocab) { case (df, (_, a, b, _)) =>
-      df.withColumn("enc", mergeExpr(a, b))
-    }
+    // ONE depth-constant aggregate() fold over a single literal array of
+    // merge pairs, not a merges-deep nested replace() chain (ADVICE r10:
+    // at the advertised 32k-merge tokenizer budget a 32k-deep expression
+    // tree overflows analysis/codegen stacks long before data size
+    // matters; typedlit is ONE Literal node at any merge count).
+    // aggregate's left fold applies the replaces in rank order —
+    // semantics identical to the sequential per-round mergeExpr chain
+    // (BpeSuite pins the vocab against the unrolled DuckDB oracle).
+    val finalVocab =
+      if (learned.isEmpty) baseVocab
+      else {
+        val mergePairs = typedlit(learned.toSeq.map { case (_, a, b, _) => (a, b) })
+        baseVocab.withColumn("enc",
+          aggregate(mergePairs, col("enc"), (acc, m) =>
+            org.apache.spark.sql.functions.replace(acc,
+              concat(lit("|"), m.getField("_1"), lit("||"), m.getField("_2"), lit("|")),
+              concat(lit("|"), m.getField("_1"), m.getField("_2"), lit("|")))))
+      }
     (learned.toSeq.toDF("rank", "a", "b", "cnt"), finalVocab)
   }
 

@@ -42,10 +42,15 @@ object StreamingSubstr {
     // sweep this batch's checkpoint blocks on exit (the batch's own AND
     // dedupAgainst's internal window checkpoint) — a long-lived stream
     // must not accumulate per-batch blocks (docs/long-lived-spark-jvm-
-    // hygiene.md); both frames are fully consumed inside this call
+    // hygiene.md); both frames are fully consumed inside this call.
+    // dedupAgainst's blocks are released via the PER-PATH sweep and the
+    // batch's own checkpoint via a delta captured around ONLY that call,
+    // so two streams ingesting different indexes in one JVM cannot
+    // release each other's in-flight blocks (ADVICE r10).
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = batch.select("doc_id", "text").localCheckpoint()
+    val ownIds = spark.sparkContext.getPersistentRDDs.keySet -- before
     try {
-      val docs = batch.select("doc_id", "text").localCheckpoint()
       SubstrIndex.dedupAgainst(indexPath, docs)
         .write.mode("overwrite").parquet(s"$outDir/spans/batch=$version")
       // the APPLY step rides the landed spans (read back, not recomputed)
@@ -56,8 +61,9 @@ object StreamingSubstr {
         .write.mode("overwrite").parquet(s"$outDir/clean/batch=$version")
       SubstrIndex.appendVersion(docs, indexPath, version)
     } finally {
+      SubstrIndex.sweep(spark, indexPath)
       val live = spark.sparkContext.getPersistentRDDs
-      (live.keySet -- before).foreach(id =>
+      ownIds.foreach(id =>
         live.get(id).foreach(_.unpersist(blocking = false)))
     }
   }

@@ -660,6 +660,19 @@ class IvfIndexSuite extends SparkSpec {
     }
   }
 
+  test("sweep releases the filtered-search allowlist blocks (ADVICE r10: long-lived serving sessions)") {
+    graft.functions.VectorFunctions.register(spark)
+    val model = IvfIndex.train(corpus, k = 8, iters = 3)
+    val allowed = embeddings.filter(col("vec_id") >= 10 && col("label") === 3)
+      .select("vec_id")
+    IvfIndex.sweep(spark) // drain pins from earlier tests
+    val r = IvfIndex.search(spark, corpus, queries, model, topK = 5,
+      nprobe = 8, allowed = Some(allowed))
+    assert(r.count() > 0)
+    assert(IvfIndex.sweep(spark) >= 1, "expected the allowlist checkpoint")
+    assert(IvfIndex.sweep(spark) === 0, "second sweep must find nothing")
+  }
+
   test("pq parametric OPQ: alternating refinement descends the reconstruction error; deterministic; serve path unchanged") {
     val corpus = lowRank(600, 0)
     val qs = lowRank(30, 100000)

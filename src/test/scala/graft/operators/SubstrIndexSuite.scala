@@ -235,6 +235,80 @@ class SubstrIndexSuite extends SparkSpec {
     assert(SubstrIndex.sweep(spark) === 0, "second sweep must find nothing")
   }
 
+  test("per-path sweep releases only that index's blocks") {
+    import spark.implicits._
+    val (p1, p2) = (tmp(), tmp())
+    SubstrIndex.build(Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text"), p1)
+    SubstrIndex.build(Seq((1L, s"$passage ${words("b", 4)}")).toDF("doc_id", "text"), p2)
+    SubstrIndex.sweep(spark) // drain pins from earlier tests
+    val o1 = SubstrIndex.dedupAgainst(p1,
+      Seq((9L, s"${words("z", 3)} $passage")).toDF("doc_id", "text"))
+    val o2 = SubstrIndex.dedupAgainst(p2,
+      Seq((9L, s"${words("y", 3)} $passage")).toDF("doc_id", "text"))
+    assert(o1.count() === 1 && o2.count() === 1)
+    val n1 = SubstrIndex.sweep(spark, p1)
+    assert(n1 >= 1, "expected p1's windows checkpoint")
+    // p2's frame must still be readable: its blocks were NOT released
+    assert(o2.count() === 1, "sweep(p1) must not kill p2's in-flight blocks")
+    assert(SubstrIndex.sweep(spark, p2) >= 1)
+    assert(SubstrIndex.sweep(spark) === 0, "global sweep after both finds nothing")
+  }
+
+  test("format guard: a packed-long canon index is refused with a rebuild message") {
+    import spark.implicits._
+    val path = tmp()
+    SubstrIndex.build(Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text"), path)
+    // forge a LEGACY index: strip the format field from meta and rewrite
+    // the committed batch with the r9 packed-long canon layout
+    Seq((12L, SubstrIndex.DefaultTokenize)).toDF("w", "tokenize")
+      .repartition(1).write.mode("overwrite").json(s"$path/meta")
+    val legacy = spark.read.parquet(s"$path/win/batch=0")
+      .select(col("k"),
+        (col("canon.doc_id") * 1000000L + col("canon.pos")).as("canon"))
+    legacy.write.mode("overwrite").parquet(s"$path/win_legacy")
+    spark.read.parquet(s"$path/win_legacy").write
+      .mode("overwrite").parquet(s"$path/win/batch=0")
+    // evict the cached sniff for this path (the cache is JVM-level and
+    // build() stamped it with the current format)
+    val f = SubstrIndex.getClass.getDeclaredField("formatCache")
+    f.setAccessible(true)
+    f.get(SubstrIndex).asInstanceOf[java.util.concurrent.ConcurrentHashMap[String, Long]]
+      .remove(path)
+    val e = intercept[IllegalArgumentException] {
+      SubstrIndex.params(spark, path)
+    }
+    assert(e.getMessage.contains("REBUILD"), e.getMessage)
+    assert(e.getMessage.contains("format 1"), e.getMessage)
+  }
+
+  test("widened tokenizer whitelist admits array_sort/sentences/element_at") {
+    // ADVICE r10: benign deterministic builtins outside the old narrow
+    // list made pre-existing indexes permanently unreadable
+    SubstrIndex.validateTokenizer(spark,
+      "array_sort(filter(split(lower(text), ' '), x -> length(x) > 0))")
+    SubstrIndex.validateTokenizer(spark,
+      "transform(sequence(1, size(split(text, ' '))), i -> element_at(split(text, ' '), i))")
+    // the security boundary is unchanged
+    intercept[IllegalArgumentException] {
+      SubstrIndex.validateTokenizer(spark, "split(reflect('java.lang.System', 'getenv'), ' ')")
+    }
+  }
+
+  test("Scratch.withSweep releases the blocks a consume-inside block pinned") {
+    import spark.implicits._
+    val path = tmp()
+    SubstrIndex.build(Seq((1L, s"$passage ${words("a", 4)}")).toDF("doc_id", "text"), path)
+    SubstrIndex.sweep(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = Scratch.withSweep(spark) {
+      SubstrIndex.dedupAgainst(path,
+        Seq((9L, s"${words("z", 3)} $passage")).toDF("doc_id", "text")).count()
+    }
+    assert(n === 1)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked blocks: ${after -- before}")
+  }
+
   test("build refuses to wipe a directory that is not a substr index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("substr-guard").toString
