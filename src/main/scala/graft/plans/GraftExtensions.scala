@@ -185,6 +185,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_semantic_dedup"),
       SqlSurface.semanticDedupBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_quality_probe"),
+      new ExpressionInfo(classOf[QualityProbePlaceholder].getName,
+        "graft_quality_probe"),
+      SqlSurface.qualityProbeBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_shard_assign"),
+      new ExpressionInfo(classOf[ShardAssignPlaceholder].getName,
+        "graft_shard_assign"),
+      SqlSurface.shardAssignBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search_index"),
       new ExpressionInfo(classOf[KnnSearchIndexPlaceholder].getName, "graft_knn_search_index"),
       SqlSurface.knnSearchIndexBuilder _))

@@ -241,6 +241,34 @@ object SqlSurface {
       intLit(fn, "merges", exprs(1)))
   }
 
+  /** graft_quality_probe(docs[, threshold[, holdout_mod]]) — the
+    * trainable quality gate ([[graft.queries.LlmOps.qualityProbe]]):
+    * hashed-TF features + closed-form ridge probe on deterministic weak
+    * labels over a (doc_id, text) table. Returns
+    * (doc_id, weak_label, pred, margin). */
+  def qualityProbeBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_quality_probe"
+    require(exprs.size >= 1 && exprs.size <= 3,
+      s"$fn(docs[, threshold[, holdout_mod]]) takes 1-3 args (TABLE(...) of doc_id/text, optional double threshold, optional int holdout_mod), got ${exprs.size}")
+    QualityProbePlaceholder(tableArg(fn, "first", exprs.head),
+      exprs.lift(1).map(dblLit(fn, "threshold", _)).getOrElse(0.3),
+      exprs.lift(2).map(intLit(fn, "holdout_mod", _)).getOrElse(5))
+  }
+
+  /** graft_shard_assign(docs, num_shards[, order_buckets]) — the
+    * deterministic shard assigner ([[graft.queries.LlmOps
+    * .shardAssignment]]): seeded pseudo-shuffle order + exactly balanced
+    * contiguous shards over a (doc_id, ...) table. Returns
+    * (doc_id, shard, pos_in_shard). */
+  def shardAssignBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_shard_assign"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(docs, num_shards[, order_buckets]) takes 2-3 args (TABLE(...) of doc_id, int num_shards, optional int order_buckets), got ${exprs.size}")
+    ShardAssignPlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "num_shards", exprs(1)),
+      exprs.lift(2).map(intLit(fn, "order_buckets", _)).getOrElse(64))
+  }
+
   /** graft_semantic_dedup(emb, centroids, tau) — SemDeDup
     * ([[graft.queries.LlmOps.semanticDedup]], Abbas et al. 2023):
     * cluster-scoped embedding dedup keeping the lowest-centroid-cos
@@ -551,6 +579,30 @@ case class BpePlaceholder(child: LogicalPlan, merges: Int)
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL trainable quality gate; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class QualityProbePlaceholder(child: LogicalPlan, threshold: Double,
+    holdoutMod: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("QualityProbePlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): QualityProbePlaceholder =
+    copy(child = newChild)
+}
+
+/** Unresolved marker for the SQL deterministic shard assigner; expanded
+  * by [[ResolveGraftIndexFunctions]]. */
+case class ShardAssignPlaceholder(child: LogicalPlan, numShards: Int,
+    orderBuckets: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("ShardAssignPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): ShardAssignPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL SemDeDup; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class SemanticDedupPlaceholder(emb: LogicalPlan, centroids: LogicalPlan,
@@ -807,6 +859,16 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.queries.LlmOps.bpeTrain(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           merges = p.merges)._1
+        .queryExecution.analyzed
+    case p: QualityProbePlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.qualityProbe(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          threshold = p.threshold, holdoutMod = p.holdoutMod.toLong)
+        .queryExecution.analyzed
+    case p: ShardAssignPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.shardAssignment(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          numShards = p.numShards, orderBuckets = p.orderBuckets)
         .queryExecution.analyzed
     case p: SemanticDedupPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.semanticDedup(

@@ -300,6 +300,131 @@ object LlmOps {
       "graft-winfp", s.sparkContext.applicationId, d))(
       winnowFingerprints(Tables(s, d, "documents")))
 
+  /** Vocab-free hashed-TF features of a (doc_id, text) frame in long
+    * format (doc_id, dim, v) — the production feature map behind
+    * q_text_hash_embed_xxh, factored for reuse by [[qualityProbe]]:
+    * L2-normalized signed 16-bucket term counts, nonzero buckets only
+    * (sign-cancelled buckets contribute nothing to the norm either).
+    * Map-side hashes, two aggregations, no vocab, no rank window. */
+  private[graft] def hashedTfXxh(docs: DataFrame): DataFrame = {
+    val tfc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val hashed = tfc
+      .withColumn("dim", pmod(xxhash64(col("w")), lit(16L)))
+      .withColumn("sgn", pmod(xxhash64(col("w"), lit(7L)), lit(2L)) * 2 - 1)
+      .groupBy("doc_id", "dim").agg(sum(col("sgn") * col("tf")).as("val"))
+      .filter(col("val") =!= 0)
+    val nrm = hashed.groupBy("doc_id")
+      .agg(sqrt(sum(col("val") * col("val")).cast("double")).as("nrm"))
+    hashed.join(nrm, "doc_id")
+      .select(col("doc_id"), col("dim"),
+        round(when(col("nrm") === 0, 0.0)
+          .otherwise(col("val").cast("double") / col("nrm")), 6).as("v"))
+  }
+
+  /** TRAINABLE QUALITY CLASSIFIER — the fastText-style learned quality
+    * gate of the published corpus pipelines (DataComp, Dolma,
+    * RefinedWeb), composed entirely from this engine's own verified
+    * primitives: hashed-TF document vectors ([[hashedTfXxh]] — the
+    * q_text_hash_embed feature map, pivoted dense) fitted by the
+    * closed-form one-pass ridge probe ([[graft.ml.LinearProbe]]) on
+    * DETERMINISTIC weak labels (the hand-set qualityScore heuristic
+    * thresholded at the pipeline's own 0.3 curation cut — the classic
+    * weak-supervision distillation: the probe learns a feature-space
+    * approximation of the heuristic it can then apply to corpora where
+    * the heuristic's inputs are unavailable or gameable). Scores EVERY
+    * document, including the heldout doc_id % `holdoutMod` == 0 slice
+    * the fit never saw.
+    *
+    * Scale shape: the feature map is two hash aggregations; the fit is
+    * ONE aggregation pass (graft_gram + graft_moments mergeable buffers)
+    * + a driver-side 17×17 solve; scoring is codegen'd graft_dot against
+    * literal weights. No iteration, no UDF, no driver loop over rows —
+    * at 100 TB the whole operator is three scans of the corpus.
+    * Determinism: xxhash64 features, grid-exact aggregation, and the
+    * partition-order-exact LinearProbe model (suite-pinned) make the
+    * output identical across runs and partitionings; the matrix solve is
+    * not SQL-expressible -> rows-only for the driver, with
+    * planted-signal recovery, weak-label agreement, and two-path
+    * determinism pinned in QualityProbeSuite.
+    *
+    * Returns (doc_id, weak_label, pred, margin) for every input doc. */
+  def qualityProbe(docs: DataFrame, threshold: Double = 0.3,
+                   holdoutMod: Long = 5L): DataFrame = {
+    require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
+    val denseAgg = hashedTfXxh(docs)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v")))).as("m"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 15), i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0.0 AS DOUBLE)))")
+        .as("embedding"))
+    // all-cancelled docs (no nonzero bucket) still get scored: zero
+    // vector -> bias-only margin, never a dropped row
+    val dense = docs.select("doc_id")
+      .join(denseAgg, Seq("doc_id"), "left")
+      .withColumn("embedding", coalesce(col("embedding"),
+        expr("array_repeat(CAST(0.0 AS DOUBLE), 16)")))
+    val weak = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"),
+        size(array_distinct(col("t"))).cast("long").as("nd"))
+      .select(col("doc_id"),
+        (qualityScore(col("n"), col("nd")) >= threshold).cast("long").as("label"))
+    // deliberately NOT checkpointed: fit and scoring each pay one pass
+    // over the feature pipeline (two clean scans) instead of pinning
+    // blocks a lazy returned frame would force on the caller-sweep
+    // contract
+    val feat = dense.join(weak, "doc_id")
+    val model = graft.ml.LinearProbe.fit(
+      feat.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0))
+    graft.ml.LinearProbe.predict(feat, model)
+      .select(col("doc_id"), col("label").as("weak_label"), col("pred"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy("doc_id")
+  }
+
+  /** DETERMINISTIC SHARD ASSIGNMENT — the seeded global pseudo-shuffle +
+    * exactly balanced contiguous shard split a training-data writer
+    * needs (every framework reads shard s of S; re-runs must produce
+    * byte-identical shards). The canonical order is (bucket, h, doc_id)
+    * with h = Knuth multiplicative hash and bucket = h mod
+    * `orderBuckets` — a deterministic permutation ANY engine can mirror,
+    * chosen so the rank needs NO global sort: row_number windows are
+    * bucket-partitioned (orderBuckets-way parallel) and the bucket
+    * offsets are an orderBuckets-row broadcast (the classic two-phase
+    * distributed rank). Shards are contiguous rank ranges of size
+    * floor/ceil(n/numShards) — |shard| differs by at most 1 BY
+    * CONSTRUCTION, not in expectation (hash-mod sharding is only
+    * binomially balanced). Integer arithmetic end-to-end -> full DuckDB
+    * parity. Returns (doc_id, shard, pos_in_shard), both 0-based. */
+  def shardAssignment(docs: DataFrame, numShards: Int,
+                      orderBuckets: Int = 64): DataFrame = {
+    require(numShards >= 1, s"need numShards >= 1, got $numShards")
+    require(orderBuckets >= 1, s"need orderBuckets >= 1, got $orderBuckets")
+    val base = docs.select(col("doc_id"))
+      .withColumn("h", expr(knuthHash32("doc_id")))
+      .withColumn("bucket", pmod(col("h"), lit(orderBuckets.toLong)))
+    val offs = base.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "off") // orderBuckets rows — the tiny window is fine
+    val total = base.agg(count(lit(1)).as("n"))
+    base
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "doc_id")).cast("long"))
+      .join(broadcast(offs), "bucket")
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("off") + col("rb"))
+      // shard s owns ranks [ceil(s·n/S), ceil((s+1)·n/S)) in 0-based
+      // rank space; pos_in_shard = rank0 - shard start
+      .withColumn("shard", expr(s"(rank - 1) * $numShards div n"))
+      .withColumn("pos_in_shard",
+        expr(s"rank - 1 - ((shard * n + ${numShards - 1}) div $numShards)"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
+
   /** The ONE 5-gram shingle definition — shared with operators.DedupIndex
     * so the persisted index's incremental==batch contract cannot drift
     * from the batch queries' shingling. */
@@ -2711,6 +2836,76 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // FUZZY eval decontamination — leakage that survives paraphrase: the
+    // exact 8-gram signal (q_text_contamination / q_decontaminate)
+    // provably misses a train doc that paraphrases an eval doc every 8th
+    // token (no 8-token run survives — QualityProbeSuite's fixture);
+    // 5-gram CONTAINMENT of the eval side (|T∩E| / |E| over distinct
+    // shingles — q_dedup_containment's coefficient, asymmetric on
+    // purpose: the EVAL doc is what must not leak into training) still
+    // sees the shingle runs between edits. Threshold 0.3 on the ROUNDED
+    // coefficient (both engines compare identical doubles). Scale shape:
+    // a real eval suite is MBs of shingles — the eval side broadcasts
+    // and the operator is one map-side join + two aggs over the train
+    // corpus; this derived split is corpus-scale so Catalyst keeps the
+    // partitioned equi-join (the q_text_contamination note). Composed
+    // with the memoized q_curate exactly like q_decontaminate: kept =
+    // curated AND no fuzzy eval match.
+    "q_decontaminate_fuzzy" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val ev = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc"), col("sh"))
+      val evSizes = ev.groupBy("eval_doc").agg(count(lit(1)).as("en"))
+      val hits = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(ev, "sh")
+        .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("inter"))
+        .join(evSizes, "eval_doc")
+        .withColumn("containment",
+          round(col("inter").cast("double") / col("en"), 4))
+        .filter(col("containment") >= 0.3)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_eval_matches"),
+          max("containment").as("max_containment"),
+          min("eval_doc").as("first_eval_doc"))
+      val curated = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-curated", s.sparkContext.applicationId, d)) {
+        queries("q_curate")(s, d)
+      }
+      curated.filter(col("doc_id") % 10 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("pred_lang"),
+          col("cluster_size"),
+          coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+          col("max_containment"), col("first_eval_doc"))
+        .withColumn("kept", (col("n_eval_matches") === 0).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // TRAINABLE QUALITY GATE (see [[qualityProbe]]): hashed-TF features
+    // + the closed-form LinearProbe on deterministic weak labels, scoring
+    // every doc. The matrix solve is not SQL-expressible -> rows-only;
+    // QualityProbeSuite pins planted-signal recovery, above-chance
+    // weak-label agreement on the heldout slice of this corpus, and
+    // partition determinism.
+    "q_quality_probe" -> ((s, d) => qualityProbe(Tables(s, d, "documents"))),
+
+    // DETERMINISTIC SHARD WRITER (see [[shardAssignment]]): seeded
+    // pseudo-shuffle order + exactly balanced contiguous shards, emitted
+    // as the manifest AND written as a shard-partitioned parquet layout
+    // (PartitionedLayout under the Memo build-once discipline — the
+    // write is the operator; the manifest is its oracle-checkable
+    // witness). Full DuckDB parity: the two-phase rank's canonical order
+    // is plain integer arithmetic.
+    "q_shard_write" -> ((s, d) => {
+      val assignment = shardAssignment(Tables(s, d, "documents"), numShards = 16)
+      val path = graft.operators.Scratch.dir(
+        "graft-shards", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.sources.PartitionedLayout.writePartitioned(assignment, path, "shard")
+      }
+      assignment.orderBy("doc_id")
+    }),
+
     // THE FULL PIPELINE as ONE declarative query: curation (quality ∧
     // lang ∧ cluster-rep, q_curate) ∘ DSIR target-likeness selection
     // (q_mix_dsir) ∘ eval-decontamination (q_text_contamination), with
@@ -3097,23 +3292,8 @@ object LlmOps {
     // join — tokenize, two hash aggregations, done. xxhash64 isn't
     // DuckDB-reproducible -> rows-only; OperatorPropsSuite pins the same
     // unit-norm and near-dup-high-cosine properties as the vocab form.
-    "q_text_hash_embed_xxh" -> ((s, d) => {
-      val tfc = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val hashed = tfc
-        .withColumn("dim", pmod(xxhash64(col("w")), lit(16L)))
-        .withColumn("sgn", pmod(xxhash64(col("w"), lit(7L)), lit(2L)) * 2 - 1)
-        .groupBy("doc_id", "dim").agg(sum(col("sgn") * col("tf")).as("val"))
-        .filter(col("val") =!= 0)
-      val nrm = hashed.groupBy("doc_id")
-        .agg(sqrt(sum(col("val") * col("val")).cast("double")).as("nrm"))
-      hashed.join(nrm, "doc_id")
-        .select(col("doc_id"), col("dim"),
-          round(when(col("nrm") === 0, 0.0)
-            .otherwise(col("val").cast("double") / col("nrm")), 6).as("v"))
-        .orderBy("doc_id", "dim")
-    }),
+    "q_text_hash_embed_xxh" -> ((s, d) =>
+      hashedTfXxh(Tables(s, d, "documents")).orderBy("doc_id", "dim")),
 
     // Zipf profile: the corpus's top-20 tokens with rank and share — the
     // frequency fingerprint a corpus-analysis pass reports (and the
@@ -4641,6 +4821,45 @@ object LlmOps {
         |       CAST(coalesce(h.n_hits, 0) = 0 AS BIGINT) AS kept
         |FROM curated c LEFT JOIN hits h USING (doc_id)
         |WHERE c.doc_id % 10 <> 0 ORDER BY c.doc_id""".stripMargin,
+
+    "q_decontaminate_fuzzy" -> s"""WITH RECURSIVE $curateCtes,
+        |t5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 5),
+        |sh5 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+        |        FROM t5, UNNEST(generate_series(1, len(t) - 4)) AS u(i)),
+        |ev AS (SELECT doc_id AS eval_doc, sh FROM sh5 WHERE doc_id % 10 = 0),
+        |es AS (SELECT eval_doc, count(*) AS en FROM ev GROUP BY 1),
+        |inter AS (SELECT s.doc_id, ev.eval_doc, count(*) AS i
+        |          FROM sh5 s JOIN ev ON s.sh = ev.sh
+        |          WHERE s.doc_id % 10 <> 0 GROUP BY 1, 2),
+        |cont AS (SELECT doc_id, eval_doc,
+        |                ROUND(CAST(i AS DOUBLE) / en, 4) AS containment
+        |         FROM inter JOIN es USING (eval_doc)),
+        |fhits AS (SELECT doc_id, count(*) AS n_eval_matches,
+        |                 max(containment) AS max_containment,
+        |                 min(eval_doc) AS first_eval_doc
+        |          FROM cont WHERE containment >= 0.3 GROUP BY doc_id)
+        |SELECT c.doc_id, c.quality, c.pred_lang, c.cluster_size,
+        |       coalesce(h.n_eval_matches, 0) AS n_eval_matches,
+        |       h.max_containment, h.first_eval_doc,
+        |       CAST(coalesce(h.n_eval_matches, 0) = 0 AS BIGINT) AS kept
+        |FROM curated c LEFT JOIN fhits h USING (doc_id)
+        |WHERE c.doc_id % 10 <> 0 ORDER BY c.doc_id""".stripMargin,
+
+    "q_shard_write" ->
+      """WITH d AS (SELECT doc_id,
+        |  ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536
+        |   + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |r AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY h % 64, h, doc_id) - 1 AS r0
+        |      FROM d),
+        |a AS (SELECT doc_id, r0, CAST((r0 * 16) // n AS BIGINT) AS shard
+        |      FROM r, n)
+        |SELECT doc_id, shard,
+        |       CAST(r0 - ((shard * n + 15) // 16) AS BIGINT) AS pos_in_shard
+        |FROM a, n ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

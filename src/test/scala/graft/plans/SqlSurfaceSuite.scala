@@ -242,6 +242,29 @@ class SqlSurfaceSuite extends SparkSpec {
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
   }
 
+  test("graft_quality_probe: SQL round trip equals the Scala operator") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("sql_qp_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_quality_probe(TABLE(SELECT * FROM sql_qp_docs))")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.queries.LlmOps.qualityProbe(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty)
+  }
+
+  test("graft_shard_assign: SQL round trip equals the Scala operator, non-default args") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("sql_shard_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_shard_assign(TABLE(SELECT * FROM sql_shard_docs), 8, 32) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.queries.LlmOps.shardAssignment(docs, numShards = 8,
+        orderBuckets = 32).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty)
+  }
+
   test("graft_semantic_dedup: SQL round trip equals the Scala operator on a hand-worked fixture") {
     import spark.implicits._
     // one cluster around +x, one around +y; 10/11 near-dup in cluster 0

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-11 pipeline additions: the trainable quality gate
+  * ([[LlmOps.qualityProbe]]), the fuzzy decontamination signal, and the
+  * deterministic shard writer ([[LlmOps.shardAssignment]]). These are the
+  * invariant pins behind the gated rows-only keys (the oracled keys'
+  * hash parity lives in the driver gate).
+  */
+class QualityProbeSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  // -------------------------------------------------------------------
+  // qualityProbe
+  // -------------------------------------------------------------------
+
+  /** Crafted corpus with a PLANTED feature-space signal: good docs draw
+    * diverse tokens, bad docs are one spam token repeated — the probe
+    * must separate them from the hashed-TF vectors alone (the weak label
+    * here coincides with the quality heuristic: repeated-token docs have
+    * distinct ratio 1/n < threshold). */
+  private def plantedDocs: DataFrame = {
+    import spark.implicits._
+    val good = (0L until 60L).map { i =>
+      val toks = (0 until 40).map(j => s"tok${(i * 7 + j * 3) % 97}")
+      (i, toks.mkString(" "))
+    }
+    val bad = (100L until 160L).map { i =>
+      // i % 7, COPRIME with the probe's holdoutMod = 5: every spam token
+      // appears in both the train and holdout slices (an i % 5 spam class
+      // would put one token ONLY in the holdout — unlearnable by design)
+      (i, Seq.fill(40)(s"spam${i % 7}").mkString(" "))
+    }
+    (good ++ bad).toDF("doc_id", "text")
+  }
+
+  test("qualityProbe: planted-signal recovery — heldout slice separates near-perfectly") {
+    val out = LlmOps.qualityProbe(plantedDocs).collect()
+    assert(out.length === 120)
+    val holdout = out.filter(_.getLong(0) % 5 == 0)
+    assert(holdout.nonEmpty)
+    val agree = holdout.count(r => r.getLong(1) == r.getLong(2)).toDouble / holdout.length
+    assert(agree >= 0.95, s"planted signal not recovered on holdout: $agree")
+    // both classes present in the holdout (not a majority-class artifact)
+    assert(holdout.map(_.getLong(1)).distinct.length === 2)
+  }
+
+  test("qualityProbe: organic corpus — scores every doc, holds the chance band honestly") {
+    val docs = Tables(spark, sf, "documents")
+    val out = LlmOps.qualityProbe(docs).collect()
+    assert(out.length === docs.count())
+    val base = {
+      val pos = out.count(_.getLong(1) == 1).toDouble / out.length
+      math.max(pos, 1 - pos) // majority-class baseline
+    }
+    val agree = out.count(r => r.getLong(1) == r.getLong(2)).toDouble / out.length
+    // HONEST NEGATIVE, pinned: on this synthetic 31-word corpus the
+    // hashed-TF features barely encode the length×diversity heuristic, so
+    // the probe sits at the majority baseline (0.908 vs 0.900 measured) —
+    // the machinery proof is the planted-signal test above. The pin is
+    // that it never falls meaningfully BELOW chance (a sign flip or
+    // feature/label misalignment would).
+    assert(agree >= base - 0.02, s"probe below the chance band: $agree vs base $base")
+    assert(out.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN))
+  }
+
+  test("qualityProbe: deterministic across partitionings") {
+    val docs = Tables(spark, sf, "documents")
+    val a = LlmOps.qualityProbe(docs).collect().map(_.toSeq).toSeq
+    val b = LlmOps.qualityProbe(docs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a === b, "probe output changed under repartitioning")
+  }
+
+  // -------------------------------------------------------------------
+  // fuzzy decontamination: the paraphrase fixture the exact 8-gram op
+  // provably misses
+  // -------------------------------------------------------------------
+
+  test("fuzzy decontamination: every-8th-token paraphrase invisible to 8-grams, flagged by 5-gram containment") {
+    import spark.implicits._
+    val evalTokens = (0 until 64).map(i => s"w$i")
+    // paraphrase: replace tokens at positions 7, 15, 23, ... — no 8-token
+    // run of the eval doc survives, so NO 8-gram can match
+    val para = evalTokens.zipWithIndex.map { case (w, i) =>
+      if (i % 8 == 7) s"edit$i" else w
+    }
+    val docs = Seq(
+      (10L, evalTokens.mkString(" ")), // eval split (doc_id % 10 == 0)
+      (11L, para.mkString(" ")),       // the paraphrased leak
+      (12L, (0 until 64).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    // exact 8-gram overlap (q_text_contamination's signal): zero hits
+    val sh8 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"))).as("sh"))
+    val exactHits = sh8.filter(col("doc_id") % 10 =!= 0)
+      .join(sh8.filter(col("doc_id") % 10 === 0).select(col("sh")), "sh")
+      .count()
+    assert(exactHits === 0L, "fixture broken: an 8-gram survived the paraphrase")
+    // 5-gram containment of the eval side (the fuzzy signal): flagged
+    val sh5 = LlmOps.docShinglesOf(docs)
+    val ev = sh5.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val en = ev.count().toDouble
+    val cont = sh5.filter(col("doc_id") % 10 =!= 0)
+      .join(ev, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("inter"))
+      .select(col("doc_id"), (col("inter") / en).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cont.getOrElse(11L, 0.0) >= 0.3,
+      s"paraphrased leak not flagged: containment ${cont.get(11L)}")
+    assert(!cont.contains(12L), "unrelated doc flagged")
+  }
+
+  // -------------------------------------------------------------------
+  // shardAssignment
+  // -------------------------------------------------------------------
+
+  test("shardAssignment: exact balance, contiguous positions, a true permutation") {
+    val docs = Tables(spark, sf, "documents")
+    val n = docs.count()
+    for (s <- Seq(1, 7, 16)) {
+      val out = LlmOps.shardAssignment(docs, numShards = s).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.length.toLong === n)
+      assert(out.map(_._1).distinct.length.toLong === n, "a doc appeared twice")
+      val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet === (0L until s.toLong).toSet, s"missing shard at S=$s")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"imbalance at S=$s: $sizes")
+      // positions are contiguous 0..size-1 within each shard
+      out.groupBy(_._2).foreach { case (shard, rows) =>
+        assert(rows.map(_._3).sorted.toSeq === (0L until rows.size.toLong).toSeq,
+          s"positions not contiguous in shard $shard (S=$s)")
+      }
+    }
+  }
+
+  test("shardAssignment: deterministic across partitionings and actually shuffled") {
+    val docs = Tables(spark, sf, "documents")
+    val a = LlmOps.shardAssignment(docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = LlmOps.shardAssignment(docs.repartition(11), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a === b, "assignment changed under repartitioning")
+    // the order is a real shuffle, not arrival order: doc_ids 0..k land
+    // in many different shards
+    val headShards = a.take(32).map(_._2).distinct
+    assert(headShards.length >= 8,
+      s"first 32 docs hit only ${headShards.length} shards — not shuffled")
+  }
+
+  test("q_shard_write: the written layout equals the manifest, partition-pruned by shard") {
+    val out = LlmOps.queries("q_shard_write")(spark, sf)
+    val manifest = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val path = graft.operators.Scratch.dir(
+      "graft-shards", spark.sparkContext.applicationId, sf)
+    val written = graft.sources.PartitionedLayout.read(spark, path)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos_in_shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(written === manifest, "written shards drifted from the manifest")
+    // shard is a physical partition column: a one-shard read prunes
+    val one = graft.sources.PartitionedLayout.read(spark, path)
+      .filter(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(one.count() > 0)
+    assert(manifest.count(_._2 == 3L).toLong === one.count())
+  }
+}
