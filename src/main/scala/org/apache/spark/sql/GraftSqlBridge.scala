@@ -21,4 +21,10 @@ object GraftSqlBridge {
     * direction from pattern matches); the converter yields the real
     * catalyst tree. */
   def expression(c: Column): Expression = classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** The reverse direction: wrap a catalyst Expression as a public
+    * Column — for custom expressions that carry non-SQL state (e.g. a
+    * PQ codebook object reference) and so cannot go through the
+    * function registry. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

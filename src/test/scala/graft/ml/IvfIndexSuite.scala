@@ -660,6 +660,41 @@ class IvfIndexSuite extends SparkSpec {
     }
   }
 
+  test("pq: codegen'd encoder (PqEncode) is bit-equal to the UDF witness on real residuals") {
+    import spark.implicits._
+    val model = IvfIndex.train(corpus, k = 8, iters = 2)
+    val pq = IvfIndex.trainPq(corpus, model, m = 16, ksub = 16, iters = 2)
+    // residuals rebuilt with the public pieces: v - centroid[cell] via
+    // zip_with is the same IEEE subtraction residUdf performs
+    val cdf = model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "cent")
+    val resid = IvfIndex.assign(corpus, model)
+      .join(broadcast(cdf), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(v, cent, (a, b) -> a - b)").as("r"))
+    // fail LOUDLY if the generated java does not compile (no silent
+    // interpreted fallback hiding a janino error)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      def codesOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      val viaExpr = codesOf(resid.select(col("vec_id"),
+        IvfIndex.encodeCol(pq.codebooks)(col("r")).as("codes")))
+      val viaUdf = codesOf(resid.select(col("vec_id"),
+        IvfIndex.encodeUdf(pq.codebooks)(col("r")).as("codes")))
+      assert(viaExpr.nonEmpty && viaExpr === viaUdf,
+        "codegen encoder drifted from the UDF witness")
+      // and the production end-to-end path (encodePq) agrees too
+      val viaPq = IvfIndex.encodePq(corpus, model, pq).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+      assert(viaPq === viaUdf, "encodePq drifted from the witness")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("sweep releases the filtered-search allowlist blocks (ADVICE r10: long-lived serving sessions)") {
     graft.functions.VectorFunctions.register(spark)
     val model = IvfIndex.train(corpus, k = 8, iters = 3)
