@@ -604,14 +604,20 @@ object LlmOps {
     jaccardPairs(inter, sizes, 0.8)
   }
 
-  /** (doc_id, tokid): tokens mapped through the global sorted-vocab rank. */
-  private def docTokenIds(s: SparkSession, d: String): DataFrame = {
-    val toks = docTokens(s, d)
-    // Tiny vocab (31 words); the rank window is a deliberate single partition.
-    val vocab = toks.select("w").distinct()
-      .withColumn("tokid", row_number().over(Window.orderBy("w")))
-    toks.join(broadcast(vocab), "w").select("doc_id", "tokid")
-  }
+  /** (doc_id, tokid): tokens mapped through the global sorted-vocab rank,
+    * memoized to scratch parquet per (application, corpus) — the two
+    * simhash gates consume exactly this frame (the [[shingleIdsShared]]
+    * amortization applied to the token-vocab pass; int/long columns
+    * round-trip parquet exactly). */
+  private def docTokenIds(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+      "graft-tokids", s.sparkContext.applicationId, d)) {
+      val toks = docTokens(s, d)
+      // Tiny vocab (31 words); the rank window is a deliberate single partition.
+      val vocab = toks.select("w").distinct()
+        .withColumn("tokid", row_number().over(Window.orderBy("w")))
+      toks.join(broadcast(vocab), "w").select("doc_id", "tokid")
+    }
 
   /** Top-5 cosine neighbors among vec_id>=10 for each query vec_id<10.
     * Ranking uses the ROUNDED score so sub-1e-4 float noise can never flip
