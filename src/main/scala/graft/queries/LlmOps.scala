@@ -351,8 +351,14 @@ object LlmOps {
     *
     * Returns (doc_id, weak_label, pred, margin) for every input doc. */
   def qualityProbe(docs: DataFrame, threshold: Double = 0.3,
-                   holdoutMod: Long = 5L): DataFrame = {
-    require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
+                   holdoutMod: Long = 5L): DataFrame =
+    qualityProbeScore(qualityProbeFeatures(docs, threshold), holdoutMod)
+
+  /** The probe's (doc_id, embedding, label) input — factored out of
+    * [[qualityProbe]] so the gate can memoize the deterministic feature
+    * pass per (application, corpus) (three scans of it per invocation
+    * otherwise: the fit, the calibration slice, the scoring). */
+  def qualityProbeFeatures(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
     val denseAgg = hashedTfXxh(docs)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("v")))).as("m"))
@@ -371,16 +377,40 @@ object LlmOps {
         size(array_distinct(col("t"))).cast("long").as("nd"))
       .select(col("doc_id"),
         (qualityScore(col("n"), col("nd")) >= threshold).cast("long").as("label"))
-    // deliberately NOT checkpointed: fit and scoring each pay one pass
-    // over the feature pipeline (two clean scans) instead of pinning
-    // blocks a lazy returned frame would force on the caller-sweep
-    // contract
-    val feat = dense.join(weak, "doc_id")
+    // deliberately NOT checkpointed: each consumer pays a clean scan of
+    // the pipeline instead of pinning blocks a lazy returned frame would
+    // force on the caller-sweep contract (the gate memoizes to parquet)
+    dense.join(weak, "doc_id")
+  }
+
+  /** Fit + calibrate + score over a prebuilt [[qualityProbeFeatures]]
+    * frame (see [[qualityProbe]] for the operator story). */
+  def qualityProbeScore(feat: DataFrame, holdoutMod: Long = 5L): DataFrame = {
+    require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
     val model = graft.ml.LinearProbe.fit(
       feat.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0))
-    graft.ml.LinearProbe.predict(feat, model)
+    val scored = graft.ml.LinearProbe.predict(feat, model)
+    // Platt calibration on the TRAIN slice's margins (LinearProbe
+    // .calibrate — 4 Newton steps, each ONE tiny aggregation over the
+    // narrow checkpointed slice; 4 is inside 1e-4 of the 8-step fit on
+    // logistic-shaped margins and halves the per-invocation job count)
+    // so the gate emits a usable probability, not just a raw margin.
+    // The slice is swept before returning (fully consumed here — the
+    // returned frame carries only the two fitted scalars).
+    val sc = feat.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (ca, cb) = try {
+      graft.ml.LinearProbe.calibrate(scored
+        .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+        .select("margin", "pred", "label").localCheckpoint(), iters = 4)
+    } finally {
+      val live = sc.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    graft.ml.LinearProbe.withConfidence(scored, ca, cb)
       .select(col("doc_id"), col("label").as("weak_label"), col("pred"),
-        round(col("margin"), 6).as("margin"))
+        round(col("margin"), 6).as("margin"), col("confidence"))
       .orderBy("doc_id")
   }
 
@@ -2246,6 +2276,45 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Interpolated BIGRAM-LM quality proxy — the CCNet-style step up
+    // from q_text_perplexity's unigram model: per-token p = 0.75·p(w|v)
+    // + 0.25·p(w) (Jelinek-Mercer interpolation; the unigram floor keeps
+    // unseen bigrams finite), first token scored by the unigram alone.
+    // Corpus counts are two hash aggs (unigram + bigram tables); the
+    // prev-token pairing is a doc_id-partitioned lag window; scoring is
+    // three equi-joins on token keys. At 100 TB the bigram table is the
+    // big side — hash-partitioned equi-joins throughout, a truncated
+    // top-vocab would broadcast. Same float discipline as the unigram
+    // gate: identical left-associated arithmetic in both engines,
+    // per-token -ln rounded to 6dp, DECIMAL per-doc sums -> exact
+    // DuckDB parity.
+    "q_text_perplexity_bigram" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      val tk = tok.withColumn("pw",
+        lag("w", 1).over(Window.partitionBy("doc_id").orderBy("i")))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum("cw").cast("double").as("tot"))
+      val bi = tk.filter(col("pw").isNotNull)
+        .groupBy("pw", "w").agg(count(lit(1)).as("cvw"))
+      val cv = uni.select(col("w").as("pw"), col("cw").as("cv"))
+      tk.join(uni, "w")
+        .join(bi, Seq("pw", "w"), "left")
+        .join(cv, Seq("pw"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("p_uni", col("cw").cast("double") / col("tot"))
+        .withColumn("p", when(col("pw").isNull, col("p_uni"))
+          .otherwise(lit(0.75) * coalesce(col("cvw").cast("double") / col("cv"),
+            lit(0.0)) + lit(0.25) * col("p_uni")))
+        .select(col("doc_id"),
+          round(-log(col("p")), 6).cast("decimal(18,6)").as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("nll").as("sum_nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_nll").cast("double") / col("n_tokens"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Containment-coefficient near-dup: |A∩B| / min(|A|,|B|) over the same
     // 5-gram shingle sets as q_dedup_near. Containment catches the
     // asymmetric cases Jaccard misses — a short doc quoted whole inside a
@@ -2888,12 +2957,19 @@ object LlmOps {
     }),
 
     // TRAINABLE QUALITY GATE (see [[qualityProbe]]): hashed-TF features
-    // + the closed-form LinearProbe on deterministic weak labels, scoring
-    // every doc. The matrix solve is not SQL-expressible -> rows-only;
-    // QualityProbeSuite pins planted-signal recovery, above-chance
-    // weak-label agreement on the heldout slice of this corpus, and
+    // + the closed-form LinearProbe on deterministic weak labels with
+    // Platt-calibrated confidence, scoring every doc. The feature pass
+    // is memoized to scratch parquet per (app, corpus) — fit,
+    // calibration and scoring each consume it once per invocation (the
+    // shingleIdsShared discipline). The matrix solve is not
+    // SQL-expressible -> rows-only; QualityProbeSuite pins
+    // planted-signal recovery, above-chance weak-label agreement on the
+    // heldout slice of this corpus, calibrated-confidence ordering, and
     // partition determinism.
-    "q_quality_probe" -> ((s, d) => qualityProbe(Tables(s, d, "documents"))),
+    "q_quality_probe" -> ((s, d) => qualityProbeScore(
+      graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-qpfeat", s.sparkContext.applicationId, d))(
+        qualityProbeFeatures(Tables(s, d, "documents"))))),
 
     // DETERMINISTIC SHARD WRITER (see [[shardAssignment]]): seeded
     // pseudo-shuffle order + exactly balanced contiguous shards, emitted
@@ -4477,6 +4553,28 @@ object LlmOps {
         |       FROM w JOIN cf ON w.w = cf.w, tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |       ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_perplexity_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, i, t[i] AS w
+        |        FROM t, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |tk AS (SELECT doc_id, i, w,
+        |              lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw FROM tok),
+        |uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM uni),
+        |bi AS (SELECT pw, w, count(*) AS cvw FROM tk WHERE pw IS NOT NULL GROUP BY 1, 2),
+        |cv AS (SELECT w AS pw, cw AS cv FROM uni),
+        |sc AS (SELECT tk.doc_id,
+        |              CASE WHEN tk.pw IS NULL THEN CAST(uni.cw AS DOUBLE) / tot
+        |                   ELSE 0.75 * (COALESCE(CAST(bi.cvw AS DOUBLE) / cv.cv, 0.0))
+        |                        + 0.25 * (CAST(uni.cw AS DOUBLE) / tot) END AS p
+        |       FROM tk JOIN uni USING (w)
+        |       LEFT JOIN bi ON tk.pw = bi.pw AND tk.w = bi.w
+        |       LEFT JOIN cv ON tk.pw = cv.pw, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       ROUND(CAST(sum(CAST(ROUND(-ln(p), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 4) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_containment" ->

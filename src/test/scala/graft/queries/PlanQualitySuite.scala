@@ -453,4 +453,35 @@ class PlanQualitySuite extends SparkSpec {
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("UDF"), s"projection must be built-ins only:\n$p")
   }
+
+  test("shardAssignment: rank windows are bucket-partitioned; offsets broadcast; no cartesian") {
+    val p = LlmOps.shardAssignment(graft.Tables(spark, sf, "documents"), 16)
+      .queryExecution.executedPlan.toString
+    // the data-scale window must be bucket-partitioned; the ONLY
+    // permitted partition-less window is the 64-row offset table's
+    // cumulative sum (its input is the bucket-count aggregate)
+    val windows = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(windows.exists(_.contains("bucket")),
+      s"missing the bucket-partitioned rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("UDF"), s"shard arithmetic must be built-ins only:\n$p")
+  }
+
+  test("q_decontaminate_fuzzy: containment verify is equi-join only — no all-pairs shape") {
+    val p = plan("q_decontaminate_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    // the lone nested-loop product allowed anywhere in the composed plan
+    // is curateDocs' internal langs broadcast (3 rows x docs); the
+    // shingle containment itself must join on the shingle key
+    assert("CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("qualityProbe scoring: codegen'd graft_dot argmax — no ScalaUDF in the scoring plan") {
+    val scored = LlmOps.qualityProbe(graft.Tables(spark, sf, "documents"))
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"probe scoring must stay codegen'd:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -66,6 +66,13 @@ class QualityProbeSuite extends SparkSpec {
     // feature/label misalignment would).
     assert(agree >= base - 0.02, s"probe below the chance band: $agree vs base $base")
     assert(out.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN))
+    // Platt-calibrated confidence: a genuine probability, and the fit is
+    // not the (0,0) identity bail-out (which would pin every row at 0.5)
+    assert(out.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0))
+    val byPred = out.groupBy(_.getLong(2)).view
+      .mapValues(rs => rs.map(_.getDouble(4)).sum / rs.length).toMap
+    assert(byPred.size < 2 || byPred(1L) > byPred(0L),
+      s"calibrated confidence not ordered with the prediction: $byPred")
   }
 
   test("qualityProbe: deterministic across partitionings") {
