@@ -185,6 +185,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_semantic_dedup"),
       SqlSurface.semanticDedupBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_fuzzy_contamination"),
+      new ExpressionInfo(classOf[FuzzyContaminationPlaceholder].getName,
+        "graft_fuzzy_contamination"),
+      SqlSurface.fuzzyContaminationBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_quality_probe"),
       new ExpressionInfo(classOf[QualityProbePlaceholder].getName,
         "graft_quality_probe"),

@@ -269,6 +269,20 @@ object SqlSurface {
       exprs.lift(2).map(intLit(fn, "order_buckets", _)).getOrElse(64))
   }
 
+  /** graft_fuzzy_contamination(train, eval[, threshold]) — fuzzy eval
+    * decontamination ([[graft.queries.LlmOps.fuzzyContamination]]):
+    * train docs containing >= threshold (default 0.3) of any eval doc's
+    * 5-gram shingles. Both tables are (doc_id, text). Returns
+    * (doc_id, n_eval_matches, max_containment, first_eval_doc). */
+  def fuzzyContaminationBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_fuzzy_contamination"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(train, eval[, threshold]) takes 2-3 args (two TABLE(...) of doc_id/text, optional double threshold), got ${exprs.size}")
+    FuzzyContaminationPlaceholder(
+      tableArg(fn, "first", exprs.head), tableArg(fn, "second", exprs(1)),
+      exprs.lift(2).map(dblLit(fn, "threshold", _)).getOrElse(0.3))
+  }
+
   /** graft_semantic_dedup(emb, centroids, tau) — SemDeDup
     * ([[graft.queries.LlmOps.semanticDedup]], Abbas et al. 2023):
     * cluster-scoped embedding dedup keeping the lowest-centroid-cos
@@ -603,6 +617,19 @@ case class ShardAssignPlaceholder(child: LogicalPlan, numShards: Int,
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL fuzzy decontamination; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class FuzzyContaminationPlaceholder(train: LogicalPlan,
+    evalDocs: LogicalPlan, threshold: Double) extends LogicalPlan {
+  override def children: Seq[LogicalPlan] = Seq(train, evalDocs)
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("FuzzyContaminationPlaceholder.output")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): FuzzyContaminationPlaceholder =
+    copy(train = newChildren(0), evalDocs = newChildren(1))
+}
+
 /** Unresolved marker for the SQL SemDeDup; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class SemanticDedupPlaceholder(emb: LogicalPlan, centroids: LogicalPlan,
@@ -859,6 +886,12 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.queries.LlmOps.bpeTrain(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           merges = p.merges)._1
+        .queryExecution.analyzed
+    case p: FuzzyContaminationPlaceholder if p.childrenResolved =>
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      graft.queries.LlmOps.fuzzyContamination(
+          bridge.ofRows(session, p.train), bridge.ofRows(session, p.evalDocs),
+          threshold = p.threshold)
         .queryExecution.analyzed
     case p: QualityProbePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.qualityProbe(

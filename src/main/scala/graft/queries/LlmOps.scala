@@ -455,6 +455,40 @@ object LlmOps {
       .select(col("doc_id"), col("shard"), col("pos_in_shard"))
   }
 
+  /** PUBLIC FUZZY DECONTAMINATION: flag `train` docs containing >=
+    * `threshold` of any `evalDocs` doc's distinct 5-gram shingles
+    * (containment of the EVAL side — asymmetric on purpose: the eval
+    * doc is what must not leak into training; a short benchmark item
+    * quoted whole inside a long train doc scores ~1.0 here but low
+    * Jaccard). Catches paraphrased leakage exact n-gram overlap misses
+    * (QualityProbeSuite's every-8th-token fixture). Both frames are
+    * (doc_id, text). Returns flagged train docs only:
+    * (doc_id, n_eval_matches, max_containment, first_eval_doc).
+    * Threshold compares the 4dp-ROUNDED coefficient (engine-parity
+    * discipline). Scale: a real eval suite is MBs of shingles — the
+    * eval side broadcasts and this is one map-side join + two aggs
+    * over the train corpus. Behind the gated q_decontaminate_fuzzy
+    * (full DuckDB oracle) and the graft_fuzzy_contamination SQL table
+    * function. */
+  def fuzzyContamination(train: DataFrame, evalDocs: DataFrame,
+                         threshold: Double = 0.3): DataFrame = {
+    val ev = docShinglesOf(evalDocs)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val evSizes = ev.groupBy("eval_doc").agg(count(lit(1)).as("en"))
+    docShinglesOf(train)
+      .join(ev, "sh")
+      .groupBy(col("doc_id"), col("eval_doc")).agg(count(lit(1)).as("inter"))
+      .join(evSizes, "eval_doc")
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("en"), 4))
+      .filter(col("containment") >= threshold)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_eval_matches"),
+        max("containment").as("max_containment"),
+        min("eval_doc").as("first_eval_doc"))
+      .orderBy("doc_id")
+  }
+
   /** The ONE 5-gram shingle definition — shared with operators.DedupIndex
     * so the persisted index's incremental==batch contract cannot drift
     * from the batch queries' shingling. */
@@ -2927,21 +2961,9 @@ object LlmOps {
     // with the memoized q_curate exactly like q_decontaminate: kept =
     // curated AND no fuzzy eval match.
     "q_decontaminate_fuzzy" -> ((s, d) => {
-      val sh = docShingles(s, d)
-      val ev = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_doc"), col("sh"))
-      val evSizes = ev.groupBy("eval_doc").agg(count(lit(1)).as("en"))
-      val hits = sh.filter(col("doc_id") % 10 =!= 0)
-        .join(ev, "sh")
-        .groupBy("doc_id", "eval_doc").agg(count(lit(1)).as("inter"))
-        .join(evSizes, "eval_doc")
-        .withColumn("containment",
-          round(col("inter").cast("double") / col("en"), 4))
-        .filter(col("containment") >= 0.3)
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_eval_matches"),
-          max("containment").as("max_containment"),
-          min("eval_doc").as("first_eval_doc"))
+      val docs = Tables(s, d, "documents")
+      val hits = fuzzyContamination(docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
       val curated = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
         "graft-curated", s.sparkContext.applicationId, d)) {
         queries("q_curate")(s, d)

@@ -242,6 +242,22 @@ class SqlSurfaceSuite extends SparkSpec {
       (3L, "l", "o", 7L), (4L, "lo", "w", 7L)))
   }
 
+  test("graft_fuzzy_contamination: SQL round trip equals the Scala operator") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.filter(col("doc_id") % 10 =!= 0).createOrReplaceTempView("sql_fc_train")
+    docs.filter(col("doc_id") % 10 === 0).createOrReplaceTempView("sql_fc_eval")
+    val sql = spark.sql(
+      """SELECT * FROM graft_fuzzy_contamination(
+        |  TABLE(SELECT * FROM sql_fc_train),
+        |  TABLE(SELECT * FROM sql_fc_eval), 0.3)""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val api = graft.queries.LlmOps.fuzzyContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty)
+  }
+
   test("graft_quality_probe: SQL round trip equals the Scala operator") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     docs.createOrReplaceTempView("sql_qp_docs")
