@@ -191,6 +191,33 @@ object LinearProbe {
     scored.withColumn("confidence",
       round(lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("margin") + lit(b)))), 6))
 
+  /** Persist a fitted model (+ optional Platt calibration scalars) as
+    * KB-scale parquet — one row per class — so serving (batch twins,
+    * streaming micro-batches) can score against a FROZEN probe without
+    * refitting (the Pca.saveModel discipline). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String, calib: (Double, Double) = (0.0, 0.0)): Unit = {
+    import spark.implicits._
+    model.classes.zip(model.weights).toSeq
+      .map { case (c, w) => (c, w.toSeq) }
+      .toDF("class", "weights")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq(calib).toDF("a", "b")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/calib")
+  }
+
+  /** Load a [[saveModel]] model and its calibration scalars. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): (Model, (Double, Double)) = {
+    val rows = spark.read.parquet(s"$path/weights")
+      .select("class", "weights").collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"linear probe: empty model at $path")
+    val m = Model(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray))
+    val c = spark.read.parquet(s"$path/calib").select("a", "b").head()
+    (m, (c.getDouble(0), c.getDouble(1)))
+  }
+
   /** Score (vec_id, embedding[, …]) rows: adds `pred` (argmax class,
     * ties to the smallest) and `margin` (best minus second-best score).
     * Pure codegen'd column expressions over literal weights (built via

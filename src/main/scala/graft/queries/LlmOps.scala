@@ -354,23 +354,31 @@ object LlmOps {
                    holdoutMod: Long = 5L): DataFrame =
     qualityProbeScore(qualityProbeFeatures(docs, threshold), holdoutMod)
 
-  /** The probe's (doc_id, embedding, label) input — factored out of
-    * [[qualityProbe]] so the gate can memoize the deterministic feature
-    * pass per (application, corpus) (three scans of it per invocation
-    * otherwise: the fit, the calibration slice, the scoring). */
-  def qualityProbeFeatures(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+  /** Dense 16-dim hashed-TF features (doc_id, embedding) of a
+    * (doc_id, text) frame — [[hashedTfXxh]] pivoted through a per-doc
+    * map lookup. Every input doc gets a row: an all-cancelled doc (no
+    * nonzero bucket) scores as the zero vector (bias-only margin),
+    * never a dropped row. Shared by the probe's training features and
+    * the frozen-model serving paths (streaming micro-batches). */
+  def hashedTfDense(docs: DataFrame): DataFrame = {
     val denseAgg = hashedTfXxh(docs)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("dim"), col("v")))).as("m"))
       .select(col("doc_id"), expr(
         "transform(sequence(0, 15), i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0.0 AS DOUBLE)))")
         .as("embedding"))
-    // all-cancelled docs (no nonzero bucket) still get scored: zero
-    // vector -> bias-only margin, never a dropped row
-    val dense = docs.select("doc_id")
+    docs.select("doc_id")
       .join(denseAgg, Seq("doc_id"), "left")
       .withColumn("embedding", coalesce(col("embedding"),
         expr("array_repeat(CAST(0.0 AS DOUBLE), 16)")))
+  }
+
+  /** The probe's (doc_id, embedding, label) input — factored out of
+    * [[qualityProbe]] so the gate can memoize the deterministic feature
+    * pass per (application, corpus) (three scans of it per invocation
+    * otherwise: the fit, the calibration slice, the scoring). */
+  def qualityProbeFeatures(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val dense = hashedTfDense(docs)
     val weak = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n"),
@@ -383,33 +391,58 @@ object LlmOps {
     dense.join(weak, "doc_id")
   }
 
-  /** Fit + calibrate + score over a prebuilt [[qualityProbeFeatures]]
-    * frame (see [[qualityProbe]] for the operator story). */
-  def qualityProbeScore(feat: DataFrame, holdoutMod: Long = 5L): DataFrame = {
+  /** Fit the probe and its Platt calibration on `feat` (train slice =
+    * doc_id % holdoutMod != 0) — the frozen artifacts
+    * [[graft.ml.LinearProbe.saveModel]] persists for serving. */
+  def qualityProbeFit(feat: DataFrame, holdoutMod: Long = 5L)
+      : (graft.ml.LinearProbe.Model, (Double, Double)) = {
     require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
     val model = graft.ml.LinearProbe.fit(
       feat.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0))
-    val scored = graft.ml.LinearProbe.predict(feat, model)
     // Platt calibration on the TRAIN slice's margins (LinearProbe
     // .calibrate — 4 Newton steps, each ONE tiny aggregation over the
     // narrow checkpointed slice; 4 is inside 1e-4 of the 8-step fit on
     // logistic-shaped margins and halves the per-invocation job count)
-    // so the gate emits a usable probability, not just a raw margin.
-    // The slice is swept before returning (fully consumed here — the
-    // returned frame carries only the two fitted scalars).
+    // so the probe emits a usable probability, not just a raw margin.
+    // The slice is swept before returning (fully consumed here — only
+    // the two fitted scalars survive).
     val sc = feat.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val (ca, cb) = try {
-      graft.ml.LinearProbe.calibrate(scored
-        .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
-        .select("margin", "pred", "label").localCheckpoint(), iters = 4)
+    val calib = try {
+      graft.ml.LinearProbe.calibrate(
+        graft.ml.LinearProbe.predict(feat, model)
+          .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+          .select("margin", "pred", "label").localCheckpoint(), iters = 4)
     } finally {
       val live = sc.getPersistentRDDs
       (live.keySet -- before).foreach(id =>
         live.get(id).foreach(_.unpersist(blocking = false)))
     }
-    graft.ml.LinearProbe.withConfidence(scored, ca, cb)
+    (model, calib)
+  }
+
+  /** Fit + calibrate + score over a prebuilt [[qualityProbeFeatures]]
+    * frame (see [[qualityProbe]] for the operator story). */
+  def qualityProbeScore(feat: DataFrame, holdoutMod: Long = 5L): DataFrame = {
+    val (model, (ca, cb)) = qualityProbeFit(feat, holdoutMod)
+    graft.ml.LinearProbe.withConfidence(
+        graft.ml.LinearProbe.predict(feat, model), ca, cb)
       .select(col("doc_id"), col("label").as("weak_label"), col("pred"),
+        round(col("margin"), 6).as("margin"), col("confidence"))
+      .orderBy("doc_id")
+  }
+
+  /** Score (doc_id, text) docs against a FROZEN persisted probe
+    * ([[graft.ml.LinearProbe.saveModel]] at `modelPath`) — the serving
+    * shape: no refit, no weak labels, codegen'd scoring only. Returns
+    * (doc_id, pred, margin, confidence). Behind
+    * [[graft.streaming.StreamingQuality]]'s per-micro-batch scoring. */
+  def qualityProbeServe(docs: DataFrame, modelPath: String): DataFrame = {
+    val (model, (a, b)) = graft.ml.LinearProbe.loadModel(
+      docs.sparkSession, modelPath)
+    graft.ml.LinearProbe.withConfidence(
+        graft.ml.LinearProbe.predict(hashedTfDense(docs), model), a, b)
+      .select(col("doc_id"), col("pred"),
         round(col("margin"), 6).as("margin"), col("confidence"))
       .orderBy("doc_id")
   }

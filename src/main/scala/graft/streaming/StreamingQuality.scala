@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming document scoring through a FROZEN persisted quality probe —
+  * the learned quality gate's serving story (the sixth streaming twin,
+  * after [[StreamingDedup]] / [[StreamingAnn]] / [[StreamingIvf]] /
+  * [[StreamingCommunities]] / [[StreamingSubstr]]): the probe is trained
+  * ONCE per corpus refresh ([[graft.queries.LlmOps.qualityProbeFit]] →
+  * [[graft.ml.LinearProbe.saveModel]]), and each arriving micro-batch is
+  * scored against the frozen weights + calibration
+  * ([[graft.queries.LlmOps.qualityProbeServe]] — feature hash, codegen'd
+  * argmax, sigmoid confidence; no refit, so scores are comparable across
+  * the stream's whole lifetime and a retrain is an explicit, auditable
+  * model swap).
+  *
+  * Exactly-once on foreachBatch's at-least-once retries comes free from
+  * statelessness: scoring writes only `outDir/scores/batch=<id>` and a
+  * retry of the same batch overwrites its own directory with identical
+  * content (deterministic model + deterministic features). No index
+  * mutation, no versioned commit protocol needed.
+  */
+object StreamingQuality {
+
+  /** One micro-batch (public so retry idempotence is testable without
+    * driving a stream). Expects (doc_id, text). */
+  def applyBatch(batch: DataFrame, modelPath: String, outDir: String,
+                 batchId: Long): Unit =
+    graft.queries.LlmOps.qualityProbeServe(
+        batch.select("doc_id", "text"), modelPath)
+      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+
+  /** Attach the scorer to a streaming (doc_id, text) frame. `modelPath`
+    * must hold a [[graft.ml.LinearProbe.saveModel]] probe. */
+  def scoreSink(docs: DataFrame, modelPath: String, outDir: String,
+                checkpointDir: Option[String] = None): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatch(b.toDF(), modelPath, outDir, id))
+      .start()
+
+  /** Every scored doc so far (partition column `batch` = arrival batch). */
+  def scores(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/scores")
+}

@@ -82,6 +82,36 @@ class QualityProbeSuite extends SparkSpec {
     assert(a === b, "probe output changed under repartitioning")
   }
 
+  test("frozen probe: save/load round trip, serve == in-session scoring, streaming batches idempotent") {
+    val docs = plantedDocs
+    val feat = LlmOps.qualityProbeFeatures(docs)
+    val (model, calib) = LlmOps.qualityProbeFit(feat)
+    val dir = java.nio.file.Files.createTempDirectory("probe-model").toString
+    graft.ml.LinearProbe.saveModel(spark, model, s"$dir/model", calib)
+    // serving against the frozen model == the in-session fit's scoring
+    // (same weights, same calibration — the save/load must be lossless)
+    val served = LlmOps.qualityProbeServe(docs, s"$dir/model")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val inSession = LlmOps.qualityProbeScore(feat)
+      .select("doc_id", "pred", "margin", "confidence")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(served === inSession, "frozen-model serving drifted from the in-session fit")
+    // streaming: two micro-batches score to the batch answer; a retried
+    // batch overwrites itself (exactly-once from statelessness)
+    import org.apache.spark.sql.functions._
+    val out = s"$dir/out"
+    val b0 = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") >= 100)
+    graft.streaming.StreamingQuality.applyBatch(b0, s"$dir/model", out, 0L)
+    graft.streaming.StreamingQuality.applyBatch(b1, s"$dir/model", out, 1L)
+    graft.streaming.StreamingQuality.applyBatch(b1, s"$dir/model", out, 1L) // retry
+    val streamed = graft.streaming.StreamingQuality.scores(spark, out)
+      .select("doc_id", "pred", "margin", "confidence")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed === served.sortBy(_._1), "streamed scores drifted from batch serving")
+  }
+
   // -------------------------------------------------------------------
   // fuzzy decontamination: the paraphrase fixture the exact 8-gram op
   // provably misses
