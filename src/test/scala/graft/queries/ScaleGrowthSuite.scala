@@ -149,6 +149,21 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("round-11 pipeline ops: join work grows near-linearly, far under the n^2 line") {
+    // fuzzy decontamination: the containment join is the cross-split
+    // subset of the shared-shingle join (q_dedup_near's ~n^1 law);
+    // shard writer: heaviest join is the n-row rank/offsets pairing;
+    // bigram LM: scoring joins emit one row per corpus token
+    for (q <- Seq("q_decontaminate_fuzzy", "q_shard_write",
+        "q_text_perplexity_bigram")) {
+      val big = m(q, "sf0.1")
+      assert(big.joinRowsMax < 0.05 * big.brutePairs,
+        s"$q: ${big.joinRowsMax} join rows vs ${big.brutePairs} brute pairs")
+      val e = exponent(q, _.joinRowsMax)
+      assert(e <= 1.6, s"$q join-work growth exponent $e (brute line is 2.0)")
+    }
+  }
+
   test("semantic dedup: cluster scoping divides the pair bill by ~k at every size") {
     // SemDeDup's scale contract is pairs ~ n^2/k with k grown alongside n
     // (the gate pins k = 8 for oracle parity, so the EXPONENT here is

@@ -84,6 +84,15 @@ object ScaleProbe {
     * it (q_dedup_near, measured ~n^1.0). Rounds run inside
     * localCheckpoint jobs, so like the KnnGraph twins only the
     * all-executions tally sees them. */
+  /** Round-11 pipeline operators: fuzzy decontamination's containment
+    * join emits only cross-split shared-shingle pairs (the q_dedup_near
+    * growth law, ~n^1 on this corpus); the shard writer's heaviest join
+    * is the n-row offsets broadcast (exactly linear); the bigram LM's
+    * scoring joins emit one row per corpus token; the quality probe is
+    * two hash aggs + n-row feature joins + the one-pass Gram fit. */
+  val PipelineFamilies: Seq[String] = Seq("q_decontaminate_fuzzy",
+    "q_shard_write", "q_text_perplexity_bigram", "q_quality_probe")
+
   val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities",
     // the persisted incremental index: a fresh probe JVM measures the
     // real cold build + append (Memo is per-JVM), so the tallied work is
@@ -111,7 +120,11 @@ object ScaleProbe {
       * token rows) with pairing work, so the final plan is the honest
       * number. */
     def pairingJoinRows: Long =
-      if (query.startsWith("q_knn_graph") || query.startsWith("q_graph_"))
+      if (query.startsWith("q_knn_graph") || query.startsWith("q_graph_") ||
+          // the probe gate memoizes its FEATURE pass to parquet, so the
+          // final (scoring) plan is join-free — the fit/feature joins run
+          // in earlier executions, which only the all-exec tally sees
+          query == "q_quality_probe")
         joinRowsAllExec
       else joinRowsMax
   }
@@ -238,7 +251,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val families = BandedFamilies ++ WitnessFamilies ++ SimilarityFamilies ++
-      GraphFamilies
+      GraphFamilies ++ PipelineFamilies
     val measures = for (q <- families; sf <- sfs) yield {
       val m = measure(spark, sf, q)
       println(f"${m.query}%-28s ${m.sf}%-8s n=${m.n}%7d out=${m.outRows}%9d " +
@@ -302,7 +315,14 @@ object ScaleProbe {
       "Exact-substring family (q_dedup_substr_xxh batch / q_dedup_substr_inc " +
       "index-backed): the window equi-join's output is the repeated-window " +
       "occurrence list — linear in corpus tokens, measured ~n^1.0, never doc x doc; " +
-      "the incremental form's tally includes its cold index build (fresh probe JVM).\"\n}\n"
+      "the incremental form's tally includes its cold index build (fresh probe JVM). " +
+      "Round-11 pipeline family: q_decontaminate_fuzzy's containment join emits only " +
+      "cross-split shared-shingle pairs (~n^0.8 measured); q_shard_write's heaviest " +
+      "join is the n-row rank/offsets pairing (n^1.0 exactly); " +
+      "q_text_perplexity_bigram's scoring joins emit one row per corpus token " +
+      "(n^0.99); q_quality_probe (allExec tally - the gate memoizes features to " +
+      "parquet so the final scoring plan is join-free) grows n^1.0 through its " +
+      "feature/fit joins.\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
