@@ -208,9 +208,16 @@ object Bench {
     // the structural driver of raw-total growth).
     val nKeys = results.size
     val perKeyQuiet = if (nKeys == 0) 0.0 else quietEquiv / nKeys
+    // the delta compares against the artifact THIS run will write to —
+    // filtered runs default to BENCH_FILTERED.json (same logic as the
+    // writer below), never the full artifact (a 5-key filtered run
+    // reading BENCH_FULL's 211 would record a nonsense 206-key shrink)
+    val prevArtifact =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FILTERED.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val nKeysPrev: Int = try {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+      val p = java.nio.file.Paths.get(prevArtifact)
       if (!java.nio.file.Files.exists(p)) -1
       else {
         val prev = java.nio.file.Files.readString(p)
@@ -233,10 +240,7 @@ object Bench {
     // in a QUIETER window: the committed file is the record the
     // ≤2x-of-baseline bar is judged against, and BENCH_r09 showed one
     // contended end-of-round run can otherwise overwrite a clean one.
-    val out =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FILTERED.json")
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val out = prevArtifact // same target the n_keys_prev delta read
     val target = try {
       val p = java.nio.file.Paths.get(out)
       if (!java.nio.file.Files.exists(p)) out

@@ -179,9 +179,12 @@ object IvfIndex {
         // per query; library callers call [[sweep]] — the tracked ids
         // make the hygiene contract enforceable instead of aspirational).
         val sc = a.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        val ids = a.select("vec_id").localCheckpoint(eager = false)
-        (sc.getPersistentRDDs.keySet -- before).foreach(pinnedIds.add)
+        val ids = graft.operators.Scratch.trackLock.synchronized {
+          val before = sc.getPersistentRDDs.keySet
+          val ck = a.select("vec_id").localCheckpoint(eager = false)
+          (sc.getPersistentRDDs.keySet -- before).foreach(pinnedIds.add)
+          ck
+        }
         val limit = corpus.sparkSession.conf
           .get("spark.graft.ivf.allowedBroadcastLimit", "100000").toLong
         val n = ids.agg(count(lit(1))).head().getLong(0)

@@ -44,6 +44,18 @@ object Scratch {
     path
   }
 
+  /** Serializes the before/after `getPersistentRDDs` delta windows that
+    * attribute freshly pinned checkpoint blocks to an owner (SubstrIndex
+    * per-path tracking, StreamingSubstr's own-batch block, IvfIndex's
+    * allowlist checkpoints). Without it, two concurrent pipelines'
+    * eager checkpoints can land inside each other's windows and each
+    * would attribute — and later sweep — the other's lineage-truncated
+    * blocks. The lock covers registration AND (for eager checkpoints)
+    * the materializing job, so concurrent micro-batches serialize that
+    * one step; their remaining work stays concurrent — correctness of
+    * block ownership over checkpoint-step parallelism. */
+  private[graft] val trackLock = new Object
+
   /** Run `body`, then release every persistent-RDD block it pinned — the
     * ONE verb behind the library's caller-must-sweep contract
     * (docs/long-lived-spark-jvm-hygiene.md). Several operators return

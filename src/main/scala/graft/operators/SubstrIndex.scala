@@ -136,15 +136,21 @@ object SubstrIndex {
     * present (every index built at or after this version); otherwise a
     * one-off sniff of a committed batch's parquet schema — struct canon ⇒
     * format 2 (a pre-stamp index written by THIS format's code), anything
-    * else ⇒ format 1 (the packed-long layout). */
+    * else ⇒ format 1 (the packed-long layout). ONLY a genuinely missing
+    * `win/` (fresh build, meta-before-batch0) defaults to the current
+    * format; a transient read failure PROPAGATES — swallowing it would
+    * wave a legacy index past the guard and let the next append mix
+    * parquet schemas (and computeIfAbsent caches nothing on a throw, so
+    * a retry re-sniffs). */
   private def formatOf(spark: SparkSession, path: String, metaFormat: Option[Long]): Long =
-    metaFormat.getOrElse(formatCache.computeIfAbsent(path, _ =>
-      scala.util.Try {
-        spark.read.parquet(s"$path/win").schema("canon").dataType match {
-          case _: org.apache.spark.sql.types.StructType => 2L
-          case _ => 1L
-        }
-      }.getOrElse(CanonFormat))) // no committed batch yet: current format
+    metaFormat.getOrElse(formatCache.computeIfAbsent(path, _ => {
+      val (fs, win) = hadoopFs(spark, s"$path/win")
+      if (!fs.exists(win)) CanonFormat // no committed batch yet
+      else spark.read.parquet(s"$path/win").schema("canon").dataType match {
+        case _: org.apache.spark.sql.types.StructType => 2L
+        case _ => 1L
+      }
+    }))
 
   /** (w, tokenizeSql) the index was built with. Indexes from before the
     * tokenizer hook carry no `tokenize` field — default whitespace. The
@@ -340,15 +346,19 @@ object SubstrIndex {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.Set[Int]]()
 
-  private def trackPinned[T](spark: SparkSession, path: String)(f: => T): T = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val r = f
-    val set = pinnedIds.computeIfAbsent(path,
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
-    (spark.sparkContext.getPersistentRDDs.keySet -- before)
-      .foreach(id => set.add(id))
-    r
-  }
+  private def trackPinned[T](spark: SparkSession, path: String)(f: => T): T =
+    // under the JVM tracking lock: a concurrent pipeline's checkpoint
+    // landing inside this before/after window would be attributed to —
+    // and later swept with — THIS path (see Scratch.trackLock)
+    Scratch.trackLock.synchronized {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val r = f
+      val set = pinnedIds.computeIfAbsent(path,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
+      (spark.sparkContext.getPersistentRDDs.keySet -- before)
+        .foreach(id => set.add(id))
+      r
+    }
 
   /** Unpersist the blocks pinned by [[dedupAgainst]] calls of this JVM —
     * all of them, or only those of one index `path` — and return the

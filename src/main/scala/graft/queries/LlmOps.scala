@@ -399,24 +399,27 @@ object LlmOps {
     require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
     val model = graft.ml.LinearProbe.fit(
       feat.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0))
+    // a single-class train slice has nothing to separate: the one-vs-rest
+    // predict's MARGIN (best minus second-best) would be NULL everywhere
+    // and calibration would then die with a misleading "empty scored
+    // frame" — fail HERE with the actual cause and the repair
+    require(model.classes.length >= 2,
+      s"quality probe: the train slice carries only weak-label class " +
+        s"${model.classes.mkString(",")} — both classes are required; " +
+        "adjust the threshold (qualityProbeFeatures) so the heuristic " +
+        "splits this corpus, or supply labels with both classes")
     // Platt calibration on the TRAIN slice's margins (LinearProbe
     // .calibrate — 4 Newton steps, each ONE tiny aggregation over the
     // narrow checkpointed slice; 4 is inside 1e-4 of the 8-step fit on
     // logistic-shaped margins and halves the per-invocation job count)
     // so the probe emits a usable probability, not just a raw margin.
-    // The slice is swept before returning (fully consumed here — only
-    // the two fitted scalars survive).
-    val sc = feat.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val calib = try {
+    // The slice is fully consumed inside the withSweep block — only the
+    // two fitted scalars survive.
+    val calib = graft.operators.Scratch.withSweep(feat.sparkSession) {
       graft.ml.LinearProbe.calibrate(
         graft.ml.LinearProbe.predict(feat, model)
           .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
           .select("margin", "pred", "label").localCheckpoint(), iters = 4)
-    } finally {
-      val live = sc.getPersistentRDDs
-      (live.keySet -- before).foreach(id =>
-        live.get(id).foreach(_.unpersist(blocking = false)))
     }
     (model, calib)
   }

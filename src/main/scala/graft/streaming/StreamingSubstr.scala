@@ -47,9 +47,11 @@ object StreamingSubstr {
     // batch's own checkpoint via a delta captured around ONLY that call,
     // so two streams ingesting different indexes in one JVM cannot
     // release each other's in-flight blocks (ADVICE r10).
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val docs = batch.select("doc_id", "text").localCheckpoint()
-    val ownIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val (docs, ownIds) = graft.operators.Scratch.trackLock.synchronized {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val d = batch.select("doc_id", "text").localCheckpoint()
+      (d, spark.sparkContext.getPersistentRDDs.keySet -- before)
+    }
     try {
       SubstrIndex.dedupAgainst(indexPath, docs)
         .write.mode("overwrite").parquet(s"$outDir/spans/batch=$version")

@@ -82,6 +82,20 @@ class QualityProbeSuite extends SparkSpec {
     assert(a === b, "probe output changed under repartitioning")
   }
 
+  test("qualityProbe: a single-class weak-label corpus fails loudly with the actual cause") {
+    import spark.implicits._
+    // every doc diverse and long -> every weak label 1; the one-vs-rest
+    // margin would be NULL everywhere and calibration would die with a
+    // misleading 'empty scored frame' — the fit must name the real cause
+    val oneClass = (0L until 40L).map { i =>
+      (i, (0 until 40).map(j => s"tok${(i * 13 + j * 7) % 997}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.qualityProbe(oneClass).collect()
+    }
+    assert(e.getMessage.contains("both classes are required"), e.getMessage)
+  }
+
   test("frozen probe: save/load round trip, serve == in-session scoring, streaming batches idempotent") {
     val docs = plantedDocs
     val feat = LlmOps.qualityProbeFeatures(docs)
