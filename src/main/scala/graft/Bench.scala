@@ -216,6 +216,10 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FILTERED.json")
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // narrow failure handling (ADVICE r11): only I/O and number-format
+    // problems may map to the -1 "unknown" sentinel — anything else is a
+    // bug in this self-written format and should surface, not silently
+    // misreport the key-count delta the margin bookkeeping exists for
     val nKeysPrev: Int = try {
       val p = java.nio.file.Paths.get(prevArtifact)
       if (!java.nio.file.Files.exists(p)) -1
@@ -228,11 +232,17 @@ object Bench {
             if (qstart < 0) -1
             else {
               val body = prev.substring(qstart + 11, prev.indexOf('}', qstart))
-              body.count(_ == '"') / 2
+              // quote-counting assumes the flat {"name":num,...} shape this
+              // main has always written; a nested brace means the heuristic
+              // would miscount — admit ignorance instead
+              if (body.contains('{')) -1 else body.count(_ == '"') / 2
             }
           }
       }
-    } catch { case _: Throwable => -1 }
+    } catch {
+      case _: java.io.IOException => -1
+      case _: NumberFormatException => -1
+    }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct}}"""
     println(json)
     // Persist the COMPLETE artifact (the driver records only a truncated

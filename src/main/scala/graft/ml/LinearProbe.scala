@@ -212,6 +212,20 @@ object LinearProbe {
     val rows = spark.read.parquet(s"$path/weights")
       .select("class", "weights").collect().sortBy(_.getLong(0))
     require(rows.nonEmpty, s"linear probe: empty model at $path")
+    // mirror qualityProbeFit's fit-time contract AT LOAD (ADVICE r11): a
+    // single-class frozen model would serve NULL margins (the one-vs-rest
+    // second-best filter is empty) and a ragged weight table would score
+    // garbage — a bad persisted artifact must fail here, not as NULLs
+    // downstream
+    require(rows.length >= 2,
+      s"linear probe: the frozen model at $path carries only class " +
+        s"${rows.map(_.getLong(0)).mkString(",")} — serving needs >= 2 " +
+        "classes (refit with both classes present, or fix the artifact)")
+    val widths = rows.map(_.getSeq[Double](1).length).distinct
+    require(widths.length == 1,
+      s"linear probe: inconsistent weight widths ${widths.mkString(",")} " +
+        s"across classes in the frozen model at $path — the artifact is " +
+        "corrupt; refit and re-save")
     val m = Model(rows.map(_.getLong(0)),
       rows.map(_.getSeq[Double](1).toArray))
     val c = spark.read.parquet(s"$path/calib").select("a", "b").head()

@@ -143,14 +143,26 @@ object SubstrIndex {
     * parquet schemas (and computeIfAbsent caches nothing on a throw, so
     * a retry re-sniffs). */
   private def formatOf(spark: SparkSession, path: String, metaFormat: Option[Long]): Long =
-    metaFormat.getOrElse(formatCache.computeIfAbsent(path, _ => {
-      val (fs, win) = hadoopFs(spark, s"$path/win")
-      if (!fs.exists(win)) CanonFormat // no committed batch yet
-      else spark.read.parquet(s"$path/win").schema("canon").dataType match {
-        case _: org.apache.spark.sql.types.StructType => 2L
-        case _ => 1L
+    metaFormat.getOrElse {
+      // getOrDefault, not get: a missing entry's null would auto-unbox
+      // to 0L under the scala.Long value type
+      val cached = formatCache.getOrDefault(path, -1L)
+      if (cached >= 0L) cached
+      else {
+        val (fs, win) = hadoopFs(spark, s"$path/win")
+        // a missing win/ answers CanonFormat but is NOT cached (VERDICT
+        // r11 #4): a probe racing batch 0 — or a legacy index copied in
+        // later — must be re-sniffed on the next call, not waved through
+        // on a default recorded before any batch existed. Only a schema
+        // actually read from win/ may populate the cache.
+        if (!fs.exists(win)) CanonFormat
+        else formatCache.computeIfAbsent(path, _ =>
+          spark.read.parquet(s"$path/win").schema("canon").dataType match {
+            case _: org.apache.spark.sql.types.StructType => 2L
+            case _ => 1L
+          })
       }
-    }))
+    }
 
   /** (w, tokenizeSql) the index was built with. Indexes from before the
     * tokenizer hook carry no `tokenize` field — default whitespace. The

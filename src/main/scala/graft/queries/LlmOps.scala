@@ -413,14 +413,25 @@ object LlmOps {
     // narrow checkpointed slice; 4 is inside 1e-4 of the 8-step fit on
     // logistic-shaped margins and halves the per-invocation job count)
     // so the probe emits a usable probability, not just a raw margin.
-    // The slice is fully consumed inside the withSweep block — only the
-    // two fitted scalars survive.
-    val calib = graft.operators.Scratch.withSweep(feat.sparkSession) {
-      graft.ml.LinearProbe.calibrate(
-        graft.ml.LinearProbe.predict(feat, model)
-          .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
-          .select("margin", "pred", "label").localCheckpoint(), iters = 4)
+    // The slice's checkpoint blocks are tracked by THEIR OWN RDD-id delta
+    // under Scratch.trackLock and swept after the calibrate consumes them
+    // (ADVICE r11: a blanket JVM-wide withSweep inside a library operator
+    // would attribute — and sweep — a CONCURRENT pipeline's checkpoint
+    // registered during calibration, failing the other pipeline loudly).
+    val sc = feat.sparkSession.sparkContext
+    val (slice, pinned) = graft.operators.Scratch.trackLock.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = graft.ml.LinearProbe.predict(feat, model)
+        .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+        .select("margin", "pred", "label").localCheckpoint()
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
+    val calib =
+      try graft.ml.LinearProbe.calibrate(slice, iters = 4)
+      finally {
+        val live = sc.getPersistentRDDs
+        pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      }
     (model, calib)
   }
 
@@ -468,8 +479,18 @@ object LlmOps {
                       orderBuckets: Int = 64): DataFrame = {
     require(numShards >= 1, s"need numShards >= 1, got $numShards")
     require(orderBuckets >= 1, s"need orderBuckets >= 1, got $orderBuckets")
+    // the permutation's cross-engine parity claim holds on NON-NEGATIVE
+    // doc_id only (ADVICE r11: Spark's truncating % and pmod diverge from
+    // an oracle's floor-division arithmetic below zero) — a negative id
+    // fails LOUDLY in the hash path instead of silently sharding
+    // differently across engines
     val base = docs.select(col("doc_id"))
-      .withColumn("h", expr(knuthHash32("doc_id")))
+      .withColumn("h",
+        when(col("doc_id") < 0, raise_error(concat(
+          lit("shardAssignment: doc_id must be non-negative (the seeded " +
+            "permutation's cross-engine parity is defined on [0, 2^63) " +
+            "only); got "), col("doc_id").cast("string"))))
+        .otherwise(expr(knuthHash32("doc_id"))))
       .withColumn("bucket", pmod(col("h"), lit(orderBuckets.toLong)))
     val offs = base.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum("bn").over(
@@ -511,10 +532,15 @@ object LlmOps {
     val ev = docShinglesOf(evalDocs)
       .select(col("doc_id").as("eval_doc"), col("sh"))
     val evSizes = ev.groupBy("eval_doc").agg(count(lit(1)).as("en"))
+    // broadcast the eval side EXPLICITLY (VERDICT r11 #3): the scaladoc's
+    // 100 TB story is a map-side join over the train corpus, and with a
+    // non-trivial eval suite + stale stats the planner can otherwise pick
+    // SMJ and shuffle the train-side shingle table — the exact scan this
+    // operator exists to avoid. Plan pinned in PlanQualitySuite.
     docShinglesOf(train)
-      .join(ev, "sh")
+      .join(broadcast(ev), "sh")
       .groupBy(col("doc_id"), col("eval_doc")).agg(count(lit(1)).as("inter"))
-      .join(evSizes, "eval_doc")
+      .join(broadcast(evSizes), "eval_doc")
       .withColumn("containment",
         round(col("inter").cast("double") / col("en"), 4))
       .filter(col("containment") >= threshold)

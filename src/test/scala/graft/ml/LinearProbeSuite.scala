@@ -133,4 +133,30 @@ class LinearProbeSuite extends SparkSpec {
     val p = LinearProbe.predict(emb, m).queryExecution.executedPlan.toString
     assert(!p.contains("UDF"), s"probe scoring must be built-ins only:\n$p")
   }
+
+  test("loadModel refuses a single-class or ragged frozen artifact at LOAD") {
+    // ADVICE r11: a bad persisted model must fail at load with the fit-time
+    // error, not serve NULL margins (single class) or garbage (ragged
+    // weight widths) downstream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("probe-model").toString
+    LinearProbe.saveModel(spark,
+      LinearProbe.Model(Array(1L), Array(Array(0.5, -0.25, 0.1))), s"$dir/one")
+    val e1 = intercept[IllegalArgumentException] {
+      LinearProbe.loadModel(spark, s"$dir/one")
+    }
+    assert(e1.getMessage.contains(">= 2"), e1.getMessage)
+    // ragged widths: forge the weights table directly (saveModel itself
+    // can only be fed a ragged Model by a caller bug — the artifact is
+    // what the guard protects against)
+    Seq((0L, Seq(0.1, 0.2, 0.3)), (1L, Seq(0.4, 0.5)))
+      .toDF("class", "weights")
+      .write.mode("overwrite").parquet(s"$dir/ragged/weights")
+    Seq((0.0, 0.0)).toDF("a", "b")
+      .write.mode("overwrite").parquet(s"$dir/ragged/calib")
+    val e2 = intercept[IllegalArgumentException] {
+      LinearProbe.loadModel(spark, s"$dir/ragged")
+    }
+    assert(e2.getMessage.contains("width"), e2.getMessage)
+  }
 }

@@ -281,6 +281,25 @@ class SubstrIndexSuite extends SparkSpec {
     assert(e.getMessage.contains("format 1"), e.getMessage)
   }
 
+  test("format guard: a no-win probe is not cached — a later legacy index is still refused") {
+    import spark.implicits._
+    val path = tmp()
+    // meta exists (stripped of the format field, like a pre-stamp index)
+    // but no batch has committed yet: the probe answers the current
+    // format WITHOUT recording it (VERDICT r11 #4 — the old
+    // computeIfAbsent cached this default permanently, so a legacy index
+    // appearing later was waved through on the stale answer)
+    Seq((12L, SubstrIndex.DefaultTokenize)).toDF("w", "tokenize")
+      .repartition(1).write.mode("overwrite").json(s"$path/meta")
+    assert(SubstrIndex.params(spark, path)._1 === 12)
+    // a format-1 (packed-long canon) index is copied in AFTER that probe
+    Seq((1L, 1000005L)).toDF("k", "canon")
+      .write.mode("overwrite").parquet(s"$path/win/batch=0")
+    val e = intercept[IllegalArgumentException](SubstrIndex.params(spark, path))
+    assert(e.getMessage.contains("format 1"), e.getMessage)
+    assert(e.getMessage.contains("REBUILD"), e.getMessage)
+  }
+
   test("widened tokenizer whitelist admits array_sort/sentences/element_at") {
     // ADVICE r10: benign deterministic builtins outside the old narrow
     // list made pre-existing indexes permanently unreadable

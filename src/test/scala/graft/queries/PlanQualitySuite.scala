@@ -484,4 +484,19 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("ScalaUDF"), s"probe scoring must stay codegen'd:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("fuzzyContamination: eval shingles BROADCAST — the train side never shuffles on sh") {
+    // the scaladoc's 100 TB shape (VERDICT r11 #3): a real eval suite is
+    // MBs of shingles, so the containment join must be a map-side
+    // broadcast join regardless of what the planner's stats would pick
+    val docs = graft.Tables(spark, sf, "documents")
+    val p = LlmOps.fuzzyContamination(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the train-side shingle table must never shuffle on sh:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

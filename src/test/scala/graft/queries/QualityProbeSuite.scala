@@ -207,6 +207,37 @@ class QualityProbeSuite extends SparkSpec {
       s"first 32 docs hit only ${headShards.length} shards — not shuffled")
   }
 
+  test("qualityProbeFit sweeps ONLY its own calibration checkpoint") {
+    // ADVICE r11: the fit used a blanket JVM-wide withSweep, which would
+    // attribute (and sweep) a concurrent pipeline's checkpoint registered
+    // during calibration. Now only the calibration slice's own RDD ids
+    // are tracked: an unrelated pinned frame survives the fit, and the
+    // fit leaves zero new pinned blocks behind.
+    val docs = Tables(spark, sf, "documents")
+    val bystander = docs.select("doc_id").localCheckpoint()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    LlmOps.qualityProbeFit(LlmOps.qualityProbeFeatures(docs))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"fit leaked pinned blocks: ${(after -- before).mkString(",")}")
+    assert(bystander.count() > 0, "the bystander checkpoint must survive the fit")
+    bystander.unpersist(blocking = false)
+  }
+
+  test("shardAssignment: a negative doc_id fails loudly, never silently diverges") {
+    // ADVICE r11: below zero, Spark's truncating %/pmod and an oracle's
+    // floor-division arithmetic give DIFFERENT shards — the parity claim
+    // is defined on the non-negative domain only, so a negative id must
+    // error in the hash path instead of sharding differently per engine
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (-3L, "b"), (7L, "c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LlmOps.shardAssignment(docs, numShards = 2).collect()
+    }
+    assert(e.getMessage.contains("non-negative"),
+      s"expected the doc_id domain guard, got: ${e.getMessage}")
+  }
+
   test("q_shard_write: the written layout equals the manifest, partition-pruned by shard") {
     val out = LlmOps.queries("q_shard_write")(spark, sf)
     val manifest = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
