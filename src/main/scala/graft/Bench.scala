@@ -14,6 +14,17 @@ import org.apache.spark.sql.SparkSession
   *      sample, and the max deviation pct. A poisoned run is machine-detectable:
   *      sentinel deviation tracks external CPU pressure, code changes cannot
   *      move it.
+  *   1b. CAPACITY SENTINEL (round 12 — the blind spot the round-11 final-HEAD
+  *      run exposed: a co-tenant stealing CORES inflated query totals +20%
+  *      while the single-thread spin read a flat +6%, because a mostly-idle
+  *      machine still runs ONE thread at full speed). A second fixed-work
+  *      spin runs on `cpus` threads simultaneously and times the WALL for
+  *      all to finish: stolen capacity stretches it proportionally even when
+  *      per-core speed is untouched. Baselined and sampled exactly like the
+  *      single-thread spin; the artifact carries both blocks, and the window
+  *      retry + artifact guard use the PAIR (max of the two slow-side
+  *      deviations), so contended-capacity windows are auto-parked instead
+  *      of certified by eye.
   *   2. MEDIAN-OF-3 with outlier re-run — each query runs 3x; if the median is
   *      both 2x and +0.5s over the min (a transient stall, not a plan), up to 2
   *      extra runs are taken and the median recomputed. "total" sums medians.
@@ -53,6 +64,34 @@ object Bench {
       i += 1
     }
     if (x == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  // Per-thread work for the capacity sentinel: half the single-thread
+  // spin, so one sample costs ~0.1-0.15s wall on a quiet host (the wall
+  // time of N threads racing N free cores ≈ one thread's time; stolen
+  // cores stretch it). Fixed WORK per thread, like spin().
+  private val SpinParIters = 150000000L
+
+  /** Wall seconds for `threads` simultaneous fixed-work spins — the
+    * parallel-CAPACITY sentinel. Distinct seeds per thread defeat any
+    * cross-thread CSE; a plain Thread per sample (no pool) keeps the
+    * measurement free of executor-queue state. */
+  private def spinPar(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < SpinParIters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) System.err.println("")
+      }, s"graft-bench-capacity-$t")
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
   private def median(xs: Seq[Double]): Double = {
@@ -102,7 +141,11 @@ object Bench {
 
     spin() // JIT warmup for the sentinel itself
     val spinBase = median(Seq.fill(5)(spin()))
+    val mtThreads = cpus.toInt
+    spinPar(mtThreads) // JIT + thread-startup warmup for the capacity sentinel
+    val spinMtBase = median(Seq.fill(5)(spinPar(mtThreads)))
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val sentinelMtSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def devPct(s: Double): Double = math.abs(s - spinBase) / spinBase * 100
     // retry trigger uses SIGNED deviation: only a SLOWER-than-base sentinel
     // means external pressure inflated the window's timings; a faster one
@@ -110,6 +153,8 @@ object Bench {
     // them better than advertised. The reported max_dev_pct stays absolute
     // for cross-round comparability.
     def slowPct(s: Double): Double = (s - spinBase) / spinBase * 100
+    def devMtPct(s: Double): Double = math.abs(s - spinMtBase) / spinMtBase * 100
+    def slowMtPct(s: Double): Double = (s - spinMtBase) / spinMtBase * 100
 
     // one query's timing: median-of-3 with the round-5 outlier re-run,
     // followed by the block-manager sweep that keeps each query's memory
@@ -156,25 +201,29 @@ object Bench {
         .grouped(WindowSize).foreach { group =>
       val first = group.map { case (name, fn) => name -> timeQuery(name, fn) }
       val s = spin(); sentinelSamples += s
+      val sMt = spinPar(mtThreads); sentinelMtSamples += sMt
       // Drain the ContextCleaner between windows: shuffle files, broadcasts
       // and swept blocks are only released after a GC collects their weak
       // references; the backlog otherwise forces ad-hoc full GCs mid-query.
-      // The spin sample is taken FIRST so the sentinel sees the pre-GC state.
+      // The spin samples are taken FIRST so the sentinels see the pre-GC state.
       System.gc()
-      val dev = slowPct(s)
+      // the window is contended if EITHER sentinel ran slow: per-core
+      // pressure (single-thread) or stolen capacity (multi-thread)
+      val dev = math.max(slowPct(s), slowMtPct(sMt))
       if ((dev > RetryDevPct || prevDev > RetryDevPct) && retryWindowsLeft > 0) {
         // a contended window: every query in it re-runs once; adopt the
         // quieter figure and record both
         retryWindowsLeft -= 1
         val again = group.map { case (name, fn) => name -> timeQuery(name, fn) }
         val s2 = spin(); sentinelSamples += s2
+        val s2Mt = spinPar(mtThreads); sentinelMtSamples += s2Mt
         System.gc()
         first.zip(again).foreach { case ((name, a), (_, b)) =>
           val adopted = if (a < 0) b else if (b < 0) a else math.min(a, b)
           retried(name) = (a, b)
           results(name) = adopted
         }
-        prevDev = slowPct(s2)
+        prevDev = math.max(slowPct(s2), slowMtPct(s2Mt))
       } else {
         first.foreach { case (name, t) => results(name) = t }
         prevDev = dev
@@ -195,6 +244,13 @@ object Bench {
       if (sentinelSamples.isEmpty) 0.0
       else math.max(0.0, sentinelSamples.map(slowPct).max)
     val sent = sentinelSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val maxDevMtPct =
+      if (sentinelMtSamples.isEmpty) 0.0
+      else sentinelMtSamples.map(devMtPct).max
+    val maxSlowMtPct =
+      if (sentinelMtSamples.isEmpty) 0.0
+      else math.max(0.0, sentinelMtSamples.map(slowMtPct).max)
+    val sentMt = sentinelMtSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     // quiet-equivalent total: normalize by the host's single-thread speed
     // relative to the repo's recorded quiet-host spin base (0.445 s, the
     // r7 quiet run in BASELINE.md) — cross-round totals become directly
@@ -243,7 +299,7 @@ object Bench {
       case _: java.io.IOException => -1
       case _: NumberFormatException => -1
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct},"sentinel_mt":{"threads":$mtThreads,"spin_base_sec":$spinMtBase,"samples":$sentMt,"max_dev_pct":$maxDevMtPct,"max_slow_pct":$maxSlowMtPct}}"""
     println(json)
     // Persist the COMPLETE artifact (the driver records only a truncated
     // stdout tail) — but never replace a same-HEAD run that was measured
@@ -258,17 +314,22 @@ object Bench {
         val prev = java.nio.file.Files.readString(p)
         val prevHead = "\"head\":\"([0-9a-f]+)\"".r
           .findFirstMatchIn(prev).map(_.group(1))
-        // compare slow-side pressure (falling back to the abs metric for
-        // pre-r10 artifacts): a fast-clocked sample inflates abs dev but
-        // cannot have hurt the recorded timings
-        val prevDevRec = "\"max_slow_pct\":([0-9.Ee+-]+)".r
-          .findFirstMatchIn(prev).orElse(
-            "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev))
-          .map(_.group(1).toDouble)
+        // compare slow-side pressure ACROSS BOTH sentinels — a run is as
+        // contended as its worst signal (per-core speed or stolen
+        // capacity); pre-r12 artifacts carry one block, pre-r10 only the
+        // abs metric (a fast-clocked sample inflates abs dev but cannot
+        // have hurt the recorded timings — still the honest fallback)
+        val prevSlows = "\"max_slow_pct\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
+        val prevDevRec =
+          if (prevSlows.nonEmpty) Some(prevSlows.max)
+          else "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev)
+            .map(_.group(1).toDouble)
+        val thisSlow = math.max(maxSlowPct, maxSlowMtPct)
         if (prevHead.contains(head) && head != "unknown" &&
-            prevDevRec.exists(_ < maxSlowPct)) {
+            prevDevRec.exists(_ < thisSlow)) {
           System.err.println(f"[bench] keeping committed $out (same HEAD, " +
-            f"max_slow ${prevDevRec.get}%.1f%% < this run's $maxSlowPct%.1f%%); " +
+            f"max_slow ${prevDevRec.get}%.1f%% < this run's $thisSlow%.1f%%); " +
             s"this run -> $out.latest")
           out + ".latest"
         } else out
