@@ -590,7 +590,20 @@ object LlmOps {
     * pins hash-twin == text-keyed output on the test corpora). */
   private def substrSpans(s: SparkSession, d: String, w: Int,
                           hashKeys: Boolean): DataFrame =
-    substrSpansOf(Tables(s, d, "documents"), w, hashKeys)
+    // the w-token window extraction (posexplode over EVERY doc — most of
+    // the family's non-join cost) is memoized to scratch parquet per
+    // (app, corpus, w): q_dedup_substr / _xxh / _clean re-derived the
+    // identical w=12 frame per invocation (VERDICT r11 next #2). Rows are
+    // (long, long, string) — exact parquet round-trip; the text key vs
+    // xxhash64 twin both derive map-side from the same memoized frame, so
+    // the hash-twin equality pin is unchanged by construction. The span
+    // OPERATOR (repeated-window agg, canonical join, island merge) still
+    // runs per invocation — only the shared input pass is amortized, the
+    // shingleIdsShared discipline.
+    spansFromWindows(
+      graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        s"graft-subwin$w", s.sparkContext.applicationId, d))(
+        substrWindowsOf(Tables(s, d, "documents"), w)), w, hashKeys)
 
   /** `tokens` generalizes the whitespace tokenization for library
     * callers on non-whitespace corpora (e.g.
@@ -600,16 +613,29 @@ object LlmOps {
     * stream. */
   private[graft] def substrSpansOf(docs: DataFrame, w: Int,
                                    hashKeys: Boolean,
-                                   tokens: Column = split(col("text"), " ")): DataFrame = {
-    val key = if (hashKeys) xxhash64(col("sh")) else col("sh")
-    val sh = docs
+                                   tokens: Column = split(col("text"), " ")): DataFrame =
+    spansFromWindows(substrWindowsOf(docs, w, tokens), w, hashKeys)
+
+  /** The family's shared input pass: every w-token window of every doc as
+    * (doc_id, pos, sh) — 1-based pos, sh the window TEXT (the hashed-key
+    * twin derives xxhash64(sh) map-side downstream). Factored out so the
+    * gates can memoize it per (app, corpus, w). */
+  private[graft] def substrWindowsOf(docs: DataFrame, w: Int,
+                                     tokens: Column = split(col("text"), " ")): DataFrame =
+    docs
       .select(col("doc_id"), tokens.as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(t) - ${w - 1}), i -> array_join(slice(t, i, $w), ' '))"))
         .as(Seq("i", "sh")))
-      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"),
-        key.as("k"))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("sh"))
+
+  /** Repeated-window marking + canonical-first exemption + island merge
+    * over a [[substrWindowsOf]] frame — the span operator proper. */
+  private def spansFromWindows(win: DataFrame, w: Int,
+                               hashKeys: Boolean): DataFrame = {
+    val key = if (hashKeys) xxhash64(col("sh")) else col("sh")
+    val sh = win.select(col("doc_id"), col("pos"), key.as("k"))
     val rep = sh.groupBy("k").agg(
         count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
