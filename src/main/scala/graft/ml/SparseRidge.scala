@@ -1,0 +1,243 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ridge regression over SPARSE long-format features — the d ≥ 2^18 path
+  * the dense [[LinearProbe]] cannot take (its normal-equation Gram is
+  * (d+1)² driver cells; at fastText-style hashed-TF widths that is 10s of
+  * GBs). Solves (XᵀX + λI)·w = Xᵀy MATRIX-FREE by conjugate gradient
+  * (Hestenes–Stiefel 1952): the Gram matrix is never materialized — each
+  * CG iteration needs only the product XᵀX·p, computed as ONE distributed
+  * pass over the per-document feature arrays (fold q_doc = Σ v·p[dim]
+  * against the broadcast direction vector, then re-explode and grid-sum
+  * v·q_doc per dim). Driver state is four vectors over the ACTIVE
+  * dimensions (the dims that occur in the corpus — inactive dims have
+  * w = 0 exactly: the regularized system is block-diagonal across them),
+  * so a 2^18-bucket probe costs ~2 MB of driver memory and `iters`
+  * aggregation passes, never a d² anything.
+  *
+  * Small-side fast path ([[DenseLimit]]): at ≤384 active dims the sparse
+  * Gram is ONE grid-exact distributed pass + a driver LU solve — `iters`
+  * separate CG jobs would be pure scheduler overhead for a solve that is
+  * driver micro-work. The suite pins the two solvers' 1e-6 agreement on
+  * an overlap system; the path choice depends only on the deterministic
+  * active-dim count.
+  *
+  * Scale shape at 100 TB: the grouped feature frame is built once (one
+  * shuffle) and checkpointed; each iteration is one scan + one
+  * shuffle-by-dim + one ≤(D+1)-row collect. The direction vector ships as
+  * a plan literal (8·D bytes — the broadcast-small side by construction).
+  *
+  * Determinism: per-document folds run over SORTED feature arrays (fixed
+  * order -> fixed IEEE sum), cross-document sums go through the 1e-9
+  * grid-long discipline ([[LinearProbe]]'s gridSum — exact in any order),
+  * and the CG recurrence is fixed driver arithmetic on those exact
+  * inputs — the model is byte-identical across partitionings
+  * (suite-pinned). CG is run a FIXED `iters` budget (no data-dependent
+  * early stop beyond an exact-zero residual, which is itself
+  * deterministic); on a λ-regularized normalized-TF system the iterates
+  * are well inside calibration noise of the exact solve long before the
+  * default budget (SparseRidgeSuite pins the small-system near-identity
+  * vs a driver-side exact solve).
+  */
+object SparseRidge {
+
+  /** Active dims (ascending), their weights, and the bias. A dim not in
+    * `dims` has weight exactly 0. */
+  final case class Model(dims: Array[Long], weights: Array[Double],
+                         bias: Double)
+
+  private val Grid = 1e9
+  private def gridSum(c: org.apache.spark.sql.Column) =
+    sum(floor(c * lit(Grid) + lit(0.5)))
+
+  /** Hard cap on active width: past ~2^21 the per-iteration plan literal
+    * and driver vectors stop being "meta-sized" and the right tool is a
+    * blocked solver. 2^18-bucket hashed-TF probes sit 8× under it. */
+  val MaxActiveDims: Int = 1 << 21
+
+  /** (id, array<struct<j,v>>, y) with the bias slot appended — j is the
+    * DENSE index of the doc's dims in the sorted active-dim order, the
+    * array is sorted by j (fixed fold order), and every doc carries the
+    * trailing (D, 1.0) bias entry. */
+  private def grouped(feat: DataFrame, labels: Option[DataFrame],
+                      dimIdx: DataFrame, d: Int): DataFrame = {
+    val g = feat
+      .join(broadcast(dimIdx), "dim")
+      .groupBy("id")
+      .agg(concat(
+        sort_array(collect_list(struct(col("j"), col("v").cast("double").as("v")))),
+        array(struct(lit(d).as("j"), lit(1.0).as("v")))).as("fs"))
+    labels match {
+      case Some(l) => g.join(l.select(col("id"), col("y").cast("double").as("y")), "id")
+      case None => g
+    }
+  }
+
+  /** One matrix-free product u = (XᵀX + λI)·p over the grouped frame:
+    * q_doc = ⟨x_doc, p⟩ by an in-row fold (deterministic — sorted array),
+    * then u_j = Σ_docs v_dj·q_doc by grid-long sums. Returns a dense
+    * vector over the D+1 slots. */
+  private def matVec(g: DataFrame, p: Array[Double], lambda: Double): Array[Double] = {
+    val pl = typedLit(p.toSeq)
+    val u = g
+      .select(col("fs"), aggregate(col("fs"), lit(0.0),
+        (acc, f) => acc + f.getField("v") * element_at(pl, f.getField("j") + 1)).as("q"))
+      .select(explode(col("fs")).as("f"), col("q"))
+      .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("q")).as("u"))
+      .collect()
+    val out = Array.ofDim[Double](p.length)
+    u.foreach(r => out(r.getInt(0)) = r.getLong(1) / Grid)
+    var j = 0
+    while (j < out.length) { out(j) += lambda * p(j); j += 1 }
+    out
+  }
+
+  /** Past this many ACTIVE dims the solver goes matrix-free; at or under
+    * it the sparse Gram is collected and solved closed-form in ONE
+    * distributed pass (the small-side fast path: a (D+1)² ≤ ~150k-cell
+    * driver solve is micro-work, while `iters` separate CG jobs are pure
+    * scheduler overhead at that width). 384³/3 flops and ≤148k grid
+    * cells — comfortably meta-sized; the CG path is what scales to 2^18
+    * and is exercised by every fixture wider than this. */
+  val DenseLimit: Int = 384
+
+  /** Fit on (id, dim, v) sparse features and (id, y) targets. Docs with
+    * no feature rows are absent from `feat` and thus from the fit — give
+    * them an explicit zero-dim row if they must weigh in.
+    *
+    * `denseLimit` picks the solver: active dims ≤ denseLimit → one-pass
+    * sparse-Gram collect + exact driver LU; above → fixed-`iters`
+    * matrix-free CG. The choice depends only on the active-dim COUNT
+    * (deterministic), and the suite pins the two solvers agree to 1e-6
+    * on an overlap system — at probe scale the difference is far inside
+    * calibration noise. Pass denseLimit = 0 to force CG. */
+  def fit(feat: DataFrame, labels: DataFrame, lambda: Double = 1.0,
+          iters: Int = 16, denseLimit: Int = DenseLimit): Model = {
+    require(lambda > 0, s"need lambda > 0, got $lambda")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val dims = feat.select(col("dim").cast("long")).distinct()
+      .orderBy("dim").as[Long].collect()
+    require(dims.nonEmpty, "sparse ridge: empty feature frame")
+    require(dims.length <= MaxActiveDims,
+      s"sparse ridge: ${dims.length} active dims exceeds $MaxActiveDims — " +
+        "use a smaller hash-bucket count or a blocked solver")
+    val d = dims.length
+    val dimIdx = dims.zipWithIndex.toSeq.toDF("dim", "j")
+    // the iterate passes re-scan this frame: checkpoint it, tracked by
+    // its own RDD-id delta and swept in finally (the qualityProbeFit
+    // discipline — never a blanket JVM-wide sweep)
+    val sc = spark.sparkContext
+    val (g, pinned) = graft.operators.Scratch.trackLock.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = grouped(feat, Some(labels), dimIdx, d).localCheckpoint()
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    try {
+      // b = Xᵀy over the grouped pass shape
+      val bRows = g
+        .select(explode(col("fs")).as("f"), col("y"))
+        .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("y")).as("b"))
+        .collect()
+      val b = Array.ofDim[Double](d + 1)
+      bRows.foreach(r => b(r.getInt(0)) = r.getLong(1) / Grid)
+      val w =
+        if (d + 1 <= denseLimit) solveDense(g, b, d, lambda)
+        else cgLoop(g, b, lambda, iters)
+      Model(dims, w.take(d), w(d))
+    } finally {
+      val live = sc.getPersistentRDDs
+      pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** Small-side path: the sparse Gram XᵀX as per-doc dim-pair products
+    * (Σ_doc L_doc² rows through ONE shuffle, grid-exact), collected and
+    * LU-solved on the driver. */
+  private def solveDense(g: DataFrame, b: Array[Double], d: Int,
+                         lambda: Double): Array[Double] = {
+    val cells = g
+      .select(explode(col("fs")).as("f1"), col("fs"))
+      .select(col("f1"), explode(col("fs")).as("f2"))
+      .groupBy(col("f1.j").as("j1"), col("f2.j").as("j2"))
+      .agg(gridSum(col("f1.v") * col("f2.v")).as("c"))
+      .collect()
+    val a = Array.ofDim[Double](d + 1, d + 1)
+    cells.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getLong(2) / Grid)
+    var i = 0
+    while (i <= d) { a(i)(i) += lambda; i += 1 }
+    luSolve(a, b.clone())
+  }
+
+  /** In-place LU solve with partial pivoting (A and b are ours). */
+  private def luSolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = a.length
+    for (k <- 0 until n) {
+      val piv = (k until n).maxBy(i => math.abs(a(i)(k)))
+      val (ta, tb) = (a(k), b(k)); a(k) = a(piv); a(piv) = ta
+      b(k) = b(piv); b(piv) = tb
+      for (i <- k + 1 until n) {
+        val f = a(i)(k) / a(k)(k)
+        var j = k
+        while (j < n) { a(i)(j) -= f * a(k)(j); j += 1 }
+        b(i) -= f * b(k)
+      }
+    }
+    val w = Array.ofDim[Double](n)
+    for (k <- n - 1 to 0 by -1) {
+      var s = b(k)
+      var j = k + 1
+      while (j < n) { s -= a(k)(j) * w(j); j += 1 }
+      w(k) = s / a(k)(k)
+    }
+    w
+  }
+
+  /** Matrix-free conjugate gradient from w = 0 — the ≥2^18 path. */
+  private def cgLoop(g: DataFrame, b: Array[Double], lambda: Double,
+                     iters: Int): Array[Double] = {
+    val w = Array.ofDim[Double](b.length)
+    val r = b.clone()
+    var p = r.clone()
+    var rr = r.map(x => x * x).sum
+    var it = 0
+    while (it < iters && rr > 0.0) {
+      val u = matVec(g, p, lambda)
+      val pu = p.indices.map(j => p(j) * u(j)).sum
+      if (pu <= 0.0) it = iters // numerically spent — keep the iterate
+      else {
+        val alpha = rr / pu
+        var j = 0
+        while (j < w.length) {
+          w(j) += alpha * p(j); r(j) -= alpha * u(j); j += 1
+        }
+        val rr2 = r.map(x => x * x).sum
+        val beta = rr2 / rr
+        p = r.indices.map(j => r(j) + beta * p(j)).toArray
+        rr = rr2
+        it += 1
+      }
+    }
+    w
+  }
+
+  /** Score (id, dim, v) rows against a model: (id, score) with
+    * score = ⟨x, w⟩ + bias, one in-row fold per doc against the weight
+    * literal — no join against the corpus, no UDF. Docs absent from
+    * `feat` are absent here (their score is exactly `model.bias`). */
+  def score(feat: DataFrame, model: Model): DataFrame = {
+    val d = model.dims.length
+    val dimIdx = {
+      val spark = feat.sparkSession
+      import spark.implicits._
+      model.dims.zipWithIndex.toSeq.toDF("dim", "j")
+    }
+    val wl = typedLit((model.weights :+ model.bias).toSeq)
+    grouped(feat, None, dimIdx, d)
+      .select(col("id"), aggregate(col("fs"), lit(0.0),
+        (acc, f) => acc + f.getField("v") * element_at(wl, f.getField("j") + 1)).as("score"))
+  }
+}

@@ -195,6 +195,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_quality_probe"),
       SqlSurface.qualityProbeBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_quality_probe_wide"),
+      new ExpressionInfo(classOf[QualityProbeWidePlaceholder].getName,
+        "graft_quality_probe_wide"),
+      SqlSurface.qualityProbeWideBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_shard_assign"),
       new ExpressionInfo(classOf[ShardAssignPlaceholder].getName,
         "graft_shard_assign"),

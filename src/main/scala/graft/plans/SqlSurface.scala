@@ -255,6 +255,21 @@ object SqlSurface {
       exprs.lift(2).map(intLit(fn, "holdout_mod", _)).getOrElse(5))
   }
 
+  /** graft_quality_probe_wide(docs[, threshold[, holdout_mod[, buckets]]])
+    * — the WIDE (fastText-capacity) trainable quality gate
+    * ([[graft.queries.LlmOps.qualityProbeWide]]): 2^18-bucket sparse
+    * hashed-TF + matrix-free CG ridge over a (doc_id, text) table.
+    * Returns (doc_id, weak_label, pred, score, margin, confidence). */
+  def qualityProbeWideBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_quality_probe_wide"
+    require(exprs.size >= 1 && exprs.size <= 4,
+      s"$fn(docs[, threshold[, holdout_mod[, buckets]]]) takes 1-4 args (TABLE(...) of doc_id/text, optional double threshold, optional int holdout_mod, optional int buckets), got ${exprs.size}")
+    QualityProbeWidePlaceholder(tableArg(fn, "first", exprs.head),
+      exprs.lift(1).map(dblLit(fn, "threshold", _)).getOrElse(0.3),
+      exprs.lift(2).map(intLit(fn, "holdout_mod", _)).getOrElse(5),
+      exprs.lift(3).map(intLit(fn, "buckets", _)).getOrElse(1 << 18))
+  }
+
   /** graft_shard_assign(docs, num_shards[, order_buckets]) — the
     * deterministic shard assigner ([[graft.queries.LlmOps
     * .shardAssignment]]): seeded pseudo-shuffle order + exactly balanced
@@ -605,6 +620,18 @@ case class QualityProbePlaceholder(child: LogicalPlan, threshold: Double,
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL wide quality gate; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class QualityProbeWidePlaceholder(child: LogicalPlan, threshold: Double,
+    holdoutMod: Int, buckets: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("QualityProbeWidePlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): QualityProbeWidePlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL deterministic shard assigner; expanded
   * by [[ResolveGraftIndexFunctions]]. */
 case class ShardAssignPlaceholder(child: LogicalPlan, numShards: Int,
@@ -897,6 +924,12 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       graft.queries.LlmOps.qualityProbe(
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           threshold = p.threshold, holdoutMod = p.holdoutMod.toLong)
+        .queryExecution.analyzed
+    case p: QualityProbeWidePlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.qualityProbeWide(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          threshold = p.threshold, holdoutMod = p.holdoutMod.toLong,
+          buckets = p.buckets.toLong)
         .queryExecution.analyzed
     case p: ShardAssignPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.shardAssignment(

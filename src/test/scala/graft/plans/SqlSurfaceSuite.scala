@@ -269,6 +269,17 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(sql === api && sql.nonEmpty)
   }
 
+  test("graft_quality_probe_wide: SQL round trip equals the Scala operator") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("sql_qpw_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_quality_probe_wide(TABLE(SELECT * FROM sql_qpw_docs))")
+      .collect().map(_.toSeq).toSeq
+    val api = graft.queries.LlmOps.qualityProbeWide(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(sql === api && sql.nonEmpty)
+  }
+
   test("graft_shard_assign: SQL round trip equals the Scala operator, non-default args") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     docs.createOrReplaceTempView("sql_shard_docs")

@@ -485,6 +485,15 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qualityProbeWide scoring: per-doc HOF fold against the weight literal — no ScalaUDF, no cartesian, no corpus-side weight join") {
+    val p = LlmOps.qualityProbeWide(graft.Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"wide scoring must stay expression-level:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") || !p.contains("weights"),
+      s"weights must ship as a literal, never a shuffled join side:\n$p")
+  }
+
   test("fuzzyContamination: eval shingles BROADCAST — the train side never shuffles on sh") {
     // the scaladoc's 100 TB shape (VERDICT r11 #3): a real eval suite is
     // MBs of shingles, so the containment join must be a map-side

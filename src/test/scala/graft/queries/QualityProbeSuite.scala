@@ -82,6 +82,50 @@ class QualityProbeSuite extends SparkSpec {
     assert(a === b, "probe output changed under repartitioning")
   }
 
+  test("qualityProbeWide: planted-signal recovery on the heldout slice") {
+    val out = LlmOps.qualityProbeWide(plantedDocs).collect()
+    assert(out.length === 120)
+    val holdout = out.filter(_.getLong(0) % 5 == 0)
+    assert(holdout.nonEmpty)
+    val agree = holdout.count(r => r.getLong(1) == r.getLong(2)).toDouble / holdout.length
+    assert(agree >= 0.95, s"planted signal not recovered on holdout: $agree")
+    assert(holdout.map(_.getLong(1)).distinct.length === 2)
+  }
+
+  test("qualityProbeWide: organic corpus — every doc scored, chance band held, calibrated") {
+    val docs = Tables(spark, sf, "documents")
+    val out = LlmOps.qualityProbeWide(docs).collect()
+    assert(out.length === docs.count())
+    val base = {
+      val pos = out.count(_.getLong(1) == 1).toDouble / out.length
+      math.max(pos, 1 - pos)
+    }
+    val agree = out.count(r => r.getLong(1) == r.getLong(2)).toDouble / out.length
+    // same honest pin as the dense probe: never meaningfully below chance
+    // (the capacity proof is SparseRidgeSuite's planted-vocabulary test —
+    // this corpus' heuristic labels are a counts function no bag-of-words
+    // width fully encodes)
+    assert(agree >= base - 0.02, s"wide probe below the chance band: $agree vs $base")
+    // score, margin, confidence all finite and sane
+    assert(out.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN))
+    assert(out.forall(r => r.getDouble(4) >= 0.0))
+    assert(out.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0))
+  }
+
+  test("qualityProbeWide: deterministic across partitionings; empty docs score bias-only") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").limit(200)
+    val a = LlmOps.qualityProbeWide(docs).collect().map(_.toSeq).toSeq
+    val b = LlmOps.qualityProbeWide(docs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a === b, "wide probe output changed under repartitioning")
+    // a doc whose every token cancels out of the hashed-TF map cannot
+    // vanish: the left join coalesces it to the bias-only score (planted
+    // spam corpus + one empty-text doc)
+    val withEmpty = plantedDocs.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val out = LlmOps.qualityProbeWide(withEmpty).collect()
+    assert(out.count(_.getLong(0) == 999L) === 1, "empty doc dropped from the output")
+  }
+
   test("qualityProbe: a single-class weak-label corpus fails loudly with the actual cause") {
     import spark.implicits._
     // every doc diverse and long -> every weak label 1; the one-vs-rest
