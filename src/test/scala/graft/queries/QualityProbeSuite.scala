@@ -251,6 +251,47 @@ class QualityProbeSuite extends SparkSpec {
       s"first 32 docs hit only ${headShards.length} shards — not shuffled")
   }
 
+  // -------------------------------------------------------------------
+  // curateDocsProbeGated / q_curate_probe
+  // -------------------------------------------------------------------
+
+  test("curateDocsProbeGated: with a heuristic-mimicking gate it IS q_curate — only the quality leg swaps") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    // scored frame that mimics the heuristic exactly: pred = weak label
+    // (the same 0.3 qualityScore cut), confidence 1.0 — the probe-gated
+    // composition must then reproduce curateDocs' doc set verbatim,
+    // proving the lang + cluster-representative legs are the identical
+    // machinery and ONLY the quality gate differs
+    val mimic = LlmOps.qualityProbeFeatures(docs)
+      .select(col("doc_id"), col("label").as("pred"), lit(1.0).as("confidence"))
+    val gated = LlmOps.curateDocsProbeGated(docs, mimic)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val heur = LlmOps.curateDocs(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gated === heur, "probe-gated curation diverged from q_curate under the mimic gate")
+    assert(heur.nonEmpty)
+  }
+
+  test("q_curate_probe: kept docs clear the confidence cut and the lang/cluster legs") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val out = LlmOps.queries("q_curate_probe")(spark, sf).collect()
+    assert(out.nonEmpty, "probe-gated curation kept nothing")
+    assert(out.forall(_.getDouble(1) >= 0.5), "a kept doc is below the confidence cut")
+    // an all-pass gate isolates the lang+cluster legs: every kept doc of
+    // BOTH curation variants must be inside that envelope
+    val allPass = docs.select(col("doc_id"), lit(1L).as("pred"), lit(1.0).as("confidence"))
+    val envelope = LlmOps.curateDocsProbeGated(docs, allPass)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).forall(envelope), "kept doc outside the lang/cluster envelope")
+    val heur = LlmOps.curateDocs(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(heur.subsetOf(envelope))
+    // deterministic across invocations
+    val again = LlmOps.queries("q_curate_probe")(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("qualityProbeFit sweeps ONLY its own calibration checkpoint") {
     // ADVICE r11: the fit used a blanket JVM-wide withSweep, which would
     // attribute (and sweep) a concurrent pipeline's checkpoint registered
