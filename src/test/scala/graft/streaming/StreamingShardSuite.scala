@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Seventh streaming twin: rolling shard generations. Epoch == batch
+  * equivalence (the streaming form IS the batch operator per epoch),
+  * exactly-once on retry from statelessness, and the layout contract. */
+class StreamingShardSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("epoch == batch: one generation equals shardAssignment on the same docs") {
+    val out = tmp("sshard-eq")
+    val docs = Tables(spark, sf, "documents").select("doc_id")
+    StreamingShard.applyBatch(docs, numShards = 8, out, batchId = 0L)
+    val streamed = StreamingShard.epoch(spark, out, 0L)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.LlmOps.shardAssignment(docs, numShards = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "streaming generation diverged from the batch operator")
+    assert(batch.nonEmpty)
+  }
+
+  test("retry idempotence: re-running a batch overwrites its epoch with identical content") {
+    import spark.implicits._
+    val out = tmp("sshard-retry")
+    val b = (0L until 57L).toDF("doc_id")
+    StreamingShard.applyBatch(b, numShards = 4, out, batchId = 3L)
+    val first = StreamingShard.epoch(spark, out, 3L).collect().map(_.toSeq).toSeq
+    // at-least-once redelivery of the SAME batch id
+    StreamingShard.applyBatch(b, numShards = 4, out, batchId = 3L)
+    val second = StreamingShard.epoch(spark, out, 3L).collect().map(_.toSeq).toSeq
+    assert(first === second, "retry changed the epoch's content")
+    assert(second.length === 57, "retry duplicated rows")
+  }
+
+  test("MemoryStream end-to-end: two arrivals, two balanced self-contained generations") {
+    import spark.implicits._
+    val out = tmp("sshard-e2e")
+    val input = MemoryStream[Long](spark)
+    val q = StreamingShard.shardSink(input.toDF().toDF("doc_id"),
+      numShards = 4, out, checkpointDir = Some(tmp("sshard-ckpt")))
+    try {
+      input.addData(0L until 30L: _*); q.processAllAvailable()
+      input.addData(100L until 145L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = StreamingShard.shards(spark, out)
+    val epochs = all.select("epoch").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(epochs.length === 2, s"expected two generations, got $epochs")
+    // each generation: complete over ITS batch, exactly balanced,
+    // contiguous positions — the batch operator's invariants per epoch
+    for (e <- epochs) {
+      val g = all.filter(col("epoch") === e)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos_in_shard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sizes = g.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(sizes.keySet === (0L until 4L).toSet, s"epoch $e missing a shard")
+      assert(sizes.values.max - sizes.values.min <= 1, s"epoch $e imbalanced: $sizes")
+      g.groupBy(_._2).foreach { case (s, rows) =>
+        assert(rows.map(_._3).sorted.toSeq === (0L until rows.length.toLong).toSeq,
+          s"epoch $e shard $s positions not contiguous")
+      }
+    }
+    // generations are independent: batch-1 docs appear only in epoch 1
+    val e0Ids = all.filter(col("epoch") === epochs.head)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e0Ids === (0L until 30L).toSet, "epoch 0 is not exactly its arrival batch")
+    // partition-pruned read: one (epoch, shard) directory
+    val pruned = spark.read.parquet(s"$out/shards")
+      .filter(col("epoch") === epochs.last && col("shard") === 2)
+    val rs = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() >= 11, rs) // 45 docs / 4 shards
+  }
+}
