@@ -164,6 +164,19 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("round-12 pipeline ops: wide-probe fit and probe-gated curation grow near-linearly") {
+    // wide probe: every solver join is keyed by doc or dim (grouped
+    // build, sparse Gram / CG passes) — measured n^1.00; probe-gated
+    // curation is q_curate's plan plus one doc_id equi-join — n^1.00
+    for (q <- Seq("q_quality_probe_wide", "q_curate_probe")) {
+      val big = m(q, "sf0.1")
+      assert(big.joinRowsMax < 0.05 * big.brutePairs,
+        s"$q: ${big.joinRowsMax} join rows vs ${big.brutePairs} brute pairs")
+      val e = exponent(q, _.joinRowsMax)
+      assert(e <= 1.6, s"$q join-work growth exponent $e (brute line is 2.0)")
+    }
+  }
+
   test("semantic dedup: cluster scoping divides the pair bill by ~k at every size") {
     // SemDeDup's scale contract is pairs ~ n^2/k with k grown alongside n
     // (the gate pins k = 8 for oracle parity, so the EXPONENT here is

@@ -91,7 +91,11 @@ object ScaleProbe {
     * scoring joins emit one row per corpus token; the quality probe is
     * two hash aggs + n-row feature joins + the one-pass Gram fit. */
   val PipelineFamilies: Seq[String] = Seq("q_decontaminate_fuzzy",
-    "q_shard_write", "q_text_perplexity_bigram", "q_quality_probe")
+    "q_shard_write", "q_text_perplexity_bigram", "q_quality_probe",
+    // round-12: the wide probe's fit joins (grouped build + sparse Gram
+    // or CG passes) and the probe-gated curation composition (one extra
+    // doc_id equi-join over q_curate's plan)
+    "q_quality_probe_wide", "q_curate_probe")
 
   val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities",
     // the persisted incremental index: a fresh probe JVM measures the
@@ -124,7 +128,7 @@ object ScaleProbe {
           // the probe gate memoizes its FEATURE pass to parquet, so the
           // final (scoring) plan is join-free — the fit/feature joins run
           // in earlier executions, which only the all-exec tally sees
-          query == "q_quality_probe")
+          query == "q_quality_probe" || query == "q_quality_probe_wide")
         joinRowsAllExec
       else joinRowsMax
   }
