@@ -224,6 +224,41 @@ object SparseRidge {
     w
   }
 
+  /** Persist a fitted model (+ Platt calibration scalars) as KB-to-MB
+    * parquet — one row per active dim plus a one-row meta — the
+    * [[LinearProbe.saveModel]] discipline lifted to the sparse width:
+    * serving scores against a FROZEN probe without refitting. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String, calib: (Double, Double) = (0.0, 0.0)): Unit = {
+    import spark.implicits._
+    model.dims.zip(model.weights).toSeq.toDF("dim", "w")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
+    Seq((model.bias, calib._1, calib._2)).toDF("bias", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[saveModel]] model and its calibration scalars. Mirrors the
+    * fit-time contract at load (the LinearProbe.loadModel discipline): an
+    * empty or non-finite frozen artifact fails HERE, never as wrong
+    * scores downstream. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): (Model, (Double, Double)) = {
+    val rows = spark.read.parquet(s"$path/weights")
+      .select("dim", "w").collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, s"sparse ridge: empty model at $path")
+    require(rows.forall(r => java.lang.Double.isFinite(r.getDouble(1))),
+      s"sparse ridge: non-finite weight in the frozen model at $path — " +
+        "the artifact is corrupt; refit and re-save")
+    val dims = rows.map(_.getLong(0))
+    require(dims.distinct.length == dims.length,
+      s"sparse ridge: duplicate dims in the frozen model at $path")
+    val m = spark.read.parquet(s"$path/meta").select("bias", "a", "b").head()
+    require(java.lang.Double.isFinite(m.getDouble(0)),
+      s"sparse ridge: non-finite bias in the frozen model at $path")
+    (Model(dims, rows.map(_.getDouble(1)), m.getDouble(0)),
+      (m.getDouble(1), m.getDouble(2)))
+  }
+
   /** Score (id, dim, v) rows against a model: (id, score) with
     * score = ⟨x, w⟩ + bias, one in-row fold per doc against the weight
     * literal — no join against the corpus, no UDF. Docs absent from

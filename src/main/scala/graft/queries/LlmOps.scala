@@ -515,50 +515,113 @@ object LlmOps {
         coalesce(col("dim"), lit(-1L)).as("dim"),
         coalesce(col("v"), lit(0.0)).as("v"))
 
-  /** Fit + calibrate + score over a prebuilt [[qualityProbeWideFeatures]]
-    * frame (see [[qualityProbeWide]] for the operator story). */
-  def qualityProbeWideScore(featL: DataFrame, holdoutMod: Long = 5L,
-                            lambda: Double = 1.0, iters: Int = 12): DataFrame = {
+  /** Fit + calibrate over a prebuilt [[qualityProbeWideFeatures]] frame —
+    * the frozen artifacts [[graft.ml.SparseRidge.saveModel]] persists for
+    * serving (the [[qualityProbeFit]] shape at sparse width). */
+  def qualityProbeWideFit(featL: DataFrame, holdoutMod: Long = 5L,
+                          lambda: Double = 1.0, iters: Int = 12)
+      : (graft.ml.SparseRidge.Model, (Double, Double)) = {
     require(holdoutMod >= 2, s"need holdoutMod >= 2, got $holdoutMod")
-    val docs0 = featL.select("doc_id").distinct()
-    val feat = featL.filter(col("dim") >= 0)
-      .select(col("doc_id").as("id"), col("dim"), col("v"))
-    val weak = featL.select("doc_id", "label").distinct()
-    val trainLabels = weak.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+    val feat = wideFeat(featL)
+    val trainLabels = featL.select("doc_id", "label").distinct()
+      .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
       .select(col("doc_id").as("id"), col("label").cast("double").as("y"))
     val model = graft.ml.SparseRidge.fit(
       feat.join(trainLabels.select("id"), "id"), trainLabels,
       lambda = lambda, iters = iters)
-    val scored = docs0
-      .join(graft.ml.SparseRidge.score(feat, model)
-        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("score"), lit(model.bias)).as("score"))
-      .join(weak, "doc_id")
-      .select(col("doc_id"), col("label").as("weak_label"),
-        (col("score") >= 0.5).cast("long").as("pred"),
-        round(col("score"), 6).as("score"),
-        round(abs(col("score") - 0.5), 6).as("margin"))
     // calibration slice checkpointed and swept by its own RDD-id delta
     // (the qualityProbeFit discipline) — each Newton step would otherwise
     // re-run the whole scoring pipeline
     val sc = featL.sparkSession.sparkContext
     val (slice, pinned) = graft.operators.Scratch.trackLock.synchronized {
       val before = sc.getPersistentRDDs.keySet
-      val cp = scored.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+      val cp = wideScored(featL, model)
+        .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
         .select(col("margin"), col("pred"), col("weak_label").as("label"))
         .localCheckpoint()
       (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
-    val (ca, cb) =
+    val calib =
       try graft.ml.LinearProbe.calibrate(slice, iters = 4)
       finally {
         val live = sc.getPersistentRDDs
         pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
       }
-    graft.ml.LinearProbe.withConfidence(scored, ca, cb)
+    (model, calib)
+  }
+
+  /** Fit + calibrate + score over a prebuilt [[qualityProbeWideFeatures]]
+    * frame (see [[qualityProbeWide]] for the operator story). */
+  def qualityProbeWideScore(featL: DataFrame, holdoutMod: Long = 5L,
+                            lambda: Double = 1.0, iters: Int = 12): DataFrame = {
+    val (model, (ca, cb)) = qualityProbeWideFit(featL, holdoutMod, lambda, iters)
+    graft.ml.LinearProbe.withConfidence(wideScored(featL, model), ca, cb)
       .orderBy("doc_id")
   }
+
+  /** Fit the wide probe on `docs` and FREEZE it at `modelPath`: the
+    * SparseRidge weights + Platt scalars, plus the feature-map bucket
+    * count (serving MUST hash with the training width — persisting it
+    * makes a mismatch impossible rather than silent). */
+  def qualityProbeWideFreeze(docs: DataFrame, modelPath: String,
+                             threshold: Double = 0.3, holdoutMod: Long = 5L,
+                             buckets: Long = 1L << 18, lambda: Double = 1.0,
+                             iters: Int = 12): Unit = {
+    val spark = docs.sparkSession
+    val (model, calib) = qualityProbeWideFit(
+      qualityProbeWideFeatures(docs, threshold, buckets), holdoutMod,
+      lambda, iters)
+    graft.ml.SparseRidge.saveModel(spark, model, modelPath, calib)
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$modelPath/feature_meta")
+  }
+
+  /** Score (doc_id, text) docs against a FROZEN persisted wide probe
+    * ([[qualityProbeWideFreeze]] at `modelPath`) — the serving shape: no
+    * refit, no weak labels, the training bucket width read from the
+    * artifact. Returns (doc_id, pred, score, margin, confidence). */
+  def qualityProbeWideServe(docs: DataFrame, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val buckets = spark.read.parquet(s"$modelPath/feature_meta")
+      .select("buckets").head().getLong(0)
+    val (model, (a, b)) = graft.ml.SparseRidge.loadModel(spark, modelPath)
+    val scored = docs.select("doc_id")
+      .join(graft.ml.SparseRidge.score(
+          hashedTfXxh(docs, buckets)
+            .select(col("doc_id").as("id"), col("dim"), col("v")), model)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(model.bias)).as("score"))
+      .select(col("doc_id"),
+        (col("score") >= 0.5).cast("long").as("pred"),
+        round(col("score"), 6).as("score"),
+        round(abs(col("score") - 0.5), 6).as("margin"))
+    graft.ml.LinearProbe.withConfidence(scored, a, b).orderBy("doc_id")
+  }
+
+  /** The sparse (id, dim, v) slice of a [[qualityProbeWideFeatures]]
+    * frame (sentinel rows dropped). */
+  private def wideFeat(featL: DataFrame): DataFrame =
+    featL.filter(col("dim") >= 0)
+      .select(col("doc_id").as("id"), col("dim"), col("v"))
+
+  /** (doc_id, weak_label, pred, score, margin) of every doc in `featL`
+    * under `model` — shared by the fit's calibration slice and the
+    * in-session scoring output. */
+  private def wideScored(featL: DataFrame,
+                         model: graft.ml.SparseRidge.Model): DataFrame =
+    featL.select("doc_id").distinct()
+      .join(graft.ml.SparseRidge.score(wideFeat(featL), model)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(model.bias)).as("score"))
+      .join(featL.select("doc_id", "label").distinct(), "doc_id")
+      .select(col("doc_id"), col("label").as("weak_label"),
+        (col("score") >= 0.5).cast("long").as("pred"),
+        round(col("score"), 6).as("score"),
+        round(abs(col("score") - 0.5), 6).as("margin"))
 
   /** DETERMINISTIC SHARD ASSIGNMENT — the seeded global pseudo-shuffle +
     * exactly balanced contiguous shard split a training-data writer

@@ -44,4 +44,23 @@ object StreamingQuality {
   /** Every scored doc so far (partition column `batch` = arrival batch). */
   def scores(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/scores")
+
+  /** The WIDE-probe twins of [[applyBatch]]/[[scoreSink]]: identical
+    * statelessness-derived exactly-once story, scoring each micro-batch
+    * against a frozen [[graft.queries.LlmOps.qualityProbeWideFreeze]]
+    * artifact (weights + calibration + the training bucket width — the
+    * feature hash can never drift from the fit). */
+  def applyBatchWide(batch: DataFrame, modelPath: String, outDir: String,
+                     batchId: Long): Unit =
+    graft.queries.LlmOps.qualityProbeWideServe(
+        batch.select("doc_id", "text"), modelPath)
+      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+
+  def scoreSinkWide(docs: DataFrame, modelPath: String, outDir: String,
+                    checkpointDir: Option[String] = None): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatchWide(b.toDF(), modelPath, outDir, id))
+      .start()
 }

@@ -251,6 +251,46 @@ class QualityProbeSuite extends SparkSpec {
       s"first 32 docs hit only ${headShards.length} shards — not shuffled")
   }
 
+  test("frozen WIDE probe: freeze/serve == in-session, bucket width persisted, streaming idempotent") {
+    val docs = plantedDocs
+    val dir = java.nio.file.Files.createTempDirectory("wide-model").toString
+    // non-default bucket width: serving must read it from the artifact,
+    // not assume the default (a silent mismatch would score garbage)
+    LlmOps.qualityProbeWideFreeze(docs, s"$dir/model", buckets = 1L << 14)
+    val served = LlmOps.qualityProbeWideServe(docs, s"$dir/model")
+      .select("doc_id", "pred", "score", "margin", "confidence")
+      .collect().map(_.toSeq).toSeq
+    val inSession = LlmOps.qualityProbeWideScore(
+        LlmOps.qualityProbeWideFeatures(docs, buckets = 1L << 14))
+      .select("doc_id", "pred", "score", "margin", "confidence")
+      .collect().map(_.toSeq).toSeq
+    assert(served === inSession, "frozen wide serving drifted from the in-session fit")
+    assert(served.nonEmpty)
+    // streaming twins: two micro-batches == batch serving; retry idempotent
+    import org.apache.spark.sql.functions._
+    val out = s"$dir/out"
+    graft.streaming.StreamingQuality.applyBatchWide(
+      docs.filter(col("doc_id") < 100), s"$dir/model", out, 0L)
+    graft.streaming.StreamingQuality.applyBatchWide(
+      docs.filter(col("doc_id") >= 100), s"$dir/model", out, 1L)
+    graft.streaming.StreamingQuality.applyBatchWide(
+      docs.filter(col("doc_id") >= 100), s"$dir/model", out, 1L) // retry
+    val streamed = graft.streaming.StreamingQuality.scores(spark, out)
+      .select("doc_id", "pred", "score", "margin", "confidence")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(streamed === served, "streamed wide scores drifted from batch serving")
+    // a corrupt artifact fails at load, not as garbage downstream
+    import spark.implicits._
+    Seq((7L, Double.NaN)).toDF("dim", "w")
+      .write.mode("overwrite").parquet(s"$dir/bad/weights")
+    Seq((0.0, 0.0, 0.0)).toDF("bias", "a", "b")
+      .write.mode("overwrite").parquet(s"$dir/bad/meta")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.SparseRidge.loadModel(spark, s"$dir/bad")
+    }
+    assert(e.getMessage.contains("non-finite"), e.getMessage)
+  }
+
   // -------------------------------------------------------------------
   // curateDocsProbeGated / q_curate_probe
   // -------------------------------------------------------------------
