@@ -262,7 +262,11 @@ object SparseRidge {
   /** Score (id, dim, v) rows against a model: (id, score) with
     * score = ⟨x, w⟩ + bias, one in-row fold per doc against the weight
     * literal — no join against the corpus, no UDF. Docs absent from
-    * `feat` are absent here (their score is exactly `model.bias`). */
+    * `feat` — and docs whose every dim is unseen by the model (the dim
+    * filter eats all their rows; unseen dims have weight exactly 0) —
+    * are absent here; their score is exactly `model.bias`, and callers
+    * that must emit every doc left-join and coalesce to it (the
+    * qualityProbeWide wrappers do). */
   def score(feat: DataFrame, model: Model): DataFrame = {
     val d = model.dims.length
     val dimIdx = {
