@@ -22,9 +22,11 @@ import org.apache.spark.sql.SparkSession
   *      all to finish: stolen capacity stretches it proportionally even when
   *      per-core speed is untouched. Baselined and sampled exactly like the
   *      single-thread spin; the artifact carries both blocks, and the window
-  *      retry + artifact guard use the PAIR (max of the two slow-side
-  *      deviations), so contended-capacity windows are auto-parked instead
-  *      of certified by eye.
+  *      retry fires when EITHER sentinel crosses ITS OWN threshold (ST 10%,
+  *      MT 40% — the idle-JVM MT baseline runs 15-25% under a live suite's
+  *      self-housekeeping, while genuine theft measures +71-157%; see
+  *      RetryDevPctMt), so contended-capacity windows are auto-parked
+  *      instead of certified by eye.
   *   2. MEDIAN-OF-3 with outlier re-run — each query runs 3x; if the median is
   *      both 2x and +0.5s over the min (a transient stall, not a plan), up to 2
   *      extra runs are taken and the median recomputed. "total" sums medians.
@@ -54,6 +56,17 @@ object Bench {
   private val MaxRetryWindows = 6
   private val RetryDevPct =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV", "10.0").toDouble
+  // The capacity sentinel's retry threshold is deliberately LOOSER than
+  // the single-thread one: its baseline is measured on an idle JVM, and
+  // a LIVE suite's own housekeeping (ContextCleaner, GC worker threads,
+  // parquet IO pools) steadily inflates the multi-thread wall 15-25% —
+  // measured on the first full-surface runs, where a 10% trigger burned
+  // every retry window on self-noise. Genuine capacity theft measures
+  // FAR above this: +71-157% within-run on this host's co-tenant
+  // episodes, +92% on the controlled 16-of-32-core drill (BASELINE.md).
+  // 40% sits between the self-noise band and the theft signal.
+  private val RetryDevPctMt =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV_MT", "40.0").toDouble
 
   private def spin(): Double = {
     var x = 0x9E3779B97F4A7C15L
@@ -185,7 +198,12 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     var retryWindowsLeft = MaxRetryWindows
-    var prevDev = 0.0 // the baseline measurement brackets the first window
+    // a window is contended if EITHER sentinel ran slow past ITS OWN
+    // threshold: per-core pressure (single-thread, 10%) or stolen
+    // capacity (multi-thread, 40% — see RetryDevPctMt)
+    def hot(s: Double, sMt: Double): Boolean =
+      slowPct(s) > RetryDevPct || slowMtPct(sMt) > RetryDevPctMt
+    var prevHot = false // the baseline measurement brackets the first window
 
     // SPARK_GRAFT_BENCH_FILTER (regex): bench only matching keys — for
     // fast local iteration on a family. A filtered run never carries the
@@ -207,10 +225,8 @@ object Bench {
       // references; the backlog otherwise forces ad-hoc full GCs mid-query.
       // The spin samples are taken FIRST so the sentinels see the pre-GC state.
       System.gc()
-      // the window is contended if EITHER sentinel ran slow: per-core
-      // pressure (single-thread) or stolen capacity (multi-thread)
-      val dev = math.max(slowPct(s), slowMtPct(sMt))
-      if ((dev > RetryDevPct || prevDev > RetryDevPct) && retryWindowsLeft > 0) {
+      val isHot = hot(s, sMt)
+      if ((isHot || prevHot) && retryWindowsLeft > 0) {
         // a contended window: every query in it re-runs once; adopt the
         // quieter figure and record both
         retryWindowsLeft -= 1
@@ -223,10 +239,10 @@ object Bench {
           retried(name) = (a, b)
           results(name) = adopted
         }
-        prevDev = math.max(slowPct(s2), slowMtPct(s2Mt))
+        prevHot = hot(s2, s2Mt)
       } else {
         first.foreach { case (name, t) => results(name) = t }
-        prevDev = dev
+        prevHot = isHot
       }
     }
 
