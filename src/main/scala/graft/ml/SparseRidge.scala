@@ -75,11 +75,19 @@ object SparseRidge {
     }
   }
 
-  /** One matrix-free product u = (XᵀX + λI)·p over the grouped frame:
-    * q_doc = ⟨x_doc, p⟩ by an in-row fold (deterministic — sorted array),
-    * then u_j = Σ_docs v_dj·q_doc by grid-long sums. Returns a dense
-    * vector over the D+1 slots. */
-  private def matVec(g: DataFrame, p: Array[Double], lambda: Double): Array[Double] = {
+  /** One matrix-free product u = ((XᵀX)/n + (λ/n)I)·p over the grouped
+    * frame: q_doc = ⟨x_doc, p⟩ by an in-row fold (deterministic — sorted
+    * array), then u_j = (Σ_docs v_dj·q_doc)/n by grid-long sums. The CG
+    * recurrence runs on the MEAN-scaled system (A/n, b/n) — CG is
+    * scale-invariant, so the iterates are identical to the raw system's,
+    * but the residuals (and with them the direction vector p and the
+    * fold values q) stay O(1) instead of O(n): grid-long terms are then
+    * bounded by ~|v·q|·1e9 ≈ 1e9-1e10, putting the per-dim sum's
+    * overflow ceiling at ~1e9 contributing docs per dim (the raw-space
+    * recurrence would overflow at ~1e8 docs because q grows with ‖b‖).
+    * Returns a dense vector over the D+1 slots. */
+  private def matVec(g: DataFrame, p: Array[Double], lambda: Double,
+                     n: Long): Array[Double] = {
     val pl = typedLit(p.toSeq)
     val u = g
       .select(col("fs"), aggregate(col("fs"), lit(0.0),
@@ -88,9 +96,9 @@ object SparseRidge {
       .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("q")).as("u"))
       .collect()
     val out = Array.ofDim[Double](p.length)
-    u.foreach(r => out(r.getInt(0)) = r.getLong(1) / Grid)
+    u.foreach(r => out(r.getInt(0)) = r.getLong(1) / Grid / n)
     var j = 0
-    while (j < out.length) { out(j) += lambda * p(j); j += 1 }
+    while (j < out.length) { out(j) += lambda / n * p(j); j += 1 }
     out
   }
 
@@ -146,7 +154,7 @@ object SparseRidge {
       bRows.foreach(r => b(r.getInt(0)) = r.getLong(1) / Grid)
       val w =
         if (d + 1 <= denseLimit) solveDense(g, b, d, lambda)
-        else cgLoop(g, b, lambda, iters)
+        else cgLoop(g, b, lambda, iters, math.max(1L, g.count()))
       Model(dims, w.take(d), w(d))
     } finally {
       val live = sc.getPersistentRDDs
@@ -156,7 +164,10 @@ object SparseRidge {
 
   /** Small-side path: the sparse Gram XᵀX as per-doc dim-pair products
     * (Σ_doc L_doc² rows through ONE shuffle, grid-exact), collected and
-    * LU-solved on the driver. */
+    * LU-solved on the driver. Grid terms are |v·v| ≤ 1 (normalized
+    * features), so the per-cell long sum's overflow ceiling is ~9e9
+    * contributing docs — the fitViaExplode witness's ceiling, fine for a
+    * fast path that only fires at ≤384 dims. */
   private def solveDense(g: DataFrame, b: Array[Double], d: Int,
                          lambda: Double): Array[Double] = {
     val cells = g
@@ -196,16 +207,18 @@ object SparseRidge {
     w
   }
 
-  /** Matrix-free conjugate gradient from w = 0 — the ≥2^18 path. */
+  /** Matrix-free conjugate gradient from w = 0 — the ≥2^18 path. Runs on
+    * the mean-scaled system (see [[matVec]]): same iterates, O(1)
+    * residual magnitudes. `n` is the training-doc count. */
   private def cgLoop(g: DataFrame, b: Array[Double], lambda: Double,
-                     iters: Int): Array[Double] = {
+                     iters: Int, n: Long): Array[Double] = {
     val w = Array.ofDim[Double](b.length)
-    val r = b.clone()
+    val r = b.map(_ / n) // b/n — the scaled right-hand side
     var p = r.clone()
     var rr = r.map(x => x * x).sum
     var it = 0
     while (it < iters && rr > 0.0) {
-      val u = matVec(g, p, lambda)
+      val u = matVec(g, p, lambda, n)
       val pu = p.indices.map(j => p(j) * u(j)).sum
       if (pu <= 0.0) it = iters // numerically spent — keep the iterate
       else {

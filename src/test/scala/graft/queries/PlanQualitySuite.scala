@@ -485,13 +485,18 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("qualityProbeWide scoring: per-doc HOF fold against the weight literal — no ScalaUDF, no cartesian, no corpus-side weight join") {
+  test("qualityProbeWide scoring: per-doc HOF fold against the weight literal — no ScalaUDF, no cartesian, no weight-table join") {
     val p = LlmOps.qualityProbeWide(graft.Tables(spark, sf, "documents"))
       .queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"), s"wide scoring must stay expression-level:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin") || !p.contains("weights"),
-      s"weights must ship as a literal, never a shuffled join side:\n$p")
+    // the only dim-keyed join allowed is SparseRidge's ≤D-row dim→index
+    // remap, and it must BROADCAST — a shuffled dim join would mean the
+    // weight/index table went corpus-side
+    p.linesIterator.filter(l => l.contains("Join") && l.contains("dim#")).foreach { l =>
+      assert(l.contains("BroadcastHashJoin"),
+        s"dim-keyed join is not a broadcast — the index table shuffled the corpus:\n$l")
+    }
   }
 
   test("fuzzyContamination: eval shingles BROADCAST — the train side never shuffles on sh") {
