@@ -300,6 +300,18 @@ object LlmOps {
       "graft-winfp", s.sparkContext.applicationId, d))(
       winnowFingerprints(Tables(s, d, "documents")))
 
+  /** The (doc_id, sid = xxhash64(shingle)) frame of the vocab-free
+    * production twins — the [[shingleIdsShared]] amortization applied to
+    * the xxh side (round 12): q_dedup_minhash_xxh and
+    * q_dedup_minhash_sketch_xxh each re-derived the identical tokenize +
+    * 5-gram + hash pass per invocation. Two long columns — exact parquet
+    * round-trip; the minhash permutations, banding, candidate joins and
+    * exact verify still run per invocation. */
+  private def xxhShinglesShared(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+      "graft-xxhsh", s.sparkContext.applicationId, d))(
+      docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid")))
+
   /** Vocab-free hashed-TF features of a (doc_id, text) frame in long
     * format (doc_id, dim, v) — the production feature map behind
     * q_text_hash_embed_xxh, factored for reuse by [[qualityProbe]]:
@@ -2245,7 +2257,7 @@ object LlmOps {
     // soundness (every pair truly has Jaccard >= 0.8, a subset of
     // q_dedup_near) and recall against the exact answer.
     "q_dedup_minhash_xxh" -> ((s, d) => {
-      val ds = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+      val ds = xxhShinglesShared(s, d)
       // permutations run on pmod(sid, 1000003) — multiplying the raw signed
       // 64-bit hash would overflow (ANSI mode throws); the REDUCED value
       // only feeds the minima, while the verify join below intersects the
@@ -2333,7 +2345,7 @@ object LlmOps {
     // candidate-set equality test in MinHashAggSuite. xxhash64 is not
     // DuckDB-reproducible -> rows-only.
     "q_dedup_minhash_sketch_xxh" -> ((s, d) => {
-      val ds = docShingles(s, d).select(col("doc_id"), xxhash64(col("sh")).as("sid"))
+      val ds = xxhShinglesShared(s, d)
       val mh = ds.groupBy("doc_id")
         .agg(expr("graft_minhash(pmod(sid, 1000003), 64)").as("mh"))
       verifiedJaccardPairs(
