@@ -58,4 +58,86 @@ object StreamingShard {
       .select(col("doc_id"), col("shard").cast("long").as("shard"),
         col("pos_in_shard"))
       .orderBy("doc_id")
+
+  // ----------------------------------------------------------------
+  // Generation compaction — a long-lived stream accumulates one tiny
+  // generation per micro-batch; a training reader wants O(1) of them.
+  // ----------------------------------------------------------------
+
+  /** Merge epochs [0, uptoEpoch] into ONE re-balanced base generation at
+    * `outDir/compact/upto=<uptoEpoch>` (the IndexMaintenance shape): the
+    * union of those epochs' docs goes through the SAME batch
+    * [[graft.queries.LlmOps.shardAssignment]], so the base generation
+    * has the full seeded-permutation + |shard| ≤ 1-imbalance contract —
+    * equivalence is pinned, not asserted. Idempotent: the assignment is
+    * a deterministic function of the doc set and the write is an
+    * overwrite, so a crashed or retried compact converges; the raw epoch
+    * directories are untouched until [[pruneEpochs]], whose commit check
+    * (the writer's _SUCCESS marker) makes the crash order safe:
+    * compact → (marker lands) → prune. */
+  def compact(spark: SparkSession, outDir: String, numShards: Int,
+              uptoEpoch: Long): Unit = {
+    val docs = shards(spark, outDir)
+      .filter(col("epoch") <= uptoEpoch).select("doc_id")
+    graft.sources.PartitionedLayout.writePartitioned(
+      graft.queries.LlmOps.shardAssignment(docs, numShards),
+      s"$outDir/compact/upto=$uptoEpoch", "shard")
+  }
+
+  /** The committed compacted base generation, if any: the largest
+    * `upto=<E>` whose _SUCCESS marker landed. */
+  def latestCompaction(spark: SparkSession, outDir: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/compact")
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("upto=") => n.stripPrefix("upto=").toLong }
+      .filter(e => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outDir/compact/upto=$e/_SUCCESS")))
+      .sorted.lastOption
+  }
+
+  /** Delete the raw epoch directories the committed compaction covers —
+    * REFUSES (loudly) unless `compact/upto=<uptoEpoch>` committed its
+    * _SUCCESS marker, so a crashed compact can never strand readers with
+    * neither the raw epochs nor the base generation. */
+  def pruneEpochs(spark: SparkSession, outDir: String, uptoEpoch: Long): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outDir/compact/upto=$uptoEpoch/_SUCCESS")),
+      s"pruneEpochs($uptoEpoch): no committed compaction at " +
+        s"$outDir/compact/upto=$uptoEpoch — run compact() first; pruning " +
+        "now would strand readers with neither the raw epochs nor the base")
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("epoch=") && n.stripPrefix("epoch=").toLong <= uptoEpoch
+      }
+      .count(p => fs.delete(p, true)).toLong
+  }
+
+  /** The unified reader view: the committed base generation (rows carry
+    * epoch = -1 — "before every raw epoch") plus every RAW epoch after
+    * the compaction point. Every doc appears exactly once per generation
+    * it belongs to; nothing is lost or duplicated across a compact (the
+    * suite pins the union). */
+  def assignment(spark: SparkSession, outDir: String): DataFrame =
+    latestCompaction(spark, outDir) match {
+      case None => shards(spark, outDir)
+        .select(col("doc_id"), col("pos_in_shard"),
+          col("epoch").cast("long").as("epoch"), col("shard").cast("long").as("shard"))
+      case Some(e) =>
+        spark.read.parquet(s"$outDir/compact/upto=$e")
+          .select(col("doc_id"), col("pos_in_shard"),
+            lit(-1L).as("epoch"), col("shard").cast("long").as("shard"))
+          .unionByName(shards(spark, outDir).filter(col("epoch") > e)
+            .select(col("doc_id"), col("pos_in_shard"),
+              col("epoch").cast("long").as("epoch"), col("shard").cast("long").as("shard")))
+    }
 }

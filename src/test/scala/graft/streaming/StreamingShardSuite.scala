@@ -39,6 +39,58 @@ class StreamingShardSuite extends SparkSpec {
     assert(second.length === 57, "retry duplicated rows")
   }
 
+  test("compaction: base == batch over the union; prune refuses uncommitted; unified view exact") {
+    import spark.implicits._
+    val out = tmp("sshard-compact")
+    StreamingShard.applyBatch((0L until 30L).toDF("doc_id"), 4, out, 0L)
+    StreamingShard.applyBatch((100L until 145L).toDF("doc_id"), 4, out, 1L)
+    StreamingShard.applyBatch((200L until 220L).toDF("doc_id"), 4, out, 2L)
+    // prune before any compaction must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingShard.pruneEpochs(spark, out, 1L)
+    }
+    assert(e.getMessage.contains("no committed compaction"), e.getMessage)
+    // compact epochs 0-1 into the base generation
+    StreamingShard.compact(spark, out, numShards = 4, uptoEpoch = 1L)
+    assert(StreamingShard.latestCompaction(spark, out) === Some(1L))
+    // base == the batch operator over the union of epochs 0-1
+    val ids01 = ((0L until 30L) ++ (100L until 145L)).toDF("doc_id")
+    val batch = graft.queries.LlmOps.shardAssignment(ids01, 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = StreamingShard.assignment(spark, out).filter(col("epoch") === -1L)
+      .select("doc_id", "shard", "pos_in_shard")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(base === batch, "compacted base diverged from the batch operator on the union")
+    // retry idempotence: a second compact converges to the same bytes
+    StreamingShard.compact(spark, out, numShards = 4, uptoEpoch = 1L)
+    val base2 = StreamingShard.assignment(spark, out).filter(col("epoch") === -1L)
+      .select("doc_id", "shard", "pos_in_shard")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(base2 === base)
+    // unified view: base + the raw epoch AFTER the compaction point,
+    // nothing lost, nothing duplicated
+    val view = StreamingShard.assignment(spark, out)
+    assert(view.filter(col("epoch") === 0L || col("epoch") === 1L).count() === 0,
+      "covered raw epochs must not appear beside the base")
+    assert(view.filter(col("epoch") === 2L).count() === 20)
+    assert(view.select("doc_id").distinct().count() === 95)
+    // prune the covered epochs; the view is unchanged afterwards
+    assert(StreamingShard.pruneEpochs(spark, out, 1L) === 2L)
+    val after = StreamingShard.assignment(spark, out)
+      .orderBy("epoch", "doc_id").collect().map(_.toSeq).toSeq
+    assert(after.length === 95, s"view changed after prune: ${after.length}")
+    // a crashed compact (no _SUCCESS) is invisible AND unprunable
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    StreamingShard.compact(spark, out, 4, uptoEpoch = 2L)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/compact/upto=2/_SUCCESS"), false)
+    assert(StreamingShard.latestCompaction(spark, out) === Some(1L),
+      "a torn compaction must stay invisible")
+    intercept[IllegalArgumentException] {
+      StreamingShard.pruneEpochs(spark, out, 2L)
+    }
+  }
+
   test("MemoryStream end-to-end: two arrivals, two balanced self-contained generations") {
     import spark.implicits._
     val out = tmp("sshard-e2e")
