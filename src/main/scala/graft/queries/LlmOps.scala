@@ -318,9 +318,28 @@ object LlmOps {
     * L2-normalized signed 16-bucket term counts, nonzero buckets only
     * (sign-cancelled buckets contribute nothing to the norm either).
     * Map-side hashes, two aggregations, no vocab, no rank window. */
-  private[graft] def hashedTfXxh(docs: DataFrame, buckets: Long = 16L): DataFrame = {
-    val tfc = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  private[graft] def hashedTfXxh(docs: DataFrame, buckets: Long = 16L,
+                                 ngrams: Int = 1): DataFrame = {
+    require(ngrams >= 1, s"need ngrams >= 1, got $ngrams")
+    // ngrams = 1 keeps the original single-explode plan (the verified
+    // shape every existing consumer pins); ngrams = n adds every m-gram
+    // for m in 2..n as additional terms — the fastText/CCNet feature set
+    // that encodes word ORDER, which no bag-of-unigrams width can (the
+    // QualityProbeSuite adjacency fixture is the proof). The CASE guard
+    // matters: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty.
+    val terms =
+      if (ngrams == 1) docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      else docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""flatten(transform(sequence(1, $ngrams), m ->
+             |  CASE WHEN size(t) - m + 1 >= 1
+             |       THEN transform(sequence(1, size(t) - m + 1),
+             |                      i -> array_join(slice(t, i, m), ' '))
+             |       ELSE CAST(array() AS array<string>) END))""".stripMargin))
+          .as("w"))
+    val tfc = terms
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val hashed = tfc
       .withColumn("dim", pmod(xxhash64(col("w")), lit(buckets)))
@@ -507,8 +526,10 @@ object LlmOps {
     * Returns (doc_id, weak_label, pred, score, margin, confidence). */
   def qualityProbeWide(docs: DataFrame, threshold: Double = 0.3,
                        holdoutMod: Long = 5L, buckets: Long = 1L << 18,
-                       lambda: Double = 1.0, iters: Int = 12): DataFrame =
-    qualityProbeWideScore(qualityProbeWideFeatures(docs, threshold, buckets),
+                       lambda: Double = 1.0, iters: Int = 12,
+                       ngrams: Int = 1): DataFrame =
+    qualityProbeWideScore(
+      qualityProbeWideFeatures(docs, threshold, buckets, ngrams),
       holdoutMod, lambda, iters)
 
   /** The wide probe's input frame, factored for memoization like
@@ -519,10 +540,11 @@ object LlmOps {
     * otherwise re-derive the two-aggregation feature pipeline ~5× per
     * invocation (dims, grouped build, scoring, calibration, output). */
   def qualityProbeWideFeatures(docs: DataFrame, threshold: Double = 0.3,
-                               buckets: Long = 1L << 18): DataFrame =
+                               buckets: Long = 1L << 18,
+                               ngrams: Int = 1): DataFrame =
     docs.select("doc_id")
       .join(weakQualityLabels(docs, threshold), "doc_id")
-      .join(hashedTfXxh(docs, buckets), Seq("doc_id"), "left")
+      .join(hashedTfXxh(docs, buckets, ngrams), Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"),
         coalesce(col("dim"), lit(-1L)).as("dim"),
         coalesce(col("v"), lit(0.0)).as("v"))
@@ -578,14 +600,16 @@ object LlmOps {
   def qualityProbeWideFreeze(docs: DataFrame, modelPath: String,
                              threshold: Double = 0.3, holdoutMod: Long = 5L,
                              buckets: Long = 1L << 18, lambda: Double = 1.0,
-                             iters: Int = 12): Unit = {
+                             iters: Int = 12, ngrams: Int = 1): Unit = {
     val spark = docs.sparkSession
     val (model, calib) = qualityProbeWideFit(
-      qualityProbeWideFeatures(docs, threshold, buckets), holdoutMod,
+      qualityProbeWideFeatures(docs, threshold, buckets, ngrams), holdoutMod,
       lambda, iters)
     graft.ml.SparseRidge.saveModel(spark, model, modelPath, calib)
     import spark.implicits._
-    Seq(buckets).toDF("buckets")
+    // the WHOLE feature-map recipe rides in the artifact (bucket width
+    // AND n-gram order) — a fit/serve feature mismatch is impossible
+    Seq((buckets, ngrams)).toDF("buckets", "ngrams")
       .repartition(1).write.mode("overwrite")
       .parquet(s"$modelPath/feature_meta")
   }
@@ -596,12 +620,14 @@ object LlmOps {
     * artifact. Returns (doc_id, pred, score, margin, confidence). */
   def qualityProbeWideServe(docs: DataFrame, modelPath: String): DataFrame = {
     val spark = docs.sparkSession
-    val buckets = spark.read.parquet(s"$modelPath/feature_meta")
-      .select("buckets").head().getLong(0)
+    val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
+    val buckets = metaRow.getAs[Long]("buckets")
+    // pre-r12.2 artifacts carry no ngrams field — unigram, the then-only map
+    val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
     val (model, (a, b)) = graft.ml.SparseRidge.loadModel(spark, modelPath)
     val scored = docs.select("doc_id")
       .join(graft.ml.SparseRidge.score(
-          hashedTfXxh(docs, buckets)
+          hashedTfXxh(docs, buckets, ngrams)
             .select(col("doc_id").as("id"), col("dim"), col("v")), model)
         .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -3321,6 +3347,7 @@ object LlmOps {
       graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
         "graft-qpwfeat", s.sparkContext.applicationId, d))(
         qualityProbeWideFeatures(Tables(s, d, "documents"))))),
+
 
     // DETERMINISTIC SHARD WRITER (see [[shardAssignment]]): seeded
     // pseudo-shuffle order + exactly balanced contiguous shards, emitted

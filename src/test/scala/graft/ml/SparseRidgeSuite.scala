@@ -136,6 +136,48 @@ class SparseRidgeSuite extends SparkSpec {
       s"the 16-bucket width unexpectedly matched the wide probe: narrow $narrow vs wide $wide")
   }
 
+  /** The word-ORDER claim (the bigram feature map): doc pairs share an
+    * IDENTICAL token multiset — the label is whether alpha and beta are
+    * adjacent — so the unigram features of the two pair members are
+    * equal rows with opposite labels and NO unigram width can beat
+    * chance, while the bigram map separates on the "alpha beta" term. */
+  private def adjacencyDocs = {
+    import spark.implicits._
+    (0L until 400L).map { i =>
+      val pair = i / 2
+      val noise = (0 until 16).map(j => s"n${(pair * 13 + j * 7) % 64}")
+      val text =
+        if (i % 2 == 1) (Seq("alpha", "beta") ++ noise).mkString(" ")
+        else (Seq("alpha") ++ noise.take(8) ++ Seq("beta") ++ noise.drop(8)).mkString(" ")
+      (i, text, (i % 2).toDouble)
+    }.toDF("doc_id", "text", "y")
+  }
+
+  private def adjacencyAcc(ngrams: Int): Double = {
+    val docs = adjacencyDocs
+    val feat = graft.queries.LlmOps.hashedTfXxh(
+        docs.select("doc_id", "text"), 1L << 18, ngrams)
+      .select(col("doc_id").as("id"), col("dim"), col("v"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("id"), col("y"))
+    val m = SparseRidge.fit(feat.join(train.select("id"), "id"), train)
+    val scored = SparseRidge.score(feat, m)
+      .join(docs.select(col("doc_id").as("id"), col("y")), "id")
+      .filter(col("id") % 5 === 0)
+      .select((col("score") >= 0.5).cast("double").as("pred"), col("y"))
+      .collect()
+    scored.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / scored.length
+  }
+
+  test("word order: bigram features separate an adjacency label unigrams provably cannot") {
+    val bi = adjacencyAcc(ngrams = 2)
+    val uni = adjacencyAcc(ngrams = 1)
+    assert(bi >= 0.9, s"bigram probe failed to recover the adjacency signal: $bi")
+    // pair members have EQUAL unigram rows with opposite labels — chance
+    // is the ceiling, modulo holdout wobble
+    assert(uni <= 0.65, s"unigram probe beat chance on an order-only label: $uni")
+  }
+
   test("degenerate inputs fail fast") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "dim", "v")

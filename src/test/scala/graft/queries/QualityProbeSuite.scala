@@ -254,14 +254,16 @@ class QualityProbeSuite extends SparkSpec {
   test("frozen WIDE probe: freeze/serve == in-session, bucket width persisted, streaming idempotent") {
     val docs = plantedDocs
     val dir = java.nio.file.Files.createTempDirectory("wide-model").toString
-    // non-default bucket width: serving must read it from the artifact,
-    // not assume the default (a silent mismatch would score garbage)
-    LlmOps.qualityProbeWideFreeze(docs, s"$dir/model", buckets = 1L << 14)
+    // non-default bucket width AND n-gram order: serving must read the
+    // whole feature recipe from the artifact, not assume defaults (a
+    // silent mismatch would score garbage)
+    LlmOps.qualityProbeWideFreeze(docs, s"$dir/model", buckets = 1L << 14,
+      ngrams = 2)
     val served = LlmOps.qualityProbeWideServe(docs, s"$dir/model")
       .select("doc_id", "pred", "score", "margin", "confidence")
       .collect().map(_.toSeq).toSeq
     val inSession = LlmOps.qualityProbeWideScore(
-        LlmOps.qualityProbeWideFeatures(docs, buckets = 1L << 14))
+        LlmOps.qualityProbeWideFeatures(docs, buckets = 1L << 14, ngrams = 2))
       .select("doc_id", "pred", "score", "margin", "confidence")
       .collect().map(_.toSeq).toSeq
     assert(served === inSession, "frozen wide serving drifted from the in-session fit")
@@ -289,6 +291,29 @@ class QualityProbeSuite extends SparkSpec {
       graft.ml.SparseRidge.loadModel(spark, s"$dir/bad")
     }
     assert(e.getMessage.contains("non-finite"), e.getMessage)
+  }
+
+  test("bigram wide probe: scores every organic doc, holds the chance band, deterministic") {
+    // library-level (ngrams = 2 is a FEATURE-MAP parameter, not a gated
+    // key: at ~1000 active bigram dims the per-invocation CG solve costs
+    // ~4.6 s at sf0.1 — a bench key that heavy buys nothing the
+    // adjacency fixture and this organic check don't already pin, so the
+    // margin discipline keeps it off the bench board)
+    def run() = LlmOps.qualityProbeWideScore(
+      LlmOps.qualityProbeWideFeatures(Tables(spark, sf, "documents"), ngrams = 2))
+      .collect()
+    val out = run()
+    val n = Tables(spark, sf, "documents").count()
+    assert(out.length.toLong === n)
+    val base = {
+      val pos = out.count(_.getLong(1) == 1).toDouble / out.length
+      math.max(pos, 1 - pos)
+    }
+    val agree = out.count(r => r.getLong(1) == r.getLong(2)).toDouble / out.length
+    assert(agree >= base - 0.02, s"bigram probe below the chance band: $agree vs $base")
+    assert(out.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0))
+    val again = run()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
   // -------------------------------------------------------------------
