@@ -52,6 +52,18 @@ object StreamingShard {
   def shards(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/shards")
 
+  /** Whether any raw epoch directory survives under `outDir/shards`.
+    * After a full [[pruneEpochs]] the directory EXISTS but is empty —
+    * a parquet read there fails schema inference — so existence of the
+    * root is not the right probe; presence of an `epoch=` child is. */
+  private def hasRawEpochs(spark: SparkSession, outDir: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("epoch="))
+  }
+
   /** One generation's manifest, ordered like the batch operator's. */
   def epoch(spark: SparkSession, outDir: String, epochId: Long): DataFrame =
     shards(spark, outDir).filter(col("epoch") === epochId)
@@ -69,7 +81,17 @@ object StreamingShard {
     * union of those epochs' docs goes through the SAME batch
     * [[graft.queries.LlmOps.shardAssignment]], so the base generation
     * has the full seeded-permutation + |shard| ≤ 1-imbalance contract —
-    * equivalence is pinned, not asserted. Idempotent: the assignment is
+    * equivalence is pinned, not asserted. Re-compaction composes: if a
+    * committed base already exists (`compact/upto=<E1>`), its doc set
+    * stands in for the epochs it covers — after `pruneEpochs(E1)` those
+    * raw directories are GONE, so a later `compact(E2 > E1)` that read
+    * only raw epochs would commit a base silently missing every doc from
+    * [0, E1] (ADVICE r12). The union is over the doc SET (a doc arriving
+    * in two merged generations appears once in the merged one — the
+    * "exactly once per generation" contract). Compacting BELOW the
+    * committed base refuses loudly: committing `upto=<E2 < E1>` could
+    * never become `latestCompaction`, so it would only waste writes or,
+    * worse, mislead a manual reader. Idempotent: the assignment is
     * a deterministic function of the doc set and the write is an
     * overwrite, so a crashed or retried compact converges; the raw epoch
     * directories are untouched until [[pruneEpochs]], whose commit check
@@ -77,10 +99,32 @@ object StreamingShard {
     * compact → (marker lands) → prune. */
   def compact(spark: SparkSession, outDir: String, numShards: Int,
               uptoEpoch: Long): Unit = {
-    val docs = shards(spark, outDir)
-      .filter(col("epoch") <= uptoEpoch).select("doc_id")
+    val base = latestCompaction(spark, outDir)
+    base.foreach { e =>
+      require(uptoEpoch >= e,
+        s"compact($uptoEpoch): a committed base already covers epochs <= $e; " +
+          "a lower-water compaction can never be the latest view — refuse " +
+          "rather than commit a misleading partial base")
+    }
+    // raw epochs strictly above the committed base (below it they may be
+    // pruned already; at-or-below they are REPRESENTED by the base)
+    val raw =
+      if (hasRawEpochs(spark, outDir)) Some(shards(spark, outDir)
+        .filter(col("epoch") <= uptoEpoch &&
+          col("epoch") > lit(base.getOrElse(-1L)))
+        .select("doc_id"))
+      else None
+    val docs = (base.map(e =>
+        spark.read.parquet(s"$outDir/compact/upto=$e").select("doc_id")),
+        raw) match {
+      case (Some(b), Some(r)) => b.unionByName(r)
+      case (Some(b), None)    => b
+      case (None, Some(r))    => r
+      case (None, None) => throw new IllegalArgumentException(
+        s"compact($uptoEpoch): neither raw epochs nor a committed base at $outDir")
+    }
     graft.sources.PartitionedLayout.writePartitioned(
-      graft.queries.LlmOps.shardAssignment(docs, numShards),
+      graft.queries.LlmOps.shardAssignment(docs.distinct(), numShards),
       s"$outDir/compact/upto=$uptoEpoch", "shard")
   }
 
@@ -133,9 +177,11 @@ object StreamingShard {
         .select(col("doc_id"), col("pos_in_shard"),
           col("epoch").cast("long").as("epoch"), col("shard").cast("long").as("shard"))
       case Some(e) =>
-        spark.read.parquet(s"$outDir/compact/upto=$e")
+        val baseView = spark.read.parquet(s"$outDir/compact/upto=$e")
           .select(col("doc_id"), col("pos_in_shard"),
             lit(-1L).as("epoch"), col("shard").cast("long").as("shard"))
+        if (!hasRawEpochs(spark, outDir)) baseView
+        else baseView
           .unionByName(shards(spark, outDir).filter(col("epoch") > e)
             .select(col("doc_id"), col("pos_in_shard"),
               col("epoch").cast("long").as("epoch"), col("shard").cast("long").as("shard")))

@@ -91,6 +91,46 @@ class StreamingShardSuite extends SparkSpec {
     }
   }
 
+  test("re-compaction after prune: the committed base's docs survive into the next base") {
+    import spark.implicits._
+    val out = tmp("sshard-recompact")
+    StreamingShard.applyBatch((0L until 30L).toDF("doc_id"), 4, out, 0L)
+    StreamingShard.applyBatch((100L until 145L).toDF("doc_id"), 4, out, 1L)
+    StreamingShard.compact(spark, out, numShards = 4, uptoEpoch = 1L)
+    StreamingShard.pruneEpochs(spark, out, 1L)
+    // epochs 0-1 now exist ONLY in compact/upto=1; new arrivals land raw
+    StreamingShard.applyBatch((200L until 220L).toDF("doc_id"), 4, out, 2L)
+    StreamingShard.applyBatch((150L until 160L).toDF("doc_id"), 4, out, 3L)
+    // the ADVICE r12 scenario: a second compact must fold the committed
+    // base in, not rebuild from the (pruned) raw epochs alone
+    StreamingShard.compact(spark, out, numShards = 4, uptoEpoch = 3L)
+    assert(StreamingShard.latestCompaction(spark, out) === Some(3L))
+    val base = StreamingShard.assignment(spark, out).filter(col("epoch") === -1L)
+    assert(base.count() === 105, "re-compaction lost the previous base's docs")
+    // and it equals the batch operator over the FULL doc set
+    val all = ((0L until 30L) ++ (100L until 145L) ++
+      (200L until 220L) ++ (150L until 160L)).toDF("doc_id")
+    val batch = graft.queries.LlmOps.shardAssignment(all, 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = base.select("doc_id", "shard", "pos_in_shard")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === batch, "re-compacted base diverged from the batch operator")
+    // prune the newly covered epochs; view is base-only and complete
+    StreamingShard.pruneEpochs(spark, out, 3L)
+    assert(StreamingShard.assignment(spark, out).count() === 105)
+    // compacting BELOW the committed base refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingShard.compact(spark, out, 4, uptoEpoch = 2L)
+    }
+    assert(e.getMessage.contains("already covers"), e.getMessage)
+    // a doc re-arriving after the base appears ONCE in the merged base
+    StreamingShard.applyBatch(Seq(0L, 5L, 300L).toDF("doc_id"), 4, out, 4L)
+    StreamingShard.compact(spark, out, 4, uptoEpoch = 4L)
+    val base4 = StreamingShard.assignment(spark, out).filter(col("epoch") === -1L)
+    assert(base4.count() === 106, "merged generation must hold the doc SET")
+    assert(base4.filter(col("doc_id") === 0L).count() === 1)
+  }
+
   test("MemoryStream end-to-end: two arrivals, two balanced self-contained generations") {
     import spark.implicits._
     val out = tmp("sshard-e2e")
