@@ -108,12 +108,23 @@ case class PqEncode(child: Expression,
       val dist = ctx.freshName("dist")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      // ev.isNull may only be REFERENCED when this expression is
+      // nullable (elemNullable forces that): nullSafeCodeGen's
+      // non-nullable branch replaces ev.isNull with a false literal
+      // AFTER the template interpolated the variable name, leaving an
+      // undeclared identifier (janino: "not an rvalue") — found via the
+      // same latent bug in SparseDotRef, whose fit path is the first
+      // caller to codegen one of these with a non-nullable child.
       val nullCheck =
         if (elemNullable)
           s"if ($r.isNullAt($idx)) { ${ev.isNull} = true; break; }"
         else ""
       val outerBreak =
         if (elemNullable) s"if (${ev.isNull}) break;" else ""
+      val assign =
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);"
+      val guardedAssign =
+        if (elemNullable) s"if (!${ev.isNull}) { $assign }" else assign
       s"""
          |if ($r.numElements() < ${m * dsub}) {
          |  throw new IllegalArgumentException(
@@ -138,9 +149,7 @@ case class PqEncode(child: Expression,
          |  $outerBreak
          |  $codes[$s] = $best;
          |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
-         |}
+         |$guardedAssign
        """.stripMargin
     })
 

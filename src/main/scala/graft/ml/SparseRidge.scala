@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape at 100 TB: the grouped feature frame is built once (one
   * shuffle) and checkpointed; each iteration is one scan + one
-  * shuffle-by-dim + one ≤(D+1)-row collect. The direction vector ships as
-  * a plan literal (8·D bytes — the broadcast-small side by construction).
+  * shuffle-by-dim + one ≤(D+1)-row collect. The direction vector rides
+  * the fold expression as an object reference
+  * ([[graft.functions.SparseDotRef]] — the PqEncode codebook pattern),
+  * NOT a plan literal: a typedLit of D+1 doubles was ~2 MB of plan per
+  * iteration at 2^18 dims and ~16 MB at the 2^21 cap, re-shipped and
+  * re-codegen'd 16× per fit (VERDICT r12 #3) — plan size, not driver
+  * memory, was the practical width ceiling.
   *
   * Determinism: per-document folds run over SORTED feature arrays (fixed
   * order -> fixed IEEE sum), cross-document sums go through the 1e-9
@@ -60,7 +65,13 @@ object SparseRidge {
   /** (id, array<struct<j,v>>, y) with the bias slot appended — j is the
     * DENSE index of the doc's dims in the sorted active-dim order, the
     * array is sorted by j (fixed fold order), and every doc carries the
-    * trailing (D, 1.0) bias entry. */
+    * trailing (D, 1.0) bias entry. With labels, the join is FROM the
+    * label side: a labeled doc with no feature rows enters as a
+    * bias-only observation (x = 0 everywhere, bias slot 1.0) — the dense
+    * [[LinearProbe]]'s zero-vector behavior, so the two probes fit the
+    * same train population (ADVICE r12 #4: the wide fit silently dropped
+    * empty/all-cancelled docs from the bias estimate while still scoring
+    * and calibrating them). */
   private def grouped(feat: DataFrame, labels: Option[DataFrame],
                       dimIdx: DataFrame, d: Int): DataFrame = {
     val g = feat
@@ -70,7 +81,12 @@ object SparseRidge {
         sort_array(collect_list(struct(col("j"), col("v").cast("double").as("v")))),
         array(struct(lit(d).as("j"), lit(1.0).as("v")))).as("fs"))
     labels match {
-      case Some(l) => g.join(l.select(col("id"), col("y").cast("double").as("y")), "id")
+      case Some(l) => l.select(col("id"), col("y").cast("double").as("y"))
+        .join(g, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("fs"),
+            array(struct(lit(d).as("j"), lit(1.0).as("v")))).as("fs"),
+          col("y"))
       case None => g
     }
   }
@@ -88,10 +104,8 @@ object SparseRidge {
     * Returns a dense vector over the D+1 slots. */
   private def matVec(g: DataFrame, p: Array[Double], lambda: Double,
                      n: Long): Array[Double] = {
-    val pl = typedLit(p.toSeq)
     val u = g
-      .select(col("fs"), aggregate(col("fs"), lit(0.0),
-        (acc, f) => acc + f.getField("v") * element_at(pl, f.getField("j") + 1)).as("q"))
+      .select(col("fs"), sparseDot(col("fs"), p).as("q"))
       .select(explode(col("fs")).as("f"), col("q"))
       .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("q")).as("u"))
       .collect()
@@ -111,9 +125,11 @@ object SparseRidge {
     * and is exercised by every fixture wider than this. */
   val DenseLimit: Int = 384
 
-  /** Fit on (id, dim, v) sparse features and (id, y) targets. Docs with
-    * no feature rows are absent from `feat` and thus from the fit — give
-    * them an explicit zero-dim row if they must weigh in.
+  /** Fit on (id, dim, v) sparse features and (id, y) targets. EVERY doc
+    * in `labels` weighs in: one with no feature rows enters as a
+    * bias-only observation (the dense probe's zero-vector behavior —
+    * see [[grouped]]); restrict `labels`, not `feat`, to choose the
+    * train population.
     *
     * `denseLimit` picks the solver: active dims ≤ denseLimit → one-pass
     * sparse-Gram collect + exact driver LU; above → fixed-`iters`
@@ -287,9 +303,16 @@ object SparseRidge {
       import spark.implicits._
       model.dims.zipWithIndex.toSeq.toDF("dim", "j")
     }
-    val wl = typedLit((model.weights :+ model.bias).toSeq)
     grouped(feat, None, dimIdx, d)
-      .select(col("id"), aggregate(col("fs"), lit(0.0),
-        (acc, f) => acc + f.getField("v") * element_at(wl, f.getField("j") + 1)).as("score"))
+      .select(col("id"), sparseDot(col("fs"), model.weights :+ model.bias).as("score"))
   }
+
+  /** The in-row sparse fold ⟨fs, vec⟩ — the vector rides as an object
+    * reference, never a plan literal (see the class doc). */
+  private def sparseDot(fs: org.apache.spark.sql.Column,
+                        vec: Array[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SparseDotRef(
+        org.apache.spark.sql.GraftSqlBridge.expression(fs),
+        vec.toIndexedSeq))
 }

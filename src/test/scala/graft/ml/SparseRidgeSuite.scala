@@ -178,6 +178,62 @@ class SparseRidgeSuite extends SparkSpec {
     assert(uni <= 0.65, s"unigram probe beat chance on an order-only label: $uni")
   }
 
+  test("SparseDotRef score is bit-identical to the typedLit fold it replaced") {
+    import spark.implicits._
+    val (feat, labels, _) = smallSystem
+    val m = SparseRidge.fit(feat, labels)
+    val viaRef = SparseRidge.score(feat, m).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the pre-r13 literal path, rebuilt inline: same grouped frame, the
+    // fold against a typedLit weight array — the pin is exact equality
+    val d = m.dims.length
+    val dimIdx = m.dims.zipWithIndex.toSeq.toDF("dim", "j")
+    val wl = typedLit((m.weights :+ m.bias).toSeq)
+    val viaLit = feat.join(broadcast(dimIdx), "dim").groupBy("id")
+      .agg(concat(
+        sort_array(collect_list(struct(col("j"), col("v").cast("double").as("v")))),
+        array(struct(lit(d).as("j"), lit(1.0).as("v")))).as("fs"))
+      .select(col("id"), aggregate(col("fs"), lit(0.0),
+        (acc, f) => acc + f.getField("v") * element_at(wl, f.getField("j") + 1)).as("score"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRef === viaLit, "reference-object fold diverged from the literal fold")
+  }
+
+  test("score plans carry no array literal at feature width (the weights ride as a reference)") {
+    val (feat, labels, _) = smallSystem
+    val m = SparseRidge.fit(feat, labels)
+    val plan = SparseRidge.score(feat, m).queryExecution.analyzed
+    val bigArrayLits = plan.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+             l.value != null &&
+             l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+               .numElements() > 8 => l
+      })
+    assert(bigArrayLits.isEmpty,
+      s"weight-sized array literal leaked into the score plan: ${bigArrayLits.take(1)}")
+  }
+
+  test("a labeled doc with no feature rows enters the fit as a bias-only observation") {
+    import spark.implicits._
+    val (feat, labels, aug) = smallSystem
+    // doc 99 has a label but NO feature rows; the exact witness sees it
+    // as the zero vector with the bias coordinate — the dense LinearProbe
+    // behavior the wide fit must match (ADVICE r12 #4)
+    val labels2 = labels.unionByName(Seq((99L, 1.0)).toDF("id", "y"))
+    val aug2 = aug :+ ((Array.fill(6)(0.0) :+ 1.0, 1.0))
+    val exact = exactSolve(aug2, lambda = 1.0)
+    for (limit <- Seq(0, SparseRidge.DenseLimit)) {
+      val m = SparseRidge.fit(feat, labels2, lambda = 1.0, iters = 16, denseLimit = limit)
+      val got = m.weights :+ m.bias
+      got.zip(exact).zipWithIndex.foreach { case ((g, e), j) =>
+        assert(math.abs(g - e) < 1e-6,
+          s"w($j) with a bias-only doc (denseLimit=$limit): got $g vs exact $e")
+      }
+    }
+  }
+
   test("degenerate inputs fail fast") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "dim", "v")
