@@ -605,6 +605,13 @@ object LlmOps {
     val (model, calib) = qualityProbeWideFit(
       qualityProbeWideFeatures(docs, threshold, buckets, ngrams), holdoutMod,
       lambda, iters)
+    // the drift capture is invalidated FIRST and re-written LAST: a
+    // freeze that crashes in between leaves a model with NO score_meta —
+    // staleness() then fails loudly on the missing capture instead of
+    // silently gauging the new model against a previous freeze's moments
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"), true)
     graft.ml.SparseRidge.saveModel(spark, model, modelPath, calib)
     import spark.implicits._
     // the WHOLE feature-map recipe rides in the artifact (bucket width
@@ -612,6 +619,13 @@ object LlmOps {
     Seq((buckets, ngrams)).toDF("buckets", "ngrams")
       .repartition(1).write.mode("overwrite")
       .parquet(s"$modelPath/feature_meta")
+    // drift-gauge capture (VERDICT r12 #6): the frozen corpus's score
+    // moments, measured through the SAME serve-path scoring the gauge
+    // re-runs later (see the delete above for the crash order)
+    val (n, mean, sd) = wideScoreMoments(docs, modelPath)
+    Seq((n, mean, sd)).toDF("n", "mean", "sd")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$modelPath/score_meta")
   }
 
   /** Score (doc_id, text) docs against a FROZEN persisted wide probe
@@ -660,6 +674,68 @@ object LlmOps {
         (col("score") >= 0.5).cast("long").as("pred"),
         round(col("score"), 6).as("score"),
         round(abs(col("score") - 0.5), 6).as("margin"))
+
+  /** One-pass score-distribution moments of `docs` under a frozen wide
+    * probe — (n, mean, sd) via DECIMAL sums (exact, partition-order
+    * independent — the [[graft.ml.IvfIndex]] tightness discipline).
+    * Shared by the freeze-time capture and the serving-side gauge so the
+    * two sides can never diverge in HOW they measure. */
+  private def wideScoreMoments(docs: DataFrame, modelPath: String)
+      : (Long, Double, Double) = {
+    val spark = docs.sparkSession
+    val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
+    val buckets = metaRow.getAs[Long]("buckets")
+    val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
+    val (model, _) = graft.ml.SparseRidge.loadModel(spark, modelPath)
+    val r = docs.select("doc_id")
+      .join(graft.ml.SparseRidge.score(
+          hashedTfXxh(docs, buckets, ngrams)
+            .select(col("doc_id").as("id"), col("dim"), col("v")), model)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(coalesce(col("score"), lit(model.bias)).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum((col("s") * col("s")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      .head()
+    val n = r.getLong(0)
+    require(n > 0, "wide-probe staleness: empty corpus")
+    val mean = r.getDouble(1) / n
+    val varr = math.max(0.0, r.getDouble(2) / n - mean * mean)
+    (n, mean, math.sqrt(varr))
+  }
+
+  /** WIDE-PROBE DRIFT GAUGE (VERDICT r12 #6) — the retrain alarm the
+    * frozen probe lacked, the [[graft.ml.Pca.staleness]] /
+    * [[graft.ml.IvfIndex.staleness]] discipline lifted to the
+    * [[qualityProbeWideFreeze]] artifact: the freeze captures the score
+    * distribution's (n, mean, sd) over the corpus it was fitted on
+    * (`modelPath/score_meta`, persisted beside the model); serving calls
+    * this with the CURRENT corpus and compares in one pass. Returns
+    * (fitN, serveN, fitMean, serveMean, fitSd, shift) where shift is the
+    * standardized mean displacement |serveMean − fitMean| / fitSd — the
+    * effect size of the drift, unit-free and width-independent. A
+    * degenerate fit capture (sd 0: every train doc scored identically)
+    * reports 0 when serving is still on the point and +Infinity on any
+    * displacement (any finite threshold fires — the IvfIndex.staleness
+    * convention). Rule of thumb: shift ≲ 0.25 is in-distribution
+    * re-serving; ≳ 1 means the probe is scoring a corpus one whole
+    * spread away from what it learned — refit (QualityProbeSuite's drill
+    * separates the two regimes). */
+  def qualityProbeWideStaleness(docs: DataFrame, modelPath: String)
+      : (Long, Long, Double, Double, Double, Double) = {
+    val spark = docs.sparkSession
+    val capPath = s"$modelPath/score_meta"
+    val cap = spark.read.parquet(capPath).select("n", "mean", "sd").head()
+    val (fitN, fitMean, fitSd) = (cap.getLong(0), cap.getDouble(1), cap.getDouble(2))
+    require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
+      s"wide-probe staleness: non-finite capture at $capPath — refit and re-freeze")
+    val (serveN, serveMean, _) = wideScoreMoments(docs, modelPath)
+    val shift =
+      if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
+      else if (serveMean == fitMean) 0.0
+      else Double.PositiveInfinity
+    (fitN, serveN, fitMean, serveMean, fitSd, shift)
+  }
 
   /** DETERMINISTIC SHARD ASSIGNMENT — the seeded global pseudo-shuffle +
     * exactly balanced contiguous shard split a training-data writer

@@ -293,6 +293,48 @@ class QualityProbeSuite extends SparkSpec {
     assert(e.getMessage.contains("non-finite"), e.getMessage)
   }
 
+  test("wide-probe drift gauge: quiet on an in-distribution resample, alarms on a collapsed corpus") {
+    import spark.implicits._
+    val docs = plantedDocs
+    val dir = java.nio.file.Files.createTempDirectory("wide-drift").toString
+    LlmOps.qualityProbeWideFreeze(docs, s"$dir/model", buckets = 1L << 14)
+    // the capture rides beside the model
+    assert(spark.read.parquet(s"$dir/model/score_meta").count() === 1)
+    // re-serving the frozen corpus itself: moments equal by construction
+    val (fitN, n0, fitMean, m0, fitSd, s0) =
+      LlmOps.qualityProbeWideStaleness(docs, s"$dir/model")
+    assert(fitN === 120L && n0 === 120L && m0 === fitMean && fitSd > 0.0)
+    assert(s0 === 0.0, s"self-staleness must be exactly 0, got $s0")
+    // an in-distribution RESAMPLE (same generators, fresh doc_ids):
+    // the gauge reads quiet — no refit alarm on ordinary re-serving
+    val resampled = (
+      (200L until 260L).map { i =>
+        (i, (0 until 40).map(j => s"tok${(i * 7 + j * 3) % 97}").mkString(" "))
+      } ++ (300L until 360L).map { i =>
+        (i, Seq.fill(40)(s"spam${i % 7}").mkString(" "))
+      }).toDF("doc_id", "text")
+    val (_, _, _, _, _, sIn) =
+      LlmOps.qualityProbeWideStaleness(resampled, s"$dir/model")
+    assert(sIn < 0.25, s"in-distribution resample read as drift: $sIn")
+    // a collapsed serving corpus (all spam — half the fit population's
+    // mixture): the score mean displaces a whole spread from the capture
+    val drifted = (0L until 120L)
+      .map(i => (i, Seq.fill(40)(s"spam${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, _, _, _, _, sDrift) =
+      LlmOps.qualityProbeWideStaleness(drifted, s"$dir/model")
+    assert(sDrift >= 0.8, s"collapsed corpus did not alarm: $sDrift")
+    assert(sDrift > sIn)
+    // a torn freeze (model present, capture missing) fails loudly
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/model/score_meta"), true)
+    val e = intercept[Exception] {
+      LlmOps.qualityProbeWideStaleness(docs, s"$dir/model")
+    }
+    assert(e.getMessage.contains("score_meta"), e.getMessage)
+  }
+
   test("bigram wide probe: scores every organic doc, holds the chance band, deterministic") {
     // library-level (ngrams = 2 is a FEATURE-MAP parameter, not a gated
     // key: at ~1000 active bigram dims the per-invocation CG solve costs
