@@ -20,13 +20,13 @@ import org.apache.spark.sql.SparkSession
   *      machine still runs ONE thread at full speed). A second fixed-work
   *      spin runs on `cpus` threads simultaneously and times the WALL for
   *      all to finish: stolen capacity stretches it proportionally even when
-  *      per-core speed is untouched. Baselined and sampled exactly like the
-  *      single-thread spin; the artifact carries both blocks, and the window
-  *      retry fires when EITHER sentinel crosses ITS OWN threshold (ST 10%,
-  *      MT 40% — the idle-JVM MT baseline runs 15-25% under a live suite's
-  *      self-housekeeping, while genuine theft measures +71-157%; see
-  *      RetryDevPctMt), so contended-capacity windows are auto-parked
-  *      instead of certified by eye.
+  *      per-core speed is untouched. Its baseline is sampled UNDER WARMUP
+  *      LOAD (round 13) so the live suite's housekeeping self-noise is in
+  *      the base, not the deviation; the artifact carries both sentinel
+  *      blocks, and the window retry fires when EITHER sentinel crosses
+  *      ITS OWN threshold (ST 10%, MT 18% — see RetryDevPctMt), so
+  *      contended-capacity windows are auto-parked instead of certified
+  *      by eye.
   *   2. MEDIAN-OF-3 with outlier re-run — each query runs 3x; if the median is
   *      both 2x and +0.5s over the min (a transient stall, not a plan), up to 2
   *      extra runs are taken and the median recomputed. "total" sums medians.
@@ -56,17 +56,22 @@ object Bench {
   private val MaxRetryWindows = 6
   private val RetryDevPct =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV", "10.0").toDouble
-  // The capacity sentinel's retry threshold is deliberately LOOSER than
-  // the single-thread one: its baseline is measured on an idle JVM, and
-  // a LIVE suite's own housekeeping (ContextCleaner, GC worker threads,
-  // parquet IO pools) steadily inflates the multi-thread wall 15-25% —
-  // measured on the first full-surface runs, where a 10% trigger burned
-  // every retry window on self-noise. Genuine capacity theft measures
-  // FAR above this: +71-157% within-run on this host's co-tenant
-  // episodes, +92% on the controlled 16-of-32-core drill (BASELINE.md).
-  // 40% sits between the self-noise band and the theft signal.
+  // The capacity sentinel's retry threshold is LOOSER than the
+  // single-thread one, but no longer 40%: through round 12 the MT
+  // baseline was measured on an idle JVM, so a LIVE suite's own
+  // housekeeping (ContextCleaner, GC worker threads, parquet IO pools)
+  // inflated every sample 15-25% and the threshold had to sit above that
+  // band — which left a 26-40% dead zone certified "quiet" on a
+  // judgement call (the driver's own r12 run landed at 39.15%, 0.85
+  // points under the trigger — VERDICT r12 #1). Round 13 takes the
+  // baseline UNDER WARMUP LOAD instead (see main: the spins are sampled
+  // while a Spark warmup loop runs), folding the self-noise into the
+  // base, so the threshold tightens to 18%. Genuine capacity theft
+  // still measures FAR above it: +92% over the IDLE base on the
+  // controlled 16-of-32-core drill (BASELINE.md) is +55-70% over the
+  // loaded base — 3x the trigger.
   private val RetryDevPctMt =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV_MT", "40.0").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DEV_MT", "18.0").toDouble
 
   private def spin(): Double = {
     var x = 0x9E3779B97F4A7C15L
@@ -156,7 +161,24 @@ object Bench {
     val spinBase = median(Seq.fill(5)(spin()))
     val mtThreads = cpus.toInt
     spinPar(mtThreads) // JIT + thread-startup warmup for the capacity sentinel
+    // Capacity baseline UNDER WARMUP LOAD (round 13, VERDICT r12 #1): the
+    // between-window samples this base is compared against are taken on a
+    // JVM whose housekeeping is live — ContextCleaner draining the last
+    // window's shuffles/broadcasts, GC workers, parquet IO pools — which
+    // an idle-JVM base reads as a steady +15-25% "deviation". Sampling
+    // the base while a Spark warmup loop runs folds that self-noise into
+    // the base itself, so the retry threshold can sit at 18% instead of
+    // 40% (the r12 dead zone). The warmup loop re-runs the (already
+    // primed, sub-second) flagship query: ~1 busy core of `cpus` plus
+    // exactly the housekeeping the suite generates. The ST base above
+    // stays idle-measured — its 10% threshold was calibrated there.
+    @volatile var warmLoopOn = true
+    val warmLoop = new Thread(() => {
+      while (warmLoopOn) SparkEntry.entry(spark).count()
+    }, "graft-bench-warmload")
+    warmLoop.setDaemon(true); warmLoop.start()
     val spinMtBase = median(Seq.fill(5)(spinPar(mtThreads)))
+    warmLoopOn = false; warmLoop.join()
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val sentinelMtSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def devPct(s: Double): Double = math.abs(s - spinBase) / spinBase * 100
@@ -301,9 +323,13 @@ object Bench {
           .getOrElse {
             // pre-r11 artifact: count the quoted keys of its queries object
             val qstart = prev.indexOf("\"queries\":{")
-            if (qstart < 0) -1
+            val qend = if (qstart < 0) -1 else prev.indexOf('}', qstart)
+            // qend guards a TRUNCATED artifact (e.g. a partially written
+            // file — environmental, not a format bug): substring would
+            // throw after every query already ran and lose the run
+            if (qstart < 0 || qend < 0) -1
             else {
-              val body = prev.substring(qstart + 11, prev.indexOf('}', qstart))
+              val body = prev.substring(qstart + 11, qend)
               // quote-counting assumes the flat {"name":num,...} shape this
               // main has always written; a nested brace means the heuristic
               // would miscount — admit ignorance instead
@@ -315,7 +341,11 @@ object Bench {
       case _: java.io.IOException => -1
       case _: NumberFormatException => -1
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct},"sentinel_mt":{"threads":$mtThreads,"spin_base_sec":$spinMtBase,"samples":$sentMt,"max_dev_pct":$maxDevMtPct,"max_slow_pct":$maxSlowMtPct}}"""
+    // each sentinel block records the retry threshold it ran under —
+    // thresholds have changed across rounds (MT 40% idle-base -> 18%
+    // loaded-base in r13), so a future artifact-keep compare can
+    // normalize a past run by the scale it was actually certified on
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct,"retry_dev_pct":$RetryDevPct},"sentinel_mt":{"threads":$mtThreads,"spin_base_sec":$spinMtBase,"samples":$sentMt,"max_dev_pct":$maxDevMtPct,"max_slow_pct":$maxSlowMtPct,"retry_dev_pct":$RetryDevPctMt}}"""
     println(json)
     // Persist the COMPLETE artifact (the driver records only a truncated
     // stdout tail) — but never replace a same-HEAD run that was measured
@@ -330,23 +360,36 @@ object Bench {
         val prev = java.nio.file.Files.readString(p)
         val prevHead = "\"head\":\"([0-9a-f]+)\"".r
           .findFirstMatchIn(prev).map(_.group(1))
-        // compare slow-side pressure ACROSS BOTH sentinels — a run is as
-        // contended as its worst signal (per-core speed or stolen
-        // capacity); pre-r12 artifacts carry one block, pre-r10 only the
-        // abs metric (a fast-clocked sample inflates abs dev but cannot
-        // have hurt the recorded timings — still the honest fallback)
+        // compare slow-side pressure ACROSS BOTH sentinels, each
+        // NORMALIZED by the retry threshold it was certified under
+        // (ADVICE r12): the sentinels have different noise floors, so a
+        // raw max() let a genuinely ST-contended run (ST 12%, MT 16%)
+        // replace a quiet one whose MT self-noise read 24%. The artifact
+        // records its thresholds since r13; older artifacts fall back to
+        // the constants in force when they were written (ST 10, MT 40
+        // idle-base). Pre-r12 artifacts carry one block (ST only),
+        // pre-r10 only the abs metric — both stay on the ST scale (a
+        // fast-clocked sample inflates abs dev but cannot have hurt the
+        // recorded timings — still the honest fallback).
         val prevSlows = "\"max_slow_pct\":([0-9.Ee+-]+)".r
           .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
-        val prevDevRec =
-          if (prevSlows.nonEmpty) Some(prevSlows.max)
+        val prevThs = "\"retry_dev_pct\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
+        val prevThSt = prevThs.headOption.getOrElse(10.0)
+        val prevThMt = if (prevThs.size >= 2) prevThs(1) else 40.0
+        val prevNorm =
+          if (prevSlows.size >= 2)
+            Some(math.max(prevSlows(0) / prevThSt, prevSlows(1) / prevThMt))
+          else if (prevSlows.size == 1) Some(prevSlows(0) / prevThSt)
           else "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev)
-            .map(_.group(1).toDouble)
-        val thisSlow = math.max(maxSlowPct, maxSlowMtPct)
+            .map(_.group(1).toDouble / prevThSt)
+        val thisNorm = math.max(maxSlowPct / RetryDevPct,
+          maxSlowMtPct / RetryDevPctMt)
         if (prevHead.contains(head) && head != "unknown" &&
-            prevDevRec.exists(_ < thisSlow)) {
+            prevNorm.exists(_ < thisNorm)) {
           System.err.println(f"[bench] keeping committed $out (same HEAD, " +
-            f"max_slow ${prevDevRec.get}%.1f%% < this run's $thisSlow%.1f%%); " +
-            s"this run -> $out.latest")
+            f"threshold-normalized max_slow ${prevNorm.get}%.2f < this " +
+            f"run's $thisNorm%.2f); this run -> $out.latest")
           out + ".latest"
         } else out
       }
