@@ -162,23 +162,23 @@ object Bench {
     val mtThreads = cpus.toInt
     spinPar(mtThreads) // JIT + thread-startup warmup for the capacity sentinel
     // Capacity baseline UNDER WARMUP LOAD (round 13, VERDICT r12 #1): the
-    // between-window samples this base is compared against are taken on a
-    // JVM whose housekeeping is live — ContextCleaner draining the last
-    // window's shuffles/broadcasts, GC workers, parquet IO pools — which
-    // an idle-JVM base reads as a steady +15-25% "deviation". Sampling
-    // the base while a Spark warmup loop runs folds that self-noise into
-    // the base itself, so the retry threshold can sit at 18% instead of
-    // 40% (the r12 dead zone). The warmup loop re-runs the (already
-    // primed, sub-second) flagship query: ~1 busy core of `cpus` plus
-    // exactly the housekeeping the suite generates. The ST base above
+    // between-window samples this base is compared against are taken
+    // right after a window's queries finish, on a JVM whose housekeeping
+    // is live — ContextCleaner draining the window's shuffles/broadcasts,
+    // GC workers, parquet IO pools — which an idle-JVM base reads as a
+    // steady +15-25% "deviation" (BASELINE.md r12 calibration). Each
+    // baseline sample is therefore taken the same way: run the (already
+    // primed, sub-second) flagship query, then sample IMMEDIATELY, so the
+    // base carries the just-finished-work housekeeping state and the
+    // retry threshold can sit at 18% instead of 40% (the r12 dead zone).
+    // Sequential, not concurrent: a spin taken WHILE a query runs
+    // measures query CPU too and over-inflates the base (+42% measured),
+    // which would widen the masked band, not close it. The ST base above
     // stays idle-measured — its 10% threshold was calibrated there.
-    @volatile var warmLoopOn = true
-    val warmLoop = new Thread(() => {
-      while (warmLoopOn) SparkEntry.entry(spark).count()
-    }, "graft-bench-warmload")
-    warmLoop.setDaemon(true); warmLoop.start()
-    val spinMtBase = median(Seq.fill(5)(spinPar(mtThreads)))
-    warmLoopOn = false; warmLoop.join()
+    val spinMtBase = median(Seq.fill(5) {
+      SparkEntry.entry(spark).count()
+      spinPar(mtThreads)
+    })
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val sentinelMtSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def devPct(s: Double): Double = math.abs(s - spinBase) / spinBase * 100
