@@ -159,6 +159,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PcaStalenessPlaceholder].getName, "graft_pca_staleness"),
       SqlSurface.pcaStalenessBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_probe_staleness"),
+      new ExpressionInfo(classOf[ProbeStalenessPlaceholder].getName, "graft_probe_staleness"),
+      SqlSurface.probeStalenessBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_knn_search"),
       new ExpressionInfo(classOf[KnnSearchPlaceholder].getName, "graft_knn_search"),
       SqlSurface.knnSearchBuilder _))

@@ -183,6 +183,20 @@ object SqlSurface {
       tableArg(fn, "second", exprs(1)))
   }
 
+  /** graft_probe_staleness('modelPath', TABLE(docs)) — the frozen wide
+    * quality probe's drift gauge ([[graft.queries.LlmOps
+    * .qualityProbeWideStaleness]]: standardized score-mean displacement
+    * vs the freeze-time capture) as one SQL row — the retrain alarm
+    * queryable where the pipelines live, completing the staleness
+    * triple (IVF, PCA, probe). */
+  def probeStalenessBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_probe_staleness"
+    require(exprs.size == 2,
+      s"$fn(modelPath, docs) takes 2 args (model path string, TABLE(...) with doc_id/text), got ${exprs.size}")
+    ProbeStalenessPlaceholder(strLit(fn, "modelPath", exprs.head),
+      tableArg(fn, "second", exprs(1)))
+  }
+
   /** graft_knn_search(graph, corpus, queries, k[, beam, rounds]) — graph-
     * ANN beam search over a prebuilt KnnGraph.build graph: completes SQL
     * access across all three index families (dedup, IVF, graph). `graph`
@@ -573,6 +587,17 @@ case class PcaStalenessPlaceholder(path: String, child: LogicalPlan)
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL wide-probe drift gauge; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class ProbeStalenessPlaceholder(path: String, child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("ProbeStalenessPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): ProbeStalenessPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL IVF-PQ search; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class PqSearchPlaceholder(path: String, child: LogicalPlan, k: Int, nprobe: Int,
@@ -898,6 +923,14 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
       import session.implicits._
       Seq((n, cap, tot, frac))
         .toDF("n", "captured_variance", "total_variance", "captured_frac")
+        .queryExecution.analyzed
+    case p: ProbeStalenessPlaceholder if p.childrenResolved =>
+      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+        graft.queries.LlmOps.qualityProbeWideStaleness(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child), p.path)
+      import session.implicits._
+      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
+        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
         .queryExecution.analyzed
     case p: KCenterPlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.kCenterSample(

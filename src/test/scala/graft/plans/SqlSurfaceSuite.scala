@@ -342,6 +342,25 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(frac > 0 && frac <= 1.0)
   }
 
+  test("graft_probe_staleness: SQL row equals the Scala gauge") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sql-stale-probe")
+      .toString + "/m"
+    graft.queries.LlmOps.qualityProbeWideFreeze(docs, dir, buckets = 1L << 14)
+    val (fitN, serveN, fm, sm, sd, shift) =
+      graft.queries.LlmOps.qualityProbeWideStaleness(docs, dir)
+    docs.createOrReplaceTempView("sql_stale_probe_docs")
+    val row = spark.sql(
+      s"SELECT * FROM graft_probe_staleness('$dir', TABLE(SELECT * FROM sql_stale_probe_docs))")
+      .collect()
+    assert(row.length === 1)
+    assert((row.head.getLong(0), row.head.getLong(1), row.head.getDouble(2),
+      row.head.getDouble(3), row.head.getDouble(4), row.head.getDouble(5))
+      === ((fitN, serveN, fm, sm, sd, shift)))
+    assert(shift === 0.0, "self-staleness through SQL must be exactly 0")
+  }
+
   test("graft_knn_search: SQL round trip equals the Scala graph operator") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val corpus = emb.filter(col("vec_id") >= 50)
