@@ -3424,6 +3424,21 @@ object LlmOps {
         "graft-qpwfeat", s.sparkContext.applicationId, d))(
         qualityProbeWideFeatures(Tables(s, d, "documents"))))),
 
+    // BIGRAM wide probe (closing VERDICT r12 "missing" #3 — the
+    // word-ORDER capacity tier): the same 2^18-bucket SparseRidge gate
+    // over the unigram+bigram hashed-TF map (hashedTfXxh ngrams = 2 —
+    // SparseRidgeSuite's adjacency fixture proves an order-only signal
+    // NO unigram width can learn separates here). Gate-affordable since
+    // round 13: the r12 measurement predated the SparseDotRef
+    // reference-object fold (the bigram map roughly doubles active dims,
+    // so the per-iteration typedLit plan cost it paid was the largest on
+    // the board) and the feature memo. Same rows-only justification and
+    // suite pins as q_quality_probe_wide.
+    "q_quality_probe_bigram" -> ((s, d) => qualityProbeWideScore(
+      graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-qpbfeat", s.sparkContext.applicationId, d))(
+        qualityProbeWideFeatures(Tables(s, d, "documents"), ngrams = 2)))),
+
 
     // DETERMINISTIC SHARD WRITER (see [[shardAssignment]]): seeded
     // pseudo-shuffle order + exactly balanced contiguous shards, emitted
