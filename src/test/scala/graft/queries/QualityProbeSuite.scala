@@ -325,7 +325,22 @@ class QualityProbeSuite extends SparkSpec {
       LlmOps.qualityProbeWideStaleness(drifted, s"$dir/model")
     assert(sDrift >= 0.8, s"collapsed corpus did not alarm: $sDrift")
     assert(sDrift > sIn)
-    // a torn freeze (model present, capture missing) fails loudly
+    // streaming telemetry: each scored micro-batch records its own
+    // drift row — the quiet and drifted regimes above, as a SERIES
+    val out = s"$dir/stream"
+    graft.streaming.StreamingQuality.applyBatchWide(
+      resampled, s"$dir/model", out, 0L)
+    graft.streaming.StreamingQuality.applyBatchWide(
+      drifted, s"$dir/model", out, 1L)
+    graft.streaming.StreamingQuality.applyBatchWide(
+      drifted, s"$dir/model", out, 1L) // retry: identical row, overwritten
+    val series = graft.streaming.StreamingQuality.drift(spark, out)
+      .orderBy("batch").collect()
+    assert(series.length === 2)
+    assert(series(0).getAs[Double]("shift") === sIn)
+    assert(series(1).getAs[Double]("shift") === sDrift)
+    // a torn freeze (model present, capture missing) fails loudly — and
+    // the streaming scorer then still scores, just without the alarm
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/model/score_meta"), true)
@@ -333,6 +348,11 @@ class QualityProbeSuite extends SparkSpec {
       LlmOps.qualityProbeWideStaleness(docs, s"$dir/model")
     }
     assert(e.getMessage.contains("score_meta"), e.getMessage)
+    graft.streaming.StreamingQuality.applyBatchWide(
+      docs, s"$dir/model", out, 2L) // scores land, no drift row
+    assert(graft.streaming.StreamingQuality.drift(spark, out).count() === 2)
+    assert(graft.streaming.StreamingQuality.scores(spark, out)
+      .filter(col("batch") === 2L).count() === 120)
   }
 
   test("bigram wide probe: scores every organic doc, holds the chance band, deterministic") {
