@@ -234,6 +234,42 @@ class SparseRidgeSuite extends SparkSpec {
     }
   }
 
+  test("SparseDotRef compiles under codegen-fallback-disabled in BOTH nullability shapes") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // non-nullable child — the r13 bug's trigger (nullSafeCodeGen's
+      // else branch replaces ev.isNull AFTER template interpolation;
+      // referencing it left an undeclared identifier and a silent
+      // interpreter fallback): the CG fit path drives exactly this shape
+      val (feat, labels, _) = smallSystem
+      val m = SparseRidge.fit(feat, labels, iters = 4, denseLimit = 0)
+      assert(SparseRidge.score(feat, m).count() === 40)
+      // element-nullable child: the null-check/break branches must also
+      // compile, and a null element nulls the fold (never a partial sum)
+      val vec = IndexedSeq(2.0, 3.0)
+      def dot(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SparseDotRef(
+            org.apache.spark.sql.GraftSqlBridge.expression(c), vec))
+      val rows = Seq(0, 1).toDF("i").select(col("i"),
+        when(col("i") === 0,
+          array(struct(lit(0).as("j"), lit(1.0).as("v")),
+            lit(null).cast("struct<j:int,v:double>")))
+        .otherwise(
+          array(struct(lit(0).as("j"), lit(1.0).as("v")),
+            struct(lit(1).as("j"), lit(0.5).as("v")))).as("fs"))
+        .select(col("i"), dot(col("fs")).as("s"))
+        .orderBy("i").collect()
+      assert(rows(0).isNullAt(1), "a null element must null the fold")
+      assert(rows(1).getDouble(1) === 1.0 * 2.0 + 0.5 * 3.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("degenerate inputs fail fast") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "dim", "v")
