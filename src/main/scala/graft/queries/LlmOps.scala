@@ -256,6 +256,47 @@ object LlmOps {
       // groups with separators) so bare numeric prose never matches
       "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
 
+  /** URL CANONICALIZATION — the key a crawl-scale pipeline dedups and
+    * joins on (the RFC 3986 §6 normalizations that preserve semantics,
+    * plus the de-facto tracking-param strip every crawl pipeline
+    * applies):
+    *   1. scheme and host lowercase;
+    *   2. default port stripped (http:80, https:443); others kept;
+    *   3. fragment dropped (never sent to the server);
+    *   4. query: empty and `utm_*` tracking params dropped, the rest
+    *      sorted lexicographically (param order is almost never
+    *      semantic; sorting makes equal resources compare equal);
+    *   5. empty path becomes "/".
+    * Path case and trailing slashes are KEPT — they can be semantic, so
+    * normalizing them would merge distinct resources (documented
+    * conservatism). Built from splits, not fragile regexes, so the
+    * Spark and DuckDB forms are the same arithmetic: split on '#', then
+    * '?', then '://', then the first '/', then ':'. A URL without
+    * scheme://host is outside the contract (crawl frontiers store
+    * absolute URLs). */
+  def canonicalizeUrl(url: Column): Column = {
+    // every piece is first-split + tail-substring, so the DuckDB oracle
+    // mirrors it verbatim (list[1] + substring) — no limit-split or
+    // lazy-regex semantics to diverge on
+    val noFrag = element_at(split(url, "#"), 1)
+    val pre = element_at(split(noFrag, "[?]"), 1)
+    val q = substr(noFrag, length(pre) + lit(2))
+    val scheme = lower(element_at(split(pre, "://"), 1))
+    val resthp = substr(pre, length(scheme) + lit(4))
+    val hostport = element_at(split(resthp, "/"), 1)
+    val path = concat(lit("/"), substr(resthp, length(hostport) + lit(2)))
+    val host = lower(element_at(split(hostport, ":"), 1))
+    val port = substr(hostport, length(host) + lit(2))
+    val portKeep = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val params = array_join(sort_array(filter(split(q, "&"),
+      p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, portKeep, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -3077,6 +3118,38 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // URL CANONICALIZATION (see [[canonicalizeUrl]]): the crawl
+    // pipeline's dedup/join key — lowercase scheme+host, default-port
+    // strip, fragment drop, tracking-param strip + param sort, empty
+    // path -> "/". The corpus tables carry no URL column, so the input
+    // is a DETERMINISTIC per-doc fixture (the q_text_scrub_fixture
+    // discipline, derived from source + doc_id) cycling through the
+    // eight normalization-relevant shapes: uppercase scheme/host,
+    // default and non-default ports, unsorted/duplicate/tracking query
+    // params, fragment-only tails, and the empty path. FULL DuckDB
+    // parity — the canonical form is split+substring arithmetic both
+    // engines state identically.
+    "q_text_url_canon" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(8))
+      val url = when(m === 0, concat(lit("HTTP://WWW."), col("source"),
+          lit(".COM:80/Arc/Page.html?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://"), col("source"), lit(".com/a/b/")))
+        .when(m === 2, concat(lit("https://"), col("source"),
+          lit(".COM:443/x?z=1&y=2&utm_campaign=c")))
+        .when(m === 3, concat(lit("http://"), col("source"), lit(".com:8080/p?q="),
+          col("doc_id")))
+        .when(m === 4, concat(lit("https://Sub."), col("source"),
+          lit(".Com/p/q?a=2&a=1&utm_medium=m")))
+        .when(m === 5, concat(lit("http://"), col("source"), lit(".com/#only")))
+        .when(m === 6, concat(lit("https://"), col("source"),
+          lit(".com:9443/Deep/Path/?x="), col("doc_id"), lit("&utm_term=t")))
+        .otherwise(concat(lit("http://"), col("source"), lit(".com")))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"),
@@ -5265,6 +5338,43 @@ object LlmOps {
         |      (CAST(-2 AS BIGINT), 'call 555-123-4567 or +1 555.987.6543 soon'),
         |      (CAST(-1 AS BIGINT), 'sequence 12 34 567 stays and version 1.2.3 stays')
         |    ) t(doc_id, text)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_url_canon" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/Arc/Page.html?utm_source=x&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://' || source || '.com/a/b/'
+        |      WHEN 2 THEN 'https://' || source || '.COM:443/x?z=1&y=2&utm_campaign=c'
+        |      WHEN 3 THEN 'http://' || source || '.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
+        |      WHEN 4 THEN 'https://Sub.' || source || '.Com/p/q?a=2&a=1&utm_medium=m'
+        |      WHEN 5 THEN 'http://' || source || '.com/#only'
+        |      WHEN 6 THEN 'https://' || source || '.com:9443/Deep/Path/?x=' || CAST(doc_id AS VARCHAR) || '&utm_term=t'
+        |      ELSE 'http://' || source || '.com'
+        |    END AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS nofrag FROM urls),
+        |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+        |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
+        |p3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+        |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM p2),
+        |p4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM p3),
+        |p5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
+        |         lower(string_split(hostport, ':')[1]) AS host,
+        |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM p4),
+        |p6 AS (SELECT *,
+        |         CASE WHEN port = '' THEN ''
+        |              WHEN scheme = 'http' AND port = '80' THEN ''
+        |              WHEN scheme = 'https' AND port = '443' THEN ''
+        |              ELSE ':' || port END AS portkeep,
+        |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS params
+        |       FROM p5)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || portkeep || pth ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+        |FROM p6
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->

@@ -32,4 +32,25 @@ class LlmOpsScrubSuite extends SparkSpec {
     assert(got(7L) === "call <PHONE> or +1 <PHONE> soon")
     assert(got(8L) === "sequence 12 34 567 stays and version 1.2.3 stays")
   }
+
+  test("canonicalizeUrl: each normalization rule on a crafted case") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, default port stripped, utm dropped,
+      // params sorted, fragment dropped, path case KEPT
+      "HTTP://WWW.Ex.COM:80/A/B.html?utm_source=x&b=2&a=1#f"
+        -> "http://www.ex.com/A/B.html?a=1&b=2",
+      "https://H.com:443/" -> "https://h.com/",   // https default port
+      "http://h.com:8080/p" -> "http://h.com:8080/p", // non-default KEPT
+      "https://h.com" -> "https://h.com/",        // empty path -> "/"
+      "http://h.com/#only" -> "http://h.com/",    // fragment-only tail
+      // duplicate keys both kept, sorted; tracking param dropped
+      "https://h.com/p?a=2&a=1&utm_medium=m" -> "https://h.com/p?a=1&a=2",
+      "https://h.com/Deep/Path/?x=1" -> "https://h.com/Deep/Path/?x=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(LlmOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2),
+      "canonical form drifted from the documented rules")
+  }
 }
