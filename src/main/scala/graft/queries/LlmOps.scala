@@ -297,6 +297,53 @@ object LlmOps {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** HTML STRIP — crawl-corpus boilerplate removal: script/style blocks
+    * and comments removed WHOLE (their text is not document content),
+    * remaining tags replaced by spaces (tags separate words — deleting
+    * them would weld 'world</p><p>hello' into one token), the six
+    * universal entities decoded (&amp; LAST, so '&amp;lt;' decodes to
+    * the literal '&lt;' and never double-unescapes into '<'), and
+    * whitespace collapsed. Regexes are shared-subset Java/RE2 (lazy
+    * quantifiers, character classes — no backrefs or lookaround), so
+    * the DuckDB oracle runs them verbatim. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "<script[^>]*>.*?</script>", " "),
+      "<style[^>]*>.*?</style>", " "),
+      "<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) =>
+        replace(c, lit(e), lit(ch)) } // literal replace — no regex dialect risk
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The deterministic per-doc HTML fixture behind q_text_strip_html /
+    * q_text_extract_links (the corpus carries no raw HTML — the
+    * q_text_scrub_fixture discipline): four page shapes cycling
+    * script+style+comment boilerplate, attribute-carrying and
+    * self-closing tags, entity runs (incl. the &amp;lt; double-escape
+    * trap), and 0-2 links of normalization-relevant messiness. */
+  private def htmlFixture(s: SparkSession, d: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(4))
+    val html = when(m === 0, concat(
+        lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head>" +
+          "<body><h1 class=\"t\">Doc</h1><p>"), col("text"),
+        lit(" &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden -->" +
+          "<a href=\"HTTP://EX."), col("source"),
+        lit(".COM:80/a?utm_s=1&b=2\">link</a></body></html>")))
+      .when(m === 1, concat(
+        lit("<div id='m'><p>"), col("text"),
+        lit("</p><br/><a href=\"https://h."), col("source"),
+        lit(".io/p/\">one</a> <a href=\"http://h."), col("source"),
+        lit(".io:8080/q?z=2&y=1#f\">two</a></div>")))
+      .when(m === 2, concat(
+        lit("<P>"), col("text"), lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>")))
+      .otherwise(concat(lit("<span>"), col("text"), lit("</span>")))
+    Tables(s, d, "documents").select(col("doc_id"), html.as("html"))
+  }
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -3150,6 +3197,26 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // HTML boilerplate strip (see [[stripHtml]]): script/style/comment
+    // blocks out whole, tags -> spaces, entities decoded (&amp; last),
+    // whitespace collapsed — over the deterministic [[htmlFixture]]
+    // pages. FULL DuckDB parity (shared-subset regexes + literal
+    // replace()).
+    "q_text_strip_html" -> ((s, d) => htmlFixture(s, d)
+      .select(col("doc_id"), stripHtml(col("html")).as("clean"))
+      .orderBy("doc_id")),
+
+    // Link extraction — the crawl-frontier builder: href targets pulled
+    // from the same [[htmlFixture]] pages, one row per link, each
+    // canonicalized by [[canonicalizeUrl]] (the composition a frontier
+    // actually enqueues). FULL DuckDB parity.
+    "q_text_extract_links" -> ((s, d) => htmlFixture(s, d)
+      .select(col("doc_id"), explode(regexp_extract_all(col("html"),
+        lit("href=\"([^\"]*)\""), lit(1))).as("link"))
+      .select(col("doc_id"), col("link"),
+        canonicalizeUrl(col("link")).as("canon"))
+      .orderBy("doc_id", "link")),
+
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"),
@@ -5339,6 +5406,67 @@ object LlmOps {
         |      (CAST(-1 AS BIGINT), 'sequence 12 34 567 stays and version 1.2.3 stays')
         |    ) t(doc_id, text)))
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_strip_html" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
+        |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
+        |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
+        |      ELSE '<span>' || text || '</span>'
+        |    END AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM pages
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_extract_links" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
+        |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
+        |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
+        |      ELSE '<span>' || text || '</span>'
+        |    END AS html
+        |  FROM documents),
+        |links AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+        |  FROM pages),
+        |p1 AS (SELECT doc_id, link, string_split(link, '#')[1] AS nofrag FROM links),
+        |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+        |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
+        |p3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+        |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM p2),
+        |p4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM p3),
+        |p5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
+        |         lower(string_split(hostport, ':')[1]) AS host,
+        |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM p4),
+        |p6 AS (SELECT *,
+        |         CASE WHEN port = '' THEN ''
+        |              WHEN scheme = 'http' AND port = '80' THEN ''
+        |              WHEN scheme = 'https' AND port = '443' THEN ''
+        |              ELSE ':' || port END AS portkeep,
+        |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS params
+        |       FROM p5)
+        |SELECT doc_id, link,
+        |  scheme || '://' || host || portkeep || pth ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+        |FROM p6
+        |ORDER BY doc_id, link""".stripMargin,
 
     "q_text_url_canon" ->
       """WITH urls AS (

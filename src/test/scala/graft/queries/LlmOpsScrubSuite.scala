@@ -53,4 +53,14 @@ class LlmOpsScrubSuite extends SparkSpec {
     assert(got === cases.map(_._2),
       "canonical form drifted from the documented rules")
   }
+
+  test("stripHtml: blocks out whole, tags become spaces, entities decode exactly once") {
+    import spark.implicits._
+    val h = "<p>a</p><p>b</p><script>var s='<p>hi</p>';</script> &amp;lt;x&amp;gt; &amp; y"
+    val got = Seq(h).toDF("h")
+      .select(LlmOps.stripHtml(col("h")).as("c")).head().getString(0)
+    // the script BLOCK vanishes (its text is not content), tags separate
+    // words, and '&amp;lt;' decodes to the literal '&lt;' — never twice
+    assert(got === "a b &lt;x&gt; & y", got)
+  }
 }
