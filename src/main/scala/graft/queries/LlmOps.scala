@@ -763,11 +763,25 @@ object LlmOps {
         round(col("score"), 6).as("score"),
         round(abs(col("score") - 0.5), 6).as("margin"))
 
-  /** One-pass score-distribution moments of `docs` under a frozen wide
-    * probe — (n, mean, sd) via DECIMAL sums (exact, partition-order
-    * independent — the [[graft.ml.IvfIndex]] tightness discipline).
-    * Shared by the freeze-time capture and the serving-side gauge so the
-    * two sides can never diverge in HOW they measure. */
+  /** One-pass (n, mean, sd) of a single-column frame `s` via DECIMAL
+    * sums (exact, partition-order independent — the
+    * [[graft.ml.IvfIndex]] tightness discipline). Shared by every
+    * freeze-time capture and serving-side gauge so the two sides of a
+    * comparison can never diverge in HOW they measure. */
+  private def momentsOf(scores: DataFrame, what: String): (Long, Double, Double) = {
+    val r = scores
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(38,12)")).cast("double").as("sx"),
+        sum((col("s") * col("s")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      .head()
+    val n = r.getLong(0)
+    require(n > 0, s"$what staleness: empty corpus")
+    val mean = r.getDouble(1) / n
+    val varr = math.max(0.0, r.getDouble(2) / n - mean * mean)
+    (n, mean, math.sqrt(varr))
+  }
+
+  /** Score-distribution moments of `docs` under a frozen wide probe. */
   private def wideScoreMoments(docs: DataFrame, modelPath: String)
       : (Long, Double, Double) = {
     val spark = docs.sparkSession
@@ -775,21 +789,72 @@ object LlmOps {
     val buckets = metaRow.getAs[Long]("buckets")
     val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
     val (model, _) = graft.ml.SparseRidge.loadModel(spark, modelPath)
-    val r = docs.select("doc_id")
+    momentsOf(docs.select("doc_id")
       .join(graft.ml.SparseRidge.score(
           hashedTfXxh(docs, buckets, ngrams)
             .select(col("doc_id").as("id"), col("dim"), col("v")), model)
         .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(coalesce(col("score"), lit(model.bias)).as("s"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("s").cast("decimal(38,12)")).cast("double").as("sx"),
-        sum((col("s") * col("s")).cast("decimal(38,12)")).cast("double").as("sxx"))
-      .head()
-    val n = r.getLong(0)
-    require(n > 0, "wide-probe staleness: empty corpus")
-    val mean = r.getDouble(1) / n
-    val varr = math.max(0.0, r.getDouble(2) / n - mean * mean)
-    (n, mean, math.sqrt(varr))
+      .select(coalesce(col("score"), lit(model.bias)).as("s")), "wide-probe")
+  }
+
+  /** SIGNED-margin moments of `docs` under a frozen DENSE probe — the
+    * dense analog of [[wideScoreMoments]]: s = margin · (2·pred − 1)
+    * for the binary {0,1} quality probe, so the statistic carries BOTH
+    * the class mix (sign) and the decision distance (magnitude) — the
+    * same information the wide probe's centered regression score holds.
+    * The unsigned margin alone is a weak drift signal: a corpus that
+    * collapses onto ONE confidently-classified class keeps its margin
+    * magnitudes and would read quiet (measured: shift 0.05 on the suite
+    * drill's all-spam collapse, vs ~1 signed). */
+  private def denseMarginMoments(docs: DataFrame, modelPath: String)
+      : (Long, Double, Double) = {
+    val (model, _) = graft.ml.LinearProbe.loadModel(docs.sparkSession, modelPath)
+    momentsOf(graft.ml.LinearProbe.predict(hashedTfDense(docs), model)
+      .select(((col("pred") * 2 - 1) * col("margin")).cast("double").as("s")),
+      "dense-probe")
+  }
+
+  /** Fit the dense probe on `docs` and FREEZE it — the
+    * [[qualityProbeWideFreeze]] shape at dense width: LinearProbe
+    * weights + Platt scalars at `modelPath`, plus the drift-gauge
+    * capture (margin moments at `modelPath/score_meta`, deleted first /
+    * written last so a torn freeze fails loudly in the gauge instead of
+    * gauging a new model against a previous freeze's moments). */
+  def qualityProbeFreeze(docs: DataFrame, modelPath: String,
+                         threshold: Double = 0.3,
+                         holdoutMod: Long = 5L): Unit = {
+    val spark = docs.sparkSession
+    val (model, calib) = qualityProbeFit(
+      qualityProbeFeatures(docs, threshold), holdoutMod)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"), true)
+    graft.ml.LinearProbe.saveModel(spark, model, modelPath, calib)
+    val (n, mean, sd) = denseMarginMoments(docs, modelPath)
+    import spark.implicits._
+    Seq((n, mean, sd)).toDF("n", "mean", "sd")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$modelPath/score_meta")
+  }
+
+  /** DENSE-probe drift gauge — [[qualityProbeWideStaleness]]'s contract
+    * over a [[qualityProbeFreeze]] artifact: (fitN, serveN, fitMean,
+    * serveMean, fitSd, shift) on the SIGNED-margin distribution (see
+    * [[denseMarginMoments]]). */
+  def qualityProbeStaleness(docs: DataFrame, modelPath: String)
+      : (Long, Long, Double, Double, Double, Double) = {
+    val spark = docs.sparkSession
+    val capPath = s"$modelPath/score_meta"
+    val cap = spark.read.parquet(capPath).select("n", "mean", "sd").head()
+    val (fitN, fitMean, fitSd) = (cap.getLong(0), cap.getDouble(1), cap.getDouble(2))
+    require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
+      s"dense-probe staleness: non-finite capture at $capPath — refit and re-freeze")
+    val (serveN, serveMean, _) = denseMarginMoments(docs, modelPath)
+    val shift =
+      if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
+      else if (serveMean == fitMean) 0.0
+      else Double.PositiveInfinity
+    (fitN, serveN, fitMean, serveMean, fitSd, shift)
   }
 
   /** WIDE-PROBE DRIFT GAUGE (VERDICT r12 #6) — the retrain alarm the

@@ -24,12 +24,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingQuality {
 
   /** One micro-batch (public so retry idempotence is testable without
-    * driving a stream). Expects (doc_id, text). */
+    * driving a stream). Expects (doc_id, text). When the frozen artifact
+    * carries a [[graft.queries.LlmOps.qualityProbeFreeze]] drift capture
+    * (`score_meta`), the batch also records its margin-distribution
+    * drift row — the same telemetry contract as [[applyBatchWide]]. */
   def applyBatch(batch: DataFrame, modelPath: String, outDir: String,
-                 batchId: Long): Unit =
+                 batchId: Long): Unit = {
     graft.queries.LlmOps.qualityProbeServe(
         batch.select("doc_id", "text"), modelPath)
       .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta")) &&
+        !batch.isEmpty) {
+      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+        graft.queries.LlmOps.qualityProbeStaleness(
+          batch.select("doc_id", "text"), modelPath)
+      import spark.implicits._
+      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
+        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/drift/batch=$batchId")
+    }
+  }
 
   /** Attach the scorer to a streaming (doc_id, text) frame. `modelPath`
     * must hold a [[graft.ml.LinearProbe.saveModel]] probe. */

@@ -355,6 +355,47 @@ class QualityProbeSuite extends SparkSpec {
       .filter(col("batch") === 2L).count() === 120)
   }
 
+  test("dense-probe drift gauge: freeze captures margin moments, the telemetry series separates regimes") {
+    import spark.implicits._
+    val docs = plantedDocs
+    val dir = java.nio.file.Files.createTempDirectory("dense-drift").toString
+    LlmOps.qualityProbeFreeze(docs, s"$dir/model")
+    // the frozen artifact still serves exactly like a hand-saved one
+    assert(LlmOps.qualityProbeServe(docs, s"$dir/model").count() === 120)
+    val (fitN, n0, _, _, fitSd, s0) =
+      LlmOps.qualityProbeStaleness(docs, s"$dir/model")
+    assert(fitN === 120L && n0 === 120L && fitSd > 0.0)
+    assert(s0 === 0.0, s"self-staleness must be exactly 0, got $s0")
+    // in-distribution resample (same generators, fresh ids): quiet
+    val resampled = (
+      (200L until 260L).map { i =>
+        (i, (0 until 40).map(j => s"tok${(i * 7 + j * 3) % 97}").mkString(" "))
+      } ++ (300L until 360L).map { i =>
+        (i, Seq.fill(40)(s"spam${i % 7}").mkString(" "))
+      }).toDF("doc_id", "text")
+    val (_, _, _, _, _, sIn) =
+      LlmOps.qualityProbeStaleness(resampled, s"$dir/model")
+    // collapsed corpus (all spam — half the fit population's mixture)
+    val drifted = (0L until 120L)
+      .map(i => (i, Seq.fill(40)(s"spam${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, _, _, _, _, sDrift) =
+      LlmOps.qualityProbeStaleness(drifted, s"$dir/model")
+    assert(sIn < 0.25, s"in-distribution resample read as drift: $sIn")
+    assert(sDrift > math.max(0.5, 2 * sIn),
+      s"collapsed corpus did not alarm: drift $sDrift vs in-dist $sIn")
+    // streaming telemetry mirrors the wide twin's contract
+    val out = s"$dir/stream"
+    graft.streaming.StreamingQuality.applyBatch(resampled, s"$dir/model", out, 0L)
+    graft.streaming.StreamingQuality.applyBatch(drifted, s"$dir/model", out, 1L)
+    graft.streaming.StreamingQuality.applyBatch(drifted, s"$dir/model", out, 1L) // retry
+    val series = graft.streaming.StreamingQuality.drift(spark, out)
+      .orderBy("batch").collect()
+    assert(series.length === 2)
+    assert(series(0).getAs[Double]("shift") === sIn)
+    assert(series(1).getAs[Double]("shift") === sDrift)
+  }
+
   test("bigram wide probe: scores every organic doc, holds the chance band, deterministic") {
     // library-level (ngrams = 2 is a FEATURE-MAP parameter, not a gated
     // key: at ~1000 active bigram dims the per-invocation CG solve costs
