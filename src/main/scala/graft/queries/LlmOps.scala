@@ -2056,6 +2056,34 @@ object LlmOps {
       .select(col("doc_id"), col("confidence"), col("pred_lang"), col("cluster_size"))
       .orderBy("doc_id")
 
+  /** SERVING-shaped curation — the DataComp loop's production form:
+    * [[curateDocsProbeGated]] with the quality leg scored by a FROZEN
+    * wide probe ([[qualityProbeWideFreeze]] at `modelPath`), guarded by
+    * the drift gauge: before any doc is kept or dropped, the serving
+    * corpus's score distribution is checked against the freeze-time
+    * capture ([[qualityProbeWideStaleness]]) and a shift past `maxShift`
+    * REFUSES loudly — a pipeline that would otherwise silently curate
+    * terabytes with a probe that no longer understands its input. The
+    * default ceiling is the gauge's documented "one whole spread" refit
+    * line; raising it is a deliberate, visible act. Wires VERDICT r12
+    * #6's alarm into the decision point that consumes probe scores. */
+  def curateDocsServe(docs: DataFrame, modelPath: String,
+                      minConfidence: Double = 0.5, maxShift: Double = 1.0,
+                      cluster: Option[DataFrame] = None): DataFrame = {
+    val (_, _, _, _, _, shift) =
+      qualityProbeWideStaleness(docs.select("doc_id", "text"), modelPath)
+    require(shift <= maxShift,
+      f"curateDocsServe: the serving corpus sits $shift%.3f fit-spreads from " +
+        f"the frozen probe's score distribution (maxShift $maxShift%.2f) — its " +
+        "quality judgements are not trustworthy here; refit and re-freeze " +
+        "(qualityProbeWideFreeze) on a current slice, or raise maxShift " +
+        "deliberately")
+    curateDocsProbeGated(docs,
+      qualityProbeWideServe(docs.select("doc_id", "text"), modelPath)
+        .select(col("doc_id"), col("pred"), col("confidence")),
+      minConfidence, cluster)
+  }
+
   /** The ONE pre-filter curation frame both gates share:
     * (doc_id, lang, quality, pred_lang, cluster_rep, cluster_size) for
     * every input doc — heuristic quality, language-ID, and the near-dup
@@ -3519,6 +3547,26 @@ object LlmOps {
               qualityProbeFeatures(Tables(s, d, "documents"))))
         },
         cluster = Some(queries("q_dedup_cluster")(s, d)))),
+
+    // SERVING-shaped curation (see [[curateDocsServe]]): the frozen wide
+    // probe scores the corpus and the drift gauge guards the gate — the
+    // production form of q_curate_probe. The freeze is a once-per
+    // (app, corpus) build (the index-gate Memo discipline: the artifact
+    // is the operator's input, the serve+curate pass is what the key
+    // times); the staleness check + scoring run per invocation.
+    // Rows-only (iterative fit inside the freeze); QualityProbeSuite
+    // pins serve == the gated form on frozen scores and the drifted-
+    // corpus refusal.
+    "q_curate_serve" -> ((s, d) => {
+      val path = graft.operators.Scratch.dir(
+        "graft-curate-model", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        qualityProbeWideFreeze(
+          Tables(s, d, "documents").select("doc_id", "text"), path)
+      }
+      curateDocsServe(Tables(s, d, "documents"), path,
+        cluster = Some(queries("q_dedup_cluster")(s, d)))
+    }),
 
     // PER-DOMAIN CAP — the RefinedWeb/CCNet curation move the pipeline
     // ships BEFORE heavy dedup: a blocklist anti-filter, then keep at

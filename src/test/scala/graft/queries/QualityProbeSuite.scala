@@ -396,6 +396,32 @@ class QualityProbeSuite extends SparkSpec {
     assert(series(1).getAs[Double]("shift") === sDrift)
   }
 
+  test("curateDocsServe: frozen-probe curation equals the gated form; a drifted corpus refuses") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("curate-serve").toString
+    LlmOps.qualityProbeWideFreeze(docs.select("doc_id", "text"), s"$dir/model",
+      buckets = 1L << 14)
+    val served = LlmOps.curateDocsServe(docs, s"$dir/model")
+      .collect().map(_.toSeq).toSeq
+    // the serve form IS curateDocsProbeGated over the frozen scores —
+    // only the drift guard is new
+    val expect = LlmOps.curateDocsProbeGated(docs,
+        LlmOps.qualityProbeWideServe(docs.select("doc_id", "text"), s"$dir/model")
+          .select(col("doc_id"), col("pred"), col("confidence")))
+      .collect().map(_.toSeq).toSeq
+    assert(served === expect)
+    assert(served.nonEmpty, "the organic corpus must keep some docs")
+    // a collapsed serving corpus refuses BEFORE curating anything
+    val spam = (0L until 120L)
+      .map(i => (i, Seq.fill(40)(s"spam${i % 7}").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.curateDocsServe(spam, s"$dir/model", maxShift = 0.3)
+    }
+    assert(e.getMessage.contains("fit-spreads"), e.getMessage)
+  }
+
   test("bigram wide probe: scores every organic doc, holds the chance band, deterministic") {
     // library-level (ngrams = 2 is a FEATURE-MAP parameter, not a gated
     // key: at ~1000 active bigram dims the per-invocation CG solve costs
