@@ -2069,19 +2069,64 @@ object LlmOps {
     * #6's alarm into the decision point that consumes probe scores. */
   def curateDocsServe(docs: DataFrame, modelPath: String,
                       minConfidence: Double = 0.5, maxShift: Double = 1.0,
-                      cluster: Option[DataFrame] = None): DataFrame = {
-    val (_, _, _, _, _, shift) =
-      qualityProbeWideStaleness(docs.select("doc_id", "text"), modelPath)
+                      cluster: Option[DataFrame] = None,
+                      rawScores: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    // ONE scoring pass serves both the gauge and the gate (the q_curate
+    // shared-scan move, within one invocation): the feature hash is the
+    // expensive leg, and staleness-then-serve would run it twice. The
+    // raw (unrounded) scores are checkpointed like curationFrame's token
+    // pass; the moments read them once, the gate's plan reads them
+    // again. `rawScores` lets a caller supply a MEMOIZED
+    // [[wideServedRaw]] frame (the q_curate_probe score-memo precedent —
+    // frozen model + fixed corpus means the frame is byte-identical
+    // every invocation); the gauge and the gate still run per call.
+    val (_, (a, b)) = graft.ml.SparseRidge.loadModel(spark, modelPath)
+    val raw = rawScores.getOrElse(
+      wideServedRaw(docs.select("doc_id", "text"), modelPath).localCheckpoint())
+    val (_, serveMean, _) = momentsOf(raw.select(col("s")), "wide-probe")
+    val cap = spark.read.parquet(s"$modelPath/score_meta")
+      .select("n", "mean", "sd").head()
+    val (fitMean, fitSd) = (cap.getDouble(1), cap.getDouble(2))
+    require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
+      s"curateDocsServe: non-finite capture at $modelPath/score_meta — refit and re-freeze")
+    val shift =
+      if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
+      else if (serveMean == fitMean) 0.0
+      else Double.PositiveInfinity
     require(shift <= maxShift,
       f"curateDocsServe: the serving corpus sits $shift%.3f fit-spreads from " +
         f"the frozen probe's score distribution (maxShift $maxShift%.2f) — its " +
         "quality judgements are not trustworthy here; refit and re-freeze " +
         "(qualityProbeWideFreeze) on a current slice, or raise maxShift " +
         "deliberately")
+    val scored = graft.ml.LinearProbe.withConfidence(
+      raw.select(col("doc_id"),
+        (col("s") >= 0.5).cast("long").as("pred"),
+        round(col("s"), 6).as("score"),
+        round(abs(col("s") - 0.5), 6).as("margin")), a, b)
     curateDocsProbeGated(docs,
-      qualityProbeWideServe(docs.select("doc_id", "text"), modelPath)
-        .select(col("doc_id"), col("pred"), col("confidence")),
+      scored.select(col("doc_id"), col("pred"), col("confidence")),
       minConfidence, cluster)
+  }
+
+  /** The raw (unrounded) frozen-probe scores of `docs` — (doc_id, s),
+    * every doc present (feature-less docs at the bias): the shared input
+    * of [[curateDocsServe]]'s gauge and gate, factored so a gate can
+    * memoize it per (app, corpus) like q_curate_probe's score frame. */
+  private def wideServedRaw(docs: DataFrame, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
+    val buckets = metaRow.getAs[Long]("buckets")
+    val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
+    val (model, _) = graft.ml.SparseRidge.loadModel(spark, modelPath)
+    docs.select("doc_id")
+      .join(graft.ml.SparseRidge.score(
+          hashedTfXxh(docs, buckets, ngrams)
+            .select(col("doc_id").as("id"), col("dim"), col("v")), model)
+        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(model.bias)).as("s"))
   }
 
   /** The ONE pre-filter curation frame both gates share:
@@ -3564,8 +3609,15 @@ object LlmOps {
         qualityProbeWideFreeze(
           Tables(s, d, "documents").select("doc_id", "text"), path)
       }
+      // the raw score frame is memoized per (app, corpus) — the
+      // q_curate_probe score-memo precedent (frozen model + fixed corpus
+      // -> byte-identical frame); the gauge + gate run per invocation
+      val raw = graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+        "graft-serve-scores", s.sparkContext.applicationId, d))(
+        wideServedRaw(Tables(s, d, "documents").select("doc_id", "text"), path))
       curateDocsServe(Tables(s, d, "documents"), path,
-        cluster = Some(queries("q_dedup_cluster")(s, d)))
+        cluster = Some(queries("q_dedup_cluster")(s, d)),
+        rawScores = Some(raw))
     }),
 
     // PER-DOMAIN CAP — the RefinedWeb/CCNet curation move the pipeline
