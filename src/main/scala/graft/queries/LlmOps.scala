@@ -291,8 +291,12 @@ object LlmOps {
       .when(scheme === "http" && port === "80", lit(""))
       .when(scheme === "https" && port === "443", lit(""))
       .otherwise(concat(lit(":"), port))
+    // tracking-param prefix compares case-insensitively (ADVICE r13:
+    // 'UTM_SOURCE=x' must canonicalize identically to 'utm_source=x' —
+    // the same resource fetched with differently-cased tracking params
+    // must not escape dedup); VALUE case is kept, params may be semantic
     val params = array_join(sort_array(filter(split(q, "&"),
-      p => p =!= "" && !p.startsWith("utm_"))), "&")
+      p => p =!= "" && !lower(p).startsWith("utm_"))), "&")
     concat(scheme, lit("://"), host, portKeep, path,
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
@@ -307,10 +311,15 @@ object LlmOps {
     * quantifiers, character classes — no backrefs or lookaround), so
     * the DuckDB oracle runs them verbatim. */
   def stripHtml(html: Column): Column = {
+    // (?i) — HTML element names are case-insensitive, so <SCRIPT> blocks
+    // must go the same way as <script>; (?s) — '.' must cross newlines or
+    // any multi-line block survives whole and its contents leak into the
+    // "clean" text (ADVICE r13). Inline flags are shared Java-regex/RE2
+    // syntax, so the DuckDB oracle runs the identical patterns.
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
-      "<script[^>]*>.*?</script>", " "),
-      "<style[^>]*>.*?</style>", " "),
-      "<!--.*?-->", " ")
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -324,13 +333,17 @@ object LlmOps {
     * q_text_scrub_fixture discipline): four page shapes cycling
     * script+style+comment boilerplate, attribute-carrying and
     * self-closing tags, entity runs (incl. the &amp;lt; double-escape
-    * trap), and 0-2 links of normalization-relevant messiness. */
+    * trap), and 0-2 links of normalization-relevant messiness. Shape 0
+    * carries an UPPERCASE multi-line script/style pair and a multi-line
+    * comment (ADVICE r13: real crawl HTML is cased and line-broken —
+    * the fixture must exercise the (?is) block removal so the oracle
+    * pin can catch a case/newline regression). */
   private def htmlFixture(s: SparkSession, d: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
     val html = when(m === 0, concat(
-        lit("<html><head><style>p{color:red}</style><script>var x=1;</script></head>" +
-          "<body><h1 class=\"t\">Doc</h1><p>"), col("text"),
-        lit(" &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden -->" +
+        lit("<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;\nvar y=2;" +
+          "</SCRIPT></head><body><h1 class=\"t\">Doc</h1><p>"), col("text"),
+        lit(" &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden\ncomment -->" +
           "<a href=\"HTTP://EX."), col("source"),
         lit(".COM:80/a?utm_s=1&b=2\">link</a></body></html>")))
       .when(m === 1, concat(
@@ -576,11 +589,26 @@ object LlmOps {
     * shape: no refit, no weak labels, codegen'd scoring only. Returns
     * (doc_id, pred, margin, confidence). Behind
     * [[graft.streaming.StreamingQuality]]'s per-micro-batch scoring. */
-  def qualityProbeServe(docs: DataFrame, modelPath: String): DataFrame = {
-    val (model, (a, b)) = graft.ml.LinearProbe.loadModel(
+  def qualityProbeServe(docs: DataFrame, modelPath: String): DataFrame =
+    denseServeFromRaw(denseServedRaw(docs, modelPath), modelPath)
+
+  /** The raw (unrounded) frozen DENSE-probe predictions of `docs` —
+    * (doc_id, pred, margin): the shared input of the dense serving
+    * output and the drift gauge, factored (ADVICE r13) so a per-batch
+    * caller ([[graft.streaming.StreamingQuality.applyBatch]]) runs the
+    * feature-hash scoring leg ONCE and derives both from it. */
+  private[graft] def denseServedRaw(docs: DataFrame, modelPath: String): DataFrame = {
+    val (model, _) = graft.ml.LinearProbe.loadModel(
       docs.sparkSession, modelPath)
-    graft.ml.LinearProbe.withConfidence(
-        graft.ml.LinearProbe.predict(hashedTfDense(docs), model), a, b)
+    graft.ml.LinearProbe.predict(hashedTfDense(docs), model)
+      .select(col("doc_id"), col("pred"), col("margin"))
+  }
+
+  /** The serving output shape over a prebuilt [[denseServedRaw]] frame —
+    * confidence from the UNROUNDED margin, margin rounded on output. */
+  private[graft] def denseServeFromRaw(raw: DataFrame, modelPath: String): DataFrame = {
+    val (_, (a, b)) = graft.ml.LinearProbe.loadModel(raw.sparkSession, modelPath)
+    graft.ml.LinearProbe.withConfidence(raw, a, b)
       .select(col("doc_id"), col("pred"),
         round(col("margin"), 6).as("margin"), col("confidence"))
       .orderBy("doc_id")
@@ -720,25 +748,23 @@ object LlmOps {
     * ([[qualityProbeWideFreeze]] at `modelPath`) — the serving shape: no
     * refit, no weak labels, the training bucket width read from the
     * artifact. Returns (doc_id, pred, score, margin, confidence). */
-  def qualityProbeWideServe(docs: DataFrame, modelPath: String): DataFrame = {
-    val spark = docs.sparkSession
-    val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
-    val buckets = metaRow.getAs[Long]("buckets")
-    // pre-r12.2 artifacts carry no ngrams field — unigram, the then-only map
-    val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
-    val (model, (a, b)) = graft.ml.SparseRidge.loadModel(spark, modelPath)
-    val scored = docs.select("doc_id")
-      .join(graft.ml.SparseRidge.score(
-          hashedTfXxh(docs, buckets, ngrams)
-            .select(col("doc_id").as("id"), col("dim"), col("v")), model)
-        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("score"), lit(model.bias)).as("score"))
-      .select(col("doc_id"),
-        (col("score") >= 0.5).cast("long").as("pred"),
-        round(col("score"), 6).as("score"),
-        round(abs(col("score") - 0.5), 6).as("margin"))
-    graft.ml.LinearProbe.withConfidence(scored, a, b).orderBy("doc_id")
+  def qualityProbeWideServe(docs: DataFrame, modelPath: String): DataFrame =
+    wideServeFromRaw(wideServedRaw(docs.select("doc_id", "text"), modelPath),
+      modelPath)
+
+  /** The serving output shape over a prebuilt [[wideServedRaw]] frame —
+    * (doc_id, pred, score, margin, confidence), confidence from the
+    * 6dp-rounded margin (the wide serve path's established contract).
+    * Factored (ADVICE r13) so per-batch callers
+    * ([[graft.streaming.StreamingQuality.applyBatchWide]],
+    * [[curateDocsServe]]) run the feature-hash scoring leg ONCE. */
+  private[graft] def wideServeFromRaw(raw: DataFrame, modelPath: String): DataFrame = {
+    val (_, (a, b)) = graft.ml.SparseRidge.loadModel(raw.sparkSession, modelPath)
+    graft.ml.LinearProbe.withConfidence(
+      raw.select(col("doc_id"),
+        (col("s") >= 0.5).cast("long").as("pred"),
+        round(col("s"), 6).as("score"),
+        round(abs(col("s") - 0.5), 6).as("margin")), a, b).orderBy("doc_id")
   }
 
   /** The sparse (id, dim, v) slice of a [[qualityProbeWideFeatures]]
@@ -781,21 +807,14 @@ object LlmOps {
     (n, mean, math.sqrt(varr))
   }
 
-  /** Score-distribution moments of `docs` under a frozen wide probe. */
+  /** Score-distribution moments of `docs` under a frozen wide probe —
+    * [[momentsOf]] over the [[wideServedRaw]] frame (one statement of
+    * the raw-score shape; the freeze capture and every gauge read the
+    * SAME arithmetic by construction). */
   private def wideScoreMoments(docs: DataFrame, modelPath: String)
-      : (Long, Double, Double) = {
-    val spark = docs.sparkSession
-    val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
-    val buckets = metaRow.getAs[Long]("buckets")
-    val ngrams = scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1)
-    val (model, _) = graft.ml.SparseRidge.loadModel(spark, modelPath)
-    momentsOf(docs.select("doc_id")
-      .join(graft.ml.SparseRidge.score(
-          hashedTfXxh(docs, buckets, ngrams)
-            .select(col("doc_id").as("id"), col("dim"), col("v")), model)
-        .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(coalesce(col("score"), lit(model.bias)).as("s")), "wide-probe")
-  }
+      : (Long, Double, Double) =
+    momentsOf(wideServedRaw(docs.select("doc_id", "text"), modelPath)
+      .select(col("s")), "wide-probe")
 
   /** SIGNED-margin moments of `docs` under a frozen DENSE probe — the
     * dense analog of [[wideScoreMoments]]: s = margin · (2·pred − 1)
@@ -807,12 +826,14 @@ object LlmOps {
     * magnitudes and would read quiet (measured: shift 0.05 on the suite
     * drill's all-spam collapse, vs ~1 signed). */
   private def denseMarginMoments(docs: DataFrame, modelPath: String)
-      : (Long, Double, Double) = {
-    val (model, _) = graft.ml.LinearProbe.loadModel(docs.sparkSession, modelPath)
-    momentsOf(graft.ml.LinearProbe.predict(hashedTfDense(docs), model)
+      : (Long, Double, Double) =
+    denseMarginMomentsFromRaw(denseServedRaw(docs, modelPath))
+
+  /** [[denseMarginMoments]] over a prebuilt [[denseServedRaw]] frame. */
+  private def denseMarginMomentsFromRaw(raw: DataFrame): (Long, Double, Double) =
+    momentsOf(raw
       .select(((col("pred") * 2 - 1) * col("margin")).cast("double").as("s")),
       "dense-probe")
-  }
 
   /** Fit the dense probe on `docs` and FREEZE it — the
     * [[qualityProbeWideFreeze]] shape at dense width: LinearProbe
@@ -842,14 +863,21 @@ object LlmOps {
     * serveMean, fitSd, shift) on the SIGNED-margin distribution (see
     * [[denseMarginMoments]]). */
   def qualityProbeStaleness(docs: DataFrame, modelPath: String)
+      : (Long, Long, Double, Double, Double, Double) =
+    denseStalenessFromRaw(denseServedRaw(docs, modelPath), modelPath)
+
+  /** [[qualityProbeStaleness]] over a prebuilt [[denseServedRaw]] frame —
+    * the shared-pass form (ADVICE r13): a per-batch caller scores once
+    * and feeds BOTH the scores sink and this gauge from the same frame. */
+  private[graft] def denseStalenessFromRaw(raw: DataFrame, modelPath: String)
       : (Long, Long, Double, Double, Double, Double) = {
-    val spark = docs.sparkSession
     val capPath = s"$modelPath/score_meta"
-    val cap = spark.read.parquet(capPath).select("n", "mean", "sd").head()
+    val cap = raw.sparkSession.read.parquet(capPath)
+      .select("n", "mean", "sd").head()
     val (fitN, fitMean, fitSd) = (cap.getLong(0), cap.getDouble(1), cap.getDouble(2))
     require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
       s"dense-probe staleness: non-finite capture at $capPath — refit and re-freeze")
-    val (serveN, serveMean, _) = denseMarginMoments(docs, modelPath)
+    val (serveN, serveMean, _) = denseMarginMomentsFromRaw(raw)
     val shift =
       if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
       else if (serveMean == fitMean) 0.0
@@ -875,14 +903,23 @@ object LlmOps {
     * spread away from what it learned — refit (QualityProbeSuite's drill
     * separates the two regimes). */
   def qualityProbeWideStaleness(docs: DataFrame, modelPath: String)
+      : (Long, Long, Double, Double, Double, Double) =
+    wideStalenessFromRaw(
+      wideServedRaw(docs.select("doc_id", "text"), modelPath), modelPath)
+
+  /** [[qualityProbeWideStaleness]] over a prebuilt [[wideServedRaw]]
+    * frame — the shared-pass form (ADVICE r13): per-batch callers score
+    * once and feed the scores sink, this gauge, and (in
+    * [[curateDocsServe]]) the curation gate from the same frame. */
+  private[graft] def wideStalenessFromRaw(raw: DataFrame, modelPath: String)
       : (Long, Long, Double, Double, Double, Double) = {
-    val spark = docs.sparkSession
     val capPath = s"$modelPath/score_meta"
-    val cap = spark.read.parquet(capPath).select("n", "mean", "sd").head()
+    val cap = raw.sparkSession.read.parquet(capPath)
+      .select("n", "mean", "sd").head()
     val (fitN, fitMean, fitSd) = (cap.getLong(0), cap.getDouble(1), cap.getDouble(2))
     require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
       s"wide-probe staleness: non-finite capture at $capPath — refit and re-freeze")
-    val (serveN, serveMean, _) = wideScoreMoments(docs, modelPath)
+    val (serveN, serveMean, _) = momentsOf(raw.select(col("s")), "wide-probe")
     val shift =
       if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
       else if (serveMean == fitMean) 0.0
@@ -2071,7 +2108,6 @@ object LlmOps {
                       minConfidence: Double = 0.5, maxShift: Double = 1.0,
                       cluster: Option[DataFrame] = None,
                       rawScores: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
     // ONE scoring pass serves both the gauge and the gate (the q_curate
     // shared-scan move, within one invocation): the feature hash is the
     // expensive leg, and staleness-then-serve would run it twice. The
@@ -2081,32 +2117,18 @@ object LlmOps {
     // [[wideServedRaw]] frame (the q_curate_probe score-memo precedent —
     // frozen model + fixed corpus means the frame is byte-identical
     // every invocation); the gauge and the gate still run per call.
-    val (_, (a, b)) = graft.ml.SparseRidge.loadModel(spark, modelPath)
     val raw = rawScores.getOrElse(
       wideServedRaw(docs.select("doc_id", "text"), modelPath).localCheckpoint())
-    val (_, serveMean, _) = momentsOf(raw.select(col("s")), "wide-probe")
-    val cap = spark.read.parquet(s"$modelPath/score_meta")
-      .select("n", "mean", "sd").head()
-    val (fitMean, fitSd) = (cap.getDouble(1), cap.getDouble(2))
-    require(java.lang.Double.isFinite(fitMean) && java.lang.Double.isFinite(fitSd),
-      s"curateDocsServe: non-finite capture at $modelPath/score_meta — refit and re-freeze")
-    val shift =
-      if (fitSd > 0.0) math.abs(serveMean - fitMean) / fitSd
-      else if (serveMean == fitMean) 0.0
-      else Double.PositiveInfinity
+    val (_, _, _, _, _, shift) = wideStalenessFromRaw(raw, modelPath)
     require(shift <= maxShift,
       f"curateDocsServe: the serving corpus sits $shift%.3f fit-spreads from " +
         f"the frozen probe's score distribution (maxShift $maxShift%.2f) — its " +
         "quality judgements are not trustworthy here; refit and re-freeze " +
         "(qualityProbeWideFreeze) on a current slice, or raise maxShift " +
         "deliberately")
-    val scored = graft.ml.LinearProbe.withConfidence(
-      raw.select(col("doc_id"),
-        (col("s") >= 0.5).cast("long").as("pred"),
-        round(col("s"), 6).as("score"),
-        round(abs(col("s") - 0.5), 6).as("margin")), a, b)
     curateDocsProbeGated(docs,
-      scored.select(col("doc_id"), col("pred"), col("confidence")),
+      wideServeFromRaw(raw, modelPath)
+        .select(col("doc_id"), col("pred"), col("confidence")),
       minConfidence, cluster)
   }
 
@@ -2114,7 +2136,7 @@ object LlmOps {
     * every doc present (feature-less docs at the bias): the shared input
     * of [[curateDocsServe]]'s gauge and gate, factored so a gate can
     * memoize it per (app, corpus) like q_curate_probe's score frame. */
-  private def wideServedRaw(docs: DataFrame, modelPath: String): DataFrame = {
+  private[graft] def wideServedRaw(docs: DataFrame, modelPath: String): DataFrame = {
     val spark = docs.sparkSession
     val metaRow = spark.read.parquet(s"$modelPath/feature_meta").head()
     val buckets = metaRow.getAs[Long]("buckets")
@@ -3324,7 +3346,7 @@ object LlmOps {
         .when(m === 3, concat(lit("http://"), col("source"), lit(".com:8080/p?q="),
           col("doc_id")))
         .when(m === 4, concat(lit("https://Sub."), col("source"),
-          lit(".Com/p/q?a=2&a=1&utm_medium=m")))
+          lit(".Com/p/q?a=2&a=1&UTM_Medium=m"))) // cased tracker — must still strip
         .when(m === 5, concat(lit("http://"), col("source"), lit(".com/#only")))
         .when(m === 6, concat(lit("https://"), col("source"),
           lit(".com:9443/Deep/Path/?x="), col("doc_id"), lit("&utm_term=t")))
@@ -5576,7 +5598,7 @@ object LlmOps {
       """WITH pages AS (
         |  SELECT doc_id,
         |    CASE doc_id % 4
-        |      WHEN 0 THEN '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
+        |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
         |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
         |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
         |      ELSE '<span>' || text || '</span>'
@@ -5588,9 +5610,9 @@ object LlmOps {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'g'),
-        |            '<style[^>]*>.*?</style>', ' ', 'g'),
-        |          '<!--.*?-->', ' ', 'g'),
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
@@ -5601,7 +5623,7 @@ object LlmOps {
       """WITH pages AS (
         |  SELECT doc_id,
         |    CASE doc_id % 4
-        |      WHEN 0 THEN '<html><head><style>p{color:red}</style><script>var x=1;</script></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
+        |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
         |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
         |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
         |      ELSE '<span>' || text || '</span>'
@@ -5625,7 +5647,7 @@ object LlmOps {
         |              WHEN scheme = 'https' AND port = '443' THEN ''
         |              ELSE ':' || port END AS portkeep,
         |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS params
+        |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
         |       FROM p5)
         |SELECT doc_id, link,
         |  scheme || '://' || host || portkeep || pth ||
@@ -5641,7 +5663,7 @@ object LlmOps {
         |      WHEN 1 THEN 'https://' || source || '.com/a/b/'
         |      WHEN 2 THEN 'https://' || source || '.COM:443/x?z=1&y=2&utm_campaign=c'
         |      WHEN 3 THEN 'http://' || source || '.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
-        |      WHEN 4 THEN 'https://Sub.' || source || '.Com/p/q?a=2&a=1&utm_medium=m'
+        |      WHEN 4 THEN 'https://Sub.' || source || '.Com/p/q?a=2&a=1&UTM_Medium=m'
         |      WHEN 5 THEN 'http://' || source || '.com/#only'
         |      WHEN 6 THEN 'https://' || source || '.com:9443/Deep/Path/?x=' || CAST(doc_id AS VARCHAR) || '&utm_term=t'
         |      ELSE 'http://' || source || '.com'
@@ -5662,7 +5684,7 @@ object LlmOps {
         |              WHEN scheme = 'https' AND port = '443' THEN ''
         |              ELSE ':' || port END AS portkeep,
         |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |           p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS params
+        |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
         |       FROM p5)
         |SELECT doc_id, url,
         |  scheme || '://' || host || portkeep || pth ||

@@ -30,8 +30,14 @@ object StreamingQuality {
     * drift row — the same telemetry contract as [[applyBatchWide]]. */
   def applyBatch(batch: DataFrame, modelPath: String, outDir: String,
                  batchId: Long): Unit = {
-    graft.queries.LlmOps.qualityProbeServe(
-        batch.select("doc_id", "text"), modelPath)
+    // ONE scoring pass per batch (ADVICE r13): the feature-hash leg is
+    // the expensive one, and serve-then-staleness would run it twice —
+    // the raw prediction frame is checkpointed once and BOTH the scores
+    // sink and the drift row derive from it (the curateDocsServe
+    // shared-pass move, lifted to the micro-batch).
+    val raw = graft.queries.LlmOps.denseServedRaw(
+      batch.select("doc_id", "text"), modelPath).localCheckpoint()
+    graft.queries.LlmOps.denseServeFromRaw(raw, modelPath)
       .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -39,8 +45,7 @@ object StreamingQuality {
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta")) &&
         !batch.isEmpty) {
       val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
-        graft.queries.LlmOps.qualityProbeStaleness(
-          batch.select("doc_id", "text"), modelPath)
+        graft.queries.LlmOps.denseStalenessFromRaw(raw, modelPath)
       import spark.implicits._
       Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
         .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
@@ -81,8 +86,10 @@ object StreamingQuality {
     * scoring still works; the alarm needs a re-freeze. */
   def applyBatchWide(batch: DataFrame, modelPath: String, outDir: String,
                      batchId: Long): Unit = {
-    graft.queries.LlmOps.qualityProbeWideServe(
-        batch.select("doc_id", "text"), modelPath)
+    // shared-pass per batch (ADVICE r13) — see [[applyBatch]]
+    val raw = graft.queries.LlmOps.wideServedRaw(
+      batch.select("doc_id", "text"), modelPath).localCheckpoint()
+    graft.queries.LlmOps.wideServeFromRaw(raw, modelPath)
       .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -91,8 +98,7 @@ object StreamingQuality {
       new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"))
     if (hasCapture && !batch.isEmpty) {
       val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
-        graft.queries.LlmOps.qualityProbeWideStaleness(
-          batch.select("doc_id", "text"), modelPath)
+        graft.queries.LlmOps.wideStalenessFromRaw(raw, modelPath)
       import spark.implicits._
       Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
         .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")

@@ -93,9 +93,16 @@ object StreamingShard {
     * never become `latestCompaction`, so it would only waste writes or,
     * worse, mislead a manual reader. Idempotent: the assignment is
     * a deterministic function of the doc set and the write is an
-    * overwrite, so a crashed or retried compact converges; the raw epoch
-    * directories are untouched until [[pruneEpochs]], whose commit check
-    * (the writer's _SUCCESS marker) makes the crash order safe:
+    * overwrite, so a crashed or retried compact converges — and a retry
+    * AT the committed watermark (uptoEpoch == latestCompaction, the
+    * crashed-after-commit replay) short-circuits to a no-op: the
+    * requested view already exists with its _SUCCESS marker, and
+    * re-deriving it would lazily READ `compact/upto=<e>` while
+    * Overwrite-WRITING the same directory, which Spark rejects
+    * ("Cannot overwrite a path that is also being read from") — the
+    * ADVICE r13 self-overwrite trap. The raw epoch directories are
+    * untouched until [[pruneEpochs]], whose commit check (the writer's
+    * _SUCCESS marker) makes the crash order safe:
     * compact → (marker lands) → prune. */
   def compact(spark: SparkSession, outDir: String, numShards: Int,
               uptoEpoch: Long): Unit = {
@@ -106,6 +113,11 @@ object StreamingShard {
           "a lower-water compaction can never be the latest view — refuse " +
           "rather than commit a misleading partial base")
     }
+    // retry at the committed watermark: the exact requested base is
+    // already committed (_SUCCESS checked by latestCompaction), so the
+    // idempotence contract is satisfied by doing nothing — recomputing
+    // would self-overwrite the directory being read (see scaladoc)
+    if (base.contains(uptoEpoch)) return
     // raw epochs strictly above the committed base (below it they may be
     // pruned already; at-or-below they are REPRESENTED by the base)
     val raw =

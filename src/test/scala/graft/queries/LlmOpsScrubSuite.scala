@@ -46,6 +46,9 @@ class LlmOpsScrubSuite extends SparkSpec {
       "http://h.com/#only" -> "http://h.com/",    // fragment-only tail
       // duplicate keys both kept, sorted; tracking param dropped
       "https://h.com/p?a=2&a=1&utm_medium=m" -> "https://h.com/p?a=1&a=2",
+      // ADVICE r13: tracking-param strip is case-INsensitive — a cased
+      // tracker must not escape dedup (value case untouched elsewhere)
+      "https://h.com/p?UTM_Source=X&b=2" -> "https://h.com/p?b=2",
       "https://h.com/Deep/Path/?x=1" -> "https://h.com/Deep/Path/?x=1")
     val got = cases.map(_._1).toDF("url")
       .select(LlmOps.canonicalizeUrl(col("url")).as("c"))
@@ -62,5 +65,13 @@ class LlmOpsScrubSuite extends SparkSpec {
     // the script BLOCK vanishes (its text is not content), tags separate
     // words, and '&amp;lt;' decodes to the literal '&lt;' — never twice
     assert(got === "a b &lt;x&gt; & y", got)
+    // ADVICE r13: real crawl HTML is cased and line-broken — an
+    // UPPERCASE multi-line script/style block and a multi-line comment
+    // must vanish WHOLE, not leak their contents past tag-stripping
+    val h2 = "<P>keep</P><SCRIPT>\nvar leak=1;\n</SCRIPT><Style>p{x:1}\n" +
+      "q{y:2}</Style><!-- multi\nline -->tail"
+    val got2 = Seq(h2).toDF("h")
+      .select(LlmOps.stripHtml(col("h")).as("c")).head().getString(0)
+    assert(got2 === "keep tail", got2)
   }
 }

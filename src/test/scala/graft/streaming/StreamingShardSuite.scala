@@ -129,6 +129,20 @@ class StreamingShardSuite extends SparkSpec {
     val base4 = StreamingShard.assignment(spark, out).filter(col("epoch") === -1L)
     assert(base4.count() === 106, "merged generation must hold the doc SET")
     assert(base4.filter(col("doc_id") === 0L).count() === 1)
+    // ADVICE r13: a compact RETRIED at the committed watermark after a
+    // full prune (no raw epochs left — the crashed-after-commit replay)
+    // must converge as a no-op, not self-overwrite the directory it
+    // would lazily read ("Cannot overwrite a path that is also being
+    // read from"); the committed base is byte-identical afterwards
+    StreamingShard.pruneEpochs(spark, out, 4L)
+    val before = StreamingShard.assignment(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    StreamingShard.compact(spark, out, 4, uptoEpoch = 4L)
+    assert(StreamingShard.latestCompaction(spark, out) === Some(4L))
+    val afterRetry = StreamingShard.assignment(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(afterRetry === before,
+      "watermark-retry compact must leave the committed base untouched")
   }
 
   test("MemoryStream end-to-end: two arrivals, two balanced self-contained generations") {
