@@ -301,6 +301,60 @@ object LlmOps {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** The multi-label public suffixes the [[registrableDomain]] extraction
+    * recognizes — an embedded SUBSET of the Mozilla Public Suffix List
+    * (publicsuffix.org): the full PSL is an external ~15k-rule artifact
+    * refreshed continuously; a zero-egress engine ships the high-traffic
+    * country-code second-level registrations plus the major shared-hosting
+    * suffixes, and documents the subset (a host under an unlisted
+    * multi-label suffix falls back to last-two-labels — the conservative
+    * miss: it OVER-groups, never splits one registrant in two). Shared
+    * verbatim with the DuckDB oracle (interpolated into the IN list), so
+    * the two engines can never disagree on the table. */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "co.kr", "or.kr", "ac.kr",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.hk", "com.sg",
+    "com.my", "com.ph", "co.za", "co.th", "co.id",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "amazonaws.com")
+
+  /** The lowercased host of an absolute URL — the same split arithmetic
+    * as [[canonicalizeUrl]]'s host leg (strip scheme, take up to the
+    * first '/', strip the port), factored so the domain-cap path states
+    * it once. A URL without scheme://host is outside the contract. */
+  def urlHost(url: Column): Column = {
+    val hostport = element_at(split(element_at(split(url, "://"), 2), "/"), 1)
+    lower(element_at(split(hostport, ":"), 1))
+  }
+
+  /** REGISTRABLE DOMAIN (eTLD+1) of a lowercased host — the unit a crawl
+    * pipeline caps, rate-limits and robots-groups on (one registrant =
+    * one quota; `a.blog.example.co.uk` and `www.example.co.uk` are the
+    * same registrant `example.co.uk`, while `x.github.io` and
+    * `y.github.io` are DIFFERENT registrants under a shared-hosting
+    * suffix): if the host's last two labels form a listed multi-label
+    * public suffix ([[MultiLabelSuffixes]]), the registrable domain is
+    * the last THREE labels; otherwise the last TWO; a bare single-label
+    * host (intranet names, localhost) is returned whole. Pure label
+    * arithmetic over split('.') — guarded CASE branches so a one-label
+    * host never indexes out of range — mirrored verbatim in DuckDB. */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
+    when(n <= 2, host)
+      .when(last2.isin(MultiLabelSuffixes: _*),
+        concat(element_at(parts, -3), lit("."), last2))
+      .otherwise(last2)
+  }
+
   /** HTML STRIP — crawl-corpus boilerplate removal: script/style blocks
     * and comments removed WHOLE (their text is not document content),
     * remaining tags replaced by spaces (tags separate words — deleting
@@ -355,6 +409,29 @@ object LlmOps {
         lit("<P>"), col("text"), lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>")))
       .otherwise(concat(lit("<span>"), col("text"), lit("</span>")))
     Tables(s, d, "documents").select(col("doc_id"), html.as("html"))
+  }
+
+  /** The deterministic per-doc URL fixture behind q_text_domain /
+    * q_curate_domains_url (the corpus carries no URL column — the
+    * q_text_url_canon discipline): six shapes cycling the
+    * domain-grouping-relevant cases — a co.uk multi-label registrant
+    * behind www, a subdomain-fanned .com (blog.X.com vs WWW.X.COM:80 —
+    * one registrant, two hosts), a github.io shared-hosting registrant,
+    * a bare single-label intranet host (one global mega-"domain" every
+    * sixth doc, so the cap genuinely bites), and a deep-subdomain ac.uk
+    * host with port+fragment mess. */
+  private def crawlUrlFixture(s: SparkSession, d: String): DataFrame = {
+    val m = pmod(col("doc_id"), lit(6))
+    val url = when(m === 0, concat(lit("https://www."), col("source"),
+        lit(".co.uk/a/b?utm_source=x&q=1")))
+      .when(m === 1, concat(lit("http://blog."), col("source"), lit(".com:8080/p")))
+      .when(m === 2, concat(lit("https://"), col("source"), lit(".github.io/repo/")))
+      .when(m === 3, lit("http://intranet-host/path"))
+      .when(m === 4, concat(lit("https://sub.api."), col("source"),
+        lit(".ac.uk:443/x#frag")))
+      .otherwise(concat(lit("HTTP://WWW."), col("source"), lit(".COM:80/idx")))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"), url.as("url"))
   }
 
   /** (doc_id, w): distinct tokens per document. */
@@ -2053,6 +2130,37 @@ object LlmOps {
       .select("doc_id", "source", "quality")
   }
 
+  /** URL-NATIVE PER-DOMAIN CAP (VERDICT r13 #1) — [[domainCap]] with the
+    * group key a crawl pipeline actually caps on: the REGISTRABLE DOMAIN
+    * ([[registrableDomain]] of [[urlHost]]) of each doc's URL, so
+    * `news.example.co.uk` and `www.example.co.uk` share one quota while
+    * `x.github.io` / `y.github.io` keep separate ones — capping on the
+    * raw host (or a source column) lets one registrant dominate the
+    * mixture through subdomain fan-out, the RefinedWeb/CCNet failure
+    * mode at crawl scale. Blocklist and cap are both domain-keyed; same
+    * ONE-tokenize-pass quality, same rank-free output so the group-limit
+    * rewrites to the sort-free TopKPerKey heap (plans/RewriteRankLimit —
+    * map-side partials, no per-domain sort). Input (doc_id, url, text);
+    * returns (doc_id, domain, quality), the kept docs. */
+  def domainCapUrl(docs: DataFrame, cap: Int,
+                   blockedDomains: Seq[String] = Nil): DataFrame = {
+    require(cap >= 1, s"domainCapUrl: need cap >= 1, got $cap")
+    val base = docs.select(col("doc_id"),
+        registrableDomain(urlHost(col("url"))).as("domain"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("domain"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_distinct")))
+    val unblocked =
+      if (blockedDomains.isEmpty) base
+      else base.filter(!col("domain").isin(blockedDomains: _*))
+    val w = Window.partitionBy("domain").orderBy(col("quality").desc, col("doc_id"))
+    unblocked
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select("doc_id", "domain", "quality")
+  }
+
   /** PUBLIC table-parametric CURATION PIPELINE — THE definition of the
     * q_curate composition (quality >= 0.3 ∧ language-ID agrees with the
     * declared lang ∧ near-dup cluster representative), over an ARBITRARY
@@ -3357,6 +3465,19 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // REGISTRABLE DOMAIN (eTLD+1) extraction (see [[registrableDomain]]):
+    // host out of the URL, then the crawl pipeline's grouping unit —
+    // last-three labels under a listed multi-label public suffix
+    // (example.co.uk, user.github.io), last-two otherwise, bare hosts
+    // whole. Over the deterministic [[crawlUrlFixture]] (multi-label,
+    // shared-hosting, cased, ported, and bare-host shapes). FULL DuckDB
+    // parity — label arithmetic over split('.'), the suffix table
+    // interpolated into both engines from ONE Scala constant.
+    "q_text_domain" -> ((s, d) => crawlUrlFixture(s, d)
+      .select(col("doc_id"), col("url"), urlHost(col("url")).as("host"),
+        registrableDomain(urlHost(col("url"))).as("domain"))
+      .orderBy("doc_id")),
+
     // HTML boilerplate strip (see [[stripHtml]]): script/style/comment
     // blocks out whole, tags -> spaces, entities decoded (&amp; last),
     // whitespace collapsed — over the deterministic [[htmlFixture]]
@@ -3655,6 +3776,18 @@ object LlmOps {
     "q_curate_domains" -> ((s, d) =>
       domainCap(Tables(s, d, "documents"), cap = 15,
         blocked = Seq("src2", "src17")).orderBy("doc_id")),
+
+    // URL-NATIVE per-domain cap (VERDICT r13 #1, see [[domainCapUrl]]):
+    // the cap key is the REGISTRABLE DOMAIN of each doc's URL — www/blog
+    // subdomains of one .com registrant share a quota, github.io users
+    // keep separate ones, and the fixture's bare intranet host forms one
+    // global mega-domain the cap visibly bites (every 6th doc competes
+    // for 15 slots). Blocklist is domain-keyed. Same TopKPerKey-rewrite
+    // output shape as q_curate_domains (rank dropped — plan-pinned).
+    // FULL DuckDB parity at both SFs.
+    "q_curate_domains_url" -> ((s, d) =>
+      domainCapUrl(crawlUrlFixture(s, d), cap = 15,
+        blockedDomains = Seq("src2.co.uk", "src3.github.io")).orderBy("doc_id")),
 
     // DECONTAMINATED curation — the step an actual pretraining pipeline
     // ships after curation: drop every curated TRAINING document that
@@ -4991,6 +5124,34 @@ object LlmOps {
        |  FROM votes)
        |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** q_text_domain / q_curate_domains_url's shared oracle CTE chain:
+    * the [[crawlUrlFixture]] shapes + host extraction + eTLD+1 label
+    * arithmetic, ending in `dmn` (doc_id, source, text, url, host,
+    * domain). The multi-label suffix table is interpolated from
+    * [[MultiLabelSuffixes]] — ONE constant states it for both engines. */
+  private def domainOracleCtes: String = {
+    val sufs = MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""urls AS (
+       |  SELECT doc_id, source, text,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'https://www.' || source || '.co.uk/a/b?utm_source=x&q=1'
+       |      WHEN 1 THEN 'http://blog.' || source || '.com:8080/p'
+       |      WHEN 2 THEN 'https://' || source || '.github.io/repo/'
+       |      WHEN 3 THEN 'http://intranet-host/path'
+       |      WHEN 4 THEN 'https://sub.api.' || source || '.ac.uk:443/x#frag'
+       |      ELSE 'HTTP://WWW.' || source || '.COM:80/idx'
+       |    END AS url
+       |  FROM documents),
+       |hosts AS (SELECT *, lower(string_split(string_split(string_split(url, '://')[2], '/')[1], ':')[1]) AS host FROM urls),
+       |pr AS (SELECT *, string_split(host, '.') AS p FROM hosts),
+       |dmn AS (SELECT *,
+       |  CASE WHEN len(p) <= 2 THEN host
+       |       WHEN (p[len(p)-1] || '.' || p[len(p)]) IN ($sufs)
+       |         THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+       |       ELSE p[len(p)-1] || '.' || p[len(p)] END AS domain
+       |  FROM pr)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
@@ -5692,6 +5853,9 @@ object LlmOps {
         |FROM p6
         |ORDER BY doc_id""".stripMargin,
 
+    "q_text_domain" -> s"""WITH $domainOracleCtes
+        |SELECT doc_id, url, host, domain FROM dmn ORDER BY doc_id""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
@@ -5797,6 +5961,21 @@ object LlmOps {
         |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
         |              FROM documents)
         |        WHERE source NOT IN ('src2', 'src17')))
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    // the domain CTE chain + the q_curate_domains cap shape, keyed on
+    // the registrable domain (blocklist is domain-keyed too)
+    "q_curate_domains_url" -> s"""WITH $domainOracleCtes
+        |SELECT doc_id, domain, quality FROM (
+        |  SELECT doc_id, domain, quality,
+        |         row_number() OVER (PARTITION BY domain
+        |           ORDER BY quality DESC, doc_id) AS rn
+        |  FROM (SELECT doc_id, domain,
+        |          ROUND(least(CAST(len(t) AS DOUBLE), 50.0) / 50.0
+        |                * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4) AS quality
+        |        FROM (SELECT doc_id, domain, string_split(text, ' ') AS t
+        |              FROM dmn)
+        |        WHERE domain NOT IN ('src2.co.uk', 'src3.github.io')))
         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     // q_curate's CTE chain + the 8-gram contamination hits, LEFT JOINed —

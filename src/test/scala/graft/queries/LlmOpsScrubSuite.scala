@@ -74,4 +74,49 @@ class LlmOpsScrubSuite extends SparkSpec {
       .select(LlmOps.stripHtml(col("h")).as("c")).head().getString(0)
     assert(got2 === "keep tail", got2)
   }
+
+  test("registrableDomain: multi-label suffixes, shared hosting, bare hosts, deep subdomains") {
+    import spark.implicits._
+    val cases = Seq(
+      // multi-label ccSLD: last THREE labels, regardless of subdomain depth
+      "www.example.co.uk" -> "example.co.uk",
+      "a.blog.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "sub.api.example.ac.uk" -> "example.ac.uk",
+      // shared-hosting suffix: each user is a separate registrant
+      "x.github.io" -> "x.github.io",
+      "deep.x.github.io" -> "x.github.io",
+      // plain TLD: last TWO labels
+      "www.example.com" -> "example.com",
+      "news.cdn.example.org" -> "example.org",
+      "example.com" -> "example.com",
+      // bare single-label hosts come back whole
+      "intranet-host" -> "intranet-host",
+      "localhost" -> "localhost",
+      // the suffix itself as a host (no registrant label) is returned
+      // as-is by the n<=2 branch — co.uk is not anyone's domain
+      "co.uk" -> "co.uk",
+      // unlisted multi-label suffix falls back to last-two (documented
+      // conservative over-grouping: one group per unlisted ccSLD, never
+      // one registrant split in two)
+      "shop.example.co.xx" -> "co.xx")
+    val got = cases.map(_._1).toDF("host")
+      .select(LlmOps.registrableDomain(col("host")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2),
+      "registrable-domain extraction drifted from the documented rules")
+  }
+
+  test("urlHost: scheme/port/path/query stripped, case folded") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://WWW.Example.CO.UK:80/A/b?x=1#f" -> "www.example.co.uk",
+      "https://x.GitHub.io/repo/" -> "x.github.io",
+      "http://intranet-host/path" -> "intranet-host",
+      "https://h.com" -> "h.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(LlmOps.urlHost(col("url")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
 }

@@ -345,6 +345,17 @@ class PlanQualitySuite extends SparkSpec {
     assert("Sort ".r.findAllIn(p).length <= 1, s"only the output order sorts:\n$p")
   }
 
+  test("q_curate_domains_url: eTLD+1 cap is the sort-free heap, domain derivation scan-side") {
+    val p = plan("q_curate_domains_url")
+    assert(p.contains("TopKPerKey"), s"cap must rewrite to the heap:\n$p")
+    assert(!p.contains("WindowExec"), s"no per-domain window:\n$p")
+    // registrable-domain extraction is pure split arithmetic in the
+    // projection — no join for the suffix table (it's an isin literal),
+    // no join for the blocklist
+    assert(!p.contains("Join"), s"suffix table and blocklist must be scan-side:\n$p")
+    assert("Sort ".r.findAllIn(p).length <= 1, s"only the output order sorts:\n$p")
+  }
+
   test("q_cdc_snapshot: the replayed snapshot read is an argmax agg, no window") {
     val p = plan("q_cdc_snapshot")
     // the per-batch merges already happened at plan-build time; the final
