@@ -285,10 +285,11 @@ object DedupIndex {
     * that needs one broadcast bitset instead of an anti-join against the
     * whole corpus. Pair with the exact anti-join where zero loss matters. */
   def writeSeenFilter(docs: DataFrame, path: String,
-                      numBits: Int = 1 << 22, numHashes: Int = 4): Unit = {
+                      numBits: Int = 1 << 22, numHashes: Int = 4,
+                      keyCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(xxhash64(col("text")).as("k"))
+    docs.select(xxhash64(col(keyCol)).as("k"))
       .agg(expr(s"graft_bloom(k, $numBits, $numHashes)").as("bf"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/bloom")
     Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
@@ -299,12 +300,13 @@ object DedupIndex {
     * batch's (merge = elementwise OR, the BloomAgg merge rule). The
     * bitset is one row of numBits/64 longs (512 KB at the 2^22 default) —
     * driver-side OR, same never-shard-a-model stance as AdaBoostMH. */
-  def appendSeenFilter(docs: DataFrame, path: String): Unit = {
+  def appendSeenFilter(docs: DataFrame, path: String,
+                       keyCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val m = spark.read.json(s"$path/bloom_meta").collect().head
     val (bits, hashes) = (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
-    val fresh = docs.select(xxhash64(col("text")).as("k"))
+    val fresh = docs.select(xxhash64(col(keyCol)).as("k"))
       .agg(expr(s"graft_bloom(k, $bits, $hashes)").as("bf"))
       .collect().head.getSeq[Long](0)
     val stored = spark.read.parquet(s"$path/bloom").collect().head.getSeq[Long](0)
@@ -315,13 +317,16 @@ object DedupIndex {
       .repartition(1).write.mode("overwrite").parquet(s"$path/bloom")
   }
 
-  /** Documents from `docs` whose content is NOT in the seen filter. */
-  def filterUnseen(path: String, docs: DataFrame): DataFrame = {
+  /** Documents from `docs` whose content is NOT in the seen filter.
+    * `keyCol` names the probed column (default the document text — the
+    * dedup shape; the crawl frontier probes its canonical URL column). */
+  def filterUnseen(path: String, docs: DataFrame,
+                   keyCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     val m = spark.read.json(s"$path/bloom_meta").collect().head
     val (bits, hashes) = (m.getAs[Long]("num_bits").toInt, m.getAs[Long]("num_hashes").toInt)
     val bf = spark.read.parquet(s"$path/bloom")
-    docs.withColumn("_k", xxhash64(col("text")))
+    docs.withColumn("_k", xxhash64(col(keyCol)))
       .join(broadcast(bf))
       .filter(!expr(graft.functions.BloomAgg.mightContainSql("_k", "bf", bits, hashes)))
       .drop("_k", "bf")

@@ -434,6 +434,16 @@ object LlmOps {
       .select(col("doc_id"), col("source"), col("text"), url.as("url"))
   }
 
+  /** (doc_id, link, canon): the canonicalized href targets of a
+    * (doc_id, html) page frame — the crawl-frontier builder, one
+    * statement shared by the extraction gate, both frontier seen-filter
+    * forms, and [[graft.streaming.StreamingFrontier]]. */
+  def extractLinks(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id"), explode(regexp_extract_all(col("html"),
+        lit("href=\"([^\"]*)\""), lit(1))).as("link"))
+      .select(col("doc_id"), col("link"),
+        canonicalizeUrl(col("link")).as("canon"))
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -3491,12 +3501,52 @@ object LlmOps {
     // from the same [[htmlFixture]] pages, one row per link, each
     // canonicalized by [[canonicalizeUrl]] (the composition a frontier
     // actually enqueues). FULL DuckDB parity.
-    "q_text_extract_links" -> ((s, d) => htmlFixture(s, d)
-      .select(col("doc_id"), explode(regexp_extract_all(col("html"),
-        lit("href=\"([^\"]*)\""), lit(1))).as("link"))
-      .select(col("doc_id"), col("link"),
-        canonicalizeUrl(col("link")).as("canon"))
-      .orderBy("doc_id", "link")),
+    "q_text_extract_links" -> ((s, d) =>
+      extractLinks(htmlFixture(s, d)).orderBy("doc_id", "link")),
+
+    // CRAWL-FRONTIER SEEN FILTER, exact witness (VERDICT r13 #4) — the
+    // op every crawler runs per batch: "which extracted links are NEW?"
+    // Even-doc pages play the already-crawled corpus (their canonical
+    // link targets are the seen set), odd-doc pages are the arriving
+    // batch; a link is new iff its CANONICAL form never appeared — the
+    // dedup key is canon, so HTTP://EX.X.COM:80/a and http://ex.x.com/a
+    // collapse. This exact form is one anti equi-join on canon (both
+    // sides shuffle-partitioned by the key — n^1.0); its production
+    // twin below replaces the join with a broadcast Bloom probe. FULL
+    // DuckDB parity.
+    "q_frontier_new" -> ((s, d) => {
+      val links = extractLinks(htmlFixture(s, d))
+      links.filter(col("doc_id") % 2 === 1)
+        .join(links.filter(col("doc_id") % 2 === 0)
+            .select(col("canon").as("seen_canon")).distinct(),
+          col("canon") === col("seen_canon"), "left_anti")
+        .orderBy("doc_id", "link")
+    }),
+
+    // CRAWL-FRONTIER SEEN FILTER, Bloom production twin: the seen set
+    // rides a persisted [[graft.operators.DedupIndex.writeSeenFilter]]
+    // bitset keyed on the canonical URL (one 512 KB broadcast probe per
+    // batch instead of an anti-join against the whole crawl history —
+    // THE 100 TB shape; the filter OR-grows per batch). No false
+    // negatives: a seen link can never re-emit (suite-pinned); the
+    // documented price is the ~(1-e^(-kn/m))^k false-positive rate of
+    // new links wrongly dropped — a crawler tolerates a missed enqueue,
+    // never a duplicate-crawl storm. Rows-only (the bitset probe is
+    // xxhash64 arithmetic, the no-oracle precedent of the _xxh twins);
+    // StreamingFrontierSuite pins twin == exact witness on the fixture.
+    "q_frontier_new_bloom" -> ((s, d) => {
+      val links = extractLinks(htmlFixture(s, d))
+      val path = graft.operators.Scratch.dir(
+        "graft-frontier-seen", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        graft.operators.DedupIndex.writeSeenFilter(
+          links.filter(col("doc_id") % 2 === 0).select("canon"), path,
+          keyCol = "canon")
+      }
+      graft.operators.DedupIndex.filterUnseen(path,
+          links.filter(col("doc_id") % 2 === 1), keyCol = "canon")
+        .orderBy("doc_id", "link")
+    }),
 
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
@@ -5152,6 +5202,45 @@ object LlmOps {
        |  FROM pr)""".stripMargin
   }
 
+  /** q_text_extract_links / q_frontier_new's shared oracle CTE chain:
+    * the [[htmlFixture]] pages, href extraction, and the canonical-form
+    * split arithmetic, ending in `lcanon` (doc_id, link, canon). */
+  private val linkCanonCtes: String =
+    """pages AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
+      |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
+      |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
+      |      ELSE '<span>' || text || '</span>'
+      |    END AS html
+      |  FROM documents),
+      |links AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
+      |  FROM pages),
+      |p1 AS (SELECT doc_id, link, string_split(link, '#')[1] AS nofrag FROM links),
+      |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+      |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
+      |p3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+      |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM p2),
+      |p4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM p3),
+      |p5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
+      |         lower(string_split(hostport, ':')[1]) AS host,
+      |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM p4),
+      |p6 AS (SELECT *,
+      |         CASE WHEN port = '' THEN ''
+      |              WHEN scheme = 'http' AND port = '80' THEN ''
+      |              WHEN scheme = 'https' AND port = '443' THEN ''
+      |              ELSE ':' || port END AS portkeep,
+      |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
+      |       FROM p5),
+      |lcanon AS (
+      |  SELECT doc_id, link,
+      |    scheme || '://' || host || portkeep || pth ||
+      |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+      |  FROM p6)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
@@ -5780,40 +5869,17 @@ object LlmOps {
         |FROM pages
         |ORDER BY doc_id""".stripMargin,
 
-    "q_text_extract_links" ->
-      """WITH pages AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
-        |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
-        |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
-        |      ELSE '<span>' || text || '</span>'
-        |    END AS html
-        |  FROM documents),
-        |links AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
-        |  FROM pages),
-        |p1 AS (SELECT doc_id, link, string_split(link, '#')[1] AS nofrag FROM links),
-        |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
-        |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
-        |p3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
-        |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM p2),
-        |p4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM p3),
-        |p5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
-        |         lower(string_split(hostport, ':')[1]) AS host,
-        |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM p4),
-        |p6 AS (SELECT *,
-        |         CASE WHEN port = '' THEN ''
-        |              WHEN scheme = 'http' AND port = '80' THEN ''
-        |              WHEN scheme = 'https' AND port = '443' THEN ''
-        |              ELSE ':' || port END AS portkeep,
-        |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
-        |       FROM p5)
-        |SELECT doc_id, link,
-        |  scheme || '://' || host || portkeep || pth ||
-        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
-        |FROM p6
+    "q_text_extract_links" -> s"""WITH $linkCanonCtes
+        |SELECT doc_id, link, canon FROM lcanon
+        |ORDER BY doc_id, link""".stripMargin,
+
+    // the exact frontier witness: anti-join on the canonical form —
+    // lcanon referenced twice inlines the cheap chain 2x (linear, the
+    // q_decontaminate precedent)
+    "q_frontier_new" -> s"""WITH $linkCanonCtes
+        |SELECT doc_id, link, canon FROM lcanon
+        |WHERE doc_id % 2 = 1
+        |  AND canon NOT IN (SELECT canon FROM lcanon WHERE doc_id % 2 = 0)
         |ORDER BY doc_id, link""".stripMargin,
 
     "q_text_url_canon" ->

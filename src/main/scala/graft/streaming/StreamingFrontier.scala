@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming crawl frontier — the eighth streaming twin (after
+  * [[StreamingDedup]] / [[StreamingAnn]] / [[StreamingIvf]] /
+  * [[StreamingCommunities]] / [[StreamingSubstr]] / [[StreamingQuality]] /
+  * [[StreamingShard]]): each arriving micro-batch of crawled
+  * (doc_id, html) pages has its href targets extracted and
+  * canonicalized ([[graft.queries.LlmOps.extractLinks]]), probed
+  * against the persisted Bloom seen-filter
+  * ([[graft.operators.DedupIndex]], keyed on the CANONICAL url), and
+  * only never-seen links are emitted to `outDir/new/batch=<id>` — the
+  * per-batch "which links do we enqueue?" loop every crawler runs. The
+  * filter then OR-grows with the batch's links.
+  *
+  * Exactly-once on foreachBatch's at-least-once retries rides the
+  * _SUCCESS commit marker, NOT statelessness (the filter is mutable
+  * state, so the [[StreamingQuality]] argument doesn't apply): a retry
+  * that finds `new/batch=<id>/_SUCCESS` committed skips the emit and
+  * only re-heals the filter (the bitset OR is idempotent). CRASH ORDER
+  * is emit-first / grow-second on purpose — a crash between the two
+  * can only leave the filter UNDER-grown, so a link may re-emit in a
+  * later batch (a crawler tolerates a duplicate enqueue) but a link
+  * can never be silently swallowed by a filter that grew before its
+  * emit committed. Same asymmetry as the filter itself: no false
+  * negatives ever; false positives (~(1-e^(-kn/m))^k of new links
+  * wrongly dropped) are the documented Bloom price.
+  */
+object StreamingFrontier {
+
+  /** One micro-batch (public so retry idempotence and the crash-order
+    * drills are testable without driving a stream). Expects
+    * (doc_id, html). The first non-empty batch SEEDS the filter at
+    * `seenPath`; later batches probe-then-grow it. */
+  def applyBatch(batch: DataFrame, seenPath: String, outDir: String,
+                 batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    // bounded per batch; read twice (emit + grow) — pin it once
+    val links = graft.queries.LlmOps.extractLinks(batch.select("doc_id", "html"))
+      .localCheckpoint()
+    val hasLinks = !links.isEmpty
+    val seeded = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$seenPath/bloom_meta"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outDir/new/batch=$batchId/_SUCCESS"))) {
+      // retry AFTER the emit committed: never re-derive the emit (the
+      // filter may have grown since, which would shrink it); re-heal
+      // the possibly-under-grown filter instead — idempotent
+      if (hasLinks) growSeen(links, seenPath, seeded)
+      return
+    }
+    val fresh =
+      if (!seeded) links
+      else graft.operators.DedupIndex.filterUnseen(seenPath, links,
+        keyCol = "canon")
+    fresh.write.mode("overwrite").parquet(s"$outDir/new/batch=$batchId")
+    if (hasLinks) growSeen(links, seenPath, seeded)
+  }
+
+  private def growSeen(links: DataFrame, seenPath: String,
+                       seeded: Boolean): Unit =
+    if (seeded)
+      graft.operators.DedupIndex.appendSeenFilter(
+        links.select("canon"), seenPath, keyCol = "canon")
+    else
+      graft.operators.DedupIndex.writeSeenFilter(
+        links.select("canon"), seenPath, keyCol = "canon")
+
+  /** Attach the frontier to a streaming (doc_id, html) frame. */
+  def frontierSink(pages: DataFrame, seenPath: String, outDir: String,
+                   checkpointDir: Option[String] = None): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatch(b.toDF(), seenPath, outDir, id))
+      .start()
+
+  /** Every emitted new link so far (partition column `batch`):
+    * (doc_id, link, canon, batch). */
+  def newLinks(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/new")
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier seen filter: the batch gates' twin==witness pin, the
+  * no-false-negative / always-emit-novel contract, retry idempotence on
+  * the _SUCCESS marker, the emit-first/grow-second crash order, and a
+  * MemoryStream end-to-end drive. */
+class StreamingFrontierSuite extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def pages(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "html")
+  }
+
+  private def page(links: String*): String =
+    links.map(l => s"""<p>x</p><a href="$l">t</a>""").mkString(" ")
+
+  test("batch gates: Bloom production twin equals the exact anti-join witness") {
+    val d = "/root/testdata/sf0.001"
+    val exact = graft.queries.LlmOps.queries("q_frontier_new")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val bloom = graft.queries.LlmOps.queries("q_frontier_new_bloom")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    // no false negatives: every exact-new link the bloom emits too,
+    // minus at most the documented false-positive drops — on this
+    // fixture (thousands of keys in 2^22 bits) the two must be equal
+    assert(bloom === exact, "bloom twin diverged from the exact witness")
+    assert(exact.nonEmpty, "fixture must produce new links")
+  }
+
+  test("seen links never re-emit; novel links always emit; canonical forms collapse") {
+    val seen = tmp("sfront-seen")
+    val out = tmp("sfront-out")
+    // batch 0 seeds: a and b are discovered
+    StreamingFrontier.applyBatch(
+      pages(1L -> page("https://h.io/a", "http://h.io/b")), seen, out, 0L)
+    val b0 = StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 0).select("canon")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(b0 === Seq("http://h.io/b", "https://h.io/a"))
+    // batch 1: a re-appears (also as a NON-canonical variant with a
+    // default port and tracking param — must still count as seen);
+    // c is novel
+    StreamingFrontier.applyBatch(
+      pages(2L -> page("https://h.io:443/a?utm_x=1", "https://h.io/c")),
+      seen, out, 1L)
+    val b1 = StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 1).select("canon")
+      .collect().map(_.getString(0)).toSeq
+    assert(b1 === Seq("https://h.io/c"),
+      s"seen link re-emitted or novel link swallowed: $b1")
+    // batch 2: everything already seen -> empty emit
+    StreamingFrontier.applyBatch(
+      pages(3L -> page("https://h.io/a", "https://h.io/c")), seen, out, 2L)
+    assert(StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 2).count() === 0L)
+  }
+
+  test("retry idempotence: a committed batch never re-emits; a torn grow heals") {
+    val seen = tmp("sfront-retry-seen")
+    val out = tmp("sfront-retry-out")
+    StreamingFrontier.applyBatch(pages(1L -> page("https://h.io/a")), seen, out, 0L)
+    StreamingFrontier.applyBatch(pages(2L -> page("https://h.io/b")), seen, out, 1L)
+    val before = StreamingFrontier.newLinks(spark, out)
+      .orderBy("batch", "canon").collect().map(_.toSeq).toSeq
+    // foreachBatch at-least-once replay of batch 1: emit already
+    // committed -> must not re-derive (the filter has since grown — a
+    // re-derive would emit EMPTY and lose the record)
+    StreamingFrontier.applyBatch(pages(2L -> page("https://h.io/b")), seen, out, 1L)
+    val after = StreamingFrontier.newLinks(spark, out)
+      .orderBy("batch", "canon").collect().map(_.toSeq).toSeq
+    assert(after === before, "retry changed the committed emits")
+    // crash between emit and grow: simulate by wiping the filter back
+    // to the batch-0 state, then replaying batch 1 — the emit stands,
+    // the filter heals (b probes seen afterwards)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(seen), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(seen), true)
+    StreamingFrontier.applyBatch(pages(1L -> page("https://h.io/a")), seen, out, 0L)
+    StreamingFrontier.applyBatch(pages(2L -> page("https://h.io/b")), seen, out, 1L)
+    assert(StreamingFrontier.newLinks(spark, out)
+      .orderBy("batch", "canon").collect().map(_.toSeq).toSeq === before)
+    // after the heal both links probe seen: a third batch emits nothing
+    StreamingFrontier.applyBatch(
+      pages(3L -> page("https://h.io/a", "https://h.io/b")), seen, out, 2L)
+    assert(StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 2).count() === 0L)
+  }
+
+  test("MemoryStream end-to-end: two arrivals, frontier grows across batches") {
+    val seen = tmp("sfront-e2e-seen")
+    val out = tmp("sfront-e2e-out")
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingFrontier.frontierSink(
+      input.toDF().toDF("doc_id", "html"), seen, out,
+      checkpointDir = Some(tmp("sfront-ckpt")))
+    try {
+      input.addData((1L, page("https://h.io/a", "https://h.io/b")))
+      q.processAllAvailable()
+      input.addData((2L, page("https://h.io/b", "https://h.io/c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = StreamingFrontier.newLinks(spark, out)
+      .select("canon").collect().map(_.getString(0)).sorted.toSeq
+    assert(emitted === Seq("https://h.io/a", "https://h.io/b", "https://h.io/c"),
+      s"each canonical link exactly once across the stream: $emitted")
+  }
+}
