@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming document scoring through a FROZEN persisted quality probe —
@@ -118,5 +119,143 @@ object StreamingQuality {
       .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
       .foreachBatch((b: Dataset[Row], id: Long) =>
         applyBatchWide(b.toDF(), modelPath, outDir, id))
+      .start()
+
+  // ----------------------------------------------------------------
+  // Drift-driven REFREEZE policy (VERDICT r13 #5) — the maintenance
+  // loop the telemetry feeds: a drifted stream HEALS instead of only
+  // halting. Models live as versioned artifacts `modelRoot/v=<k>`
+  // (each a complete qualityProbeWideFreeze output), committed by a
+  // `_COMMIT` marker written LAST — the IndexMaintenance crash order:
+  // a torn refreeze is invisible (currentModelVersion skips it) and is
+  // simply overwritten by the next attempt, which converges on the
+  // same version number. Serving always reads the LARGEST committed
+  // version; the swap is one marker creation — atomic to readers.
+  // ----------------------------------------------------------------
+
+  /** Committed model versions under `modelRoot` (those whose `_COMMIT`
+    * marker landed), ascending. */
+  def committedVersions(spark: SparkSession, modelRoot: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelRoot), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(modelRoot)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$modelRoot/v=$v/_COMMIT")))
+      .sorted
+  }
+
+  /** The serving model: the largest committed version, if any. */
+  def currentModelVersion(spark: SparkSession, modelRoot: String): Option[Long] =
+    committedVersions(spark, modelRoot).lastOption
+
+  /** Freeze `docs` as version `version` under `modelRoot` — the
+    * delete-first/write-last commit: the version's `_COMMIT` marker is
+    * invalidated FIRST (so an overwrite of a torn attempt can never be
+    * half-new-half-committed) and re-created LAST, after the full
+    * [[graft.queries.LlmOps.qualityProbeWideFreeze]] artifact
+    * (weights + calib + feature_meta + score_meta) landed. */
+  def freezeVersion(docs: DataFrame, modelRoot: String, version: Long,
+                    threshold: Double = 0.3, holdoutMod: Long = 5L,
+                    buckets: Long = 1L << 18, lambda: Double = 1.0,
+                    iters: Int = 12, ngrams: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(modelRoot), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$modelRoot/v=$version/_COMMIT")
+    fs.delete(marker, false)
+    graft.queries.LlmOps.qualityProbeWideFreeze(docs, s"$modelRoot/v=$version",
+      threshold, holdoutMod, buckets, lambda, iters, ngrams)
+    fs.create(marker, true).close()
+  }
+
+  /** One MANAGED micro-batch: score against the current committed
+    * version, record drift telemetry, and REFREEZE (fit a new version
+    * on this batch's docs — the freshest sample of the drifted
+    * distribution — and commit it as the next version) once the drift
+    * series shows `refreezeAfter` CONSECUTIVE over-`maxShift` batches
+    * under the same model version. Differences from [[applyBatchWide]],
+    * both forced by the mutable model state:
+    *   - exactly-once rides the scores `_SUCCESS` marker, not
+    *     statelessness: a replay of a committed batch returns
+    *     immediately — it must neither re-score against a NEWER version
+    *     (rewriting committed history) nor re-count its drift row
+    *     toward another refreeze (the double-freeze trap);
+    *   - scores and drift rows carry `model_v`, so every emitted row
+    *     names the artifact that produced it (the suite's
+    *     internal-consistency pin: rows before the swap reproduce
+    *     against v, rows after against v+1).
+    * The decision reads only COMMITTED drift rows (one tiny row per
+    * batch — bounded driver state), so a crash mid-refreeze replays
+    * into the SAME next version number and converges; the torn
+    * directory is invisible to serving throughout. The refit inherits
+    * the serving feature recipe (buckets/ngrams) from the current
+    * artifact's feature_meta — a refreeze can never drift the feature
+    * map; fit hyper-parameters (threshold/holdout/lambda/iters) are
+    * policy arguments. */
+  def applyBatchWideManaged(batch: DataFrame, modelRoot: String,
+                            outDir: String, batchId: Long,
+                            refreezeAfter: Int = 3, maxShift: Double = 1.0,
+                            threshold: Double = 0.3, holdoutMod: Long = 5L,
+                            lambda: Double = 1.0, iters: Int = 12): Unit = {
+    require(refreezeAfter >= 1, s"need refreezeAfter >= 1, got $refreezeAfter")
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outDir/scores/batch=$batchId/_SUCCESS"))) return
+    val v = currentModelVersion(spark, modelRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"applyBatchWideManaged: no committed model under $modelRoot — " +
+          "seed one with freezeVersion(trainDocs, modelRoot, 0) first"))
+    val mp = s"$modelRoot/v=$v"
+    val raw = graft.queries.LlmOps.wideServedRaw(
+      batch.select("doc_id", "text"), mp).localCheckpoint()
+    val empty = batch.isEmpty
+    if (!empty) {
+      // drift FIRST, scores LAST: the scores marker is the batch's
+      // commit point, so every committed batch has its drift row
+      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+        graft.queries.LlmOps.wideStalenessFromRaw(raw, mp)
+      import spark.implicits._
+      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift, v))
+        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit",
+          "shift", "model_v")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$outDir/drift/batch=$batchId")
+    }
+    graft.queries.LlmOps.wideServeFromRaw(raw, mp)
+      .withColumn("model_v", lit(v))
+      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+    if (empty) return
+    // trailing run of over-threshold batches under THIS version, ending
+    // here (a quiet batch resets the run; a refreeze changes model_v,
+    // which resets it structurally)
+    val series = drift(spark, outDir)
+      .filter(col("model_v") === v && col("batch") <= batchId)
+      .select(col("batch").cast("long"), col("shift"))
+      .collect().sortBy(-_.getLong(0))
+    val run = series.takeWhile(_.getDouble(1) > maxShift).length
+    if (run >= refreezeAfter) {
+      val metaRow = spark.read.parquet(s"$mp/feature_meta").head()
+      freezeVersion(batch.select("doc_id", "text"), modelRoot, v + 1,
+        threshold, holdoutMod, metaRow.getAs[Long]("buckets"), lambda, iters,
+        scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1))
+    }
+  }
+
+  /** Attach the managed scorer+refreeze loop to a streaming
+    * (doc_id, text) frame. Seed `modelRoot` with [[freezeVersion]]
+    * (version 0) before starting. */
+  def scoreSinkWideManaged(docs: DataFrame, modelRoot: String, outDir: String,
+                           refreezeAfter: Int = 3, maxShift: Double = 1.0,
+                           checkpointDir: Option[String] = None): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir.checkpoint"))
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        applyBatchWideManaged(b.toDF(), modelRoot, outDir, id,
+          refreezeAfter, maxShift))
       .start()
 }

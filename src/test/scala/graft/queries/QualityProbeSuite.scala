@@ -533,4 +533,93 @@ class QualityProbeSuite extends SparkSpec {
     assert(one.count() > 0)
     assert(manifest.count(_._2 == 3L).toLong === one.count())
   }
+
+  /** A good/spam mixture at chosen proportions — the plantedDocs
+    * generators with fresh doc_id ranges, so drifted batches are
+    * in-VOCABULARY but mixture-displaced (the realistic drift shape:
+    * the distribution moves, the features don't). */
+  private def mixDocs(goodStart: Long, nGood: Int,
+                      spamStart: Long, nSpam: Int): DataFrame = {
+    import spark.implicits._
+    val good = (goodStart until goodStart + nGood).map { i =>
+      (i, (0 until 40).map(j => s"tok${(i * 7 + j * 3) % 97}").mkString(" "))
+    }
+    val spam = (spamStart until spamStart + nSpam).map { i =>
+      (i, Seq.fill(40)(s"spam${i % 7}").mkString(" "))
+    }
+    (good ++ spam).toDF("doc_id", "text")
+  }
+
+  test("drift-driven refreeze: K consecutive over-threshold batches trigger exactly one swap") {
+    val dir = java.nio.file.Files.createTempDirectory("refreeze").toString
+    val root = s"$dir/models"
+    val out = s"$dir/stream"
+    val SQ = graft.streaming.StreamingQuality
+    // seed v0 on the balanced corpus
+    SQ.freezeVersion(plantedDocs, root, 0L, buckets = 1L << 14)
+    assert(SQ.committedVersions(spark, root) === Seq(0L))
+    def managed(b: DataFrame, id: Long): Unit = SQ.applyBatchWideManaged(
+      b, root, out, id, refreezeAfter = 2, maxShift = 0.3)
+    // b0: in-distribution resample — quiet, run stays 0
+    managed(mixDocs(200L, 60, 300L, 60), 0L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L))
+    // b1: drifted mixture (spam-heavy) — over threshold, run 1: NO swap
+    val b1 = mixDocs(400L, 15, 500L, 90)
+    managed(b1, 1L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L),
+      "refreeze fired before K consecutive over-threshold batches")
+    // b2: second consecutive drifted batch — exactly one refreeze (v1,
+    // fitted on b2's docs)
+    val b2 = mixDocs(600L, 15, 700L, 90)
+    managed(b2, 2L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L))
+    // foreachBatch replay of the TRIGGERING batch: committed -> no
+    // rescore (history stands), no re-count -> no double-freeze
+    managed(b2, 2L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
+      "a retried batch double-froze")
+    // b3: same drifted SHAPE — scores against v1, gauges quiet: HEALED
+    val b3 = mixDocs(800L, 15, 900L, 90)
+    managed(b3, 3L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
+      "the healed stream refroze again")
+    val series = SQ.drift(spark, out).orderBy("batch")
+      .select("batch", "model_v", "shift").collect()
+    assert(series.map(_.getAs[Long]("model_v")).toSeq === Seq(0L, 0L, 0L, 1L))
+    assert(series(0).getAs[Double]("shift") <= 0.3)
+    assert(series(1).getAs[Double]("shift") > 0.3)
+    assert(series(2).getAs[Double]("shift") > 0.3)
+    assert(series(3).getAs[Double]("shift") <= 0.3,
+      "post-swap serving must gauge in-distribution")
+    // internal consistency: every stored batch reproduces against the
+    // exact version that stamped it — before the swap against v0, after
+    // against v1
+    for ((b, id, v) <- Seq((b1, 1L, 0L), (b3, 3L, 1L))) {
+      val stored = spark.read.parquet(s"$out/scores/batch=$id")
+      assert(stored.select("model_v").distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(v))
+      val want = LlmOps.qualityProbeWideServe(b, s"$root/v=$v")
+        .collect().map(_.toSeq).toSeq
+      assert(stored.drop("model_v").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq === want,
+        s"batch $id scores do not reproduce against v=$v")
+    }
+    // torn refreeze (crash before _COMMIT): serving falls back to v0,
+    // and the next drifted batch re-freezes into the SAME version
+    // number — the attempt converges instead of leaking versions
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/v=1/_COMMIT"), false)
+    assert(SQ.currentModelVersion(spark, root) === Some(0L),
+      "a torn refreeze must be invisible to serving")
+    managed(mixDocs(1000L, 15, 1100L, 90), 4L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L))
+    assert(SQ.drift(spark, out).filter(col("batch") === 4L)
+      .head().getAs[Long]("model_v") === 0L)
+    // an unseeded root refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      SQ.applyBatchWideManaged(b1, s"$dir/nothing", s"$dir/nothing-out", 0L)
+    }
+    assert(e.getMessage.contains("seed"), e.getMessage)
+  }
 }
