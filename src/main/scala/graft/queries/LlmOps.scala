@@ -444,6 +444,32 @@ object LlmOps {
       .select(col("doc_id"), col("link"),
         canonicalizeUrl(col("link")).as("canon"))
 
+  /** CRAWL POLITENESS BATCHING — the frontier's dispatch shape: every
+    * crawler bounds concurrent fetches PER REGISTRABLE DOMAIN (one
+    * registrant's servers must not be hammered no matter how many of
+    * its links the frontier holds), so the unique canonical links are
+    * dealt into consecutive crawl batches with AT MOST `perBatch` links
+    * of one domain each — batch b is safe to fetch fully in parallel.
+    * Rank within a domain is canonical-URL order (deterministic and
+    * engine-mirrorable; a production scheduler would rank by priority —
+    * the policy is the ORDER BY, the machinery is the same). batch =
+    * (rank−1) div perBatch, slot = (rank−1) mod perBatch — integer
+    * arithmetic end-to-end, full DuckDB parity. Scale: the window
+    * partitions by domain; a mega-domain's rank is a single-partition
+    * sort of ITS links only, and past that the shardAssignment
+    * two-phase bucket rank applies verbatim if ever needed. Returns
+    * (canon, domain, batch, slot). */
+  def frontierBatches(links: DataFrame, perBatch: Int): DataFrame = {
+    require(perBatch >= 1, s"frontierBatches: need perBatch >= 1, got $perBatch")
+    links.select(col("canon")).distinct()
+      .withColumn("domain", registrableDomain(urlHost(col("canon"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("domain").orderBy("canon")).cast("long"))
+      .select(col("canon"), col("domain"),
+        expr(s"CAST((rn - 1) div $perBatch AS BIGINT)").as("batch"),
+        expr(s"CAST((rn - 1) % $perBatch AS BIGINT)").as("slot"))
+  }
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -3548,6 +3574,19 @@ object LlmOps {
         .orderBy("doc_id", "link")
     }),
 
+    // CRAWL POLITENESS BATCHING (see [[frontierBatches]]): the unique
+    // canonical frontier links dealt into crawl batches with at most 3
+    // links per registrable domain each — the dispatch step between
+    // "which links are new?" and the fetch pool. Composes this round's
+    // eTLD+1 grouping with the extraction chain. FULL DuckDB parity
+    // (integer rank arithmetic; the suffix table interpolated from the
+    // shared constant).
+    "q_frontier_batches" -> ((s, d) =>
+      frontierBatches(
+        extractLinks(htmlFixture(s, d)).select("canon")
+          .unionByName(queries("q_text_url_canon")(s, d).select("canon")),
+        perBatch = 3).orderBy("canon")),
+
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
       .select(col("doc_id"),
@@ -5179,8 +5218,19 @@ object LlmOps {
     * arithmetic, ending in `dmn` (doc_id, source, text, url, host,
     * domain). The multi-label suffix table is interpolated from
     * [[MultiLabelSuffixes]] — ONE constant states it for both engines. */
-  private def domainOracleCtes: String = {
+  /** The eTLD+1 CASE expression over a `host` column and its
+    * pre-split label list column `p` — ONE statement of the label
+    * arithmetic every domain-keyed oracle interpolates (the suffix
+    * table from [[MultiLabelSuffixes]]). */
+  private def domainCaseSql(host: String = "host", p: String = "p"): String = {
     val sufs = MultiLabelSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""CASE WHEN len($p) <= 2 THEN $host
+       |       WHEN ($p[len($p)-1] || '.' || $p[len($p)]) IN ($sufs)
+       |         THEN $p[len($p)-2] || '.' || $p[len($p)-1] || '.' || $p[len($p)]
+       |       ELSE $p[len($p)-1] || '.' || $p[len($p)] END""".stripMargin
+  }
+
+  private def domainOracleCtes: String = {
     s"""urls AS (
        |  SELECT doc_id, source, text,
        |    CASE doc_id % 6
@@ -5195,10 +5245,7 @@ object LlmOps {
        |hosts AS (SELECT *, lower(string_split(string_split(string_split(url, '://')[2], '/')[1], ':')[1]) AS host FROM urls),
        |pr AS (SELECT *, string_split(host, '.') AS p FROM hosts),
        |dmn AS (SELECT *,
-       |  CASE WHEN len(p) <= 2 THEN host
-       |       WHEN (p[len(p)-1] || '.' || p[len(p)]) IN ($sufs)
-       |         THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
-       |       ELSE p[len(p)-1] || '.' || p[len(p)] END AS domain
+       |  ${domainCaseSql()} AS domain
        |  FROM pr)""".stripMargin
   }
 
@@ -5240,6 +5287,47 @@ object LlmOps {
       |    scheme || '://' || host || portkeep || pth ||
       |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
       |  FROM p6)""".stripMargin
+
+  /** q_text_url_canon's oracle CTE chain (the 8-shape URL fixture + the
+    * canonical-form split arithmetic), ending in `ucanon`
+    * (doc_id, url, canon). CTE names u* — composable beside
+    * [[linkCanonCtes]] (p* names) in one statement. */
+  private val urlCanonCtes: String =
+    """uu AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 8
+      |      WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/Arc/Page.html?utm_source=x&b=2&a=1#frag'
+      |      WHEN 1 THEN 'https://' || source || '.com/a/b/'
+      |      WHEN 2 THEN 'https://' || source || '.COM:443/x?z=1&y=2&utm_campaign=c'
+      |      WHEN 3 THEN 'http://' || source || '.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
+      |      WHEN 4 THEN 'https://Sub.' || source || '.Com/p/q?a=2&a=1&UTM_Medium=m'
+      |      WHEN 5 THEN 'http://' || source || '.com/#only'
+      |      WHEN 6 THEN 'https://' || source || '.com:9443/Deep/Path/?x=' || CAST(doc_id AS VARCHAR) || '&utm_term=t'
+      |      ELSE 'http://' || source || '.com'
+      |    END AS url
+      |  FROM documents),
+      |u1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS nofrag FROM uu),
+      |u2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+      |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM u1),
+      |u3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+      |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM u2),
+      |u4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM u3),
+      |u5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
+      |         lower(string_split(hostport, ':')[1]) AS host,
+      |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM u4),
+      |u6 AS (SELECT *,
+      |         CASE WHEN port = '' THEN ''
+      |              WHEN scheme = 'http' AND port = '80' THEN ''
+      |              WHEN scheme = 'https' AND port = '443' THEN ''
+      |              ELSE ':' || port END AS portkeep,
+      |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
+      |       FROM u5),
+      |ucanon AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host || portkeep || pth ||
+      |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+      |  FROM u6)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -5882,41 +5970,27 @@ object LlmOps {
         |  AND canon NOT IN (SELECT canon FROM lcanon WHERE doc_id % 2 = 0)
         |ORDER BY doc_id, link""".stripMargin,
 
-    "q_text_url_canon" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 8
-        |      WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80/Arc/Page.html?utm_source=x&b=2&a=1#frag'
-        |      WHEN 1 THEN 'https://' || source || '.com/a/b/'
-        |      WHEN 2 THEN 'https://' || source || '.COM:443/x?z=1&y=2&utm_campaign=c'
-        |      WHEN 3 THEN 'http://' || source || '.com:8080/p?q=' || CAST(doc_id AS VARCHAR)
-        |      WHEN 4 THEN 'https://Sub.' || source || '.Com/p/q?a=2&a=1&UTM_Medium=m'
-        |      WHEN 5 THEN 'http://' || source || '.com/#only'
-        |      WHEN 6 THEN 'https://' || source || '.com:9443/Deep/Path/?x=' || CAST(doc_id AS VARCHAR) || '&utm_term=t'
-        |      ELSE 'http://' || source || '.com'
-        |    END AS url
-        |  FROM documents),
-        |p1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS nofrag FROM urls),
-        |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
-        |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
-        |p3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
-        |         substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM p2),
-        |p4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM p3),
-        |p5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
-        |         lower(string_split(hostport, ':')[1]) AS host,
-        |         substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM p4),
-        |p6 AS (SELECT *,
-        |         CASE WHEN port = '' THEN ''
-        |              WHEN scheme = 'http' AND port = '80' THEN ''
-        |              WHEN scheme = 'https' AND port = '443' THEN ''
-        |              ELSE ':' || port END AS portkeep,
-        |         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
-        |           p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
-        |       FROM p5)
-        |SELECT doc_id, url,
-        |  scheme || '://' || host || portkeep || pth ||
-        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
-        |FROM p6
+    // unique canon links -> eTLD+1 -> per-domain rank -> batch/slot;
+    // the frontier is the page links PLUS the url fixture's canons (the
+    // doc_id-varying query params give domains enough distinct links
+    // that the per-batch cap genuinely deals them out)
+    "q_frontier_batches" -> s"""WITH $linkCanonCtes,
+        |$urlCanonCtes,
+        |dc AS (SELECT DISTINCT canon FROM (
+        |  SELECT canon FROM lcanon UNION ALL SELECT canon FROM ucanon)),
+        |dh AS (SELECT canon, lower(string_split(string_split(string_split(canon, '://')[2], '/')[1], ':')[1]) AS host FROM dc),
+        |dp AS (SELECT *, string_split(host, '.') AS p FROM dh),
+        |dd AS (SELECT canon, ${domainCaseSql()} AS domain FROM dp),
+        |dr AS (SELECT canon, domain,
+        |         row_number() OVER (PARTITION BY domain ORDER BY canon) AS rn
+        |       FROM dd)
+        |SELECT canon, domain,
+        |  CAST((rn - 1) // 3 AS BIGINT) AS batch,
+        |  CAST((rn - 1) % 3 AS BIGINT) AS slot
+        |FROM dr ORDER BY canon""".stripMargin,
+
+    "q_text_url_canon" -> s"""WITH $urlCanonCtes
+        |SELECT doc_id, url, canon FROM ucanon
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_domain" -> s"""WITH $domainOracleCtes

@@ -35,6 +35,28 @@ class StreamingFrontierSuite extends SparkSpec {
     assert(exact.nonEmpty, "fixture must produce new links")
   }
 
+  test("frontierBatches: no batch exceeds perBatch per domain; batches dense; cap exercised") {
+    val got = graft.queries.LlmOps.queries("q_frontier_batches")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // the politeness invariant itself
+      assert(got.groupBy("domain", "batch").count()
+        .filter(col("count") > 3).count() === 0L,
+        "a batch holds more than perBatch links of one domain")
+      // batches are dense per domain: exactly ceil(n/perBatch) of them
+      assert(got.groupBy("domain")
+        .agg(count(lit(1)).as("n"), max("batch").as("mb"))
+        .filter(col("mb") =!= expr("(n - 1) div 3")).count() === 0L,
+        "per-domain batches must be consecutive from 0")
+      // slots are unique within (domain, batch)
+      assert(got.groupBy("domain", "batch", "slot").count()
+        .filter(col("count") > 1).count() === 0L)
+      // and the fixture genuinely exercises the cap
+      assert(got.filter(col("batch") > 0).count() > 0,
+        "no domain ever overflowed batch 0 — fixture too thin")
+    } finally got.unpersist()
+  }
+
   test("seen links never re-emit; novel links always emit; canonical forms collapse") {
     val seen = tmp("sfront-seen")
     val out = tmp("sfront-out")
