@@ -180,6 +180,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_domain_cap"),
       SqlSurface.domainCapBuilder _))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_domain_cap_url"),
+      new ExpressionInfo(classOf[DomainCapUrlPlaceholder].getName,
+        "graft_domain_cap_url"),
+      SqlSurface.domainCapUrlBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_registrable_domain"),
+      new ExpressionInfo(classOf[RegistrableDomainPlaceholder].getName,
+        "graft_registrable_domain"),
+      SqlSurface.registrableDomainBuilder _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_frontier_batches"),
+      new ExpressionInfo(classOf[FrontierBatchesPlaceholder].getName,
+        "graft_frontier_batches"),
+      SqlSurface.frontierBatchesBuilder _))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_bpe"),
       new ExpressionInfo(classOf[BpePlaceholder].getName, "graft_bpe"),
       SqlSurface.bpeBuilder _))

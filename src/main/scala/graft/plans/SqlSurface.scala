@@ -243,6 +243,44 @@ object SqlSurface {
       exprs.lift(2).map(strLit(fn, "blocked_csv", _)).getOrElse(""))
   }
 
+  /** graft_domain_cap_url(docs, cap[, blocked_csv]) — the URL-native
+    * per-domain cap ([[graft.queries.LlmOps.domainCapUrl]]) over a
+    * (doc_id, url, text) table: at most `cap` docs per REGISTRABLE
+    * DOMAIN (eTLD+1 of the url's host) by quality. `blocked_csv` is a
+    * comma-separated registrable-domain blocklist. Returns
+    * (doc_id, domain, quality). */
+  def domainCapUrlBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_domain_cap_url"
+    require(exprs.size == 2 || exprs.size == 3,
+      s"$fn(docs, cap[, blocked_csv]) takes 2-3 args (TABLE(...) of doc_id/url/text, int cap, optional string blocklist), got ${exprs.size}")
+    DomainCapUrlPlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "cap", exprs(1)),
+      exprs.lift(2).map(strLit(fn, "blocked_csv", _)).getOrElse(""))
+  }
+
+  /** graft_registrable_domain(urls) — eTLD+1 extraction
+    * ([[graft.queries.LlmOps.registrableDomain]]) over a table with a
+    * `url` column. Returns (url, host, domain), one row per input row. */
+  def registrableDomainBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_registrable_domain"
+    require(exprs.size == 1,
+      s"$fn(urls) takes 1 arg (TABLE(...) with a url column), got ${exprs.size}")
+    RegistrableDomainPlaceholder(tableArg(fn, "first", exprs.head))
+  }
+
+  /** graft_frontier_batches(links, per_batch) — crawl politeness
+    * batching ([[graft.queries.LlmOps.frontierBatches]]) over a table
+    * with a `canon` column: unique canonical links dealt into crawl
+    * batches with at most `per_batch` links per registrable domain.
+    * Returns (canon, domain, batch, slot). */
+  def frontierBatchesBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_frontier_batches"
+    require(exprs.size == 2,
+      s"$fn(links, per_batch) takes 2 args (TABLE(...) with a canon column, int per_batch), got ${exprs.size}")
+    FrontierBatchesPlaceholder(tableArg(fn, "first", exprs.head),
+      intLit(fn, "per_batch", exprs(1)))
+  }
+
   /** graft_bpe(docs, merges) — BPE merge training
     * ([[graft.queries.LlmOps.bpeTrain]], Sennrich et al. 2016) over a
     * (doc_id, text) table. Returns the learned merge table
@@ -622,6 +660,40 @@ case class DomainCapPlaceholder(child: LogicalPlan, cap: Int,
     copy(child = newChild)
 }
 
+/** Unresolved marker for the SQL URL-native per-domain cap; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class DomainCapUrlPlaceholder(child: LogicalPlan, cap: Int,
+    blockedCsv: String)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("DomainCapUrlPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): DomainCapUrlPlaceholder =
+    copy(child = newChild)
+}
+
+/** Unresolved marker for the SQL eTLD+1 extraction; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class RegistrableDomainPlaceholder(child: LogicalPlan)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("RegistrableDomainPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): RegistrableDomainPlaceholder =
+    copy(child = newChild)
+}
+
+/** Unresolved marker for the SQL politeness batching; expanded by
+  * [[ResolveGraftIndexFunctions]]. */
+case class FrontierBatchesPlaceholder(child: LogicalPlan, perBatch: Int)
+    extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] =
+    throw new UnresolvedException("FrontierBatchesPlaceholder.output")
+  override protected def withNewChildInternal(newChild: LogicalPlan): FrontierBatchesPlaceholder =
+    copy(child = newChild)
+}
+
 /** Unresolved marker for the SQL BPE trainer; expanded by
   * [[ResolveGraftIndexFunctions]]. */
 case class BpePlaceholder(child: LogicalPlan, merges: Int)
@@ -941,6 +1013,27 @@ case class ResolveGraftIndexFunctions(session: SparkSession) extends Rule[Logica
           org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
           cap = p.cap,
           blocked = p.blockedCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .queryExecution.analyzed
+    case p: DomainCapUrlPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.domainCapUrl(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          cap = p.cap,
+          blockedDomains =
+            p.blockedCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .queryExecution.analyzed
+    case p: RegistrableDomainPlaceholder if p.childrenResolved =>
+      org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child)
+        .select(org.apache.spark.sql.functions.col("url"))
+        .withColumn("host",
+          graft.queries.LlmOps.urlHost(org.apache.spark.sql.functions.col("url")))
+        .withColumn("domain",
+          graft.queries.LlmOps.registrableDomain(
+            org.apache.spark.sql.functions.col("host")))
+        .queryExecution.analyzed
+    case p: FrontierBatchesPlaceholder if p.childrenResolved =>
+      graft.queries.LlmOps.frontierBatches(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(session, p.child),
+          perBatch = p.perBatch)
         .queryExecution.analyzed
     case p: BpePlaceholder if p.childrenResolved =>
       graft.queries.LlmOps.bpeTrain(

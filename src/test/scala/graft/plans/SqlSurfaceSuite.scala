@@ -228,6 +228,52 @@ class SqlSurfaceSuite extends SparkSpec {
     assert(!got.exists(r => r(1) == "src2" || r(1) == "src17"))
   }
 
+  test("graft_domain_cap_url / graft_registrable_domain / graft_frontier_batches round trips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.ex.co.uk/a", "alpha beta gamma delta"),
+      (2L, "https://news.ex.co.uk/b", "alpha beta"),
+      (3L, "http://blocked.com/x", "alpha beta gamma"),
+      (4L, "https://y.github.io/p", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "url", "text")
+    docs.createOrReplaceTempView("sql_dcu_docs")
+    val sql = spark.sql("SELECT * FROM graft_domain_cap_url(" +
+      "TABLE(SELECT * FROM sql_dcu_docs), 1, 'blocked.com')")
+    val api = graft.queries.LlmOps.domainCapUrl(docs, cap = 1,
+      blockedDomains = Seq("blocked.com"))
+    assert(sql.columns.toSeq === api.columns.toSeq)
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = key(sql)
+    assert(got === key(api) && got.nonEmpty)
+    // www/news share the ex.co.uk quota (cap 1 keeps one of them),
+    // the blocklist is domain-keyed, github.io user survives
+    assert(!got.exists(_(1) == "blocked.com"))
+    assert(got.count(_(1) == "ex.co.uk") === 1)
+
+    val dom = spark.sql("SELECT * FROM graft_registrable_domain(" +
+      "TABLE(SELECT url FROM sql_dcu_docs))").orderBy("url")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(dom === Seq(
+      ("blocked.com", "blocked.com"),
+      ("news.ex.co.uk", "ex.co.uk"),
+      ("www.ex.co.uk", "ex.co.uk"),
+      ("y.github.io", "y.github.io")))
+
+    docs.select(graft.queries.LlmOps.canonicalizeUrl(col("url")).as("canon"))
+      .createOrReplaceTempView("sql_fb_links")
+    val fb = spark.sql("SELECT * FROM graft_frontier_batches(" +
+      "TABLE(SELECT * FROM sql_fb_links), 1)")
+    val fbApi = graft.queries.LlmOps.frontierBatches(
+      spark.table("sql_fb_links"), perBatch = 1)
+    assert(fb.columns.toSeq === fbApi.columns.toSeq)
+    assert(fb.orderBy("canon").collect().map(_.toSeq).toSeq ===
+      fbApi.orderBy("canon").collect().map(_.toSeq).toSeq)
+    // per_batch=1: the two ex.co.uk links land in different batches
+    assert(fb.filter(col("domain") === "ex.co.uk")
+      .select("batch").distinct().count() === 2L)
+  }
+
   test("graft_bpe: SQL round trip equals the Scala trainer on the Sennrich fixture") {
     import spark.implicits._
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
