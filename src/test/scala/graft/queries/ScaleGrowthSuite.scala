@@ -188,4 +188,45 @@ class ScaleGrowthSuite extends SparkSpec {
         s"$sf: within-cluster pairs ${x.joinRowsMax} vs brute ${x.brutePairs}")
     }
   }
+
+  test("SemDeDup k-growth: the pair bill divides with k on trained centroids (measured)") {
+    // the n^2/k claim measured DIRECTLY (ROADMAP k-sweep): run the REAL
+    // operator at k in {8, 32, 128} with Lloyd centroids on the sf0.1
+    // embeddings and tally the within-cluster pair bill Σ|c|·(|c|−1)/2
+    // from the operator's own assignment. Balanced clusters would give
+    // exactly 1/k division; Lloyd on real embeddings is skewed, so the
+    // pin is a ≥2× drop per 4× k — half the ideal rate, generous slack —
+    // plus every size beating brute by its k-fold margin.
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.1", "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val vecs = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    val brute = n * (n - 1) / 2
+    val bill = Seq(8, 32, 128).map { k =>
+      val model = graft.ml.IvfIndex.train(corpus, k = k, iters = 2)
+      val cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(model.centroids.zipWithIndex.toSeq.map {
+          case (c, i) => org.apache.spark.sql.Row(i.toLong, c.toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("centv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      val pairs = graft.queries.LlmOps.semanticDedup(vecs, cent, tau = 0.4)
+        .groupBy("cent_id").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0).toLong
+      info(s"k=$k: pair bill $pairs (brute $brute, ratio ${brute / math.max(pairs, 1)}x)")
+      k -> pairs
+    }
+    val byK = bill.toMap
+    assert(byK(8) < brute / 4, s"k=8 bill ${byK(8)} vs brute $brute")
+    assert(byK(32) * 2 <= byK(8),
+      s"4x k must at least halve the bill: k=8 ${byK(8)}, k=32 ${byK(32)}")
+    assert(byK(128) * 2 <= byK(32),
+      s"4x k must at least halve the bill: k=32 ${byK(32)}, k=128 ${byK(128)}")
+  }
 }
