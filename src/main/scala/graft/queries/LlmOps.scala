@@ -470,6 +470,57 @@ object LlmOps {
         expr(s"CAST((rn - 1) % $perBatch AS BIGINT)").as("slot"))
   }
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021, *Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher*, §A1.1 — the
+    * classic hand-set quality filter every pretraining pipeline
+    * reimplements; RefinedWeb and Dolma both ship variants): per-doc
+    * rule booleans plus their conjunction as `keep`. Rules stated here:
+    * token count within [minTokens, maxTokens]; mean word length within
+    * [minMeanLen, maxMeanLen]; symbol-to-word ratio ('#' or '...'
+    * carriers) at most maxSymbolRatio; at least minAlphaFrac of words
+    * carrying an alphabetic character; at least minStopwords DISTINCT
+    * stopwords present. The paper's line-shape rules (bullet-start /
+    * ellipsis-end fractions) are omitted — the corpus is single-line
+    * (documented narrowing; the line machinery lives in q_dedup_lines).
+    * Defaults are the published thresholds; the gate passes
+    * corpus-adapted ones (the synthetic docs are 10–99 short tokens).
+    * One split + in-row HOF arithmetic per doc — map-only, no shuffle
+    * before the output order; full DuckDB parity (integer sums, 4dp
+    * rounds before every comparison). */
+  def gopherRules(docs: DataFrame,
+                  minTokens: Long = 50, maxTokens: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with"),
+                  minStopwords: Int = 2): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(expr("CAST(aggregate(t, CAST(0 AS BIGINT), (a, w) -> a + length(w)) AS DOUBLE)")
+          / size(col("t")), 4).as("mean_word_len"),
+        round(size(filter(col("t"),
+            w => w.contains("#") || w.contains("..."))).cast("double")
+          / size(col("t")), 4).as("symbol_ratio"),
+        round(size(filter(col("t"), w => w.rlike("[a-zA-Z]"))).cast("double")
+          / size(col("t")), 4).as("alpha_frac"),
+        size(array_intersect(array_distinct(col("t")), stopArr))
+          .cast("long").as("n_stopwords"))
+      .withColumn("r_tokens",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("long"))
+      .withColumn("r_word_len",
+        (col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+          .cast("long"))
+      .withColumn("r_symbols", (col("symbol_ratio") <= maxSymbolRatio).cast("long"))
+      .withColumn("r_alpha", (col("alpha_frac") >= minAlphaFrac).cast("long"))
+      .withColumn("r_stopwords", (col("n_stopwords") >= minStopwords).cast("long"))
+      .withColumn("keep",
+        (col("r_tokens") === 1 && col("r_word_len") === 1 &&
+          col("r_symbols") === 1 && col("r_alpha") === 1 &&
+          col("r_stopwords") === 1).cast("long"))
+  }
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -2990,6 +3041,17 @@ object LlmOps {
         .groupBy("lang", "source").agg(countDistinct(col("w")).as("distinct_tokens"))
       base.join(dt, Seq("lang", "source")).orderBy("lang", "source")
     }),
+
+    // GOPHER RULES (see [[gopherRules]]): the published hand-set quality
+    // filter as per-doc rule booleans + keep. Thresholds corpus-adapted
+    // so every rule genuinely bites (at sf0.01: 425/429/317 docs pass
+    // the token/word-len/stopword rules individually, 260/500 keep —
+    // measured, the q_join_anti threshold discipline). FULL DuckDB
+    // parity (in-row HOF arithmetic, 4dp rounds before comparisons).
+    "q_text_gopher" -> ((s, d) => gopherRules(Tables(s, d, "documents"),
+      minTokens = 25, maxTokens = 100000, minMeanLen = 4.3, maxMeanLen = 10.0,
+      maxSymbolRatio = 0.1, minAlphaFrac = 0.8,
+      stopwords = Seq("the", "a"), minStopwords = 2).orderBy("doc_id")),
 
     // Quality scoring: length + lexical-diversity signals.
     "q_text_quality" -> ((s, d) => Tables(s, d, "documents")
@@ -5609,6 +5671,27 @@ object LlmOps {
         |               / (a.nrm * b.nrm), 4) AS cos_sim
         |  FROM cand c JOIN e a ON a.vec_id = c.d1 JOIN e b ON b.vec_id = c.d2)
         |WHERE cos_sim >= 0.4 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t), 4) AS mean_word_len,
+        |  ROUND(CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE) / len(t), 4) AS symbol_ratio,
+        |  ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t), 4) AS alpha_frac,
+        |  CAST(len(list_intersect(list_distinct(t), ['the', 'a'])) AS BIGINT) AS n_stopwords
+        |FROM t),
+        |r AS (SELECT *,
+        |  CAST(n_tokens >= 25 AND n_tokens <= 100000 AS BIGINT) AS r_tokens,
+        |  CAST(mean_word_len >= 4.3 AND mean_word_len <= 10.0 AS BIGINT) AS r_word_len,
+        |  CAST(symbol_ratio <= 0.1 AS BIGINT) AS r_symbols,
+        |  CAST(alpha_frac >= 0.8 AS BIGINT) AS r_alpha,
+        |  CAST(n_stopwords >= 2 AS BIGINT) AS r_stopwords
+        |FROM s)
+        |SELECT *,
+        |  CAST(r_tokens = 1 AND r_word_len = 1 AND r_symbols = 1
+        |       AND r_alpha = 1 AND r_stopwords = 1 AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """WITH base AS (

@@ -107,6 +107,39 @@ class LlmOpsScrubSuite extends SparkSpec {
       "registrable-domain extraction drifted from the documented rules")
   }
 
+  test("gopherRules: each rule trips on its crafted violator, clean doc keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean: enough tokens, mean len in range, no symbols, alphabetic,
+      // both stopwords
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank today"),
+      (2L, "the dog"),                                       // too few tokens
+      (3L, "the aa bb cc dd ee ff gg hh ii jj kk ll mm a"),  // mean len < 3
+      (4L, "the #tag #tag #tag #tag words words words words words words a more"), // symbols > 0.1
+      (5L, "the 11 22 33 44 55 66 77 88 99 00 12 13 a"),     // alpha frac < 0.8
+      (6L, "quick brown fox jumps over lazy dog near riverbank today list items")) // no stopwords
+      .toDF("doc_id", "text")
+    val got = LlmOps.gopherRules(docs, minTokens = 10, maxTokens = 1000,
+        minMeanLen = 3.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
+        minAlphaFrac = 0.8, stopwords = Seq("the", "a"), minStopwords = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("r_tokens"), r.getAs[Long]("r_word_len"),
+          r.getAs[Long]("r_symbols"), r.getAs[Long]("r_alpha"),
+          r.getAs[Long]("r_stopwords"), r.getAs[Long]("keep"))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 1L, 1L, 1L)), s"clean doc: ${got(1L)}")
+    assert(got(2L)._1 === 0L && got(2L)._6 === 0L, s"short doc: ${got(2L)}")
+    assert(got(3L)._2 === 0L && got(3L)._6 === 0L, s"short words: ${got(3L)}")
+    assert(got(4L)._3 === 0L && got(4L)._6 === 0L, s"symbols: ${got(4L)}")
+    assert(got(5L)._4 === 0L && got(5L)._6 === 0L, s"numeric: ${got(5L)}")
+    assert(got(6L)._5 === 0L && got(6L)._6 === 0L, s"no stopwords: ${got(6L)}")
+    // the corpus gate genuinely splits: both keep classes present
+    val corpus = LlmOps.queries("q_text_gopher")(spark, "/root/testdata/sf0.001")
+      .select("keep").collect().map(_.getLong(0))
+    assert(corpus.contains(1L) && corpus.contains(0L),
+      "gate thresholds must split the corpus")
+  }
+
   test("urlHost: scheme/port/path/query stripped, case folded") {
     import spark.implicits._
     val cases = Seq(
