@@ -1142,6 +1142,51 @@ object LlmOps {
       .select(col("doc_id"), col("shard"), col("pos_in_shard"))
   }
 
+  /** SEQUENCE PACKING, concat-and-chunk (the GPT-lineage pretraining
+    * layout: the corpus is one token stream in canonical doc_id order,
+    * cut into fixed `seqLen`-token training sequences; a doc can span a
+    * chunk boundary — the packing never pads and never drops): per doc,
+    * its global token offset and the first/last chunk it touches —
+    * the CHUNK MANIFEST a sequence loader reads (one row per doc, not
+    * per token — linear output; chunk c's members = docs with
+    * chunk_first <= c <= chunk_last). The global offset is a
+    * distributed PREFIX SUM, the shardAssignment two-phase shape on a
+    * RANGE bucketing: doc_id range-buckets (monotone in doc_id, so
+    * within-bucket cumsum windows are orderBuckets-way parallel), bucket
+    * totals broadcast as the orderBuckets-row offset table — no global
+    * single-partition window over the corpus. Integer arithmetic
+    * end-to-end -> full DuckDB parity (the oracle is the plain
+    * SUM() OVER (ORDER BY doc_id) statement of the same offsets).
+    * Returns (doc_id, n_tokens, tok_start, chunk_first, chunk_last,
+    * off_in_chunk), all 0-based. */
+  def packChunks(docs: DataFrame, seqLen: Long,
+                 orderBuckets: Int = 64): DataFrame = {
+    require(seqLen >= 1, s"packChunks: need seqLen >= 1, got $seqLen")
+    require(orderBuckets >= 1, s"need orderBuckets >= 1, got $orderBuckets")
+    val t = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // contiguous range buckets over [lo, hi]: width = ceil(span/B) via
+    // (hi - lo) div B + 1 — overflow-free for any id range, monotone
+    val mm = t.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val b = t.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        expr(s"(doc_id - lo) div ((hi - lo) div $orderBuckets + 1)"))
+      .select("doc_id", "n_tokens", "bucket")
+    val offs = b.groupBy("bucket").agg(sum("n_tokens").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "off") // orderBuckets rows — the tiny window is fine
+    b.withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("bucket").orderBy("doc_id")))
+      .join(broadcast(offs), "bucket")
+      .withColumn("tok_start", col("off") + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $seqLen").as("chunk_first"),
+        expr(s"(tok_start + n_tokens - 1) div $seqLen").as("chunk_last"),
+        expr(s"tok_start % $seqLen").as("off_in_chunk"))
+  }
+
   /** PUBLIC FUZZY DECONTAMINATION: flag `train` docs containing >=
     * `threshold` of any `evalDocs` doc's distinct 5-gram shingles
     * (containment of the EVAL side — asymmetric on purpose: the eval
@@ -4068,6 +4113,14 @@ object LlmOps {
       assignment.orderBy("doc_id")
     }),
 
+    // SEQUENCE PACKING (see [[packChunks]]): the concat-and-chunk
+    // manifest at seqLen 512 — per doc its global token offset and
+    // chunk span under the two-phase distributed prefix sum (no global
+    // corpus window — plan-pinned). FULL DuckDB parity: the oracle is
+    // the plain running-sum window statement of the same offsets.
+    "q_pack_chunks" -> ((s, d) =>
+      packChunks(Tables(s, d, "documents"), seqLen = 512).orderBy("doc_id")),
+
     // THE FULL PIPELINE as ONE declarative query: curation (quality ∧
     // lang ∧ cluster-rep, q_curate) ∘ DSIR target-likeness selection
     // (q_mix_dsir) ∘ eval-decontamination (q_text_contamination), with
@@ -6245,6 +6298,20 @@ object LlmOps {
         |       CAST(coalesce(h.n_eval_matches, 0) = 0 AS BIGINT) AS kept
         |FROM curated c LEFT JOIN fhits h USING (doc_id)
         |WHERE c.doc_id % 10 <> 0 ORDER BY c.doc_id""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  tok_start // 512 AS chunk_first,
+        |  (tok_start + n_tokens - 1) // 512 AS chunk_last,
+        |  tok_start % 512 AS off_in_chunk
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_shard_write" ->
       """WITH d AS (SELECT doc_id,

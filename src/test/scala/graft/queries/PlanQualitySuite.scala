@@ -480,6 +480,23 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("UDF"), s"shard arithmetic must be built-ins only:\n$p")
   }
 
+  test("q_pack_chunks: prefix sum is bucket-partitioned, offsets broadcast — no corpus-scale global window") {
+    val p = plan("q_pack_chunks")
+    // the data-scale cumsum window must be bucket-partitioned; the only
+    // partition-less window permitted is the 64-row bucket-offset table
+    // (its input is the bucket-total aggregate) — the shardAssignment
+    // two-phase discipline
+    val windows = p.linesIterator.filter(_.matches(""".*\bWindow\b.*""")).toSeq
+    assert(windows.exists(_.contains("bucket")),
+      s"missing the bucket-partitioned cumsum window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      "CartesianProduct".r.findAllIn(p).length <= 1,
+      s"only the 1-row min/max bound broadcast may cross:\n$p")
+    assert(!p.contains("UDF"), s"packing arithmetic must be built-ins only:\n$p")
+  }
+
   test("q_decontaminate_fuzzy: containment verify is equi-join only — no all-pairs shape") {
     val p = plan("q_decontaminate_fuzzy")
     assert(!p.contains("CartesianProduct"), p)

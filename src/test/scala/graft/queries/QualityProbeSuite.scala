@@ -534,6 +534,32 @@ class QualityProbeSuite extends SparkSpec {
     assert(manifest.count(_._2 == 3L).toLong === one.count())
   }
 
+  test("packChunks: exact running-sum offsets, bucketing-independent, spans crossed") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val a = LlmOps.packChunks(docs, seqLen = 64).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // the stream is gapless: each doc starts where the previous ended
+    a.sliding(2).foreach {
+      case Seq(p, n) => assert(p._3 + p._2 === n._3,
+        s"gap between doc ${p._1} and ${n._1}")
+      case _ =>
+    }
+    assert(a.head._3 === 0L, "the stream starts at offset 0")
+    // chunk arithmetic is the stated integer forms
+    a.foreach { r =>
+      assert(r._4 === r._3 / 64 && r._5 === (r._3 + r._2 - 1) / 64 &&
+        r._6 === r._3 % 64, s"chunk math broke on doc ${r._1}")
+    }
+    // the fixture genuinely crosses chunk boundaries
+    assert(a.exists(r => r._5 > r._4), "no doc spans a boundary at seqLen 64")
+    // the bucketing is pure parallelism — one bucket gives identical rows
+    val b = LlmOps.packChunks(docs, seqLen = 64, orderBuckets = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(b === a, "orderBuckets must not change the packing")
+  }
+
   /** A good/spam mixture at chosen proportions — the plantedDocs
     * generators with fresh doc_id ranges, so drifted batches are
     * in-VOCABULARY but mixture-displaced (the realistic drift shape:
