@@ -1160,9 +1160,10 @@ object LlmOps {
     * Returns (doc_id, n_tokens, tok_start, chunk_first, chunk_last,
     * off_in_chunk), all 0-based. */
   def packChunks(docs: DataFrame, seqLen: Long,
-                 orderBuckets: Int = 64): DataFrame = {
+                 orderBuckets: Int = 64, baseOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"packChunks: need seqLen >= 1, got $seqLen")
     require(orderBuckets >= 1, s"need orderBuckets >= 1, got $orderBuckets")
+    require(baseOffset >= 0L, s"need baseOffset >= 0, got $baseOffset")
     val t = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     // contiguous range buckets over [lo, hi]: width = ceil(span/B) via
@@ -1177,10 +1178,14 @@ object LlmOps {
         Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("bucket", "off") // orderBuckets rows — the tiny window is fine
+    // baseOffset shifts the whole stream (the streaming twin's continued
+    // numbering: batch b starts where b-1 ended) — chunk arithmetic runs
+    // on the SHIFTED offsets, so chunk ids are stream-global too
     b.withColumn("cum", sum("n_tokens").over(
         Window.partitionBy("bucket").orderBy("doc_id")))
       .join(broadcast(offs), "bucket")
-      .withColumn("tok_start", col("off") + col("cum") - col("n_tokens"))
+      .withColumn("tok_start",
+        lit(baseOffset) + col("off") + col("cum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("tok_start"),
         expr(s"tok_start div $seqLen").as("chunk_first"),
         expr(s"(tok_start + n_tokens - 1) div $seqLen").as("chunk_last"),
