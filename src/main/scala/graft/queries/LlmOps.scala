@@ -1374,6 +1374,36 @@ object LlmOps {
     * multiply so no intermediate exceeds ~1.7e14 — the naive product
     * overflows int64 for x above ~3.47e9 (silent wrap in Spark, error in
     * DuckDB). The DuckDB oracle mirrors the identical split form. */
+  /** DETERMINISTIC STRATIFIED SAMPLE — the ablation/debug subset every
+    * pipeline pulls ("give me 10 % of every (lang, source) cell"): per
+    * stratum keep the `pct`-percent CEILING of its docs (every
+    * non-empty stratum keeps at least one — a proportional sample that
+    * silently drops whole small strata biases the mixture), chosen by
+    * the seeded Knuth-hash order ([[knuthHash32]] on doc_id, the
+    * shardAssignment permutation — uniform, engine-mirrorable, stable
+    * across runs and engines; sampling twice gives the SAME subset, and
+    * pct=20 contains pct=10 by construction — nested samples, the
+    * property ad-hoc rand() sampling loses). Integer arithmetic
+    * end-to-end -> full DuckDB parity. The rank window partitions by
+    * the stratum (parallel per cell); the per-stratum caps ride a
+    * broadcast of the tiny stratum-count table. Returns
+    * (doc_id, <strata...>, n_stratum, cap), the kept docs. */
+  def stratifiedSample(docs: DataFrame, strata: Seq[String],
+                       pct: Int): DataFrame = {
+    require(strata.nonEmpty, "stratifiedSample: need at least one stratum column")
+    require(pct >= 1 && pct <= 100, s"stratifiedSample: need 1 <= pct <= 100, got $pct")
+    val sc = strata.map(col)
+    val counts = docs.groupBy(sc: _*).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("cap", expr(s"(n_stratum * $pct + 99) div 100"))
+    val w = Window.partitionBy(sc: _*).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id") +: sc: _*)
+      .withColumn("h", expr(knuthHash32("doc_id")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(counts), strata)
+      .filter(col("rn") <= col("cap"))
+      .select(col("doc_id") +: sc :+ col("n_stratum") :+ col("cap"): _*)
+  }
+
   private[graft] def knuthHash32(c: String): String =
     s"(((($c % 4294967296) div 65536) * 2654435761 % 65536) * 65536" +
       s" + (($c % 4294967296) % 65536) * 2654435761) % 4294967296"
@@ -4219,6 +4249,14 @@ object LlmOps {
     // (deterministic lowest-id seed, min-cosine-distance argmax, ties to
     // lowest id). Like q_search_mmr, a greedy sequential operator with a
     // FULL DuckDB oracle via unrolled chained CTEs.
+    // STRATIFIED SAMPLE (see [[stratifiedSample]]): the deterministic
+    // 10 %-per-(lang, source)-cell subset — seeded Knuth-hash order, so
+    // re-sampling is stable and a larger pct NESTS the smaller. FULL
+    // DuckDB parity (integer hash + ceil arithmetic).
+    "q_sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables(s, d, "documents"),
+        strata = Seq("lang", "source"), pct = 10).orderBy("doc_id")),
+
     "q_sample_kcenter" -> ((s, d) =>
       kCenterSample(Tables(s, d, "embeddings"), k = 5).orderBy("rn")),
 
@@ -6432,6 +6470,24 @@ object LlmOps {
          |SELECT q_id, rn, c_id, cos_sim FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "q_search_mmr" -> mmrSql,
+
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+        |  ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536
+        |   + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |c AS (SELECT lang, source, count(*) AS n_stratum,
+        |             CAST((count(*) * 10 + 99) // 100 AS BIGINT) AS cap
+        |      FROM documents GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, source,
+        |             row_number() OVER (PARTITION BY lang, source
+        |               ORDER BY h, doc_id) AS rn
+        |      FROM h)
+        |SELECT r.doc_id, r.lang, r.source,
+        |       CAST(c.n_stratum AS BIGINT) AS n_stratum, c.cap
+        |FROM r JOIN c USING (lang, source)
+        |WHERE r.rn <= c.cap
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_sample_kcenter" -> kCenterSql,
 

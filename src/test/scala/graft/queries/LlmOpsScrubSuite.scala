@@ -140,6 +140,31 @@ class LlmOpsScrubSuite extends SparkSpec {
       "gate thresholds must split the corpus")
   }
 
+  test("stratifiedSample: nested, stable, every stratum represented, caps exact") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def ids(pct: Int) = LlmOps.stratifiedSample(docs,
+      Seq("lang", "source"), pct).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s10 = ids(10)
+    // stable: the seeded order makes re-sampling a fixed point
+    assert(ids(10) === s10)
+    // nested: pct=20 contains pct=10 by construction
+    assert(s10.subsetOf(ids(20)), "larger sample must nest the smaller")
+    // every stratum keeps ceil(n*pct/100) >= 1 docs — exact, not expected
+    val got = LlmOps.stratifiedSample(docs, Seq("lang", "source"), 10)
+      .groupBy("lang", "source").count()
+      .join(docs.groupBy("lang", "source").count()
+        .withColumnRenamed("count", "n"), Seq("lang", "source"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (k, n) = (r.getAs[Long]("count"), r.getAs[Long]("n"))
+      assert(k === (n * 10 + 99) / 100, s"stratum ${r.mkString(",")}: kept $k of $n")
+    }
+    // all strata of the corpus appear
+    assert(got.length === docs.select("lang", "source").distinct().count())
+  }
+
   test("urlHost: scheme/port/path/query stripped, case folded") {
     import spark.implicits._
     val cases = Seq(
