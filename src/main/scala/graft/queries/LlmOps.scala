@@ -4249,11 +4249,14 @@ object LlmOps {
     // (deterministic lowest-id seed, min-cosine-distance argmax, ties to
     // lowest id). Like q_search_mmr, a greedy sequential operator with a
     // FULL DuckDB oracle via unrolled chained CTEs.
-    // STRATIFIED SAMPLE (see [[stratifiedSample]]): the deterministic
-    // 10 %-per-(lang, source)-cell subset — seeded Knuth-hash order, so
-    // re-sampling is stable and a larger pct NESTS the smaller. FULL
-    // DuckDB parity (integer hash + ceil arithmetic).
-    "q_sample_stratified" -> ((s, d) =>
+    // EXACT-COUNT STRATIFIED SAMPLE (see [[stratifiedSample]]): the
+    // deterministic 10 %-per-(lang, source)-cell subset with EXACT
+    // ceiling caps — the complement of q_sample_stratified's
+    // expected-fraction scan filter (that one is a pushed-down filter,
+    // this one guarantees the per-cell count and keeps small strata).
+    // Seeded Knuth-hash order: re-sampling is stable and a larger pct
+    // NESTS the smaller. FULL DuckDB parity (integer arithmetic).
+    "q_sample_stratified_exact" -> ((s, d) =>
       stratifiedSample(Tables(s, d, "documents"),
         strata = Seq("lang", "source"), pct = 10).orderBy("doc_id")),
 
@@ -6471,7 +6474,7 @@ object LlmOps {
 
     "q_search_mmr" -> mmrSql,
 
-    "q_sample_stratified" ->
+    "q_sample_stratified_exact" ->
       """WITH h AS (SELECT doc_id, lang, source,
         |  ((((doc_id % 4294967296) // 65536) * 2654435761 % 65536) * 65536
         |   + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
