@@ -39,26 +39,36 @@ object StreamingFrontier {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-    // bounded per batch; read twice (emit + grow) — pin it once
-    val links = graft.queries.LlmOps.extractLinks(batch.select("doc_id", "html"))
-      .localCheckpoint()
-    val hasLinks = !links.isEmpty
-    val seeded = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$seenPath/bloom_meta"))
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        s"$outDir/new/batch=$batchId/_SUCCESS"))) {
-      // retry AFTER the emit committed: never re-derive the emit (the
-      // filter may have grown since, which would shrink it); re-heal
-      // the possibly-under-grown filter instead — idempotent
+    // the batch's checkpoint blocks are swept on exit — a long-lived
+    // stream must not accumulate per-batch blocks (the StreamingDedup
+    // discipline, docs/long-lived-spark-jvm-hygiene.md)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // bounded per batch; read twice (emit + grow) — pin it once
+      val links = graft.queries.LlmOps.extractLinks(batch.select("doc_id", "html"))
+        .localCheckpoint()
+      val hasLinks = !links.isEmpty
+      val seeded = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$seenPath/bloom_meta"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(
+          s"$outDir/new/batch=$batchId/_SUCCESS"))) {
+        // retry AFTER the emit committed: never re-derive the emit (the
+        // filter may have grown since, which would shrink it); re-heal
+        // the possibly-under-grown filter instead — idempotent
+        if (hasLinks) growSeen(links, seenPath, seeded)
+        return
+      }
+      val fresh =
+        if (!seeded) links
+        else graft.operators.DedupIndex.filterUnseen(seenPath, links,
+          keyCol = "canon")
+      fresh.write.mode("overwrite").parquet(s"$outDir/new/batch=$batchId")
       if (hasLinks) growSeen(links, seenPath, seeded)
-      return
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
     }
-    val fresh =
-      if (!seeded) links
-      else graft.operators.DedupIndex.filterUnseen(seenPath, links,
-        keyCol = "canon")
-    fresh.write.mode("overwrite").parquet(s"$outDir/new/batch=$batchId")
-    if (hasLinks) growSeen(links, seenPath, seeded)
   }
 
   private def growSeen(links: DataFrame, seenPath: String,

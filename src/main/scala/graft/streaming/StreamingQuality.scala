@@ -35,23 +35,33 @@ object StreamingQuality {
     // the expensive one, and serve-then-staleness would run it twice —
     // the raw prediction frame is checkpointed once and BOTH the scores
     // sink and the drift row derive from it (the curateDocsServe
-    // shared-pass move, lifted to the micro-batch).
-    val raw = graft.queries.LlmOps.denseServedRaw(
-      batch.select("doc_id", "text"), modelPath).localCheckpoint()
-    graft.queries.LlmOps.denseServeFromRaw(raw, modelPath)
-      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+    // shared-pass move, lifted to the micro-batch). The batch's
+    // checkpoint blocks are swept on exit — a long-lived stream must
+    // not accumulate per-batch blocks (the StreamingDedup discipline,
+    // docs/long-lived-spark-jvm-hygiene.md).
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta")) &&
-        !batch.isEmpty) {
-      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
-        graft.queries.LlmOps.denseStalenessFromRaw(raw, modelPath)
-      import spark.implicits._
-      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
-        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/drift/batch=$batchId")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val raw = graft.queries.LlmOps.denseServedRaw(
+        batch.select("doc_id", "text"), modelPath).localCheckpoint()
+      graft.queries.LlmOps.denseServeFromRaw(raw, modelPath)
+        .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$modelPath/score_meta")) &&
+          !batch.isEmpty) {
+        val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+          graft.queries.LlmOps.denseStalenessFromRaw(raw, modelPath)
+        import spark.implicits._
+        Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
+          .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/drift/batch=$batchId")
+      }
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
     }
   }
 
@@ -87,24 +97,32 @@ object StreamingQuality {
     * scoring still works; the alarm needs a re-freeze. */
   def applyBatchWide(batch: DataFrame, modelPath: String, outDir: String,
                      batchId: Long): Unit = {
-    // shared-pass per batch (ADVICE r13) — see [[applyBatch]]
-    val raw = graft.queries.LlmOps.wideServedRaw(
-      batch.select("doc_id", "text"), modelPath).localCheckpoint()
-    graft.queries.LlmOps.wideServeFromRaw(raw, modelPath)
-      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+    // shared-pass per batch (ADVICE r13) + per-batch block sweep — see
+    // [[applyBatch]]
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
-    val hasCapture = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"))
-    if (hasCapture && !batch.isEmpty) {
-      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
-        graft.queries.LlmOps.wideStalenessFromRaw(raw, modelPath)
-      import spark.implicits._
-      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
-        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/drift/batch=$batchId")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val raw = graft.queries.LlmOps.wideServedRaw(
+        batch.select("doc_id", "text"), modelPath).localCheckpoint()
+      graft.queries.LlmOps.wideServeFromRaw(raw, modelPath)
+        .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(modelPath), spark.sparkContext.hadoopConfiguration)
+      val hasCapture = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$modelPath/score_meta"))
+      if (hasCapture && !batch.isEmpty) {
+        val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+          graft.queries.LlmOps.wideStalenessFromRaw(raw, modelPath)
+        import spark.implicits._
+        Seq((fitN, serveN, fitMean, serveMean, fitSd, shift))
+          .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit", "shift")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/drift/batch=$batchId")
+      }
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
     }
   }
 
@@ -211,38 +229,46 @@ object StreamingQuality {
         s"applyBatchWideManaged: no committed model under $modelRoot — " +
           "seed one with freezeVersion(trainDocs, modelRoot, 0) first"))
     val mp = s"$modelRoot/v=$v"
-    val raw = graft.queries.LlmOps.wideServedRaw(
-      batch.select("doc_id", "text"), mp).localCheckpoint()
-    val empty = batch.isEmpty
-    if (!empty) {
-      // drift FIRST, scores LAST: the scores marker is the batch's
-      // commit point, so every committed batch has its drift row
-      val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
-        graft.queries.LlmOps.wideStalenessFromRaw(raw, mp)
-      import spark.implicits._
-      Seq((fitN, serveN, fitMean, serveMean, fitSd, shift, v))
-        .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit",
-          "shift", "model_v")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/drift/batch=$batchId")
-    }
-    graft.queries.LlmOps.wideServeFromRaw(raw, mp)
-      .withColumn("model_v", lit(v))
-      .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
-    if (empty) return
-    // trailing run of over-threshold batches under THIS version, ending
-    // here (a quiet batch resets the run; a refreeze changes model_v,
-    // which resets it structurally)
-    val series = drift(spark, outDir)
-      .filter(col("model_v") === v && col("batch") <= batchId)
-      .select(col("batch").cast("long"), col("shift"))
-      .collect().sortBy(-_.getLong(0))
-    val run = series.takeWhile(_.getDouble(1) > maxShift).length
-    if (run >= refreezeAfter) {
-      val metaRow = spark.read.parquet(s"$mp/feature_meta").head()
-      freezeVersion(batch.select("doc_id", "text"), modelRoot, v + 1,
-        threshold, holdoutMod, metaRow.getAs[Long]("buckets"), lambda, iters,
-        scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1))
+    // per-batch block sweep on exit — see [[applyBatch]]
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val raw = graft.queries.LlmOps.wideServedRaw(
+        batch.select("doc_id", "text"), mp).localCheckpoint()
+      val empty = batch.isEmpty
+      if (!empty) {
+        // drift FIRST, scores LAST: the scores marker is the batch's
+        // commit point, so every committed batch has its drift row
+        val (fitN, serveN, fitMean, serveMean, fitSd, shift) =
+          graft.queries.LlmOps.wideStalenessFromRaw(raw, mp)
+        import spark.implicits._
+        Seq((fitN, serveN, fitMean, serveMean, fitSd, shift, v))
+          .toDF("n_fit", "n_serve", "mean_fit", "mean_serve", "sd_fit",
+            "shift", "model_v")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/drift/batch=$batchId")
+      }
+      graft.queries.LlmOps.wideServeFromRaw(raw, mp)
+        .withColumn("model_v", lit(v))
+        .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+      if (empty) return
+      // trailing run of over-threshold batches under THIS version, ending
+      // here (a quiet batch resets the run; a refreeze changes model_v,
+      // which resets it structurally)
+      val series = drift(spark, outDir)
+        .filter(col("model_v") === v && col("batch") <= batchId)
+        .select(col("batch").cast("long"), col("shift"))
+        .collect().sortBy(-_.getLong(0))
+      val run = series.takeWhile(_.getDouble(1) > maxShift).length
+      if (run >= refreezeAfter) {
+        val metaRow = spark.read.parquet(s"$mp/feature_meta").head()
+        freezeVersion(batch.select("doc_id", "text"), modelRoot, v + 1,
+          threshold, holdoutMod, metaRow.getAs[Long]("buckets"), lambda, iters,
+          scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1))
+      }
+    } finally {
+      val live = spark.sparkContext.getPersistentRDDs
+      (live.keySet -- before).foreach(id =>
+        live.get(id).foreach(_.unpersist(blocking = false)))
     }
   }
 
