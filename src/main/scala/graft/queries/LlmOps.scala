@@ -4156,6 +4156,24 @@ object LlmOps {
     "q_pack_chunks" -> ((s, d) =>
       packChunks(Tables(s, d, "documents"), seqLen = 512).orderBy("doc_id")),
 
+    // PACK → SHARD composition: the full training-layout pipeline —
+    // the packed chunk ids themselves shard-assigned (8 shards) by the
+    // SAME seeded permutation machinery as the doc-level writer, so a
+    // trainer reads "shard s of the chunked stream" with the balanced
+    // |shard| ≤ 1 contract. The chunk count is one bounded one-row agg
+    // (total tokens div seqLen); the assignment is the verified
+    // [[shardAssignment]] over the chunk-id range. FULL DuckDB parity.
+    "q_pack_shards" -> ((s, d) => {
+      val tot = packChunks(Tables(s, d, "documents"), seqLen = 512)
+        .agg(max(col("chunk_last"))).head().getLong(0)
+      // spark.range, not a driver seq: the chunk-id range at 100 TB is
+      // ~10^11 rows — it must be generated distributed
+      shardAssignment(s.range(tot + 1).withColumnRenamed("id", "doc_id"),
+          numShards = 8)
+        .withColumnRenamed("doc_id", "chunk_id")
+        .orderBy("chunk_id")
+    }),
+
     // THE FULL PIPELINE as ONE declarative query: curation (quality ∧
     // lang ∧ cluster-rep, q_curate) ∘ DSIR target-likeness selection
     // (q_mix_dsir) ∘ eval-decontamination (q_text_contamination), with
@@ -6344,6 +6362,26 @@ object LlmOps {
         |       CAST(coalesce(h.n_eval_matches, 0) = 0 AS BIGINT) AS kept
         |FROM curated c LEFT JOIN fhits h USING (doc_id)
         |WHERE c.doc_id % 10 <> 0 ORDER BY c.doc_id""".stripMargin,
+
+    // the chunk-id range (one bounded agg) through the q_shard_write
+    // oracle arithmetic at 8 shards
+    "q_pack_shards" ->
+      """WITH tt AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+        |           FROM documents),
+        |ids AS (SELECT unnest(generate_series(0, (tot - 1) // 512)) AS cid FROM tt),
+        |d AS (SELECT cid,
+        |  ((((cid % 4294967296) // 65536) * 2654435761 % 65536) * 65536
+        |   + ((cid % 4294967296) % 65536) * 2654435761) % 4294967296 AS h
+        |  FROM ids),
+        |n AS (SELECT count(*) AS n FROM ids),
+        |r AS (SELECT cid,
+        |             row_number() OVER (ORDER BY h % 64, h, cid) - 1 AS r0
+        |      FROM d),
+        |a AS (SELECT cid, r0, CAST((r0 * 8) // n AS BIGINT) AS shard
+        |      FROM r, n)
+        |SELECT cid AS chunk_id, shard,
+        |       CAST(r0 - ((shard * n + 7) // 8) AS BIGINT) AS pos_in_shard
+        |FROM a, n ORDER BY chunk_id""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH t AS (SELECT doc_id,
