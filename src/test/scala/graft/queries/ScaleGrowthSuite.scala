@@ -189,6 +189,18 @@ class ScaleGrowthSuite extends SparkSpec {
     }
   }
 
+  test("round-14 crawl/pack families: pairing work grows near-linearly") {
+    // q_pack_chunks: the prefix sum's heaviest join is the bucket-offset
+    // broadcast back onto the corpus (n rows); q_frontier_new: the
+    // seen-filter anti-join on the canonical key (both sides linear in
+    // the link count). Either going superlinear means the composition
+    // picked up an accidental pair blowup.
+    for (q <- Seq("q_pack_chunks", "q_frontier_new")) {
+      val e = exponent(q, _.joinRowsMax)
+      assert(e <= 1.3, s"$q join-work growth exponent $e (brute line is 2.0)")
+    }
+  }
+
   test("SemDeDup k-growth: the pair bill divides with k on trained centroids (measured)") {
     // the n^2/k claim measured DIRECTLY (ROADMAP k-sweep): run the REAL
     // operator at k in {8, 32, 128} with Lloyd centroids on the sf0.1
