@@ -4164,12 +4164,16 @@ object LlmOps {
     // (total tokens div seqLen); the assignment is the verified
     // [[shardAssignment]] over the chunk-id range. FULL DuckDB parity.
     "q_pack_shards" -> ((s, d) => {
-      val tot = packChunks(Tables(s, d, "documents"), seqLen = 512)
-        .agg(max(col("chunk_last"))).head().getLong(0)
+      // the chunk COUNT needs only the token total (one map-combining
+      // agg — not the manifest's prefix-sum pass): last chunk id =
+      // (total - 1) div 512, exactly the oracle's arithmetic
+      val tot = Tables(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(sum("n")).head().getLong(0)
       // spark.range, not a driver seq: the chunk-id range at 100 TB is
       // ~10^11 rows — it must be generated distributed
-      shardAssignment(s.range(tot + 1).withColumnRenamed("id", "doc_id"),
-          numShards = 8)
+      shardAssignment(s.range((tot - 1) / 512 + 1)
+          .withColumnRenamed("id", "doc_id"), numShards = 8)
         .withColumnRenamed("doc_id", "chunk_id")
         .orderBy("chunk_id")
     }),
