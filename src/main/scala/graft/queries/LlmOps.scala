@@ -521,6 +521,21 @@ object LlmOps {
           col("r_stopwords") === 1).cast("long"))
   }
 
+  /** The (doc_id, link, canon) extraction frame memoized to scratch
+    * parquet per (application, corpus) — the [[shingleIdsShared]]
+    * amortization: the three frontier gates (seen-filter witness, Bloom
+    * twin, politeness batching) each consumed the identical
+    * fixture + href-extract + canonicalize pass per invocation. The
+    * OPERATORS (anti-join, bitset probe, per-domain dealing) still run
+    * per invocation; q_text_extract_links — the extraction operator
+    * itself — deliberately does NOT read the memo, so its gate keeps
+    * the honest standalone cost. Three string columns — exact parquet
+    * round-trip, parity untouched. */
+  private def linksShared(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+      "graft-links", s.sparkContext.applicationId, d))(
+      extractLinks(htmlFixture(s, d)))
+
   /** (doc_id, w): distinct tokens per document. */
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
@@ -3683,7 +3698,7 @@ object LlmOps {
     // twin below replaces the join with a broadcast Bloom probe. FULL
     // DuckDB parity.
     "q_frontier_new" -> ((s, d) => {
-      val links = extractLinks(htmlFixture(s, d))
+      val links = linksShared(s, d)
       links.filter(col("doc_id") % 2 === 1)
         .join(links.filter(col("doc_id") % 2 === 0)
             .select(col("canon").as("seen_canon")).distinct(),
@@ -3703,7 +3718,7 @@ object LlmOps {
     // xxhash64 arithmetic, the no-oracle precedent of the _xxh twins);
     // StreamingFrontierSuite pins twin == exact witness on the fixture.
     "q_frontier_new_bloom" -> ((s, d) => {
-      val links = extractLinks(htmlFixture(s, d))
+      val links = linksShared(s, d)
       val path = graft.operators.Scratch.dir(
         "graft-frontier-seen", s.sparkContext.applicationId, d)
       graft.operators.Memo.once(path) {
@@ -3725,7 +3740,7 @@ object LlmOps {
     // shared constant).
     "q_frontier_batches" -> ((s, d) =>
       frontierBatches(
-        extractLinks(htmlFixture(s, d)).select("canon")
+        linksShared(s, d).select("canon")
           .unionByName(queries("q_text_url_canon")(s, d).select("canon")),
         perBatch = 3).orderBy("canon")),
 
