@@ -3731,6 +3731,23 @@ object LlmOps {
         .orderBy("doc_id", "link")
     }),
 
+    // ANCHOR-TEXT EXTRACTION — the crawl graph's edge feature (anchor
+    // text is the classic relevance/label signal a link-graph pipeline
+    // attaches to each edge): per <a> element, the canonicalized target
+    // plus the text between the tags. The element is extracted whole,
+    // then href and inner text pulled from it — one regex pass, no
+    // risk of pairing the i-th href with the j-th text. FULL DuckDB
+    // parity (the oracle joins its anchors to the shared lcanon chain
+    // on (doc_id, link), so the canonical form is stated once).
+    "q_text_anchors" -> ((s, d) => htmlFixture(s, d)
+      .select(col("doc_id"), explode(regexp_extract_all(col("html"),
+        lit("<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("a"))
+      .select(col("doc_id"),
+        canonicalizeUrl(regexp_extract(col("a"), "href=\"([^\"]*)\"", 1))
+          .as("canon"),
+        regexp_extract(col("a"), ">([^<]*)</a>", 1).as("anchor"))
+      .orderBy("doc_id", "canon")),
+
     // CRAWL POLITENESS BATCHING (see [[frontierBatches]]): the unique
     // canonical frontier links dealt into crawl batches with at most 3
     // links per registrable domain each — the dispatch step between
@@ -6188,6 +6205,21 @@ object LlmOps {
         |WHERE doc_id % 2 = 1
         |  AND canon NOT IN (SELECT canon FROM lcanon WHERE doc_id % 2 = 0)
         |ORDER BY doc_id, link""".stripMargin,
+
+    // anchors joined to the shared canon chain on (doc_id, link) —
+    // the canonical-form arithmetic is stated once (lcanon)
+    "q_text_anchors" -> s"""WITH $linkCanonCtes,
+        |ax AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(html,
+        |           '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS a
+        |       FROM pages),
+        |ap AS (SELECT doc_id,
+        |         regexp_extract(a, 'href="([^"]*)"', 1) AS link,
+        |         regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
+        |       FROM ax)
+        |SELECT ap.doc_id, l.canon, ap.anchor
+        |FROM ap JOIN lcanon l ON ap.doc_id = l.doc_id AND ap.link = l.link
+        |ORDER BY ap.doc_id, l.canon""".stripMargin,
 
     // unique canon links -> eTLD+1 -> per-domain rank -> batch/slot;
     // the frontier is the page links PLUS the url fixture's canons (the
