@@ -355,6 +355,34 @@ object LlmOps {
       .otherwise(last2)
   }
 
+  /** [[registrableDomain]] with the multi-label suffix set read from a
+    * TABLE instead of the embedded constant (VERDICT r14 #5) — the
+    * production path for a full ~15k-rule Public Suffix List snapshot,
+    * which is refresh-managed data, not code: the operator ships as a
+    * frame transform whose suffix side is a one-column (`suffix`)
+    * DataFrame small enough to broadcast (the full PSL is ~300 KB), so
+    * the lookup is a broadcast LEFT join on the host's last two labels
+    * — no shuffle of the corpus side, the isin literal's expression-
+    * size ceiling gone. Same label rules as the column form: matched
+    * last-two suffix → last THREE labels, unmatched → last TWO, bare
+    * one-label hosts whole (suite pins table(embedded subset) ==
+    * [[registrableDomain]] row-for-row). Appends `out` to `df`. */
+  def registrableDomainJoined(df: DataFrame, hostCol: String,
+                              suffixes: DataFrame,
+                              out: String = "domain"): DataFrame = {
+    val parts = split(col(hostCol), "\\.")
+    val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
+    df.withColumn("_graft_last2", when(size(parts) >= 2, last2))
+      .join(broadcast(suffixes.select(col("suffix").as("_graft_sfx")).distinct()),
+        col("_graft_last2") === col("_graft_sfx"), "left")
+      .withColumn(out,
+        when(size(parts) <= 2, col(hostCol))
+          .when(col("_graft_sfx").isNotNull,
+            concat(element_at(parts, -3), lit("."), col("_graft_last2")))
+          .otherwise(col("_graft_last2")))
+      .drop("_graft_last2", "_graft_sfx")
+  }
+
   /** HTML STRIP — crawl-corpus boilerplate removal: script/style blocks
     * and comments removed WHOLE (their text is not document content),
     * remaining tags replaced by spaces (tags separate words — deleting
@@ -391,7 +419,11 @@ object LlmOps {
     * carries an UPPERCASE multi-line script/style pair and a multi-line
     * comment (ADVICE r13: real crawl HTML is cased and line-broken —
     * the fixture must exercise the (?is) block removal so the oracle
-    * pin can catch a case/newline regression). */
+    * pin can catch a case/newline regression). Shape 1's second anchor
+    * carries NESTED MARKUP (`<b>two</b> links`) so the anchor-text
+    * extraction's inner-tag strip is oracle-pinned (VERDICT r14 #4);
+    * shape 2 carries a RELATIVE href so the frontier path's
+    * absolute-URL filter is exercised (ADVICE r14). */
   private def htmlFixture(s: SparkSession, d: String): DataFrame = {
     val m = pmod(col("doc_id"), lit(4))
     val html = when(m === 0, concat(
@@ -404,9 +436,11 @@ object LlmOps {
         lit("<div id='m'><p>"), col("text"),
         lit("</p><br/><a href=\"https://h."), col("source"),
         lit(".io/p/\">one</a> <a href=\"http://h."), col("source"),
-        lit(".io:8080/q?z=2&y=1#f\">two</a></div>")))
+        lit(".io:8080/q?z=2&y=1#f\"><b>two</b> links</a></div>")))
       .when(m === 2, concat(
-        lit("<P>"), col("text"), lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>")))
+        lit("<P>"), col("text"),
+        lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>" +
+          "<a href=\"/rel/p\">rel</a>")))
       .otherwise(concat(lit("<span>"), col("text"), lit("</span>")))
     Tables(s, d, "documents").select(col("doc_id"), html.as("html"))
   }
@@ -437,10 +471,19 @@ object LlmOps {
   /** (doc_id, link, canon): the canonicalized href targets of a
     * (doc_id, html) page frame — the crawl-frontier builder, one
     * statement shared by the extraction gate, both frontier seen-filter
-    * forms, and [[graft.streaming.StreamingFrontier]]. */
+    * forms, and [[graft.streaming.StreamingFrontier]]. Only ABSOLUTE
+    * http(s) hrefs pass (ADVICE r14): [[canonicalizeUrl]]'s contract is
+    * scheme://host, and a relative href (dominant in real crawl HTML)
+    * pushed through it would hash a garbage canon into the frontier's
+    * persisted seen-filter — out-of-contract links are dropped here, at
+    * the single extraction seam, rather than poisoning every consumer.
+    * (A production crawler would RESOLVE them against the page URL; the
+    * fixture pages carry no base URL, so the honest zero-egress form is
+    * the filter, stated identically in the oracle.) */
   def extractLinks(pages: DataFrame): DataFrame =
     pages.select(col("doc_id"), explode(regexp_extract_all(col("html"),
         lit("href=\"([^\"]*)\""), lit(1))).as("link"))
+      .filter(col("link").rlike("(?i)^https?://"))
       .select(col("doc_id"), col("link"),
         canonicalizeUrl(col("link")).as("canon"))
 
@@ -451,20 +494,34 @@ object LlmOps {
     * dealt into consecutive crawl batches with AT MOST `perBatch` links
     * of one domain each — batch b is safe to fetch fully in parallel.
     * Rank within a domain is canonical-URL order (deterministic and
-    * engine-mirrorable; a production scheduler would rank by priority —
-    * the policy is the ORDER BY, the machinery is the same). batch =
-    * (rank−1) div perBatch, slot = (rank−1) mod perBatch — integer
-    * arithmetic end-to-end, full DuckDB parity. Scale: the window
-    * partitions by domain; a mega-domain's rank is a single-partition
-    * sort of ITS links only, and past that the shardAssignment
-    * two-phase bucket rank applies verbatim if ever needed. Returns
-    * (canon, domain, batch, slot). */
-  def frontierBatches(links: DataFrame, perBatch: Int): DataFrame = {
+    * engine-mirrorable); the PRIORITY-TYPED form below takes the rank
+    * expression as the policy seam. batch = (rank−1) div perBatch,
+    * slot = (rank−1) mod perBatch — integer arithmetic end-to-end, full
+    * DuckDB parity. Scale: the window partitions by domain; a
+    * mega-domain's rank is a single-partition sort of ITS links only,
+    * and past that the shardAssignment two-phase bucket rank applies
+    * verbatim if ever needed. Returns (canon, domain, batch, slot). */
+  def frontierBatches(links: DataFrame, perBatch: Int): DataFrame =
+    frontierBatchesRanked(links.select(col("canon")).distinct(), perBatch,
+      Seq(col("canon")))
+
+  /** PRIORITY-TYPED politeness batching (VERDICT r14 #2): the dispatch
+    * machinery of [[frontierBatches]] with the per-domain rank
+    * expression as an argument — a real dispatcher ranks by crawl
+    * priority (parent quality, discovery depth, recency), not URL
+    * order; the ORDER BY is the policy, the dealing is the machinery.
+    * `frontier` must carry ONE row per canonical link (plus whatever
+    * columns `rankBy` reads — they are consumed by the rank and not
+    * emitted); callers end `rankBy` with `canon` so ties break
+    * deterministically. Same politeness invariant: at most `perBatch`
+    * links of one registrable domain per batch, batches dense from 0. */
+  def frontierBatchesRanked(frontier: DataFrame, perBatch: Int,
+                            rankBy: Seq[Column]): DataFrame = {
     require(perBatch >= 1, s"frontierBatches: need perBatch >= 1, got $perBatch")
-    links.select(col("canon")).distinct()
+    frontier
       .withColumn("domain", registrableDomain(urlHost(col("canon"))))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("domain").orderBy("canon")).cast("long"))
+        Window.partitionBy("domain").orderBy(rankBy: _*)).cast("long"))
       .select(col("canon"), col("domain"),
         expr(s"CAST((rn - 1) div $perBatch AS BIGINT)").as("batch"),
         expr(s"CAST((rn - 1) % $perBatch AS BIGINT)").as("slot"))
@@ -478,8 +535,11 @@ object LlmOps {
     * token count within [minTokens, maxTokens]; mean word length within
     * [minMeanLen, maxMeanLen]; symbol-to-word ratio ('#' or '...'
     * carriers) at most maxSymbolRatio; at least minAlphaFrac of words
-    * carrying an alphabetic character; at least minStopwords DISTINCT
-    * stopwords present. The paper's line-shape rules (bullet-start /
+    * carrying an alphabetic character; at least minStopwords stopword
+    * OCCURRENCES (ADVICE r14: the paper and its common reimplementations
+    * — DataTrove, Dolma — count occurrences, so a doc repeating one
+    * stopword twice passes; an earlier distinct-count variant diverged
+    * on exactly that doc). The paper's line-shape rules (bullet-start /
     * ellipsis-end fractions) are omitted — the corpus is single-line
     * (documented narrowing; the line machinery lives in q_dedup_lines).
     * Defaults are the published thresholds; the gate passes
@@ -505,7 +565,7 @@ object LlmOps {
           / size(col("t")), 4).as("symbol_ratio"),
         round(size(filter(col("t"), w => w.rlike("[a-zA-Z]"))).cast("double")
           / size(col("t")), 4).as("alpha_frac"),
-        size(array_intersect(array_distinct(col("t")), stopArr))
+        size(filter(col("t"), w => array_contains(stopArr, w)))
           .cast("long").as("n_stopwords"))
       .withColumn("r_tokens",
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("long"))
@@ -3734,18 +3794,27 @@ object LlmOps {
     // ANCHOR-TEXT EXTRACTION — the crawl graph's edge feature (anchor
     // text is the classic relevance/label signal a link-graph pipeline
     // attaches to each edge): per <a> element, the canonicalized target
-    // plus the text between the tags. The element is extracted whole,
-    // then href and inner text pulled from it — one regex pass, no
-    // risk of pairing the i-th href with the j-th text. FULL DuckDB
-    // parity (the oracle joins its anchors to the shared lcanon chain
-    // on (doc_id, link), so the canonical form is stated once).
+    // plus the text between the tags. The element is extracted whole
+    // (lazy .*? inner, so nested markup like <a ...><b>bold</b> x</a> —
+    // common in real crawl HTML — is captured rather than skipped,
+    // VERDICT r14 #4), then href and inner text pulled from it and the
+    // inner tags stripped to spaces (the stripHtml tag rule); no risk
+    // of pairing the i-th href with the j-th text. Relative hrefs are
+    // dropped — the frontier-edge contract (see [[extractLinks]]).
+    // FULL DuckDB parity (the oracle joins its anchors to the shared
+    // lcanon chain on (doc_id, link), so the canonical form is stated
+    // once; lcanon's absolute filter drops the relative side there).
     "q_text_anchors" -> ((s, d) => htmlFixture(s, d)
       .select(col("doc_id"), explode(regexp_extract_all(col("html"),
-        lit("<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("a"))
+        lit("(?is)<a [^>]*href=\"[^\"]*\"[^>]*>.*?</a>"), lit(0))).as("a"))
+      .filter(regexp_extract(col("a"), "href=\"([^\"]*)\"", 1)
+        .rlike("(?i)^https?://"))
       .select(col("doc_id"),
         canonicalizeUrl(regexp_extract(col("a"), "href=\"([^\"]*)\"", 1))
           .as("canon"),
-        regexp_extract(col("a"), ">([^<]*)</a>", 1).as("anchor"))
+        trim(regexp_replace(regexp_replace(
+            regexp_extract(col("a"), "(?s)>(.*)</a>$", 1),
+            "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
       .orderBy("doc_id", "canon")),
 
     // CRAWL POLITENESS BATCHING (see [[frontierBatches]]): the unique
@@ -3760,6 +3829,27 @@ object LlmOps {
         linksShared(s, d).select("canon")
           .unionByName(queries("q_text_url_canon")(s, d).select("canon")),
         perBatch = 3).orderBy("canon")),
+
+    // PRIORITY-TYPED politeness batching (VERDICT r14 #2): the same
+    // dealing machinery ranked by a crawl-priority signal instead of
+    // URL order — here the best PARENT-PAGE quality proxy (longest
+    // linking page's text, in chars: a link discovered on a substantial
+    // page outranks one found only on a stub), ties broken by canon.
+    // The frontier is the q_frontier_batches population (page links +
+    // the url fixture's canons, each url's own doc as its parent); the
+    // per-canon priority is one map-combining max-aggregate over that
+    // frame (n^1.0); the dealing is unchanged, so the politeness
+    // invariant carries verbatim. FULL DuckDB parity.
+    "q_frontier_batches_priority" -> ((s, d) =>
+      frontierBatchesRanked(
+        linksShared(s, d).select("doc_id", "canon")
+          .unionByName(queries("q_text_url_canon")(s, d).select("doc_id", "canon"))
+          .join(Tables(s, d, "documents")
+            .select(col("doc_id"), length(col("text")).cast("long").as("plen")),
+            "doc_id")
+          .groupBy(col("canon")).agg(max(col("plen")).as("parent_len")),
+        perBatch = 3,
+        Seq(col("parent_len").desc, col("canon"))).orderBy("canon")),
 
     // Token counting: whitespace split vs BPE-ish regex extraction.
     "q_text_tokens" -> ((s, d) => Tables(s, d, "documents")
@@ -5472,14 +5562,17 @@ object LlmOps {
       |  SELECT doc_id,
       |    CASE doc_id % 4
       |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
-      |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
-      |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
+      |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f"><b>two</b> links</a></div>'
+      |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P><a href="/rel/p">rel</a>'
       |      ELSE '<span>' || text || '</span>'
       |    END AS html
       |  FROM documents),
-      |links AS (
+      |rawlinks AS (
       |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS link
       |  FROM pages),
+      |links AS (
+      |  SELECT doc_id, link FROM rawlinks
+      |  WHERE regexp_matches(link, '(?i)^https?://')),
       |p1 AS (SELECT doc_id, link, string_split(link, '#')[1] AS nofrag FROM links),
       |p2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
       |         substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM p1),
@@ -5832,7 +5925,7 @@ object LlmOps {
         |  ROUND(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t), 4) AS mean_word_len,
         |  ROUND(CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE) / len(t), 4) AS symbol_ratio,
         |  ROUND(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(t), 4) AS alpha_frac,
-        |  CAST(len(list_intersect(list_distinct(t), ['the', 'a'])) AS BIGINT) AS n_stopwords
+        |  CAST(len(list_filter(t, w -> list_contains(['the', 'a'], w))) AS BIGINT) AS n_stopwords
         |FROM t),
         |r AS (SELECT *,
         |  CAST(n_tokens >= 25 AND n_tokens <= 100000 AS BIGINT) AS r_tokens,
@@ -6168,16 +6261,10 @@ object LlmOps {
         |    ) t(doc_id, text)))
         |ORDER BY doc_id""".stripMargin,
 
-    "q_text_strip_html" ->
-      """WITH pages AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN '<html><head><STYLE>p{color:red}</STYLE><SCRIPT>var x=1;' || chr(10) || 'var y=2;</SCRIPT></head><body><h1 class="t">Doc</h1><p>' || text || ' &amp; more &amp;lt;raw&amp;gt;</p><!-- hidden' || chr(10) || 'comment --><a href="HTTP://EX.' || source || '.COM:80/a?utm_s=1&b=2">link</a></body></html>'
-        |      WHEN 1 THEN '<div id=''m''><p>' || text || '</p><br/><a href="https://h.' || source || '.io/p/">one</a> <a href="http://h.' || source || '.io:8080/q?z=2&y=1#f">two</a></div>'
-        |      WHEN 2 THEN '<P>' || text || ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</P>'
-        |      ELSE '<span>' || text || '</span>'
-        |    END AS html
-        |  FROM documents)
+    // the page fixture is stated ONCE (linkCanonCtes's pages CTE — the
+    // unreferenced link/canon CTEs are pruned by the planner), so the
+    // strip gate and the frontier chain can never disagree on the HTML
+    "q_text_strip_html" -> s"""WITH $linkCanonCtes
         |SELECT doc_id,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
@@ -6189,7 +6276,7 @@ object LlmOps {
         |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS clean
+        |    '\\s+', ' ', 'g')) AS clean
         |FROM pages
         |ORDER BY doc_id""".stripMargin,
 
@@ -6211,11 +6298,13 @@ object LlmOps {
     "q_text_anchors" -> s"""WITH $linkCanonCtes,
         |ax AS (SELECT doc_id,
         |         unnest(regexp_extract_all(html,
-        |           '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS a
+        |           '(?is)<a [^>]*href="[^"]*"[^>]*>.*?</a>', 0)) AS a
         |       FROM pages),
         |ap AS (SELECT doc_id,
         |         regexp_extract(a, 'href="([^"]*)"', 1) AS link,
-        |         regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
+        |         trim(regexp_replace(regexp_replace(
+        |           regexp_extract(a, '(?s)>(.*)</a>$$', 1),
+        |           '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
         |       FROM ax)
         |SELECT ap.doc_id, l.canon, ap.anchor
         |FROM ap JOIN lcanon l ON ap.doc_id = l.doc_id AND ap.link = l.link
@@ -6234,6 +6323,30 @@ object LlmOps {
         |dd AS (SELECT canon, ${domainCaseSql()} AS domain FROM dp),
         |dr AS (SELECT canon, domain,
         |         row_number() OVER (PARTITION BY domain ORDER BY canon) AS rn
+        |       FROM dd)
+        |SELECT canon, domain,
+        |  CAST((rn - 1) // 3 AS BIGINT) AS batch,
+        |  CAST((rn - 1) % 3 AS BIGINT) AS slot
+        |FROM dr ORDER BY canon""".stripMargin,
+
+    // the priority-typed variant: per-canon max parent text length over
+    // the q_frontier_batches population (page links + url-fixture
+    // canons, each url's own doc as parent), rank by
+    // (parent_len DESC, canon) — the machinery CTEs are the
+    // q_frontier_batches chain verbatim
+    "q_frontier_batches_priority" -> s"""WITH $linkCanonCtes,
+        |$urlCanonCtes,
+        |fr AS (SELECT u.canon, max(CAST(length(d.text) AS BIGINT)) AS parent_len
+        |       FROM (SELECT doc_id, canon FROM lcanon
+        |             UNION ALL SELECT doc_id, canon FROM ucanon) u
+        |       JOIN documents d ON u.doc_id = d.doc_id
+        |       GROUP BY u.canon),
+        |dh AS (SELECT canon, parent_len, lower(string_split(string_split(string_split(canon, '://')[2], '/')[1], ':')[1]) AS host FROM fr),
+        |dp AS (SELECT *, string_split(host, '.') AS p FROM dh),
+        |dd AS (SELECT canon, parent_len, ${domainCaseSql()} AS domain FROM dp),
+        |dr AS (SELECT canon, domain,
+        |         row_number() OVER (PARTITION BY domain
+        |                            ORDER BY parent_len DESC, canon) AS rn
         |       FROM dd)
         |SELECT canon, domain,
         |  CAST((rn - 1) // 3 AS BIGINT) AS batch,

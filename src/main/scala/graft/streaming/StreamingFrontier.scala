@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ([[graft.operators.DedupIndex]], keyed on the CANONICAL url), and
   * only never-seen links are emitted to `outDir/new/batch=<id>` — the
   * per-batch "which links do we enqueue?" loop every crawler runs. The
-  * filter then OR-grows with the batch's links.
+  * filter then OR-grows with the batch's links. Within one micro-batch
+  * a repeated canon emits ONCE (min-(doc_id,link) witness — the Bloom
+  * probe only covers prior batches, so the in-batch dedupe is explicit,
+  * ADVICE r14); across batches the crash-order note below applies.
   *
   * Exactly-once on foreachBatch's at-least-once retries rides the
   * _SUCCESS commit marker, NOT statelessness (the filter is mutable
@@ -62,7 +65,17 @@ object StreamingFrontier {
         if (!seeded) links
         else graft.operators.DedupIndex.filterUnseen(seenPath, links,
           keyCol = "canon")
-      fresh.write.mode("overwrite").parquet(s"$outDir/new/batch=$batchId")
+      // within-batch dedupe (ADVICE r14): the Bloom probe only covers
+      // PRIOR batches (and the unseeded first batch probes nothing), so
+      // a canon repeated INSIDE one micro-batch would emit twice — keep
+      // the min (doc_id, link) witness per canon, deterministic
+      import org.apache.spark.sql.functions.{col, min, struct}
+      val freshOnce = fresh
+        .groupBy(col("canon"))
+        .agg(min(struct(col("doc_id"), col("link"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.link").as("link"),
+          col("canon"))
+      freshOnce.write.mode("overwrite").parquet(s"$outDir/new/batch=$batchId")
       if (hasLinks) growSeen(links, seenPath, seeded)
     } finally {
       val live = spark.sparkContext.getPersistentRDDs

@@ -197,10 +197,13 @@ object StreamingQuality {
     * under the same model version. Differences from [[applyBatchWide]],
     * both forced by the mutable model state:
     *   - exactly-once rides the scores `_SUCCESS` marker, not
-    *     statelessness: a replay of a committed batch returns
-    *     immediately — it must neither re-score against a NEWER version
-    *     (rewriting committed history) nor re-count its drift row
-    *     toward another refreeze (the double-freeze trap);
+    *     statelessness: a replay of a committed batch never re-scores
+    *     (rewriting committed history against a NEWER version) and never
+    *     re-counts its drift row toward another refreeze (the
+    *     double-freeze trap) — but it DOES re-evaluate the refreeze
+    *     decision while its drift row still names the current version,
+    *     healing the crash window between the scores commit and
+    *     freezeVersion (ADVICE r14);
     *   - scores and drift rows carry `model_v`, so every emitted row
     *     names the artifact that produced it (the suite's
     *     internal-consistency pin: rows before the swap reproduce
@@ -222,12 +225,24 @@ object StreamingQuality {
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        s"$outDir/scores/batch=$batchId/_SUCCESS"))) return
     val v = currentModelVersion(spark, modelRoot).getOrElse(
       throw new IllegalArgumentException(
         s"applyBatchWideManaged: no committed model under $modelRoot — " +
           "seed one with freezeVersion(trainDocs, modelRoot, 0) first"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$outDir/scores/batch=$batchId/_SUCCESS"))) {
+      // ADVICE r14: a crash AFTER the scores _SUCCESS commit but BEFORE
+      // freezeVersion would otherwise skip this batch's refreeze forever
+      // (the replay short-circuits here) — re-evaluate the decision, but
+      // ONLY while this batch's committed drift row still names the
+      // CURRENT version: a refreeze that already landed bumped
+      // currentModelVersion past it, so the healthy-path replay is a
+      // no-op and a double-freeze stays impossible.
+      if (driftRowVersion(spark, outDir, batchId).contains(v))
+        maybeRefreeze(batch, modelRoot, outDir, batchId, v, refreezeAfter,
+          maxShift, threshold, holdoutMod, lambda, iters)
+      return
+    }
     val mp = s"$modelRoot/v=$v"
     // per-batch block sweep on exit — see [[applyBatch]]
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -251,24 +266,50 @@ object StreamingQuality {
         .withColumn("model_v", lit(v))
         .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
       if (empty) return
-      // trailing run of over-threshold batches under THIS version, ending
-      // here (a quiet batch resets the run; a refreeze changes model_v,
-      // which resets it structurally)
-      val series = drift(spark, outDir)
-        .filter(col("model_v") === v && col("batch") <= batchId)
-        .select(col("batch").cast("long"), col("shift"))
-        .collect().sortBy(-_.getLong(0))
-      val run = series.takeWhile(_.getDouble(1) > maxShift).length
-      if (run >= refreezeAfter) {
-        val metaRow = spark.read.parquet(s"$mp/feature_meta").head()
-        freezeVersion(batch.select("doc_id", "text"), modelRoot, v + 1,
-          threshold, holdoutMod, metaRow.getAs[Long]("buckets"), lambda, iters,
-          scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1))
-      }
+      maybeRefreeze(batch, modelRoot, outDir, batchId, v, refreezeAfter,
+        maxShift, threshold, holdoutMod, lambda, iters)
     } finally {
       val live = spark.sparkContext.getPersistentRDDs
       (live.keySet -- before).foreach(id =>
         live.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** This batch's committed drift row's `model_v`, if the row exists —
+    * the replay-heal guard: the version that SCORED the batch. */
+  private def driftRowVersion(spark: SparkSession, outDir: String,
+                              batchId: Long): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/drift/batch=$batchId")))
+      None
+    else Some(spark.read.parquet(s"$outDir/drift/batch=$batchId")
+      .head().getAs[Long]("model_v"))
+  }
+
+  /** The refreeze DECISION, shared by the live path and the replay heal:
+    * refit (on this batch's docs) and commit version v+1 iff the
+    * trailing run of committed over-`maxShift` drift rows under version
+    * `v`, ending at `batchId`, reaches `refreezeAfter` (a quiet batch
+    * resets the run; a refreeze changes model_v, which resets it
+    * structurally). Reads only COMMITTED drift rows, so a crash
+    * mid-refreeze replays into the SAME next version and converges. */
+  private def maybeRefreeze(batch: DataFrame, modelRoot: String,
+                            outDir: String, batchId: Long, v: Long,
+                            refreezeAfter: Int, maxShift: Double,
+                            threshold: Double, holdoutMod: Long,
+                            lambda: Double, iters: Int): Unit = {
+    val spark = batch.sparkSession
+    val series = drift(spark, outDir)
+      .filter(col("model_v") === v && col("batch") <= batchId)
+      .select(col("batch").cast("long"), col("shift"))
+      .collect().sortBy(-_.getLong(0))
+    val run = series.takeWhile(_.getDouble(1) > maxShift).length
+    if (run >= refreezeAfter) {
+      val metaRow = spark.read.parquet(s"$modelRoot/v=$v/feature_meta").head()
+      freezeVersion(batch.select("doc_id", "text"), modelRoot, v + 1,
+        threshold, holdoutMod, metaRow.getAs[Long]("buckets"), lambda, iters,
+        scala.util.Try(metaRow.getAs[Int]("ngrams")).getOrElse(1))
     }
   }
 

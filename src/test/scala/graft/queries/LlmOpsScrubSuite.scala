@@ -107,6 +107,42 @@ class LlmOpsScrubSuite extends SparkSpec {
       "registrable-domain extraction drifted from the documented rules")
   }
 
+  test("registrableDomainJoined: the PSL-table form equals the embedded-constant form") {
+    import spark.implicits._
+    // the production overload (suffixes as DATA — a full PSL snapshot
+    // rides a tiny broadcast table) must agree row-for-row with the
+    // column form on the embedded subset, over the fixture's hosts plus
+    // the documented edge shapes
+    val hosts = LlmOps.queries("q_text_domain")(spark, "/root/testdata/sf0.001")
+      .select("host").distinct()
+      .unionByName(Seq("intranet-host", "co.uk", "deep.x.github.io",
+        "shop.example.co.xx").toDF("host"))
+    val both = LlmOps.registrableDomainJoined(
+        hosts, "host", LlmOps.MultiLabelSuffixes.toDF("suffix"), out = "d_tab")
+      .withColumn("d_col", LlmOps.registrableDomain(col("host")))
+    assert(both.filter(col("d_tab") =!= col("d_col")).count() === 0L,
+      "table-driven registrable domain diverged from the embedded-constant form")
+    assert(both.count() === hosts.count(), "the suffix join fanned out or dropped hosts")
+  }
+
+  test("anchor extraction: nested markup kept and stripped; relative hrefs dropped") {
+    val anchors = LlmOps.queries("q_text_anchors")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("canon"), r.getAs[String]("anchor")))
+    // shape 1's second anchor is <a ...><b>two</b> links</a> — the inner
+    // markup must be stripped to spaces, not skip the whole anchor
+    assert(anchors.exists(_._2 == "two links"),
+      "nested-markup anchor missing or its inner tags survived")
+    assert(anchors.forall(a => !a._2.contains("<")),
+      "anchor text leaked markup")
+    // shape 2's <a href="/rel/p"> is outside the scheme://host contract —
+    // it must be dropped by the absolute filter, not canonicalized into garbage
+    val links = LlmOps.queries("q_text_extract_links")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[String]("link"))
+    assert(links.nonEmpty && links.forall(_.matches("(?i)^https?://.*")),
+      "a relative href escaped the frontier's absolute-URL filter")
+    assert(anchors.forall(_._1.contains("://")), "a relative canon reached the anchors gate")
+  }
+
   test("gopherRules: each rule trips on its crafted violator, clean doc keeps") {
     import spark.implicits._
     val docs = Seq(
@@ -117,7 +153,11 @@ class LlmOpsScrubSuite extends SparkSpec {
       (3L, "the aa bb cc dd ee ff gg hh ii jj kk ll mm a"),  // mean len < 3
       (4L, "the #tag #tag #tag #tag words words words words words words a more"), // symbols > 0.1
       (5L, "the 11 22 33 44 55 66 77 88 99 00 12 13 a"),     // alpha frac < 0.8
-      (6L, "quick brown fox jumps over lazy dog near riverbank today list items")) // no stopwords
+      (6L, "quick brown fox jumps over lazy dog near riverbank today list items"), // no stopwords
+      // ONE stopword repeated twice, no second distinct one — passes
+      // under the paper's OCCURRENCE counting (ADVICE r14; a
+      // distinct-count regression would fail this doc's keep)
+      (7L, "the quick brown fox jumps over the lazy dog near riverbank today"))
       .toDF("doc_id", "text")
     val got = LlmOps.gopherRules(docs, minTokens = 10, maxTokens = 1000,
         minMeanLen = 3.0, maxMeanLen = 10.0, maxSymbolRatio = 0.1,
@@ -133,6 +173,8 @@ class LlmOpsScrubSuite extends SparkSpec {
     assert(got(4L)._3 === 0L && got(4L)._6 === 0L, s"symbols: ${got(4L)}")
     assert(got(5L)._4 === 0L && got(5L)._6 === 0L, s"numeric: ${got(5L)}")
     assert(got(6L)._5 === 0L && got(6L)._6 === 0L, s"no stopwords: ${got(6L)}")
+    assert(got(7L)._5 === 1L && got(7L)._6 === 1L,
+      s"occurrence counting: one stopword twice must pass: ${got(7L)}")
     // the corpus gate genuinely splits: both keep classes present
     val corpus = LlmOps.queries("q_text_gopher")(spark, "/root/testdata/sf0.001")
       .select("keep").collect().map(_.getLong(0))

@@ -648,4 +648,40 @@ class QualityProbeSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("seed"), e.getMessage)
   }
+
+  test("replay heal: a crash between the scores commit and freezeVersion still refreezes") {
+    val dir = java.nio.file.Files.createTempDirectory("refreeze-heal").toString
+    val root = s"$dir/models"
+    val out = s"$dir/stream"
+    val SQ = graft.streaming.StreamingQuality
+    SQ.freezeVersion(plantedDocs, root, 0L, buckets = 1L << 14)
+    def managed(b: DataFrame, id: Long): Unit = SQ.applyBatchWideManaged(
+      b, root, out, id, refreezeAfter = 2, maxShift = 0.3)
+    managed(mixDocs(200L, 15, 300L, 90), 0L) // drifted, run 1
+    val b1 = mixDocs(400L, 15, 500L, 90)
+    managed(b1, 1L)                          // drifted, run 2 → refreeze v1
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L))
+    // simulate the ADVICE r14 crash window: batch 1's scores _SUCCESS is
+    // committed but freezeVersion "never ran" — wipe v1 entirely; the
+    // pre-heal replay path would short-circuit on the marker and skip
+    // this batch's refreeze PERMANENTLY
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/v=1"), true)
+    assert(SQ.currentModelVersion(spark, root) === Some(0L))
+    val scoresBefore = spark.read.parquet(s"$out/scores/batch=1")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    managed(b1, 1L) // foreachBatch at-least-once replay of the committed batch
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
+      "the replay did not heal the crash-skipped refreeze")
+    // committed history untouched: scores were NOT re-derived
+    assert(spark.read.parquet(s"$out/scores/batch=1")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === scoresBefore,
+      "the heal rewrote committed scores")
+    // and the heal is itself idempotent: the drift row now names a
+    // non-current version, so further replays re-evaluate nothing
+    managed(b1, 1L)
+    assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
+      "a post-heal replay double-froze")
+  }
 }

@@ -57,6 +57,56 @@ class StreamingFrontierSuite extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("frontierBatchesRanked: priority order dealt first, politeness invariant holds") {
+    val got = graft.queries.LlmOps.queries("q_frontier_batches_priority")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // the politeness invariant is policy-independent
+      assert(got.groupBy("domain", "batch").count()
+        .filter(col("count") > 3).count() === 0L,
+        "a batch holds more than perBatch links of one domain")
+      assert(got.groupBy("domain", "batch", "slot").count()
+        .filter(col("count") > 1).count() === 0L)
+      // and the policy genuinely reorders: the canonical-order dealing
+      // must disagree with the priority dealing somewhere (same canon,
+      // different batch), or the rank expression isn't wired through
+      val canonOrder = graft.queries.LlmOps.frontierBatches(
+        got.select("canon"), perBatch = 3)
+        .select(col("canon"), col("batch").as("cbatch"))
+      assert(got.join(canonOrder, "canon")
+        .filter(col("batch") =!= col("cbatch")).count() > 0,
+        "priority ranking never moved a link — the policy seam is dead")
+    } finally got.unpersist()
+  }
+
+  test("within-batch duplicate canons emit exactly once (min doc_id/link witness)") {
+    val seen = tmp("sfront-dup-seen")
+    val out = tmp("sfront-dup-out")
+    // batch 0 (unseeded — probes nothing) carries the same canonical
+    // link three times: twice on one page (a variant spelling) and once
+    // on another page, plus one singleton
+    StreamingFrontier.applyBatch(
+      pages(
+        2L -> page("https://h.io/a", "https://h.io:443/a?utm_x=1"),
+        1L -> page("https://h.io/a", "https://h.io/b")),
+      seen, out, 0L)
+    val rows = StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 0)
+      .select("doc_id", "link", "canon").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.count(_._3 == "https://h.io/a") === 1,
+      s"a within-batch duplicate canon emitted more than once: ${rows.toSeq}")
+    // the witness is the MIN (doc_id, link) — deterministic across retries
+    assert(rows.find(_._3 == "https://h.io/a").get._1 === 1L)
+    assert(rows.map(_._3).sorted.toSeq === Seq("https://h.io/a", "https://h.io/b"))
+    // and a SEEDED batch with an internal duplicate also emits once
+    StreamingFrontier.applyBatch(
+      pages(3L -> page("https://h.io/c", "https://h.io/c?utm_s=2")),
+      seen, out, 1L)
+    assert(StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 1).count() === 1L)
+  }
+
   test("seen links never re-emit; novel links always emit; canonical forms collapse") {
     val seen = tmp("sfront-seen")
     val out = tmp("sfront-out")

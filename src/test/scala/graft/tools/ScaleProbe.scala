@@ -103,6 +103,18 @@ object ScaleProbe {
     // the whole CommunityIndex lifecycle, not just the snapshot read
     "q_graph_communities_inc")
 
+  /** Round-14 crawl / training-layout operators (VERDICT r14 #5): the
+    * frontier seen-filter's exact witness is one anti equi-join on the
+    * canonical url (both sides ∝ extracted links); its Bloom twin
+    * replaces the join with a broadcast bitset probe (map-only — the
+    * heaviest remaining join is the memoized extraction frame's build);
+    * politeness batching is a per-domain window over distinct canons;
+    * packing's heaviest join is the orderBuckets-row offset broadcast
+    * back onto the corpus. All structurally linear — these rows make
+    * that measured, not asserted. */
+  val CrawlFamilies: Seq[String] = Seq("q_frontier_new", "q_frontier_new_bloom",
+    "q_frontier_batches", "q_frontier_batches_priority", "q_pack_chunks")
+
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
     if (query.contains("embed") || query.startsWith("q_sim_") ||
@@ -255,7 +267,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val families = BandedFamilies ++ WitnessFamilies ++ SimilarityFamilies ++
-      GraphFamilies ++ PipelineFamilies
+      GraphFamilies ++ PipelineFamilies ++ CrawlFamilies
     val measures = for (q <- families; sf <- sfs) yield {
       val m = measure(spark, sf, q)
       println(f"${m.query}%-28s ${m.sf}%-8s n=${m.n}%7d out=${m.outRows}%9d " +
@@ -326,7 +338,14 @@ object ScaleProbe {
       "q_text_perplexity_bigram's scoring joins emit one row per corpus token " +
       "(n^0.99); q_quality_probe (allExec tally - the gate memoizes features to " +
       "parquet so the final scoring plan is join-free) grows n^1.0 through its " +
-      "feature/fit joins.\"\n}\n"
+      "feature/fit joins. Round-14 crawl/pack family: q_frontier_new is one anti " +
+      "equi-join on the canonical url (both sides = extracted links, ~n^1); " +
+      "q_frontier_new_bloom replaces it with a broadcast bitset probe (its " +
+      "heaviest join is the memoized extraction build); q_frontier_batches(_" +
+      "priority) is a per-domain window over distinct canons plus (priority " +
+      "form) one map-combining parent aggregate; q_pack_chunks' heaviest join " +
+      "is the orderBuckets-row offset table broadcast onto the corpus - all " +
+      "must grow ~n^1.\"\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_GROWTH.json"),
       json.toString.getBytes("UTF-8"))
     println("wrote SCALE_GROWTH.json")
