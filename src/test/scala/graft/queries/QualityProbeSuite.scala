@@ -604,6 +604,23 @@ class QualityProbeSuite extends SparkSpec {
     managed(b2, 2L)
     assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
       "a retried batch double-froze")
+    // the refit corpus is the OFFENDING RUN's union (the corpus-policy
+    // drill's winner): v1 must reproduce a freeze on b1 ∪ b2, not on
+    // the triggering batch alone — and the consumed pool entries are gone
+    val refUnion = s"$dir/ref-union"
+    LlmOps.qualityProbeWideFreeze(b1.unionByName(b2), refUnion,
+      buckets = 1L << 14)
+    val probeSet = mixDocs(1200L, 30, 1300L, 30)
+    assert(LlmOps.qualityProbeWideServe(probeSet, s"$root/v=1")
+        .collect().map(_.toSeq).toSeq ===
+      LlmOps.qualityProbeWideServe(probeSet, refUnion)
+        .collect().map(_.toSeq).toSeq,
+      "the refreeze corpus is not the offending run's union")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/refit_pool/batch=1")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/refit_pool/batch=2")),
+      "consumed refit-pool entries were not swept")
     // b3: same drifted SHAPE — scores against v1, gauges quiet: HEALED
     val b3 = mixDocs(800L, 15, 900L, 90)
     managed(b3, 3L)
@@ -683,5 +700,55 @@ class QualityProbeSuite extends SparkSpec {
     managed(b1, 1L)
     assert(SQ.committedVersions(spark, root) === Seq(0L, 1L),
       "a post-heal replay double-froze")
+  }
+
+  test("refreeze corpus-policy drill: single-batch vs union-of-last-K refit") {
+    // VERDICT r14 #4: applyBatchWideManaged refits on the single
+    // triggering batch. Does a refit on one SMALL batch over-fit where a
+    // union of the last K offending batches would not? Measured, not
+    // asserted: three thin consecutive drifted batches (the realistic
+    // trigger shape at refreezeAfter=3), a large eval draw from the SAME
+    // drifted distribution with generator-class truth, and the refit's
+    // eval accuracy under each corpus policy. The wiring decision rides
+    // these numbers (BASELINE.md records them). The drifted vocabulary
+    // is WIDE (600 good / 300 spam token types) so one 42-doc batch
+    // covers only a sliver of it — the mixDocs pools (97/7 types) are
+    // fully visible in any batch and read 1.0 under every policy,
+    // which measures nothing.
+    val dir = java.nio.file.Files.createTempDirectory("refit-pol").toString
+    import spark.implicits._
+    def drillDocs(goodStart: Long, nGood: Int,
+                  spamStart: Long, nSpam: Int): DataFrame = {
+      val good = (goodStart until goodStart + nGood).map { i =>
+        (i, (0 until 40).map(j => s"tok${(i * 13 + j * 7) % 600}").mkString(" "))
+      }
+      val spam = (spamStart until spamStart + nSpam).map { i =>
+        (i, Seq.fill(40)(s"spam${i % 300}").mkString(" "))
+      }
+      (good ++ spam).toDF("doc_id", "text")
+    }
+    def batch(k: Long) = drillDocs(10000L + k * 1000, 6, 20000L + k * 1000, 36)
+    val b = (0L to 2L).map(batch)
+    val eval = drillDocs(50000L, 150, 70000L, 150)
+    val truth = ((50000L until 50150L).map(_ -> 1L) ++
+      (70000L until 70150L).map(_ -> 0L)).toDF("doc_id", "truth")
+    def accuracyOf(corpus: DataFrame, tag: String): Double = {
+      val mp = s"$dir/$tag"
+      LlmOps.qualityProbeWideFreeze(corpus, mp, buckets = 1L << 14)
+      val acc = LlmOps.qualityProbeWideServe(eval, mp)
+        .join(truth, "doc_id")
+        .agg(org.apache.spark.sql.functions.avg(
+          (col("pred") === col("truth")).cast("double")))
+        .head().getDouble(0)
+      acc
+    }
+    val acc1 = accuracyOf(b(2), "last1")
+    val acc2 = accuracyOf(b(1).unionByName(b(2)), "last2")
+    val acc3 = accuracyOf(b(0).unionByName(b(1)).unionByName(b(2)), "last3")
+    info(f"refit corpus policy: last1=$acc1%.4f last2=$acc2%.4f last3=$acc3%.4f")
+    println(f"REFIT_POLICY_DRILL last1=$acc1%.4f last2=$acc2%.4f last3=$acc3%.4f")
+    // both policies must at least beat coin-flip on the drifted dist —
+    // the drill is meaningless if neither fit separates it
+    assert(acc1 > 0.5 && acc3 > 0.5, s"degenerate drill: $acc1 / $acc3")
   }
 }
