@@ -269,11 +269,17 @@ object StreamingQuality {
         // for the union of the offending run — see QualityProbeSuite).
         // Written BEFORE the scores marker, so every committed
         // over-threshold batch has its pool entry; deterministic
-        // content, so a replay overwrites identical bytes. Bounded: one
-        // entry per offending batch, consumed (deleted) by the refreeze.
+        // content, so a replay overwrites identical bytes. Bounded two
+        // ways: the refreeze consumes its run's entries, and a QUIET
+        // batch — which structurally ends every trailing run — sweeps
+        // all OLDER entries (an entry orphaned by a broken run can
+        // never join a future trailing run, so the pool holds at most
+        // the current run), keeping the banked state O(refreezeAfter)
+        // batches instead of growing with drift history.
         if (shift > maxShift)
           batch.select("doc_id", "text").write.mode("overwrite")
             .parquet(s"$outDir/refit_pool/batch=$batchId")
+        else sweepPoolBefore(spark, outDir, batchId)
       }
       graft.queries.LlmOps.wideServeFromRaw(raw, mp)
         .withColumn("model_v", lit(v))
@@ -286,6 +292,25 @@ object StreamingQuality {
       (live.keySet -- before).foreach(id =>
         live.get(id).foreach(_.unpersist(blocking = false)))
     }
+  }
+
+  /** Delete refit-pool entries with batch id < `beforeId` — run after a
+    * QUIET batch (its drift row broke every trailing run, so no older
+    * entry can ever be selected again) and best-effort (a crash
+    * mid-sweep leaves dirs the next quiet batch re-sweeps). */
+  private def sweepPoolBefore(spark: SparkSession, outDir: String,
+                              beforeId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/refit_pool")
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") &&
+            scala.util.Try(n.stripPrefix("batch=").toLong)
+              .toOption.exists(_ < beforeId))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** This batch's committed drift row's `model_v`, if the row exists —

@@ -702,6 +702,26 @@ class QualityProbeSuite extends SparkSpec {
       "a post-heal replay double-froze")
   }
 
+  test("refit pool: a quiet batch sweeps entries orphaned by a broken run") {
+    val dir = java.nio.file.Files.createTempDirectory("refit-sweep").toString
+    val root = s"$dir/models"
+    val out = s"$dir/stream"
+    val SQ = graft.streaming.StreamingQuality
+    SQ.freezeVersion(plantedDocs, root, 0L, buckets = 1L << 14)
+    def managed(b: DataFrame, id: Long): Unit = SQ.applyBatchWideManaged(
+      b, root, out, id, refreezeAfter = 3, maxShift = 0.3)
+    managed(mixDocs(400L, 15, 500L, 90), 0L) // drifted → banked
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/refit_pool/batch=0")),
+      "an over-threshold batch must bank its docs")
+    managed(mixDocs(200L, 60, 300L, 60), 1L) // in-distribution → quiet
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/refit_pool/batch=0")),
+      "a quiet batch must sweep pool entries its drift row orphaned")
+    assert(SQ.committedVersions(spark, root) === Seq(0L),
+      "the broken run must not refreeze")
+  }
+
   test("refreeze corpus-policy drill: single-batch vs union-of-last-K refit") {
     // VERDICT r14 #4: applyBatchWideManaged refits on the single
     // triggering batch. Does a refit on one SMALL batch over-fit where a

@@ -277,10 +277,16 @@ object ScaleProbe {
     }
 
     val byQuery = measures.groupBy(_.query)
+    // a JOIN-FREE family (q_frontier_batches: one per-domain window,
+    // no join node in any execution) has zero pairing rows at every
+    // size — its pairing-growth exponent is recorded as 0.0 (the
+    // strongest possible scale statement), not fit
+    def slopeOrZero(points: Seq[(Long, Long)]): Double =
+      if (points.count(p => p._1 > 0 && p._2 > 0) >= 2) slope(points) else 0.0
     val exponents = families.map { q =>
       val ms = byQuery(q).sortBy(_.n)
       q -> Map(
-        "joinRows" -> slope(ms.map(m => (m.n, m.pairingJoinRows))),
+        "joinRows" -> slopeOrZero(ms.map(m => (m.n, m.pairingJoinRows))),
         "shuffleRead" -> slope(ms.map(m => (m.n, m.shuffleReadB))),
         "outRows" -> slope(ms.map(m => (m.n, m.outRows))))
     }
