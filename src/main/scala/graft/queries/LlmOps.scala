@@ -301,6 +301,43 @@ object LlmOps {
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
 
+  /** RELATIVE-HREF RESOLUTION against a page URL (RFC 3986 §5 reference
+    * resolution, the engine-mirrorable subset) — the production crawl
+    * form [[extractLinks]]'s absolute filter defers to: the base is
+    * canonicalized first ([[canonicalizeUrl]]), then
+    *   - absolute http(s) hrefs pass through;
+    *   - protocol-relative (`//host/p`) take the base scheme;
+    *   - path-absolute (`/p`) take the base origin;
+    *   - query-only (`?q`) replace the base query (RFC §5.3);
+    *   - empty / fragment-only (same-document — not a crawl edge) and
+    *     NON-http schemes (`mailto:`, `javascript:` …) resolve to NULL
+    *     so callers drop them;
+    *   - anything else is a relative path merged onto the base
+    *     directory (the path up to and including its last '/').
+    * Dot segments (`..`, `.`) are KEPT verbatim, not collapsed — the
+    * same documented conservatism as canonicalizeUrl's path handling
+    * (collapsing can merge distinct resources on misconfigured
+    * servers; a production normalizer would collapse after this step).
+    * Split/substring arithmetic end-to-end — DuckDB runs it verbatim. */
+  def resolveUrl(pageUrl: Column, href: Column): Column = {
+    val page = canonicalizeUrl(pageUrl)
+    val scheme = element_at(split(page, "://"), 1)
+    val resthp = substr(page, length(scheme) + lit(4))
+    val hostport = element_at(split(resthp, "/"), 1)
+    val origin = concat(scheme, lit("://"), hostport)
+    val pathq = substr(page, length(origin) + lit(1))
+    val path = element_at(split(pathq, "[?]"), 1)
+    val lastSeg = element_at(split(path, "/"), -1)
+    val dir = substr(path, lit(1), length(path) - length(lastSeg))
+    when(href.rlike("(?i)^https?://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href.startsWith("?"), concat(origin, path, href))
+      .when(href === "" || href.startsWith("#") ||
+        href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(origin, dir, href))
+  }
+
   /** The multi-label public suffixes the [[registrableDomain]] extraction
     * recognizes — an embedded SUBSET of the Mozilla Public Suffix List
     * (publicsuffix.org): the full PSL is an external ~15k-rule artifact
@@ -3817,6 +3854,35 @@ object LlmOps {
             "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
       .orderBy("doc_id", "canon")),
 
+    // RELATIVE-HREF RESOLUTION (see [[resolveUrl]]): every href shape a
+    // real page carries — absolute, protocol-relative, path-absolute,
+    // relative-path, query-only, fragment-only, non-http scheme,
+    // dot-segment — resolved against the page's canonical URL (the
+    // 8-shape url fixture), same-document and non-http references
+    // dropped, the resolved target canonicalized (what the frontier
+    // would enqueue if the corpus carried page URLs — the production
+    // form of extractLinks' documented absolute filter). FULL DuckDB
+    // parity: the same split arithmetic, the href CASE stated once per
+    // engine.
+    "q_text_resolve_links" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(8))
+      val href = when(m === 0, lit("https://abs.example.com/x"))
+        .when(m === 1, lit("//proto.example.com/p"))
+        .when(m === 2, lit("/rooted/idx.html"))
+        .when(m === 3, lit("sub/page.html"))
+        .when(m === 4, lit("?a=2&utm_x=1"))
+        .when(m === 5, lit("#frag"))
+        .when(m === 6, lit("mailto:a@example.com"))
+        .otherwise(lit("deep/../up.html"))
+      queries("q_text_url_canon")(s, d).select(col("doc_id"), col("url"))
+        .withColumn("href", href)
+        .withColumn("resolved", resolveUrl(col("url"), col("href")))
+        .filter(col("resolved").isNotNull)
+        .select(col("doc_id"), col("href"), col("resolved"),
+          canonicalizeUrl(col("resolved")).as("canon"))
+        .orderBy("doc_id")
+    }),
+
     // CRAWL POLITENESS BATCHING (see [[frontierBatches]]): the unique
     // canonical frontier links dealt into crawl batches with at most 3
     // links per registrable domain each — the dispatch step between
@@ -6356,6 +6422,61 @@ object LlmOps {
     "q_text_url_canon" -> s"""WITH $urlCanonCtes
         |SELECT doc_id, url, canon FROM ucanon
         |ORDER BY doc_id""".stripMargin,
+
+    // relative-href resolution: base parsed from the page's canonical
+    // form (the ucanon chain), the href CASE mirrors resolveUrl's
+    // branch order, the resolved target re-canonicalized (r1–r6 = the
+    // canonicalizeUrl split arithmetic with fresh CTE names)
+    "q_text_resolve_links" -> s"""WITH $urlCanonCtes,
+        |hx AS (SELECT doc_id, canon AS page,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://abs.example.com/x'
+        |    WHEN 1 THEN '//proto.example.com/p'
+        |    WHEN 2 THEN '/rooted/idx.html'
+        |    WHEN 3 THEN 'sub/page.html'
+        |    WHEN 4 THEN '?a=2&utm_x=1'
+        |    WHEN 5 THEN '#frag'
+        |    WHEN 6 THEN 'mailto:a@example.com'
+        |    ELSE 'deep/../up.html'
+        |  END AS href FROM ucanon),
+        |bp AS (SELECT *, string_split(page, '://')[1] AS bscheme,
+        |        substring(page, length(string_split(page, '://')[1]) + 4) AS bresthp FROM hx),
+        |bp2 AS (SELECT *, string_split(bresthp, '/')[1] AS bhostport FROM bp),
+        |bp3 AS (SELECT *, bscheme || '://' || bhostport AS borigin,
+        |        substring(page, length(bscheme || '://' || bhostport) + 1) AS bpathq FROM bp2),
+        |bp4 AS (SELECT *, string_split(bpathq, '?')[1] AS bpath FROM bp3),
+        |bp5 AS (SELECT *, substring(bpath, 1, length(bpath) - length(string_split(bpath, '/')[-1])) AS bdir FROM bp4),
+        |res AS (SELECT doc_id, href,
+        |  CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+        |       WHEN starts_with(href, '//') THEN bscheme || ':' || href
+        |       WHEN starts_with(href, '/') THEN borigin || href
+        |       WHEN starts_with(href, '?') THEN borigin || bpath || href
+        |       WHEN href = '' OR starts_with(href, '#')
+        |            OR regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+        |       ELSE borigin || bdir || href END AS resolved
+        |  FROM bp5),
+        |rr AS (SELECT doc_id, href, resolved FROM res WHERE resolved IS NOT NULL),
+        |r1 AS (SELECT *, string_split(resolved, '#')[1] AS nofrag FROM rr),
+        |r2 AS (SELECT *, string_split(nofrag, '?')[1] AS pre,
+        |        substring(nofrag, length(string_split(nofrag, '?')[1]) + 2) AS q FROM r1),
+        |r3 AS (SELECT *, lower(string_split(pre, '://')[1]) AS scheme,
+        |        substring(pre, length(string_split(pre, '://')[1]) + 4) AS resthp FROM r2),
+        |r4 AS (SELECT *, string_split(resthp, '/')[1] AS hostport FROM r3),
+        |r5 AS (SELECT *, '/' || substring(resthp, length(hostport) + 2) AS pth,
+        |        lower(string_split(hostport, ':')[1]) AS host,
+        |        substring(hostport, length(string_split(hostport, ':')[1]) + 2) AS port FROM r4),
+        |r6 AS (SELECT *,
+        |        CASE WHEN port = '' THEN ''
+        |             WHEN scheme = 'http' AND port = '80' THEN ''
+        |             WHEN scheme = 'https' AND port = '443' THEN ''
+        |             ELSE ':' || port END AS portkeep,
+        |        coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |          p -> p <> '' AND NOT starts_with(lower(p), 'utm_'))), '&'), '') AS params
+        |      FROM r5)
+        |SELECT doc_id, href, resolved,
+        |  scheme || '://' || host || portkeep || pth ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon
+        |FROM r6 ORDER BY doc_id""".stripMargin,
 
     "q_text_domain" -> s"""WITH $domainOracleCtes
         |SELECT doc_id, url, host, domain FROM dmn ORDER BY doc_id""".stripMargin,

@@ -57,6 +57,28 @@ class LlmOpsScrubSuite extends SparkSpec {
       "canonical form drifted from the documented rules")
   }
 
+  test("resolveUrl: every RFC 3986 reference shape on a crafted case") {
+    import spark.implicits._
+    val base = "HTTP://Ex.COM:80/a/b/page.html?q=1#top" // canonicalizes first
+    val cases = Seq(
+      "https://other.io/x" -> "https://other.io/x",        // absolute passes
+      "//cdn.ex.com/lib.js" -> "http://cdn.ex.com/lib.js", // protocol-relative
+      "/rooted/p" -> "http://ex.com/rooted/p",             // path-absolute
+      "img/pic.png" -> "http://ex.com/a/b/img/pic.png",    // relative merge
+      "?page=2" -> "http://ex.com/a/b/page.html?page=2",   // query replace
+      "../up.html" -> "http://ex.com/a/b/../up.html",      // dots KEPT verbatim
+      "#sec" -> null,                                      // same-document
+      "" -> null,                                          // empty
+      "mailto:x@ex.com" -> null,                           // non-http scheme
+      "javascript:void(0)" -> null)
+    val got = cases.map(_._1).toDF("href")
+      .select(LlmOps.resolveUrl(org.apache.spark.sql.functions.lit(base),
+        col("href")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got === cases.map(_._2),
+      "reference resolution drifted from the documented subset")
+  }
+
   test("stripHtml: blocks out whole, tags become spaces, entities decode exactly once") {
     import spark.implicits._
     val h = "<p>a</p><p>b</p><script>var s='<p>hi</p>';</script> &amp;lt;x&amp;gt; &amp; y"
