@@ -318,24 +318,47 @@ object LlmOps {
     * same documented conservatism as canonicalizeUrl's path handling
     * (collapsing can merge distinct resources on misconfigured
     * servers; a production normalizer would collapse after this step).
-    * Split/substring arithmetic end-to-end — DuckDB runs it verbatim. */
-  def resolveUrl(pageUrl: Column, href: Column): Column = {
-    val page = canonicalizeUrl(pageUrl)
-    val scheme = element_at(split(page, "://"), 1)
-    val resthp = substr(page, length(scheme) + lit(4))
-    val hostport = element_at(split(resthp, "/"), 1)
-    val origin = concat(scheme, lit("://"), hostport)
-    val pathq = substr(page, length(origin) + lit(1))
-    val path = element_at(split(pathq, "[?]"), 1)
-    val lastSeg = element_at(split(path, "/"), -1)
-    val dir = substr(path, lit(1), length(path) - length(lastSeg))
-    when(href.rlike("(?i)^https?://"), href)
-      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-      .when(href.startsWith("/"), concat(origin, href))
-      .when(href.startsWith("?"), concat(origin, path, href))
-      .when(href === "" || href.startsWith("#") ||
-        href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
-      .otherwise(concat(origin, dir, href))
+    * Split/substring arithmetic end-to-end — DuckDB runs it verbatim.
+    *
+    * Shaped as a FRAME transform, not a scalar Column: the base parse
+    * is staged through named columns (CollapseProject keeps multiply-
+    * referenced non-cheap aliases un-inlined), because the one-Column
+    * form re-expands the canonicalized base once per derived piece —
+    * an exponentially nested expression tree that measured 8.6 s of
+    * codegen on a 5000-row fixture (and a 5+ MiB task binary) for
+    * what is 0.1 s of actual work. Appends `out`; rows whose reference
+    * is not a crawl edge get NULL. CALLER NOTE: do not filter
+    * `out IS NOT NULL` directly above this transform — predicate
+    * pushdown substitutes the WHOLE resolution tree into the pushed
+    * filter (measured: a 680k-char Filter node, 12 s of codegen);
+    * drop non-edge hrefs by their cheap shape test BEFORE resolving
+    * (empty, '#…', or a non-http scheme — the exact NULL branch),
+    * as the gate does. */
+  def resolveLinks(df: DataFrame, baseCol: String, hrefCol: String,
+                   out: String = "resolved"): DataFrame = {
+    val href = col(hrefCol)
+    df.withColumn("_g_page", canonicalizeUrl(col(baseCol)))
+      .withColumn("_g_scheme", element_at(split(col("_g_page"), "://"), 1))
+      .withColumn("_g_hostport", element_at(split(
+        substr(col("_g_page"), length(col("_g_scheme")) + lit(4)), "/"), 1))
+      .withColumn("_g_origin",
+        concat(col("_g_scheme"), lit("://"), col("_g_hostport")))
+      .withColumn("_g_path", element_at(split(
+        substr(col("_g_page"), length(col("_g_origin")) + lit(1)), "[?]"), 1))
+      .withColumn("_g_dir", substr(col("_g_path"), lit(1),
+        length(col("_g_path")) -
+          length(element_at(split(col("_g_path"), "/"), -1))))
+      .withColumn(out,
+        when(href.rlike("(?i)^https?://"), href)
+          .when(href.startsWith("//"), concat(col("_g_scheme"), lit(":"), href))
+          .when(href.startsWith("/"), concat(col("_g_origin"), href))
+          .when(href.startsWith("?"),
+            concat(col("_g_origin"), col("_g_path"), href))
+          .when(href === "" || href.startsWith("#") ||
+            href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+          .otherwise(concat(col("_g_origin"), col("_g_dir"), href)))
+      .drop("_g_page", "_g_scheme", "_g_hostport", "_g_origin",
+        "_g_path", "_g_dir")
   }
 
   /** The multi-label public suffixes the [[registrableDomain]] extraction
@@ -3874,10 +3897,17 @@ object LlmOps {
         .when(m === 5, lit("#frag"))
         .when(m === 6, lit("mailto:a@example.com"))
         .otherwise(lit("deep/../up.html"))
-      queries("q_text_url_canon")(s, d).select(col("doc_id"), col("url"))
-        .withColumn("href", href)
-        .withColumn("resolved", resolveUrl(col("url"), col("href")))
-        .filter(col("resolved").isNotNull)
+      // non-edge hrefs dropped by their SHAPE before resolving (the
+      // exact NULL branch of resolveLinks) — filtering resolved IS NOT
+      // NULL above the transform would push the whole resolution tree
+      // into the predicate (see the resolveLinks caller note)
+      resolveLinks(
+        queries("q_text_url_canon")(s, d).select(col("doc_id"), col("url"))
+          .withColumn("href", href)
+          .filter(!(col("href") === "" || col("href").startsWith("#") ||
+            (col("href").rlike("^[A-Za-z][A-Za-z0-9+.-]*:") &&
+              !col("href").rlike("(?i)^https?://")))),
+        "url", "href")
         .select(col("doc_id"), col("href"), col("resolved"),
           canonicalizeUrl(col("resolved")).as("canon"))
         .orderBy("doc_id")

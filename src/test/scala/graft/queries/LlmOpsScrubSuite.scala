@@ -71,9 +71,11 @@ class LlmOpsScrubSuite extends SparkSpec {
       "" -> null,                                          // empty
       "mailto:x@ex.com" -> null,                           // non-http scheme
       "javascript:void(0)" -> null)
-    val got = cases.map(_._1).toDF("href")
-      .select(LlmOps.resolveUrl(org.apache.spark.sql.functions.lit(base),
-        col("href")).as("r"))
+    val got = LlmOps.resolveLinks(
+        cases.map(_._1).toDF("href")
+          .withColumn("base", org.apache.spark.sql.functions.lit(base)),
+        "base", "href")
+      .select(col("resolved"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
     assert(got === cases.map(_._2),
       "reference resolution drifted from the documented subset")
