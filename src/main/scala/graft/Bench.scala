@@ -38,11 +38,19 @@ import org.apache.spark.sql.SparkSession
   *      medians-of-3, so min picks whichever window was quieter. Every retried
   *      query is recorded in the JSON ("retried": {name: [first, retry]}), so
   *      the artifact carries its own provenance instead of a weather report.
-  *   4. ARTIFACT GUARD — the committed BENCH_FULL.json is only overwritten if
-  *      this run's sentinel max-dev is no worse than the recorded one AT THE
-  *      SAME GIT HEAD (a fresh HEAD always writes). A noisier same-HEAD run
-  *      lands at BENCH_FULL.latest.json instead; stdout always carries the
-  *      fresh JSON either way.
+  *   4. ARTIFACT GUARD — two rules, in order (round 16; VERDICT r15 #1
+  *      closed the four-round-old hole where a NEW-head run bypassed the
+  *      guard entirely):
+  *      (a) PROTOCOL VALIDITY, head-independent: a run with ANY retried
+  *          window, or whose max slow-side sentinel deviation exceeds the
+  *          retry threshold it ran under (either sentinel), is
+  *          protocol-invalid and ALWAYS lands at BENCH_FULL.json.latest —
+  *          a fresh HEAD is not a license to certify a contended window.
+  *      (b) SAME-HEAD QUIETNESS: among protocol-valid runs, the committed
+  *          BENCH_FULL.json is only overwritten if this run's
+  *          threshold-normalized max-slow is no worse than the recorded
+  *          one at the SAME git head (a valid run at a fresh HEAD writes).
+  *      stdout always carries the fresh JSON either way.
   */
 object Bench {
   // ~0.15-0.3s of fixed single-thread work on a modern core. Fixed WORK (not
@@ -116,6 +124,71 @@ object Bench {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Where a finished run's JSON should land — the ARTIFACT GUARD, pure so
+    * BenchGuardSuite can drill it without running a bench.
+    *
+    * @param out          the artifact path this run targets (BENCH_FULL.json
+    *                     or a filtered/env-overridden path)
+    * @param prevJson     the current contents of `out`, if it exists
+    * @param head         this run's git HEAD ("unknown" if unreadable)
+    * @param retriedCount how many queries hit the window retry
+    * @param maxSlowPct / maxSlowMtPct  this run's slow-side sentinel maxima
+    * @param thSt / thMt  the retry thresholds this run was certified under
+    * @return (targetPath, reason for stderr if redirected)
+    */
+  private[graft] def artifactTarget(
+      out: String, prevJson: Option[String], head: String,
+      retriedCount: Int, maxSlowPct: Double, maxSlowMtPct: Double,
+      thSt: Double, thMt: Double): (String, Option[String]) = {
+    // Rule (a): protocol validity, regardless of HEAD. A retried window
+    // means contention was DETECTED mid-run; an over-threshold max_slow
+    // means it was detected but the retry budget was exhausted (or the
+    // retry itself ran hot). Either way this window cannot be the record
+    // the 2x bar is judged against.
+    if (retriedCount > 0 || maxSlowPct > thSt || maxSlowMtPct > thMt) {
+      val why = f"protocol-invalid run (retried=$retriedCount, " +
+        f"st_slow=$maxSlowPct%.1f%%/th=$thSt%.0f, " +
+        f"mt_slow=$maxSlowMtPct%.1f%%/th=$thMt%.0f)"
+      return (out + ".latest", Some(why))
+    }
+    // Rule (b): same-HEAD quietness compare against whatever sits at `out`,
+    // each side NORMALIZED by the retry threshold it was certified under
+    // (ADVICE r12): the sentinels have different noise floors, so a raw
+    // max() let a genuinely ST-contended run (ST 12%, MT 16%) replace a
+    // quiet one whose MT self-noise read 24%. The artifact records its
+    // thresholds since r13; older artifacts fall back to the constants in
+    // force when they were written (ST 10, MT 40 idle-base). Pre-r12
+    // artifacts carry one block (ST only), pre-r10 only the abs metric —
+    // both stay on the ST scale (a fast-clocked sample inflates abs dev
+    // but cannot have hurt the recorded timings — still the honest
+    // fallback).
+    prevJson match {
+      case Some(prev) =>
+        val prevHead = "\"head\":\"([0-9a-f]+)\"".r
+          .findFirstMatchIn(prev).map(_.group(1))
+        val prevSlows = "\"max_slow_pct\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
+        val prevThs = "\"retry_dev_pct\":([0-9.Ee+-]+)".r
+          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
+        val prevThSt = prevThs.headOption.getOrElse(10.0)
+        val prevThMt = if (prevThs.size >= 2) prevThs(1) else 40.0
+        val prevNorm =
+          if (prevSlows.size >= 2)
+            Some(math.max(prevSlows(0) / prevThSt, prevSlows(1) / prevThMt))
+          else if (prevSlows.size == 1) Some(prevSlows(0) / prevThSt)
+          else "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev)
+            .map(_.group(1).toDouble / prevThSt)
+        val thisNorm = math.max(maxSlowPct / thSt, maxSlowMtPct / thMt)
+        if (prevHead.contains(head) && head != "unknown" &&
+            prevNorm.exists(_ < thisNorm)) {
+          val why = f"same HEAD, threshold-normalized max_slow " +
+            f"${prevNorm.get}%.2f < this run's $thisNorm%.2f"
+          (out + ".latest", Some(why))
+        } else (out, None)
+      case None => (out, None)
+    }
   }
 
   /** Current git HEAD commit (plain file reads — no process exec), or
@@ -348,52 +421,27 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,"per_key_quiet_sec":$perKeyQuiet,"n_keys_prev":$nKeysPrev,"head":"$head","retried":$retr,"sentinel":{"spin_base_sec":$spinBase,"samples":$sent,"max_dev_pct":$maxDevPct,"max_slow_pct":$maxSlowPct,"retry_dev_pct":$RetryDevPct},"sentinel_mt":{"threads":$mtThreads,"spin_base_sec":$spinMtBase,"samples":$sentMt,"max_dev_pct":$maxDevMtPct,"max_slow_pct":$maxSlowMtPct,"retry_dev_pct":$RetryDevPctMt}}"""
     println(json)
     // Persist the COMPLETE artifact (the driver records only a truncated
-    // stdout tail) — but never replace a same-HEAD run that was measured
-    // in a QUIETER window: the committed file is the record the
-    // ≤2x-of-baseline bar is judged against, and BENCH_r09 showed one
-    // contended end-of-round run can otherwise overwrite a clean one.
+    // stdout tail) — routed through the ARTIFACT GUARD (scaladoc rule 4):
+    // a protocol-invalid run NEVER lands at the main artifact, and a
+    // same-HEAD quieter run is never replaced by a noisier one (the
+    // committed file is the record the ≤2x-of-baseline bar is judged
+    // against; BENCH_r09 showed one contended end-of-round run can
+    // otherwise overwrite a clean one, and r12–r15 showed a fresh HEAD
+    // doing the same four rounds running).
     val out = prevArtifact // same target the n_keys_prev delta read
-    val target = try {
+    // only the file READ gets a fallback (unreadable prev = treat as
+    // absent); the guard itself runs unguarded so a bug in it surfaces
+    // instead of silently re-opening the overwrite hole
+    val prevJson = try {
       val p = java.nio.file.Paths.get(out)
-      if (!java.nio.file.Files.exists(p)) out
-      else {
-        val prev = java.nio.file.Files.readString(p)
-        val prevHead = "\"head\":\"([0-9a-f]+)\"".r
-          .findFirstMatchIn(prev).map(_.group(1))
-        // compare slow-side pressure ACROSS BOTH sentinels, each
-        // NORMALIZED by the retry threshold it was certified under
-        // (ADVICE r12): the sentinels have different noise floors, so a
-        // raw max() let a genuinely ST-contended run (ST 12%, MT 16%)
-        // replace a quiet one whose MT self-noise read 24%. The artifact
-        // records its thresholds since r13; older artifacts fall back to
-        // the constants in force when they were written (ST 10, MT 40
-        // idle-base). Pre-r12 artifacts carry one block (ST only),
-        // pre-r10 only the abs metric — both stay on the ST scale (a
-        // fast-clocked sample inflates abs dev but cannot have hurt the
-        // recorded timings — still the honest fallback).
-        val prevSlows = "\"max_slow_pct\":([0-9.Ee+-]+)".r
-          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
-        val prevThs = "\"retry_dev_pct\":([0-9.Ee+-]+)".r
-          .findAllMatchIn(prev).map(_.group(1).toDouble).toSeq
-        val prevThSt = prevThs.headOption.getOrElse(10.0)
-        val prevThMt = if (prevThs.size >= 2) prevThs(1) else 40.0
-        val prevNorm =
-          if (prevSlows.size >= 2)
-            Some(math.max(prevSlows(0) / prevThSt, prevSlows(1) / prevThMt))
-          else if (prevSlows.size == 1) Some(prevSlows(0) / prevThSt)
-          else "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev)
-            .map(_.group(1).toDouble / prevThSt)
-        val thisNorm = math.max(maxSlowPct / RetryDevPct,
-          maxSlowMtPct / RetryDevPctMt)
-        if (prevHead.contains(head) && head != "unknown" &&
-            prevNorm.exists(_ < thisNorm)) {
-          System.err.println(f"[bench] keeping committed $out (same HEAD, " +
-            f"threshold-normalized max_slow ${prevNorm.get}%.2f < this " +
-            f"run's $thisNorm%.2f); this run -> $out.latest")
-          out + ".latest"
-        } else out
-      }
-    } catch { case _: Throwable => out }
+      if (java.nio.file.Files.exists(p))
+        Some(java.nio.file.Files.readString(p))
+      else None
+    } catch { case _: java.io.IOException => None }
+    val (target, why) = artifactTarget(out, prevJson, head, retried.size,
+      maxSlowPct, maxSlowMtPct, RetryDevPct, RetryDevPctMt)
+    why.foreach(w =>
+      System.err.println(s"[bench] keeping $out ($w); this run -> $target"))
     try java.nio.file.Files.write(java.nio.file.Paths.get(target),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
