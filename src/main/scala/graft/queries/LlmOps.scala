@@ -314,6 +314,9 @@ object LlmOps {
     *     so callers drop them;
     *   - anything else is a relative path merged onto the base
     *     directory (the path up to and including its last '/').
+    * The href is trimmed of HTML whitespace (space/tab/LF/CR) BEFORE
+    * the cascade — ' https://x.com/a' is an absolute reference with a
+    * padded attribute value, not a relative path (ADVICE r15).
     * Dot segments (`..`, `.`) are KEPT verbatim, not collapsed — the
     * same documented conservatism as canonicalizeUrl's path handling
     * (collapsing can merge distinct resources on misconfigured
@@ -336,7 +339,16 @@ object LlmOps {
     * as the gate does. */
   def resolveLinks(df: DataFrame, baseCol: String, hrefCol: String,
                    out: String = "resolved"): DataFrame = {
-    val href = col(hrefCol)
+    // staging collisions clobber-then-drop silently (ADVICE r15) — refuse
+    val clash = ResolveTmpCols.filter(df.columns.contains)
+    require(clash.isEmpty, s"resolveLinks: input frame already carries " +
+      s"staging column(s) ${clash.mkString(", ")} — rename them first")
+    // whitespace-padded attribute values (' https://x.com/a') are absolute
+    // references, not relative paths — normalize before the branch
+    // cascade (ADVICE r15), as real crawl pipelines do; the trim set is
+    // the HTML whitespace class (space, tab, LF, CR). SQL TRIM(BOTH)
+    // syntax — the two-param trim() overload is deprecated in Spark 4.
+    val href = expr(s"trim(BOTH ' \t\n\r' FROM `$hrefCol`)")
     df.withColumn("_g_page", canonicalizeUrl(col(baseCol)))
       .withColumn("_g_scheme", element_at(split(col("_g_page"), "://"), 1))
       .withColumn("_g_hostport", element_at(split(
@@ -360,6 +372,11 @@ object LlmOps {
       .drop("_g_page", "_g_scheme", "_g_hostport", "_g_origin",
         "_g_path", "_g_dir")
   }
+
+  /** [[resolveLinks]]'s staging column names — checked against the input
+    * schema so a caller's column is never silently clobbered. */
+  private val ResolveTmpCols = Seq("_g_page", "_g_scheme", "_g_hostport",
+    "_g_origin", "_g_path", "_g_dir")
 
   /** The multi-label public suffixes the [[registrableDomain]] extraction
     * recognizes — an embedded SUBSET of the Mozilla Public Suffix List
@@ -430,6 +447,9 @@ object LlmOps {
   def registrableDomainJoined(df: DataFrame, hostCol: String,
                               suffixes: DataFrame,
                               out: String = "domain"): DataFrame = {
+    val clash = Seq("_graft_last2", "_graft_sfx").filter(df.columns.contains)
+    require(clash.isEmpty, s"registrableDomainJoined: input frame already " +
+      s"carries staging column(s) ${clash.mkString(", ")} — rename them first")
     val parts = split(col(hostCol), "\\.")
     val last2 = concat(element_at(parts, -2), lit("."), element_at(parts, -1))
     df.withColumn("_graft_last2", when(size(parts) >= 2, last2))
@@ -3877,7 +3897,7 @@ object LlmOps {
             "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
       .orderBy("doc_id", "canon")),
 
-    // RELATIVE-HREF RESOLUTION (see [[resolveUrl]]): every href shape a
+    // RELATIVE-HREF RESOLUTION (see [[resolveLinks]]): every href shape a
     // real page carries — absolute, protocol-relative, path-absolute,
     // relative-path, query-only, fragment-only, non-http scheme,
     // dot-segment — resolved against the page's canonical URL (the
@@ -6454,11 +6474,11 @@ object LlmOps {
         |ORDER BY doc_id""".stripMargin,
 
     // relative-href resolution: base parsed from the page's canonical
-    // form (the ucanon chain), the href CASE mirrors resolveUrl's
+    // form (the ucanon chain), the href CASE mirrors resolveLinks's
     // branch order, the resolved target re-canonicalized (r1–r6 = the
     // canonicalizeUrl split arithmetic with fresh CTE names)
     "q_text_resolve_links" -> s"""WITH $urlCanonCtes,
-        |hx AS (SELECT doc_id, canon AS page,
+        |hx0 AS (SELECT doc_id, canon AS page,
         |  CASE doc_id % 8
         |    WHEN 0 THEN 'https://abs.example.com/x'
         |    WHEN 1 THEN '//proto.example.com/p'
@@ -6469,6 +6489,8 @@ object LlmOps {
         |    WHEN 6 THEN 'mailto:a@example.com'
         |    ELSE 'deep/../up.html'
         |  END AS href FROM ucanon),
+        |hx AS (SELECT *, trim(href, ' ' || chr(9) || chr(10) || chr(13)) AS th
+        |       FROM hx0),
         |bp AS (SELECT *, string_split(page, '://')[1] AS bscheme,
         |        substring(page, length(string_split(page, '://')[1]) + 4) AS bresthp FROM hx),
         |bp2 AS (SELECT *, string_split(bresthp, '/')[1] AS bhostport FROM bp),
@@ -6477,13 +6499,13 @@ object LlmOps {
         |bp4 AS (SELECT *, string_split(bpathq, '?')[1] AS bpath FROM bp3),
         |bp5 AS (SELECT *, substring(bpath, 1, length(bpath) - length(string_split(bpath, '/')[-1])) AS bdir FROM bp4),
         |res AS (SELECT doc_id, href,
-        |  CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
-        |       WHEN starts_with(href, '//') THEN bscheme || ':' || href
-        |       WHEN starts_with(href, '/') THEN borigin || href
-        |       WHEN starts_with(href, '?') THEN borigin || bpath || href
-        |       WHEN href = '' OR starts_with(href, '#')
-        |            OR regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
-        |       ELSE borigin || bdir || href END AS resolved
+        |  CASE WHEN regexp_matches(th, '(?i)^https?://') THEN th
+        |       WHEN starts_with(th, '//') THEN bscheme || ':' || th
+        |       WHEN starts_with(th, '/') THEN borigin || th
+        |       WHEN starts_with(th, '?') THEN borigin || bpath || th
+        |       WHEN th = '' OR starts_with(th, '#')
+        |            OR regexp_matches(th, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+        |       ELSE borigin || bdir || th END AS resolved
         |  FROM bp5),
         |rr AS (SELECT doc_id, href, resolved FROM res WHERE resolved IS NOT NULL),
         |r1 AS (SELECT *, string_split(resolved, '#')[1] AS nofrag FROM rr),

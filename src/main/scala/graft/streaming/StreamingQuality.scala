@@ -314,15 +314,22 @@ object StreamingQuality {
   }
 
   /** This batch's committed drift row's `model_v`, if the row exists —
-    * the replay-heal guard: the version that SCORED the batch. */
+    * the replay-heal guard: the version that SCORED the batch. An empty
+    * or unreadable drift dir is None (ADVICE r15): the write sequence
+    * today commits drift before the scores marker that gates the heal,
+    * so an existing dir always holds the row — but that ordering is a
+    * cross-method invariant, and a future reordering must degrade to
+    * "skip the heal", never crash the replay on .head() of nothing. */
   private def driftRowVersion(spark: SparkSession, outDir: String,
                               batchId: Long): Option[Long] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/drift/batch=$batchId")))
       None
-    else Some(spark.read.parquet(s"$outDir/drift/batch=$batchId")
-      .head().getAs[Long]("model_v"))
+    else scala.util.Try(
+      spark.read.parquet(s"$outDir/drift/batch=$batchId")
+        .limit(1).collect().headOption.map(_.getAs[Long]("model_v"))
+    ).toOption.flatten
   }
 
   /** The refreeze DECISION, shared by the live path and the replay heal:

@@ -57,7 +57,7 @@ class LlmOpsScrubSuite extends SparkSpec {
       "canonical form drifted from the documented rules")
   }
 
-  test("resolveUrl: every RFC 3986 reference shape on a crafted case") {
+  test("resolveLinks: every RFC 3986 reference shape on a crafted case") {
     import spark.implicits._
     val base = "HTTP://Ex.COM:80/a/b/page.html?q=1#top" // canonicalizes first
     val cases = Seq(
@@ -70,7 +70,13 @@ class LlmOpsScrubSuite extends SparkSpec {
       "#sec" -> null,                                      // same-document
       "" -> null,                                          // empty
       "mailto:x@ex.com" -> null,                           // non-http scheme
-      "javascript:void(0)" -> null)
+      "javascript:void(0)" -> null,
+      // ADVICE r15: whitespace-padded attribute values are trimmed before
+      // the branch cascade — a padded absolute href is absolute, not a
+      // relative path merged into garbage; padded-to-empty is dropped
+      " https://pad.ex.com/a" -> "https://pad.ex.com/a",
+      "\n\t/rooted/q " -> "http://ex.com/rooted/q",
+      "   " -> null)
     val got = LlmOps.resolveLinks(
         cases.map(_._1).toDF("href")
           .withColumn("base", org.apache.spark.sql.functions.lit(base)),

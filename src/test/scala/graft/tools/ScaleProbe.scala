@@ -278,11 +278,17 @@ object ScaleProbe {
 
     val byQuery = measures.groupBy(_.query)
     // a JOIN-FREE family (q_frontier_batches: one per-domain window,
-    // no join node in any execution) has zero pairing rows at every
+    // no join node in any execution) has zero pairing rows at EVERY
     // size — its pairing-growth exponent is recorded as 0.0 (the
-    // strongest possible scale statement), not fit
+    // strongest possible scale statement). That claim needs all-zero
+    // evidence (ADVICE r15): a family with positive pairing rows at
+    // only ONE measured size is UNMEASURABLE (NaN -> null in the
+    // JSON), not join-free — 0.0 must never be the default of a
+    // failed fit.
     def slopeOrZero(points: Seq[(Long, Long)]): Double =
-      if (points.count(p => p._1 > 0 && p._2 > 0) >= 2) slope(points) else 0.0
+      if (points.count(p => p._1 > 0 && p._2 > 0) >= 2) slope(points)
+      else if (points.forall(_._2 == 0L)) 0.0
+      else Double.NaN
     val exponents = families.map { q =>
       val ms = byQuery(q).sortBy(_.n)
       q -> Map(
@@ -305,9 +311,12 @@ object ScaleProbe {
       s""""shuffleReadB":${m.shuffleReadB},""" +
       s""""shuffleWriteB":${m.shuffleWriteB},"sec":${f"${m.sec}%.3f"}}""").mkString(",\n")
     json ++= "\n  ],\n  \"growthExponents\": {\n"
+    // NaN = "not fit" (see slopeOrZero) — JSON has no NaN literal, so it
+    // lands as null and a consumer cannot mistake it for a measured 0.0
+    def expJson(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     json ++= exponents.map { case (q, e) =>
-      s"""    "$q": {"joinRows":${f"${e("joinRows")}%.3f"},""" +
-      s""""shuffleRead":${f"${e("shuffleRead")}%.3f"},"outRows":${f"${e("outRows")}%.3f"}}"""
+      s"""    "$q": {"joinRows":${expJson(e("joinRows"))},""" +
+      s""""shuffleRead":${expJson(e("shuffleRead"))},"outRows":${expJson(e("outRows"))}}"""
     }.mkString(",\n")
     json ++= "\n  },\n  \"note\": \"exponents are least-squares slopes of ln(metric) vs " +
       "ln(corpus rows) across sf0.001/0.01/0.1 (documents corpora at sf0.001 and sf0.01 " +
