@@ -87,6 +87,41 @@ class LlmOpsScrubSuite extends SparkSpec {
       "reference resolution drifted from the documented subset")
   }
 
+  test("collapseDotSegments: RFC 3986 §5.2.4 vectors; dotted and plain paths share one canon") {
+    import spark.implicits._
+    val cases = Seq(
+      "http://h.com/a/b/../c.html" -> "http://h.com/a/c.html",
+      "http://h.com/a/./b" -> "http://h.com/a/b",
+      // the RFC's own worked merge example (§5.4.1 /a/b/c/./../../g)
+      "http://h.com/a/b/c/./../../g" -> "http://h.com/a/g",
+      "http://h.com/../g" -> "http://h.com/g",       // never pops past root
+      "http://h.com/a/.." -> "http://h.com/",        // trailing .. -> slash
+      "http://h.com/a/b/." -> "http://h.com/a/b/",   // trailing . -> slash
+      // empty segments from '//' are segments, kept verbatim (the
+      // canonicalizeUrl conservatism); '..' pops the 'b' that follows
+      "http://h.com/a//b/../c" -> "http://h.com/a//c",
+      "http://h.com:8080/x/../y?q=../z" -> "http://h.com:8080/y?q=../z",
+      "http://h.com/plain/path" -> "http://h.com/plain/path",
+      "http://h.com" -> "http://h.com")               // no path at all
+    val got = cases.map(_._1).toDF("u")
+      .select(LlmOps.collapseDotSegments(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2),
+      "remove_dot_segments drifted from the documented fold rule")
+    // the motivating frontier property: a dotted and a plain spelling of
+    // one resource resolve+collapse+canonicalize to ONE enqueue key
+    val keys = Seq("a/b/../c.html", "a/c.html").toDF("href")
+      .withColumn("base",
+        org.apache.spark.sql.functions.lit("http://ex.com/d/page.html"))
+    val canons = LlmOps.resolveLinks(keys, "base", "href")
+      .withColumn("collapsed", LlmOps.collapseDotSegments(col("resolved")))
+      .select(LlmOps.canonicalizeUrl(col("collapsed")).as("canon"))
+      .collect().map(_.getString(0)).toSeq
+    assert(canons.distinct.size === 1 &&
+      canons.head === "http://ex.com/d/a/c.html",
+      s"dotted and plain spellings must share one canon: $canons")
+  }
+
   test("stripHtml: blocks out whole, tags become spaces, entities decode exactly once") {
     import spark.implicits._
     val h = "<p>a</p><p>b</p><script>var s='<p>hi</p>';</script> &amp;lt;x&amp;gt; &amp; y"

@@ -79,6 +79,71 @@ class StreamingFrontierSuite extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("frontierBatchesHostCapped: both caps hold; host cap genuinely bites; batches dense") {
+    val got = graft.queries.LlmOps.queries("q_frontier_batches_host")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      // the domain-level politeness invariant
+      assert(got.groupBy("batch", "domain").count()
+        .filter(col("count") > 3).count() === 0L,
+        "a batch holds more than perBatch links of one domain")
+      // the HOST-level invariant — the round-16 addition
+      assert(got.groupBy("batch", "host").count()
+        .filter(col("count") > 2).count() === 0L,
+        "a batch holds more than perHost links of one host")
+      // slots unique within a domain's share of a batch
+      assert(got.groupBy("batch", "domain", "slot").count()
+        .filter(col("count") > 1).count() === 0L)
+      // batches contiguous from 0
+      val ids = got.select("batch").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (0L until ids.size).toSeq,
+        s"batch ids must be dense from 0: $ids")
+      // the fixture genuinely exercises the host cap: some host carries
+      // more links than perHost, so its links span multiple batches
+      val fat = got.groupBy("host").count().filter(col("count") > 2)
+        .select("host").collect().map(_.getString(0))
+      assert(fat.nonEmpty, "no host exceeds perHost — fixture too thin")
+      assert(got.filter(col("host") === fat.head)
+        .select("batch").distinct().count() > 1L,
+        "an over-cap host never spilled into a second batch")
+    } finally got.unpersist()
+  }
+
+  test("with a page URL, relative hrefs become edges and enqueue exactly once") {
+    val seen = tmp("sfront-rel-seen")
+    val out = tmp("sfront-rel-out")
+    import spark.implicits._
+    def rpages(rows: (Long, String, String)*): DataFrame =
+      rows.toDF("doc_id", "url", "html")
+    // batch 0: a plain relative href and a DOTTED spelling of the same
+    // resource on two pages of one directory — resolution + dot-segment
+    // collapse must land both on one canon, and the within-batch dedupe
+    // must enqueue that canon exactly once
+    StreamingFrontier.applyBatch(rpages(
+        (1L, "http://h.io/dir/page.html", page("img.html")),
+        (2L, "http://h.io/dir/other.html", page("sub/../img.html"))),
+      seen, out, 0L, baseCol = Some("url"))
+    val b0 = StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 0)
+      .select("doc_id", "canon").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(b0 === Seq((1L, "http://h.io/dir/img.html")),
+      s"one resolved canon, enqueued once, min-doc witness: $b0")
+    // batch 1: the same resource relative from a sibling page probes
+    // SEEN (no re-emit); a novel relative href emits; a same-document
+    // '#frag' and a mailto: are shape-dropped, never resolved
+    StreamingFrontier.applyBatch(rpages(
+        (3L, "http://h.io/dir/x.html",
+          page("img.html", "new.html", "#frag", "mailto:a@h.io"))),
+      seen, out, 1L, baseCol = Some("url"))
+    val b1 = StreamingFrontier.newLinks(spark, out)
+      .filter(col("batch") === 1)
+      .select("canon").collect().map(_.getString(0)).toSeq
+    assert(b1 === Seq("http://h.io/dir/new.html"),
+      s"seen-relative re-emitted or novel-relative swallowed: $b1")
+  }
+
   test("within-batch duplicate canons emit exactly once (min doc_id/link witness)") {
     val seen = tmp("sfront-dup-seen")
     val out = tmp("sfront-dup-out")
