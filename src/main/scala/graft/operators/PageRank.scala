@@ -39,7 +39,27 @@ object PageRank {
     * symmetrize first for an undirected graph. Nodes referenced by edges
     * but absent from `nodes` contribute nothing and get no row. */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85): DataFrame =
+    iterate(nodes, edges, None, iters, damping)
+
+  /** WARM-START power iteration (the [[RankIndex]] append path): the
+    * same rounds, but the starting distribution is `init` (id, rank)
+    * instead of uniform — after a small edge append, the previous
+    * stationary ranks sit close to the new ones, so the d^k error decay
+    * starts from a small error and the same tolerance needs fewer
+    * rounds (measured in RankIndexSuite / BASELINE.md). `init` rows are
+    * matched to `nodes` by id: nodes it misses start at 1/n (arrivals),
+    * rows for absent nodes are ignored (departures), and the whole
+    * vector is renormalized to sum 1 through a DECIMAL(38,18) sum (the
+    * run() determinism discipline — partition order cannot perturb the
+    * normalization). */
+  def runFrom(nodes: DataFrame, edges: DataFrame, init: DataFrame,
+              iters: Int, damping: Double = 0.85): DataFrame =
+    iterate(nodes, edges, Some(init), iters, damping)
+
+  private def iterate(nodes: DataFrame, edges: DataFrame,
+                      init: Option[DataFrame], iters: Int,
+                      damping: Double): DataFrame = {
     require(iters >= 0, s"need iters >= 0, got $iters")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     val sc = nodes.sparkSession.sparkContext
@@ -48,7 +68,17 @@ object PageRank {
     require(n > 0, "PageRank needs at least one node")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("g")).localCheckpoint()
-    var pr = ids.withColumn("rank", lit(1.0 / n))
+    var pr = init match {
+      case None => ids.withColumn("rank", lit(1.0 / n))
+      case Some(i0) =>
+        val raw = ids
+          .join(i0.select(col("id"), col("rank")), Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("rank"), lit(1.0 / n)).as("rank"))
+        val tot = raw.agg(sum(col("rank").cast("decimal(38,18)"))
+          .cast("double").as("t"))
+        raw.crossJoin(broadcast(tot)) // one-row scalar, never a collect
+          .select(col("id"), (col("rank") / col("t")).as("rank"))
+    }
     var pinned = Set.empty[Int]
     for (_ <- 1 to iters) {
       // materialize the incoming ranks once (they feed contributions AND

@@ -3108,6 +3108,42 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL PageRank through the PERSISTED RankIndex (VERDICT r15
+    // missing #4 — the one iterative graph op without an append path):
+    // the near-dup pair graph arrives in two batches (edge-parity
+    // split); the index builds COLD (8 uniform-start rounds) on the
+    // first and APPENDS the second with 4 WARM rounds from the
+    // committed ranks (the previous stationary vector is the next
+    // version's start — measured to dominate a cold start at every
+    // round budget, RankIndexSuite + BASELINE.md). Serving reads the
+    // committed snapshot. FULL oracle — fixed rounds make the whole
+    // lifecycle deterministic: DuckDB unrolls the identical 8 base + 4
+    // warm rounds (same DECIMAL-summed renormalization between them),
+    // 6dp rounding absorbing sum-order last-ulps.
+    "q_graph_pagerank_incr" -> ((s, d) => {
+      val pairs = nearDupPairsShared(s, d).select("d1", "d2")
+      val nodes = Tables(s, d, "documents").select(col("doc_id").as("id"))
+      def toEdges(p: DataFrame): DataFrame =
+        p.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
+      val path = graft.operators.Scratch.dir(
+        "graft-ridx", s.sparkContext.applicationId, d)
+      graft.operators.Memo.once(path) {
+        val ri = graft.operators.RankIndex
+        if (ri.version(s, path).isEmpty)
+          ri.build(nodes,
+            toEdges(pairs.filter((col("d1") + col("d2")) % 2 === 0)),
+            path, iters = 8)
+        if (ri.version(s, path).contains(0L))
+          ri.append(nodes.limit(0),
+            toEdges(pairs.filter((col("d1") + col("d2")) % 2 =!= 0)),
+            path, warmIters = 4)
+      }
+      graft.operators.RankIndex.ranks(s, path)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // COMMUNITY DETECTION over the near-dup graph (operators.
     // LabelPropagation, synchronous LPA, 4 rounds): where connected
     // components answer "transitively linked at all", communities answer
@@ -6083,6 +6119,29 @@ object LlmOps {
        |  FROM ${pfx}fold f JOIN ${pfx}c5 s USING ($key) WHERE f.i = len(s.sg))""".stripMargin
   }
 
+  /** One damped PageRank round chain as MATERIALIZED CTEs — the
+    * q_graph_pagerank body, generated so the cold oracle and the
+    * RankIndex warm-start oracle state the arithmetic once. Round k
+    * reads `<pfx>(k-1)` (round 1 reads `init`), contributions /
+    * dangling mass over the given `outdeg`/`edges` CTEs, update over
+    * `nodes`/`nc`; emits `<pfx>1..<pfx>iters`. */
+  private def pagerankRoundsSql(iters: Int, pfx: String, outdeg: String,
+                                edges: String, init: String): String =
+    (1 to iters).map { k =>
+      val prev = if (k == 1) init else s"$pfx${k - 1}"
+      s"""${pfx}c$k AS MATERIALIZED (SELECT e.dst AS doc_id, sum(p.rank / o.g) AS contrib
+         |       FROM $prev p JOIN $outdeg o ON o.src = p.doc_id
+         |       JOIN $edges e ON e.src = p.doc_id GROUP BY 1),
+         |${pfx}d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), CAST(0 AS DOUBLE)) AS dm
+         |       FROM $prev p LEFT JOIN $outdeg o ON o.src = p.doc_id
+         |       WHERE o.src IS NULL),
+         |$pfx$k AS MATERIALIZED (SELECT n.doc_id,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
+         |         + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+         |           + (SELECT dm FROM ${pfx}d$k) / (SELECT n FROM nc)) AS rank
+         |         FROM nodes n LEFT JOIN ${pfx}c$k c USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+
   /** q_text_extract_links_resolved / q_frontier_new_resolved's shared
     * chain: the [[crawlPagesFixture]] pages (html + own URL), href
     * extraction, the trim + shape filter, base canonicalization,
@@ -7366,21 +7425,10 @@ object LlmOps {
     // non-materialized CTEs, re-expanding the shingle-pair subtree ~2^8
     // times — the non-materialized form never terminates (50+ CPU-min);
     // materialized it runs in <1 s with the identical result.
+    // The round body is GENERATED (pagerankRoundsSql) so the warm-start
+    // index oracle below states the same arithmetic once.
     "q_graph_pagerank" -> {
       val iters = 8
-      val body = (1 to iters).map { k =>
-        s"""c$k AS MATERIALIZED (SELECT e.dst AS doc_id, sum(p.rank / o.g) AS contrib
-           |       FROM pr${k - 1} p JOIN outdeg o ON o.src = p.doc_id
-           |       JOIN edges e ON e.src = p.doc_id GROUP BY 1),
-           |d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), CAST(0 AS DOUBLE)) AS dm
-           |       FROM pr${k - 1} p LEFT JOIN outdeg o ON o.src = p.doc_id
-           |       WHERE o.src IS NULL),
-           |pr$k AS MATERIALIZED (SELECT n.doc_id,
-           |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nc)
-           |         + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
-           |           + (SELECT dm FROM d$k) / (SELECT n FROM nc)) AS rank
-           |         FROM nodes n LEFT JOIN c$k c USING (doc_id))""".stripMargin
-      }.mkString(",\n")
       s"""WITH $nearPairsCteMat,
          |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
          |          UNION ALL SELECT d2, d1 FROM pairs),
@@ -7388,9 +7436,34 @@ object LlmOps {
          |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
          |outdeg AS MATERIALIZED (SELECT src, count(*) AS g FROM edges GROUP BY 1),
          |pr0 AS MATERIALIZED (SELECT doc_id, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
-         |$body
+         |${pagerankRoundsSql(iters, "pr", "outdeg", "edges", "pr0")}
          |SELECT doc_id, round(rank, 6) AS rank FROM pr$iters ORDER BY doc_id""".stripMargin
     },
+
+    // the RankIndex lifecycle, fully unrolled: 8 cold rounds on the
+    // even-parity half of the graph (the build), then the committed
+    // ranks renormalized through a DECIMAL(38,18) sum (PageRank.runFrom's
+    // init discipline — the node set is unchanged, so no arrival branch)
+    // and 4 WARM rounds on the FULL graph (the append). Same generated
+    // round body as q_graph_pagerank; 6dp rounding absorbs last-ulps.
+    "q_graph_pagerank_incr" ->
+      s"""WITH $nearPairsCteMat,
+         |edgesB AS MATERIALIZED (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs WHERE (d1 + d2) % 2 = 0
+         |  UNION ALL SELECT d2, d1 FROM pairs WHERE (d1 + d2) % 2 = 0),
+         |edgesF AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS MATERIALIZED (SELECT doc_id FROM documents),
+         |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |outdegB AS MATERIALIZED (SELECT src, count(*) AS g FROM edgesB GROUP BY 1),
+         |outdegF AS MATERIALIZED (SELECT src, count(*) AS g FROM edgesF GROUP BY 1),
+         |bp0 AS MATERIALIZED (SELECT doc_id, CAST(1 AS DOUBLE) / (SELECT n FROM nc) AS rank FROM nodes),
+         |${pagerankRoundsSql(8, "bp", "outdegB", "edgesB", "bp0")},
+         |wp0 AS MATERIALIZED (SELECT doc_id,
+         |  rank / (SELECT CAST(sum(CAST(rank AS DECIMAL(38,18))) AS DOUBLE) FROM bp8) AS rank
+         |  FROM bp8),
+         |${pagerankRoundsSql(4, "wp", "outdegF", "edgesF", "wp0")}
+         |SELECT doc_id, round(rank, 6) AS rank FROM wp4 ORDER BY doc_id""".stripMargin,
 
     // the identical 4 synchronous LPA rounds, unrolled as chained
     // MATERIALIZED CTEs (the q_graph_pagerank discipline: each l(k-1) is
