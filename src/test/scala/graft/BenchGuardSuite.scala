@@ -79,6 +79,31 @@ class BenchGuardSuite extends AnyFunSuite {
     assert(t == out + ".latest")
   }
 
+  test("rule (b): a materially faster clock overwrites even when noisier") {
+    // committed: valid on a 0.647 s (slow) clock, very quiet (0.86 norm);
+    // this run: valid on a 0.450 s (quiet) clock but noisier (0.95) —
+    // the faster-clock record wins (the r15 slow-base 2.01x lesson)
+    val (t, why) = Bench.artifactTarget(out, committed, head = "aaaa1111",
+      retriedCount = 0, maxSlowPct = 9.5, maxSlowMtPct = 6.0,
+      thSt = 10.0, thMt = 18.0, stBase = 0.450)
+    assert(t == out && why.isEmpty)
+  }
+
+  test("rule (b): a comparable clock still arbitrates on quietness") {
+    // same clock (within the 2% band), noisier -> .latest
+    val (t, _) = Bench.artifactTarget(out, committed, head = "aaaa1111",
+      retriedCount = 0, maxSlowPct = 9.5, maxSlowMtPct = 6.0,
+      thSt = 10.0, thMt = 18.0, stBase = 0.645)
+    assert(t == out + ".latest")
+  }
+
+  test("rule (a) outranks the faster clock: an invalid fast-clock run still parks") {
+    val (t, _) = Bench.artifactTarget(out, committed, head = "aaaa1111",
+      retriedCount = 3, maxSlowPct = 2.0, maxSlowMtPct = 3.0,
+      thSt = 10.0, thMt = 18.0, stBase = 0.440)
+    assert(t == out + ".latest")
+  }
+
   test("first-ever valid run writes the artifact") {
     val (t, why) = Bench.artifactTarget(out, prevJson = None, head = "dddd4444",
       retriedCount = 0, maxSlowPct = 1.0, maxSlowMtPct = 2.0,

@@ -98,10 +98,10 @@ object ScaleProbe {
     "q_quality_probe_wide", "q_curate_probe")
 
   val GraphFamilies: Seq[String] = Seq("q_graph_pagerank", "q_graph_communities",
-    // the persisted incremental index: a fresh probe JVM measures the
+    // the persisted incremental indexes: a fresh probe JVM measures the
     // real cold build + append (Memo is per-JVM), so the tallied work is
-    // the whole CommunityIndex lifecycle, not just the snapshot read
-    "q_graph_communities_inc")
+    // the whole index lifecycle, not just the snapshot read
+    "q_graph_communities_inc", "q_graph_pagerank_incr")
 
   /** Round-14 crawl / training-layout operators (VERDICT r14 #5): the
     * frontier seen-filter's exact witness is one anti equi-join on the
@@ -113,7 +113,14 @@ object ScaleProbe {
     * back onto the corpus. All structurally linear — these rows make
     * that measured, not asserted. */
   val CrawlFamilies: Seq[String] = Seq("q_frontier_new", "q_frontier_new_bloom",
-    "q_frontier_batches", "q_frontier_batches_priority", "q_pack_chunks")
+    "q_frontier_batches", "q_frontier_batches_priority", "q_pack_chunks",
+    // round-16: the resolved extraction is map-only HOF arithmetic (its
+    // only join is the memoized frame's build); the resolved frontier
+    // witness repeats q_frontier_new's anti equi-join shape; host-capped
+    // dealing adds the broadcast of O(#batches) dense ids onto the
+    // per-host/per-(domain,wave) windows
+    "q_text_extract_links_resolved", "q_frontier_new_resolved",
+    "q_frontier_batches_host")
 
   /** Which table drives each family's x-axis. */
   def tableFor(query: String): String =
