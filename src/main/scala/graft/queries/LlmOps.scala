@@ -450,6 +450,96 @@ object LlmOps {
     "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
     "appspot.com", "amazonaws.com")
 
+  /** A realistic ~190-rule SNAPSHOT SLICE of the Mozilla Public Suffix
+    * List (publicsuffix.org) — the DATA the production
+    * [[registrableDomainJoined]] path broadcasts, at a size the
+    * embedded [[MultiLabelSuffixes]] constant (44 rules) cannot
+    * exercise: country-code second-level registrations across ~35
+    * ccTLDs plus the major shared-hosting suffixes. Restricted to
+    * TWO-LABEL rules — the join machinery matches the host's last two
+    * labels by contract (a 3+-label rule like `s3.amazonaws.com` needs
+    * a wider key and is out of scope, documented); wildcard and
+    * exception rules (`*.ck`, `!www.ck`) likewise. A host under a rule
+    * present here but absent from the embedded subset shows the table
+    * path doing what the constant cannot (suite-pinned divergence:
+    * `shop.x.co.il` groups as `x.co.il` with this table, over-groups
+    * as `co.il` with the embedded column form). */
+  val PublicSuffixSnapshot: Seq[String] = Seq(
+    // uk / ie
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // jp
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    // au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz",
+    // in
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "mil.in",
+    // kr
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr",
+    // br
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "adv.br", "agr.br", "eco.br", "emp.br", "ind.br", "inf.br",
+    "jus.br", "leg.br", "mil.br", "nom.br", "not.br",
+    // cn / tw / hk
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "mil.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw",
+    "idv.tw", "club.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    // sg / my / ph / th / id
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph",
+    "ngo.ph",
+    "co.th", "in.th", "or.th", "net.th", "ac.th", "go.th", "mi.th",
+    "co.id", "or.id", "net.id", "web.id", "ac.id", "sch.id", "go.id",
+    "mil.id", "my.id", "biz.id",
+    // za / ke / ng / gh / tz / eg / sa / ae
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za", "edu.za",
+    "law.za", "mil.za", "school.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "info.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "mil.ng",
+    "name.ng", "sch.ng", "mobi.ng",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "ac.tz", "go.tz", "or.tz", "ne.tz", "sc.tz",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "mil.eg",
+    "eun.eg", "name.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae", "sch.ae",
+    // il / tr / ua / pl / at
+    "co.il", "org.il", "net.il", "k12.il", "gov.il", "muni.il", "ac.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
+    "gen.tr", "web.tr", "av.tr", "bel.tr", "biz.tr", "dr.tr", "k12.tr",
+    "name.tr", "pol.tr", "tel.tr", "tv.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl",
+    "ac.at", "co.at", "gv.at", "or.at", "priv.at",
+    // latam
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "nom.co", "web.co",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve",
+    "web.ve", "co.ve", "info.ve",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "fin.ec",
+    "med.ec", "pro.ec", "k12.ec",
+    // shared hosting (the PSL private section, 2-label rules)
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "amazonaws.com", "netlify.app", "vercel.app",
+    "pages.dev", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudapp.net", "wordpress.com", "glitch.me", "onrender.com")
+
   /** The lowercased host of an absolute URL — the same split arithmetic
     * as [[canonicalizeUrl]]'s host leg (strip scheme, take up to the
     * first '/', strip the port), factored so the domain-cap path states
@@ -4018,6 +4108,36 @@ object LlmOps {
         registrableDomain(urlHost(col("url"))).as("domain"))
       .orderBy("doc_id")),
 
+    // REGISTRABLE DOMAIN through the PRODUCTION table path
+    // ([[registrableDomainJoined]]) at realistic PSL size: the ~190-rule
+    // [[PublicSuffixSnapshot]] broadcast against a 12-shape host fixture
+    // whose rules include several ABSENT from the embedded column-form
+    // subset (co.il, com.eg, gob.mx, vercel.app, ac.at, co.ke) — the
+    // table path grouping correctly where the constant would over-group
+    // to last-two (suite pins the divergence explicitly). FULL DuckDB
+    // parity — the suffix table interpolated into a list-unnest CTE
+    // from the ONE Scala constant, the same label CASE both engines.
+    "q_text_domain_psl" -> ((s, d) => {
+      import s.implicits._
+      val m = pmod(col("doc_id"), lit(12))
+      val host = when(m === 0, concat(lit("www."), col("source"), lit(".co.uk")))
+        .when(m === 1, concat(lit("blog."), col("source"), lit(".com.br")))
+        .when(m === 2, concat(col("source"), lit(".github.io")))
+        .when(m === 3, concat(lit("shop."), col("source"), lit(".co.il")))
+        .when(m === 4, concat(lit("a.b."), col("source"), lit(".com.eg")))
+        .when(m === 5, concat(lit("api."), col("source"), lit(".gob.mx")))
+        .when(m === 6, lit("intranet-host"))
+        .when(m === 7, concat(lit("www."), col("source"), lit(".com")))
+        .when(m === 8, concat(col("source"), lit(".ne.jp")))
+        .when(m === 9, concat(lit("cdn."), col("source"), lit(".vercel.app")))
+        .when(m === 10, concat(lit("x."), col("source"), lit(".ac.at")))
+        .otherwise(concat(col("source"), lit(".co.ke")))
+      registrableDomainJoined(
+        Tables(s, d, "documents").select(col("doc_id"), host.as("host")),
+        "host", PublicSuffixSnapshot.toDF("suffix"))
+        .orderBy("doc_id")
+    }),
+
     // HTML boilerplate strip (see [[stripHtml]]): script/style/comment
     // blocks out whole, tags -> spaces, entities decoded (&amp; last),
     // whitespace collapsed — over the deterministic [[htmlFixture]]
@@ -6899,6 +7019,39 @@ object LlmOps {
         |  CAST((rn - 1) // 3 AS BIGINT) AS batch,
         |  CAST((rn - 1) % 3 AS BIGINT) AS slot
         |FROM dr ORDER BY canon""".stripMargin,
+
+    // the production PSL-table path: the snapshot interpolated once as
+    // a list-unnest, the same last-two-label join + label CASE as
+    // registrableDomainJoined (guarded so one-label hosts never index
+    // out of range)
+    "q_text_domain_psl" -> {
+      val sfx = PublicSuffixSnapshot.map(x => s"'$x'").mkString(", ")
+      s"""WITH hh AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 12
+         |      WHEN 0 THEN 'www.' || source || '.co.uk'
+         |      WHEN 1 THEN 'blog.' || source || '.com.br'
+         |      WHEN 2 THEN source || '.github.io'
+         |      WHEN 3 THEN 'shop.' || source || '.co.il'
+         |      WHEN 4 THEN 'a.b.' || source || '.com.eg'
+         |      WHEN 5 THEN 'api.' || source || '.gob.mx'
+         |      WHEN 6 THEN 'intranet-host'
+         |      WHEN 7 THEN 'www.' || source || '.com'
+         |      WHEN 8 THEN source || '.ne.jp'
+         |      WHEN 9 THEN 'cdn.' || source || '.vercel.app'
+         |      WHEN 10 THEN 'x.' || source || '.ac.at'
+         |      ELSE source || '.co.ke'
+         |    END AS host FROM documents),
+         |sfx AS (SELECT unnest([$sfx]) AS suffix),
+         |hp AS (SELECT doc_id, host, string_split(host, '.') AS p FROM hh),
+         |lj AS (SELECT hp.*, s.suffix FROM hp LEFT JOIN sfx s
+         |       ON (CASE WHEN len(p) >= 2 THEN p[len(p)-1] || '.' || p[len(p)] END) = s.suffix)
+         |SELECT doc_id, host,
+         |  CASE WHEN len(p) <= 2 THEN host
+         |       WHEN suffix IS NOT NULL THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+         |       ELSE p[len(p)-1] || '.' || p[len(p)] END AS domain
+         |FROM lj ORDER BY doc_id""".stripMargin
+    },
 
     // two-level politeness: host wave (cap 2) then domain sub-batch
     // (cap 3), batch = dense index over the distinct (wave, sub) pairs

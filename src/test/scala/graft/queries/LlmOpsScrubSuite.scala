@@ -87,6 +87,36 @@ class LlmOpsScrubSuite extends SparkSpec {
       "reference resolution drifted from the documented subset")
   }
 
+  test("PublicSuffixSnapshot: rules beyond the embedded subset group correctly; divergence pinned") {
+    import spark.implicits._
+    val hosts = Seq("shop.x.co.il", "cdn.y.vercel.app", "a.b.z.com.eg",
+      "www.w.co.uk", "plain.example.com", "intranet-host")
+    val df = hosts.toDF("host")
+    val table = LlmOps.registrableDomainJoined(df, "host",
+        LlmOps.PublicSuffixSnapshot.toDF("suffix"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // snapshot-only rules: the table path groups one level deeper
+    assert(table("shop.x.co.il") === "x.co.il")
+    assert(table("cdn.y.vercel.app") === "y.vercel.app")
+    assert(table("a.b.z.com.eg") === "z.com.eg")
+    // embedded rules and non-rules agree with the column form everywhere
+    assert(table("www.w.co.uk") === "w.co.uk")
+    assert(table("plain.example.com") === "example.com")
+    assert(table("intranet-host") === "intranet-host")
+    // the DOCUMENTED divergence: the embedded column form, blind to
+    // co.il, falls back to last-two and over-groups (never splits one
+    // registrant — the conservative miss its scaladoc promises)
+    val column = df.select(col("host"),
+        LlmOps.registrableDomain(col("host")).as("domain"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(column("shop.x.co.il") === "co.il")
+    assert(column("www.w.co.uk") === "w.co.uk")
+    // every snapshot rule is a two-label rule (the join-key contract)
+    assert(LlmOps.PublicSuffixSnapshot.forall(_.count(_ == '.') == 1))
+    assert(LlmOps.PublicSuffixSnapshot.distinct.size ===
+      LlmOps.PublicSuffixSnapshot.size, "duplicate snapshot rules")
+  }
+
   test("collapseDotSegments: RFC 3986 §5.2.4 vectors; dotted and plain paths share one canon") {
     import spark.implicits._
     val cases = Seq(
