@@ -67,7 +67,24 @@ object PageRank {
     val n = ids.count()
     require(n > 0, "PageRank needs at least one node")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("g")).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("g"))
+    // LOOP-INVARIANT HOISTING (optimization guide §1.2 step 1 / §2.4):
+    // through round 16 every round re-joined `outdeg` into the
+    // contribution pass and re-ran the anti-join that finds dangling
+    // nodes — 2·iters joins over static frames. Both are pure functions
+    // of (nodes, edges): materialize the degree-annotated edge list and
+    // the dangling-node id set ONCE and let each round consume them
+    // directly. Per-round work drops to one equi-join + two aggregates;
+    // the contribution aggregate sums the identical (rank/g) multiset
+    // per dst through the same DECIMAL(38,18) path, so ranks stay
+    // bit-identical (oracle-pinned). At 100 TB the saving is
+    // proportional: O(|E|) join work per round becomes a one-time
+    // O(|E|) materialization.
+    val eg = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("g")).localCheckpoint()
+    val dangIds = ids
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
     var pr = init match {
       case None => ids.withColumn("rank", lit(1.0 / n))
       case Some(i0) =>
@@ -89,13 +106,12 @@ object PageRank {
       val live = sc.getPersistentRDDs
       pinned.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
       pinned = fresh
-      val contrib = pr.join(outdeg, col("id") === col("src"))
-        .join(e, "src")
+      val contrib = pr.join(eg, col("id") === col("src"))
         .groupBy("dst")
         .agg(sum((col("rank") / col("g")).cast("decimal(38,18)"))
           .cast("double").as("contrib"))
       val dangling = pr
-        .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .join(dangIds, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank").cast("decimal(38,18)")).cast("double"),
           lit(0.0)).as("dm"))
       pr = ids

@@ -3891,8 +3891,17 @@ object LlmOps {
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(1, size(t) - 2), i -> array_join(slice(t, i, 3), ' '))")))
           .as("sh"))
-      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
-      sh.join(first, "sh")
+      // first-occurrence doc per shingle as a window min instead of the
+      // r16 groupBy + self-join (guide §2.3/§2.4): the join's probe side
+      // re-scanned and re-exploded the corpus and shuffled the full
+      // shingle frame a second time (the per-shingle min table is
+      // corpus-scale — one row per distinct n-gram — so it can never
+      // broadcast at 100 TB); the window computes the same min over the
+      // same hash-partitioned frame in ONE shuffle and one pass.
+      // Identical rows: every shingle row joins its own group, exact
+      // integer min either way (oracle-pinned).
+      sh.withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_ngrams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
