@@ -74,17 +74,26 @@ object KnnGraph {
       .distinct()
   }
 
-  /** Score pairs with cosine (dot of unit vectors) and emit BOTH
-    * directions, deduped: (id, nbr, sim). The vector gather joins a
-    * candidate set that is many times larger than the vector table at
-    * harness scale — but `vecs` is a checkpointed RDD scan whose stats
-    * Catalyst reports as unknown-large, so auto-broadcast never fires and
-    * both gathers become candidate-set shuffles. `smallVecs` (decided
-    * once per build from the actual row count) hints the broadcast
-    * explicitly; at corpus sizes past the threshold the hint is withheld
-    * and the gathers fall back to the id-hash shuffle join, which is the
-    * correct 100 TB shape (candidates are linear in n, vectors shuffle
-    * once per side). */
+  /** Score pairs with cosine (dot of unit vectors) and emit BOTH directed
+    * edges per pair: (id, nbr, sim) ∪ (nbr, id, sim). The vector gather
+    * joins a candidate set that is many times larger than the vector
+    * table at harness scale — but `vecs` is a checkpointed RDD scan whose
+    * stats Catalyst reports as unknown-large, so auto-broadcast never
+    * fires and both gathers become candidate-set shuffles. `smallVecs`
+    * (decided once per build from the actual row count) hints the
+    * broadcast explicitly; at corpus sizes past the threshold the hint is
+    * withheld and the gathers fall back to the id-hash shuffle join,
+    * which is the correct 100 TB shape (candidates are linear in n,
+    * vectors shuffle once per side).
+    *
+    * Both directions come out of ONE joined-and-scored pass via a
+    * map-side explode (guide §1.2 "don't compute things twice"): through
+    * round 16 every consumer unioned two selects over this frame, and
+    * because the union's branches are separate plan subtrees the gather
+    * joins and the graft_dot scoring — the heaviest compute in the whole
+    * family, measured at ~8 s of task time per descent round at sf0.1 —
+    * ran TWICE per round. Same directed-edge multiset, half the work at
+    * any scale. */
   private def scoreBoth(pairs: DataFrame, vecs: DataFrame,
                         smallVecs: Boolean): DataFrame = {
     def side(name: String, out: String) = {
@@ -95,7 +104,11 @@ object KnnGraph {
       .join(side("a", "va"), "a")
       .join(side("b", "vb"), "b")
       .withColumn("sim", expr("graft_dot(va, vb)"))
-      .select(col("a"), col("b"), col("sim"))
+      .select(explode(array(
+        struct(col("a").as("id"), col("b").as("nbr"), col("sim").as("sim")),
+        struct(col("b").as("id"), col("a").as("nbr"), col("sim").as("sim"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("e.sim").as("sim"))
   }
 
   /** Keep each node's k best (sim desc, nbr asc) via the TopKPerKey heap
@@ -166,9 +179,8 @@ object KnnGraph {
     // the whole build: 64 dims x 8 bytes -> broadcast under ~64 MB
     val n = vecs.count()
     val smallVecs = n * 64L * 8L < 64L * 1024 * 1024
-    val seeded = scoreBoth(lshSeedPairs(vecs, seedBands, seedBits, hotCap), vecs, smallVecs)
-    var g = topK(seeded.select(col("a").as("id"), col("b").as("nbr"), col("sim"))
-      .unionByName(seeded.select(col("b").as("id"), col("a").as("nbr"), col("sim"))), kk)
+    var g = topK(
+      scoreBoth(lshSeedPairs(vecs, seedBands, seedBits, hotCap), vecs, smallVecs), kk)
     var pinned = Set.empty[Int]
     var converged = false
     var rounds = 0
@@ -238,16 +250,17 @@ object KnnGraph {
       .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
       .distinct()
     // drop pairs already in the graph: no rescoring of known edges, and
-    // the union below stays (id, nbr)-unique without a dedupe shuffle
-    val known = g.select(least(col("id"), col("nbr")).as("a"),
-      greatest(col("id"), col("nbr")).as("b")).distinct()
+    // the union below stays (id, nbr)-unique without a dedupe shuffle.
+    // The unordered known-pair set is exactly the id < nbr half of the
+    // (already distinct) undirected adjacency above — derive it by a
+    // map-side filter instead of re-scanning g through a second distinct
+    // shuffle (guide §2.4: two operations keyed the same way share one
+    // exchange; the adjacency's exchange is reused for all three
+    // consumers).
+    val known = adj.filter(col("id") < col("nbr"))
+      .select(col("id").as("a"), col("nbr").as("b"))
     val fresh = cand.join(known, Seq("a", "b"), "left_anti")
-    val scored = scoreBoth(fresh, vecs, smallVecs)
-    val edges = g.unionByName(
-      scored.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
-      .unionByName(
-        scored.select(col("b").as("id"), col("a").as("nbr"), col("sim")))
-    topK(edges, kk)
+    topK(g.unionByName(scoreBoth(fresh, vecs, smallVecs)), kk)
   }
 
   /** Graph-ANN SEARCH: top-k corpus neighbors for each (possibly
@@ -412,13 +425,13 @@ object KnnGraph {
       newVecs, smallNew)
     // (id, nbr) uniqueness across the union holds by DOMAIN disjointness:
     // graph is old->old, newToOld new->old, its reverse old->new, nn
-    // new->new — no two legs can emit the same directed edge
+    // new<->new (both directions in one frame) — no two legs can emit
+    // the same directed edge
     val merged = topK(graph
       .unionByName(newToOld)
       .unionByName(newToOld.select(col("nbr").as("id"), col("id").as("nbr"),
         col("sim")))
-      .unionByName(nn.select(col("a").as("id"), col("b").as("nbr"), col("sim")))
-      .unionByName(nn.select(col("b").as("id"), col("a").as("nbr"), col("sim"))),
+      .unionByName(nn),
       kk)
     var g = merged
     if (iters > 0) {

@@ -161,16 +161,27 @@ object SparseRidge {
       (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     try {
-      // b = Xᵀy over the grouped pass shape
+      // b = Xᵀy over the grouped pass shape. The same aggregation carries
+      // a per-slot row count: every doc contributes exactly one bias-slot
+      // entry (j = d), so that slot's count IS the training-doc count the
+      // CG mean-scaling needs — folded into this pass instead of a
+      // separate g.count() scan (guide §2.3 "aggregate before you
+      // shuffle" / one fewer full pass per fit; at 100 TB that is a whole
+      // scan of the grouped corpus).
       val bRows = g
         .select(explode(col("fs")).as("f"), col("y"))
-        .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("y")).as("b"))
+        .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("y")).as("b"),
+          count(lit(1)).as("c"))
         .collect()
       val b = Array.ofDim[Double](d + 1)
-      bRows.foreach(r => b(r.getInt(0)) = r.getLong(1) / Grid)
+      var nDocs = 0L
+      bRows.foreach { r =>
+        b(r.getInt(0)) = r.getLong(1) / Grid
+        if (r.getInt(0) == d) nDocs = r.getLong(2)
+      }
       val w =
         if (d + 1 <= denseLimit) solveDense(g, b, d, lambda)
-        else cgLoop(g, b, lambda, iters, math.max(1L, g.count()))
+        else cgLoop(g, b, lambda, iters, math.max(1L, nDocs))
       Model(dims, w.take(d), w(d))
     } finally {
       val live = sc.getPersistentRDDs

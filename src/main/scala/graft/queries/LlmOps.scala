@@ -1732,13 +1732,22 @@ object LlmOps {
                                hashKeys: Boolean): DataFrame = {
     val key = if (hashKeys) xxhash64(col("sh")) else col("sh")
     val sh = win.select(col("doc_id"), col("pos"), key.as("k"))
-    val rep = sh.groupBy("k").agg(
-        count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("canon"))
-      .filter(col("cnt") >= 2)
-    val marks = sh.join(rep, "k")
-      .filter(col("doc_id") =!= col("canon.doc_id") ||
-        col("pos") =!= col("canon.pos"))
+    // repeated-window marking as ONE window pass over the k-partitioned
+    // frame instead of the r16 groupBy + join back (guide §2.3/§2.4, the
+    // q_text_novelty move): the join re-scanned and re-shuffled the full
+    // window frame — the family's widest intermediate (every w-token
+    // window of every doc, string keys in the oracle twin) — a second
+    // time; per-key count and canonical-first min(struct) are computed
+    // over the same hash partitioning in one shuffle. Identical rows and
+    // exact integer/struct comparisons either way (full-oracle-pinned at
+    // both SFs).
+    val wk = Window.partitionBy("k")
+    val marks = sh
+      .withColumn("cnt", count(lit(1)).over(wk))
+      .withColumn("canon", min(struct(col("doc_id"), col("pos"))).over(wk))
+      .filter(col("cnt") >= 2 &&
+        (col("doc_id") =!= col("canon.doc_id") ||
+          col("pos") =!= col("canon.pos")))
       .select(col("doc_id"), col("pos").as("s0"),
         (col("pos") + (w - 1)).as("e0"))
     val ord = Window.partitionBy("doc_id").orderBy("s0", "e0")

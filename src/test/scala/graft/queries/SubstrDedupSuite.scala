@@ -117,18 +117,25 @@ class SubstrDedupSuite extends SparkSpec {
     assert(spanLen.nonEmpty)
   }
 
-  test("plan: equi-joins only; island-merge windows stay doc_id-partitioned") {
+  test("plan: equi-joins only; every window stays key-partitioned") {
     for (k <- Seq("q_dedup_substr", "q_dedup_substr_xxh", "q_dedup_substr_clean")) {
       val plan = graft.SparkEntry.queries(k)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$k plan:\n$plan")
-      // the gaps-and-islands merge must never become a corpus-wide sort
+      // no window may become a corpus-wide single-partition sort: the
+      // island merge partitions by doc_id, and (since r17) the
+      // repeated-window marking partitions by the window key k — the
+      // groupBy+join-back it replaced re-shuffled the widest frame twice
       val specs = plan.linesIterator
         .filter(_.contains("windowspecdefinition")).toSeq
       assert(specs.nonEmpty, s"$k: expected island-merge windows")
-      assert(specs.forall(_.contains("doc_id")),
-        s"$k has a window not partitioned by doc_id:\n${specs.mkString("\n")}")
+      assert(specs.forall(s => s.contains("doc_id") || s.contains("k#")),
+        s"$k has a window with an unexpected partition spec:\n${specs.mkString("\n")}")
+      // ...and the marking window is genuinely partitioned (an empty
+      // windowspecdefinition(...) would be the corpus-wide-sort shape)
+      assert(specs.forall(!_.contains("windowspecdefinition()")),
+        s"$k has an unpartitioned window:\n${specs.mkString("\n")}")
     }
   }
 }
