@@ -2877,8 +2877,11 @@ object LlmOps {
       val labels = docs.select("doc_id")
         .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      // window count over the label partitioning, not groupBy + join back
+      // (the q_dedup_cluster shape — one shuffle instead of two)
       labels
-        .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")))
         .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
     }
     docs.select("doc_id", "lang")
@@ -2934,6 +2937,22 @@ object LlmOps {
         pairGraphCache.put(key, (df, pinned.toSet))
         df
       }
+    }
+
+  /** The near-dup CLUSTER assignment (doc_id, cluster_rep, cluster_size)
+    * memoized to scratch parquet per (application, corpus) — the
+    * disk-backed sibling of [[nearDupPairsShared]] one composition level
+    * up (guide §1.2 step 1: don't recompute what a pipeline computes once
+    * per corpus). The iterative connected-components run is the most
+    * expensive leg the curation COMPOSITIONS re-ran per invocation
+    * (q_curate_probe and q_curate_serve each re-derived it while already
+    * memoizing their probe-score legs — this closes the asymmetry). The
+    * standalone q_dedup_cluster gate and q_curate keep the UNSHARED path,
+    * so both operators' honest per-run costs stay visible in the bench. */
+  private def clusterShared(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.frame(s, graft.operators.Scratch.dir(
+      "graft-clusters", s.sparkContext.applicationId, d)) {
+      queries("q_dedup_cluster")(s, d)
     }
 
   /** Unpersist every cached graph's checkpoint blocks, then drop the memo.
@@ -3031,8 +3050,12 @@ object LlmOps {
       val labels = Tables(s, d, "documents").select("doc_id")
         .join(comp.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      // cluster sizes as a window count over the same label partitioning
+      // instead of the r16 groupBy + join back (guide §2.4, the
+      // q_text_novelty move): one shuffle of the label frame, not two.
       labels
-        .join(labels.groupBy("label").agg(count(lit(1)).as("cluster_size")), "label")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")))
         .select(col("doc_id"), col("label").as("cluster_rep"), col("cluster_size"))
         .orderBy("doc_id")
     }),
@@ -4426,9 +4449,15 @@ object LlmOps {
       val fp = Tables(s, d, "documents")
         .select(col("doc_id"),
           array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("fp"))
-      val rep = fp.groupBy("fp").agg(min(col("doc_id")).as("cluster_rep"),
-        count(lit(1)).as("cluster_size"))
-      fp.join(rep, "fp").select("doc_id", "cluster_rep", "cluster_size")
+      // rep/size as window aggregates over the fingerprint partitioning
+      // instead of groupBy + join back (guide §2.3/§2.4): the join
+      // re-shuffled the fingerprint frame — whose key is the WHOLE sorted
+      // distinct-token text, the widest column in the query — a second
+      // time; the window computes the same min/count in one shuffle.
+      val wf = Window.partitionBy("fp")
+      fp.withColumn("cluster_rep", min(col("doc_id")).over(wf))
+        .withColumn("cluster_size", count(lit(1)).over(wf))
+        .select("doc_id", "cluster_rep", "cluster_size")
         .orderBy("doc_id")
     }),
 
@@ -4616,7 +4645,7 @@ object LlmOps {
               "graft-qpfeat", s.sparkContext.applicationId, d))(
               qualityProbeFeatures(Tables(s, d, "documents"))))
         },
-        cluster = Some(queries("q_dedup_cluster")(s, d)))),
+        cluster = Some(clusterShared(s, d)))),
 
     // SERVING-shaped curation (see [[curateDocsServe]]): the frozen wide
     // probe scores the corpus and the drift gauge guards the gate — the
@@ -4641,7 +4670,7 @@ object LlmOps {
         "graft-serve-scores", s.sparkContext.applicationId, d))(
         wideServedRaw(Tables(s, d, "documents").select("doc_id", "text"), path))
       curateDocsServe(Tables(s, d, "documents"), path,
-        cluster = Some(queries("q_dedup_cluster")(s, d)),
+        cluster = Some(clusterShared(s, d)),
         rawScores = Some(raw))
     }),
 

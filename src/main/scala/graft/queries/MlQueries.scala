@@ -106,15 +106,17 @@ object MlQueries {
       val wSufK = Window.partitionBy("j", "k").orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val suf = ckd.withColumn("cgt", sum("c").over(wSufK)) // C_{bin>=b, k}
-      // N_{bin>=b} per (j, b): suffix over the per-bin totals
-      val nbin = cells.groupBy("j", "bin").agg(sum("c").as("nb"))
-      val nDense = grid.select("j").distinct()
-        .withColumn("bin", explode(sequence(lit(0), lit(15))))
-        .join(nbin, Seq("j", "bin"), "left_outer").na.fill(0L, Seq("nb"))
-      val wSufN = Window.partitionBy("j").orderBy(col("bin").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ngt = nDense.withColumn("ngt", sum("nb").over(wSufN)).select("j", "bin", "ngt")
-      val ctot = ckd.groupBy("j", "k").agg(sum("c").as("ctot"))
+      // N_{bin>=b} and C_{tot,k} both FOLLOW from the suffix cube instead
+      // of needing their own aggregation branches over `cells` (guide
+      // §1.2 step 1 — r16 built a second dense lattice + its own suffix
+      // window for N and a third aggregation for C_tot, ~4 extra
+      // exchanges on the plan's critical path):
+      //   N_{bin>=b}(j) = Σ_k C_{bin>=b,k}(j)   — one aggregate of suf;
+      //   C_{tot,k}(j)  = C_{bin>=0,k}(j)       — the bin = 0 slice.
+      // Identical integers by the definitions (full-oracle-pinned).
+      val ngt = suf.groupBy("j", "bin").agg(sum("cgt").as("ngt"))
+      val ctot = suf.filter(col("bin") === 0)
+        .select(col("j"), col("k"), col("cgt").as("ctot"))
       // edge(j, theta_b, k) = 4·C_gt − 2·N_gt − 2·C_tot + m   (all integers)
       val edges = grid.withColumn("k", explode(sequence(lit(0), lit(9))))
         .join(suf.select(col("j"), col("bin").as("b"), col("k"), col("cgt")),

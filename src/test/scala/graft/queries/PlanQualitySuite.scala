@@ -448,11 +448,16 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("UDF"), s"probe must be built-ins only:\n$p")
   }
 
-  test("q_text_novelty: first-seen join is hash equi, no cartesian, no UDF") {
+  test("q_text_novelty: first-seen is a shingle-partitioned window, join-free, no UDF") {
     val p = plan("q_text_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"shingle-first_seen join must be an equi join:\n$p")
+    // r17: the groupBy + join-back became min() over the sh partitioning —
+    // ONE shuffle and one explode pass instead of two of each; the plan
+    // must stay join-free (a reintroduced join would re-shuffle the full
+    // shingle frame) and the window must be keyed, never corpus-wide
+    assert(!p.contains("Join"), s"first-seen must be a window, not a join:\n$p")
+    assert(p.contains("windowspecdefinition(sh#"),
+      s"expected the sh-partitioned first-seen window:\n$p")
     assert(!p.contains("UDF"), p)
   }
 
