@@ -2893,7 +2893,14 @@ object LlmOps {
   /** Exact 5-gram-shingle Jaccard >= 0.8 pairs — shared by q_dedup_near
     * and the clustering step built on top of it. */
   private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
+    // materialize the shingle explode ONCE: it feeds three consumers (the
+    // per-doc sizes and both self-join sides) and the tokenize+shingle
+    // pipeline otherwise re-runs per consumer (the self-join sides share
+    // one exchange via reuse, but the sizes aggregation re-explodes the
+    // corpus — guide §1.2 "don't compute things twice"). Blocks are
+    // released by the caller sweep (Bench/Verify per query;
+    // nearDupPairsShared's pinned-delta tracking covers the shared path).
+    val sh = docShingles(s, d).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -3770,7 +3777,9 @@ object LlmOps {
     // the long doc). Same candidate generation (pairs sharing a shingle),
     // so the LSH banding scale path applies unchanged.
     "q_dedup_containment" -> ((s, d) => {
-      val sh = docShingles(s, d)
+      // one materialized shingle pass for sizes + both self-join sides
+      // (the nearDupPairs discipline); swept per query by the harness
+      val sh = docShingles(s, d).localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
