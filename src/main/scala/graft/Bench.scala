@@ -1,7 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line the driver records as BENCH_r{N}.json.
+/** Benchmark main. Prints the full-run JSON line (per-key map, retried
+  * pairs, sentinel samples — the complete artifact, also persisted to
+  * BENCH_FULL.json) followed by ONE COMPACT (&lt;1 KB) summary line as the
+  * LAST stdout line. The driver records only a ~2 KB stdout tail, and the
+  * full line outgrew it around round 3 (236 keys by r17 — tens of KB), so
+  * BENCH_r01..r17 all carry `parsed: null` and PERF has been empty
+  * (VERDICT r17 "what's wrong" #1). The compact line carries the totals,
+  * counts, head and sentinel maxima — everything scalar — and names the
+  * artifact file holding the per-key maps; it is what the driver's
+  * tail-parse can actually see. Nothing about the measurement methodology
+  * changed: same queries, same action, same medians, same sentinel
+  * protocol, and the full line still prints first.
   *
   * Trust mechanisms (round-5 sentinel + median-of-3; round-10 weather-proofing
   * after BENCH_r09 was captured in a contended window — 116.1 s at 18.8 %
@@ -207,6 +218,22 @@ object Bench {
       case None => (out, None)
     }
   }
+
+  /** The compact end-of-run summary — the LAST stdout line (see the class
+    * doc: the driver keeps only a ~2 KB stdout tail, so this line, not the
+    * full artifact line, is what its parse sees). Scalars only; the
+    * per-key/retried/sample maps live in the artifact file this line names.
+    * Pure, suite-pinned to stay parseable and under 1 KB. */
+  private[graft] def compactLine(total: Double, quietEquiv: Double,
+      nKeys: Int, nFailed: Int, head: String, retriedCount: Int,
+      maxSlowPct: Double, maxSlowMtPct: Double, stBase: Double,
+      mtBase: Double, sfDir: String, artifact: String): String =
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""quiet_equiv_sec":$quietEquiv,"n_keys":$nKeys,""" +
+      s""""n_failed":$nFailed,"head":"$head","retried_n":$retriedCount,""" +
+      s""""sentinel":{"spin_base_sec":$stBase,"max_slow_pct":$maxSlowPct},""" +
+      s""""sentinel_mt":{"spin_base_sec":$mtBase,"max_slow_pct":$maxSlowMtPct},""" +
+      s""""queries_file":"$artifact"}"""
 
   /** Current git HEAD commit (plain file reads — no process exec), or
     * "unknown". Resolves one level of symbolic ref and falls back to
@@ -463,6 +490,12 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
+    // the compact summary is the LAST stdout line — the one the driver's
+    // ~2 KB tail can actually parse (VERDICT r17 #1); per-key maps are in
+    // the artifact file it names
+    println(compactLine(total, quietEquiv, nKeys,
+      results.count(_._2 < 0), head, retried.size,
+      maxSlowPct, maxSlowMtPct, spinBase, spinMtBase, sfDir, target))
     spark.stop()
   }
 }

@@ -110,4 +110,30 @@ class BenchGuardSuite extends AnyFunSuite {
       thSt = 10.0, thMt = 18.0)
     assert(t == out && why.isEmpty)
   }
+
+  test("compact final line: valid JSON, under 1 KB, carries the driver fields") {
+    // VERDICT r17 #1: the driver keeps only a ~2 KB stdout tail, so the
+    // LAST line must be a standalone parseable summary. Pin shape + size.
+    val line = Bench.compactLine(total = 107.5512345678901,
+      quietEquiv = 85.29123456789012, nKeys = 236, nFailed = 0,
+      head = "a2c425206acf8bd0c6ef797a6eba205f85782ea1", retriedCount = 19,
+      maxSlowPct = 9.4885548683057, maxSlowMtPct = 19.23136276222427,
+      stBase = 0.56203722, mtBase = 0.348429463,
+      sfDir = "/root/testdata/sf0.1", artifact = "BENCH_FULL.json.latest")
+    assert(line.length < 1024, s"compact line must stay tail-sized: ${line.length}")
+    assert(!line.contains("\n"))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line) // throws on malformed JSON
+    assert(m.get("metric").asText() == "total")
+    assert(math.abs(m.get("value").asDouble() - 107.5512345678901) < 1e-9)
+    assert(m.get("unit").asText() == "sec")
+    assert(m.get("sf").asText() == "/root/testdata/sf0.1")
+    assert(m.get("n_keys").asInt() == 236)
+    assert(m.get("n_failed").asInt() == 0)
+    assert(m.get("retried_n").asInt() == 19)
+    assert(m.get("head").asText().startsWith("a2c42520"))
+    assert(m.get("sentinel").get("max_slow_pct").asDouble() > 9.0)
+    assert(m.get("sentinel_mt").get("max_slow_pct").asDouble() > 19.0)
+    assert(m.get("queries_file").asText() == "BENCH_FULL.json.latest")
+  }
 }
