@@ -43,17 +43,15 @@ object LabelPropagation {
     val sc = nodes.sparkSession.sparkContext
     val ids = nodes.select(col("id")).localCheckpoint()
     // the adjacency is PRE-PARTITIONED (+ pre-sorted) on dst — the key
-    // every round's vote join uses — before the one checkpoint:
-    // localCheckpoint preserves outputPartitioning/outputOrdering, so no
-    // round re-shuffles or re-sorts the O(|E|) side (guide §2.4; the
-    // PageRank `eg` discipline). One extra exchange at build time buys
-    // iters exchange-free joins.
-    val adj = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
-      .distinct()
-      .repartition(col("dst")).sortWithinPartitions("dst")
-      .localCheckpoint()
+    // every round's vote join uses — when big enough to matter
+    // ([[LoopCheckpoint.keyed]] — guide §2.4; the unconditional r17
+    // repartition was the q_graph_communities "watch" item, measured
+    // slower on latency-bound small inputs in round-18 alternating A/Bs).
+    val (adj, _) = LoopCheckpoint.keyed(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(ids.select(col("id").as("src"), col("id").as("dst")))
+        .distinct(), "dst")
     var labels = ids.withColumn("label", col("id"))
     var pinned = Set.empty[Int]
     for (_ <- 1 to iters) {

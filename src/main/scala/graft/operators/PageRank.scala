@@ -80,16 +80,12 @@ object PageRank {
     // bit-identical (oracle-pinned). At 100 TB the saving is
     // proportional: O(|E|) join work per round becomes a one-time
     // O(|E|) materialization.
-    // ... and PRE-PARTITIONED (+ pre-sorted) on the per-round join key:
-    // localCheckpoint preserves outputPartitioning/outputOrdering, so
-    // every round's contribution join consumes `eg` with NO exchange and
-    // NO sort on the O(|E|) side — the one-time shuffle here replaces
-    // iters shuffles of the edge list (guide §2.4, the bucketed-table
-    // move applied to an in-session loop).
-    val eg = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("g"))
-      .repartition(col("src")).sortWithinPartitions("src")
-      .localCheckpoint()
+    // ... and PRE-PARTITIONED (+ pre-sorted) on the per-round join key
+    // when big enough to matter ([[LoopCheckpoint.keyed]] — guide §2.4;
+    // the unconditional r17 repartition measured slower on latency-bound
+    // small inputs, see the helper's scaladoc).
+    val (eg, _) = LoopCheckpoint.keyed(
+      e.join(outdeg, "src").select(col("src"), col("dst"), col("g")), "src")
     val dangIds = ids
       .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
       .localCheckpoint()
