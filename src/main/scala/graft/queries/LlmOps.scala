@@ -2360,10 +2360,19 @@ object LlmOps {
         col("b").cast("long"), col("sim").cast("double")).localCheckpoint()
       val localLimit = spark.conf
         .get("spark.graft.mmr.localLimit", "200000").toLong
-      if (cd.count() <= localLimit && sm.count() <= localLimit)
-        return mmrGreedyLocal(spark,
-          cd.as[(Long, Long, Double)].collect(),
-          sm.as[(Long, Long, Long, Double)].collect(), k, lambda)
+      // size probe and local-path collect FUSED (guide §1.2: the two
+      // count() jobs only existed to decide the path): limit(n+1) either
+      // returns the COMPLETE frame (≤ n rows — it IS the collect) or
+      // n+1 rows proving the distributed loop is the right path. Two
+      // driver round-trips instead of four per rerank; reads the
+      // checkpoints, never recomputes the inputs.
+      val localN = math.min(localLimit + 1, Int.MaxValue - 1L).toInt
+      val cdRows = cd.limit(localN).as[(Long, Long, Double)].collect()
+      if (cdRows.length <= localLimit) {
+        val smRows = sm.limit(localN).as[(Long, Long, Long, Double)].collect()
+        if (smRows.length <= localLimit)
+          return mmrGreedyLocal(spark, cdRows, smRows, k, lambda)
+      }
       // step 1 is pure relevance: λ > 0 makes λ·rel order == rel order
       val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("c_id"))
       val first = cd
@@ -2517,17 +2526,23 @@ object LlmOps {
       var step = 2
       while (step <= k && picked.length == step - 1) {
         val selDf = vecs.toSeq.toDF("s_id", "sv")
+        // the argmax row CARRIES the picked vector (first() over the
+        // per-vec_id group — every row of a group holds the same v), so
+        // one distributed pass per step is also the only job per step:
+        // fetching the winner's vector back was a SECOND per-step job
+        // (a full filter pass over the corpus) for a value already in
+        // hand — guide §1.2 "don't compute things you throw away".
         val top = c.join(selDf.select(col("s_id").as("vec_id")),
             Seq("vec_id"), "left_anti")
           .crossJoin(broadcast(selDf))
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("v"),
             round(lit(1.0) - round(cosExpr("v", "sv"), 4), 4).as("dist"))
-          .groupBy("vec_id").agg(min("dist").as("mind"))
+          .groupBy("vec_id").agg(min("dist").as("mind"), first("v").as("v"))
           .orderBy(col("mind").desc, col("vec_id")).limit(1)
-          .as[(Long, Double)].collect()
-        top.foreach { case (id, mind) =>
+          .as[(Long, Double, Seq[Double])].collect()
+        top.foreach { case (id, mind, v) =>
           picked += ((step.toLong, id, Some(mind)))
-          vecs += ((id, c.filter(col("vec_id") === id).head().getSeq[Double](1)))
+          vecs += ((id, v))
         }
         step += 1
       }
