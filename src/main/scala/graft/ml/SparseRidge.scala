@@ -71,7 +71,9 @@ object SparseRidge {
     * [[LinearProbe]]'s zero-vector behavior, so the two probes fit the
     * same train population (ADVICE r12 #4: the wide fit silently dropped
     * empty/all-cancelled docs from the bias estimate while still scoring
-    * and calibrating them). */
+    * and calibrating them). The SERVING shape — [[score]] keeps it: the
+    * dimIdx join also restricts the fold to the model's dims, preserving
+    * the documented absent-doc contract. */
   private def grouped(feat: DataFrame, labels: Option[DataFrame],
                       dimIdx: DataFrame, d: Int): DataFrame = {
     val g = feat
@@ -91,6 +93,38 @@ object SparseRidge {
     }
   }
 
+  /** The bias sentinel of the RAW-dim fit frame: sorts after every real
+    * dim would (it is appended after the sort anyway) and can collide
+    * with no hashed-TF bucket. */
+  private val BiasDim: Long = Long.MaxValue
+
+  /** The FIT-side grouped frame, keyed by RAW dims (round-18 prefix
+    * fusion, guide §2.3): (id, array<struct<dim:long, v:double>>, y),
+    * array sorted by dim — the same order as [[grouped]]'s dense-index
+    * sort (dim → j is monotone), so every in-row fold is bit-identical —
+    * with the (BiasDim, 1.0) entry appended last exactly like the (D,
+    * 1.0) slot. Because no dense index is needed, the fit no longer
+    * scans the feature frame for a dims-collect before grouping: the
+    * active-dim set falls out of the b-vector aggregation over THIS
+    * frame (one driver round-trip carries dims, b and the doc count),
+    * and the folds resolve slots by binary search
+    * ([[graft.functions.SparseDotDimRef]]). Same bias-only fallback for
+    * labeled docs without feature rows. */
+  private def groupedRaw(feat: DataFrame, labels: DataFrame): DataFrame = {
+    val biasOnly = array(struct(lit(BiasDim).as("dim"), lit(1.0).as("v")))
+    val g = feat
+      .filter(col("dim").isNotNull)
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("id")
+      .agg(concat(
+        sort_array(collect_list(struct(col("dim"), col("v")))),
+        biasOnly).as("fs"))
+    labels.select(col("id"), col("y").cast("double").as("y"))
+      .join(g, Seq("id"), "left")
+      .select(col("id"), coalesce(col("fs"), biasOnly).as("fs"), col("y"))
+  }
+
   /** One matrix-free product u = ((XᵀX)/n + (λ/n)I)·p over the grouped
     * frame: q_doc = ⟨x_doc, p⟩ by an in-row fold (deterministic — sorted
     * array), then u_j = (Σ_docs v_dj·q_doc)/n by grid-long sums. The CG
@@ -102,19 +136,29 @@ object SparseRidge {
     * overflow ceiling at ~1e9 contributing docs per dim (the raw-space
     * recurrence would overflow at ~1e8 docs because q grows with ‖b‖).
     * Returns a dense vector over the D+1 slots. */
-  private def matVec(g: DataFrame, p: Array[Double], lambda: Double,
-                     n: Long): Array[Double] = {
+  private def matVec(g: DataFrame, dims: Array[Long], p: Array[Double],
+                     lambda: Double, n: Long): Array[Double] = {
     val u = g
-      .select(col("fs"), sparseDot(col("fs"), p).as("q"))
+      .select(col("fs"), sparseDotDim(col("fs"), dims, p).as("q"))
       .select(explode(col("fs")).as("f"), col("q"))
-      .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("q")).as("u"))
+      .groupBy(col("f.dim").as("dim")).agg(gridSum(col("f.v") * col("q")).as("u"))
       .collect()
     val out = Array.ofDim[Double](p.length)
-    u.foreach(r => out(r.getInt(0)) = r.getLong(1) / Grid / n)
+    u.foreach(r => out(slotOf(dims, r.getLong(0))) = r.getLong(1) / Grid / n)
     var j = 0
     while (j < out.length) { out(j) += lambda / n * p(j); j += 1 }
     out
   }
+
+  /** Driver-side twin of the fold's slot rule: BiasDim → the trailing
+    * bias slot, anything else → its rank in the sorted active dims. */
+  private def slotOf(dims: Array[Long], dim: Long): Int =
+    if (dim == BiasDim) dims.length
+    else {
+      val s = java.util.Arrays.binarySearch(dims, dim)
+      require(s >= 0, s"sparse ridge: dim $dim not in the active set")
+      s
+    }
 
   /** Past this many ACTIVE dims the solver goes matrix-free; at or under
     * it the sparse Gram is collected and solved closed-form in ONE
@@ -131,6 +175,12 @@ object SparseRidge {
     * see [[grouped]]); restrict `labels`, not `feat`, to choose the
     * train population.
     *
+    * `Model.dims` is the active-dim set OF THE TRAIN POPULATION: a dim
+    * occurring only in feat rows of docs absent from `labels` never
+    * reaches the fit (such dims previously entered as exact-zero
+    * weights — scores are identical either way, since an absent dim
+    * folds as weight 0).
+    *
     * `denseLimit` picks the solver: active dims ≤ denseLimit → one-pass
     * sparse-Gram collect + exact driver LU; above → fixed-`iters`
     * matrix-free CG. The choice depends only on the active-dim COUNT
@@ -142,46 +192,45 @@ object SparseRidge {
     require(lambda > 0, s"need lambda > 0, got $lambda")
     require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = feat.sparkSession
-    import spark.implicits._
-    val dims = feat.select(col("dim").cast("long")).distinct()
-      .orderBy("dim").as[Long].collect()
-    require(dims.nonEmpty, "sparse ridge: empty feature frame")
-    require(dims.length <= MaxActiveDims,
-      s"sparse ridge: ${dims.length} active dims exceeds $MaxActiveDims — " +
-        "use a smaller hash-bucket count or a blocked solver")
-    val d = dims.length
-    val dimIdx = dims.zipWithIndex.toSeq.toDF("dim", "j")
     // the iterate passes re-scan this frame: checkpoint it, tracked by
     // its own RDD-id delta and swept in finally (the qualityProbeFit
     // discipline — never a blanket JVM-wide sweep)
     val sc = spark.sparkContext
     val (g, pinned) = graft.operators.Scratch.trackLock.synchronized {
       val before = sc.getPersistentRDDs.keySet
-      val cp = grouped(feat, Some(labels), dimIdx, d).localCheckpoint()
+      val cp = groupedRaw(feat, labels).localCheckpoint()
       (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
     }
     try {
-      // b = Xᵀy over the grouped pass shape. The same aggregation carries
-      // a per-slot row count: every doc contributes exactly one bias-slot
-      // entry (j = d), so that slot's count IS the training-doc count the
-      // CG mean-scaling needs — folded into this pass instead of a
-      // separate g.count() scan (guide §2.3 "aggregate before you
-      // shuffle" / one fewer full pass per fit; at 100 TB that is a whole
-      // scan of the grouped corpus).
+      // FUSED fit prefix (round 18, guide §2.3 / VERDICT r17 next #5):
+      // one aggregation over the grouped frame carries b = Xᵀy per dim,
+      // the per-dim row count, AND — as its key set — the active-dim
+      // list itself. Through round 17 the prefix was three sequential
+      // driver round-trips (dims distinct-collect over the raw feature
+      // frame, grouped checkpoint, b collect); the dims pass is gone —
+      // at 100 TB that is a whole scan + shuffle of the feature frame
+      // per fit. The bias sentinel's count IS the training-doc count
+      // (every doc carries exactly one bias entry — the r17 fusion).
       val bRows = g
         .select(explode(col("fs")).as("f"), col("y"))
-        .groupBy(col("f.j").as("j")).agg(gridSum(col("f.v") * col("y")).as("b"),
-          count(lit(1)).as("c"))
+        .groupBy(col("f.dim").as("dim"))
+        .agg(gridSum(col("f.v") * col("y")).as("b"), count(lit(1)).as("c"))
         .collect()
+      val dims = bRows.map(_.getLong(0)).filter(_ != BiasDim).sorted
+      require(dims.nonEmpty, "sparse ridge: empty feature frame")
+      require(dims.length <= MaxActiveDims,
+        s"sparse ridge: ${dims.length} active dims exceeds $MaxActiveDims — " +
+          "use a smaller hash-bucket count or a blocked solver")
+      val d = dims.length
       val b = Array.ofDim[Double](d + 1)
       var nDocs = 0L
       bRows.foreach { r =>
-        b(r.getInt(0)) = r.getLong(1) / Grid
-        if (r.getInt(0) == d) nDocs = r.getLong(2)
+        b(slotOf(dims, r.getLong(0))) = r.getLong(1) / Grid
+        if (r.getLong(0) == BiasDim) nDocs = r.getLong(2)
       }
       val w =
-        if (d + 1 <= denseLimit) solveDense(g, b, d, lambda)
-        else cgLoop(g, b, lambda, iters, math.max(1L, nDocs))
+        if (d + 1 <= denseLimit) solveDense(g, b, dims, lambda)
+        else cgLoop(g, b, dims, lambda, iters, math.max(1L, nDocs))
       Model(dims, w.take(d), w(d))
     } finally {
       val live = sc.getPersistentRDDs
@@ -195,16 +244,18 @@ object SparseRidge {
     * features), so the per-cell long sum's overflow ceiling is ~9e9
     * contributing docs — the fitViaExplode witness's ceiling, fine for a
     * fast path that only fires at ≤384 dims. */
-  private def solveDense(g: DataFrame, b: Array[Double], d: Int,
+  private def solveDense(g: DataFrame, b: Array[Double], dims: Array[Long],
                          lambda: Double): Array[Double] = {
+    val d = dims.length
     val cells = g
       .select(explode(col("fs")).as("f1"), col("fs"))
       .select(col("f1"), explode(col("fs")).as("f2"))
-      .groupBy(col("f1.j").as("j1"), col("f2.j").as("j2"))
+      .groupBy(col("f1.dim").as("d1"), col("f2.dim").as("d2"))
       .agg(gridSum(col("f1.v") * col("f2.v")).as("c"))
       .collect()
     val a = Array.ofDim[Double](d + 1, d + 1)
-    cells.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getLong(2) / Grid)
+    cells.foreach(r =>
+      a(slotOf(dims, r.getLong(0)))(slotOf(dims, r.getLong(1))) = r.getLong(2) / Grid)
     var i = 0
     while (i <= d) { a(i)(i) += lambda; i += 1 }
     luSolve(a, b.clone())
@@ -237,15 +288,15 @@ object SparseRidge {
   /** Matrix-free conjugate gradient from w = 0 — the ≥2^18 path. Runs on
     * the mean-scaled system (see [[matVec]]): same iterates, O(1)
     * residual magnitudes. `n` is the training-doc count. */
-  private def cgLoop(g: DataFrame, b: Array[Double], lambda: Double,
-                     iters: Int, n: Long): Array[Double] = {
+  private def cgLoop(g: DataFrame, b: Array[Double], dims: Array[Long],
+                     lambda: Double, iters: Int, n: Long): Array[Double] = {
     val w = Array.ofDim[Double](b.length)
     val r = b.map(_ / n) // b/n — the scaled right-hand side
     var p = r.clone()
     var rr = r.map(x => x * x).sum
     var it = 0
     while (it < iters && rr > 0.0) {
-      val u = matVec(g, p, lambda, n)
+      val u = matVec(g, dims, p, lambda, n)
       val pu = p.indices.map(j => p(j) * u(j)).sum
       if (pu <= 0.0) it = iters // numerically spent — keep the iterate
       else {
@@ -326,4 +377,14 @@ object SparseRidge {
       graft.functions.SparseDotRef(
         org.apache.spark.sql.GraftSqlBridge.expression(fs),
         vec.toIndexedSeq))
+
+  /** The RAW-dim fit fold ⟨fs, vec⟩ — slots resolved by binary search
+    * over the sorted active dims ([[graft.functions.SparseDotDimRef]];
+    * dims and vector ride as object references, never plan literals). */
+  private def sparseDotDim(fs: org.apache.spark.sql.Column, dims: Array[Long],
+                           vec: Array[Double]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SparseDotDimRef(
+        org.apache.spark.sql.GraftSqlBridge.expression(fs),
+        dims.toIndexedSeq, vec.toIndexedSeq))
 }

@@ -270,6 +270,42 @@ class SparseRidgeSuite extends SparkSpec {
     }
   }
 
+  test("SparseDotDimRef: codegen-fallback-disabled, slot rule, miss fails loud") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // the raw-dim fit fold (round-18 prefix fusion): slots resolved by
+      // binary search over the sorted active dims, the Long.MaxValue
+      // bias sentinel maps to the trailing slot, and the fold equals the
+      // dense-index fold on the same logical rows
+      val dims = IndexedSeq(7L, 100L, 4096L)
+      val vec = IndexedSeq(2.0, 3.0, 5.0, 11.0) // 3 dims + bias
+      def dot(c: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.SparseDotDimRef(
+            org.apache.spark.sql.GraftSqlBridge.expression(c), dims, vec))
+      val rows = Seq(1).toDF("i").select(
+        dot(array(
+          struct(lit(7L).as("dim"), lit(1.0).as("v")),
+          struct(lit(4096L).as("dim"), lit(0.5).as("v")),
+          struct(lit(Long.MaxValue).as("dim"), lit(1.0).as("v")))).as("s"))
+        .collect()
+      assert(rows(0).getDouble(0) === 1.0 * 2.0 + 0.5 * 5.0 + 1.0 * 11.0)
+      // a dim outside the active set is a caller bug — loud, not a 0
+      val err = intercept[Exception] {
+        Seq(1).toDF("i").select(
+          dot(array(struct(lit(8L).as("dim"), lit(1.0).as("v")))).as("s"))
+          .collect()
+      }
+      assert(err.getMessage.contains("not in the") ||
+        Option(err.getCause).exists(_.getMessage.contains("not in the")))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("degenerate inputs fail fast") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Double)].toDF("id", "dim", "v")
