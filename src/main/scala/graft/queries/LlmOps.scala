@@ -2042,17 +2042,32 @@ object LlmOps {
       .orderBy("d1", "d2")
   }
 
-  /** Language-ID tail over a pre-tokenized (doc_id, lang, w) frame —
-    * shared by q_text_lang_id and the curation pipeline so the pipeline
-    * can feed quality AND lang-id from ONE tokenize pass. Profile = top-5
-    * tokens per lang, doc -> argmax profile overlap, ties alphabetical;
-    * docs x langs crossJoin keeps zero-match docs rankable. */
-  private def langIdFrom(docs: DataFrame, tok: DataFrame): DataFrame = {
+  /** The (doc_id, lang, w, c) term-frequency frame one tokenize pass
+    * yields — the SHARED upstream of quality, lang-id and every other
+    * per-doc token statistic (round-18 fusion, guide §2.3 "aggregate
+    * before you shuffle"): the corpus-scale token explode is shuffled
+    * ONCE on (doc_id, lang, w); every downstream aggregate then works on
+    * the distinct-sized frame. (doc_id, w) is unique here — lang is a
+    * per-doc column — so `tf.select(doc_id, w)` replaces the separate
+    * corpus-wide distinct the lang-id leg used to shuffle. */
+  private def docTermFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+
+  /** Language-ID tail over a [[docTermFreq]] frame — shared by
+    * q_text_lang_id and the curation pipeline so the pipeline can feed
+    * quality AND lang-id from ONE tokenize+count pass. Profile = top-5
+    * tokens per lang (occurrence counts = Σ c — identical integers to
+    * the per-token count), doc -> argmax profile overlap, ties
+    * alphabetical; docs x langs crossJoin keeps zero-match docs
+    * rankable. */
+  private def langIdFrom(docs: DataFrame, tf: DataFrame): DataFrame = {
     val wp = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
-    val prof = tok.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val prof = tf.groupBy("lang", "w").agg(sum("c").as("cnt"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 5)
       .select(col("lang").as("plang"), col("w"))
-    val dt = tok.select("doc_id", "w").distinct()
+    val dt = tf.select("doc_id", "w")
     val matches = dt.join(broadcast(prof), "w")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("n_matches"))
     val langs = docs.select(col("lang").as("plang")).distinct()
@@ -2872,13 +2887,17 @@ object LlmOps {
     * cluster assignment, each computed exactly once. */
   private def curationFrame(docs: DataFrame,
                             cluster: Option[DataFrame] = None): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("w")).localCheckpoint()
-    val quality = tok.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+    // ONE tokenize+count pass feeds quality AND lang-id (round-18
+    // fusion, guide §2.3): n_tokens = Σ c and n_distinct = the row count
+    // per doc are exact derivations of the tf frame, so the corpus-scale
+    // explode is shuffled once — and the checkpoint holds the
+    // distinct-sized tf rows, not every token occurrence.
+    val tf = docTermFreq(docs).localCheckpoint()
+    val quality = tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"))
       .select(col("doc_id"),
         qualityScore(col("n_tokens"), col("n_distinct")).as("quality"))
-    val lang = langIdFrom(docs, tok).select("doc_id", "pred_lang")
+    val lang = langIdFrom(docs, tf).select("doc_id", "pred_lang")
     val cl = cluster.getOrElse {
       val sh = docShinglesOf(docs)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -4489,13 +4508,11 @@ object LlmOps {
     // argmax profile overlap, ties alphabetical.
     "q_text_lang_id" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      // ONE tokenization pass feeds both the language profiles and the
-      // per-doc distinct tokens (the two consumers differ only in
-      // aggregation); localCheckpoint materializes the ~(tokens) rows once
-      // instead of re-exploding the corpus per consumer.
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w")).localCheckpoint()
-      langIdFrom(docs, tok).orderBy("doc_id")
+      // ONE tokenize+count pass feeds both the language profiles and the
+      // per-doc distinct tokens; the checkpoint materializes the
+      // distinct-sized tf rows (not every token occurrence), and the
+      // lang-id leg's former corpus-wide distinct is the tf frame itself.
+      langIdFrom(docs, docTermFreq(docs).localCheckpoint()).orderBy("doc_id")
     }),
 
     // TF-IDF: top-3 terms per document by tf * ln((N+1)/(df+1)), ranked on
