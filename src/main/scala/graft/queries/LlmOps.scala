@@ -2008,14 +2008,18 @@ object LlmOps {
 
   /** Winnowing tail shared by the vocab and xxh forms: minimum of each
     * 4-hash sliding window (full windows only) per doc -> distinct minima.
-    * Both windows are doc_id-partitioned — nothing here is corpus-scale. */
+    * ONE doc_id-partitioned window pass (round 18, guide §2.4): the
+    * full-window test is "a 4th-next row exists" — lead(i, 3) over the
+    * SAME (doc_id, i) window spec as the min, so both functions share one
+    * WindowExec and the former per-doc count window (a second buffering
+    * pass over every shingle row) is gone. Identical rows: lead(i, 3)
+    * IS NOT NULL ⇔ i <= n - 4. Nothing here is corpus-scale. */
   private def winnowCore(hashed: DataFrame): DataFrame = {
-    val wMin = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, 3)
+    val w = Window.partitionBy("doc_id").orderBy("i")
     hashed
-      .withColumn("m", min("h").over(wMin))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .filter(col("i") <= col("n") - 4) // full 4-hash windows only
+      .withColumn("m", min("h").over(w.rowsBetween(Window.currentRow, 3)))
+      .withColumn("full", lead(col("i"), 3).over(w))
+      .filter(col("full").isNotNull) // full 4-hash windows only
       .select(col("doc_id"), col("m")).distinct()
   }
 
@@ -3514,12 +3518,18 @@ object LlmOps {
     // lossless) and a hot bucket (a boilerplate-heavy simhash value) gets
     // salted before the self-join.
     "q_dedup_simhash" -> ((s, d) => {
+      // the affine token hash is computed ONCE per row in a projection
+      // (round 18): each of the 16 bit-sum update expressions previously
+      // embedded its own copy of (1103·tokid + 12289) % 65536 — hoisting
+      // it makes the sharing structural instead of relying on codegen
+      // subexpression elimination inside the aggregate
       val dt = docTokenIds(s, d)
+        .select(col("doc_id"), expr("(1103 * tokid + 12289) % 65536").as("h"))
       // all 16 bit-sums in ONE hash aggregation (no 16x crossJoin rows, one
       // shuffle instead of two) — same trick as q_dedup_minhash; the bit-k
       // vote and the final word assembly are map-side expressions
       val bitSums = (0 until 16).map(k => sum(
-        expr(s"CASE WHEN pmod(shiftright((1103 * tokid + 12289) % 65536, $k), 2) = 1 THEN 1 ELSE -1 END"))
+        expr(s"CASE WHEN pmod(shiftright(h, $k), 2) = 1 THEN 1 ELSE -1 END"))
         .as(s"s$k"))
       // materialized once (checkpoint); candidate generation + verify live
       // in bandedSimhashPairs (shared with the 56-bit twin)
@@ -3542,12 +3552,17 @@ object LlmOps {
     // candidate generation + first-colliding-band dedup as q_dedup_simhash;
     // the oracle keeps the all-pairs witness shape.
     "q_dedup_simhash64" -> ((s, d) => {
-      val dt = docTokenIds(s, d)
       val A = Array(1103, 2671, 4391, 5987)
       val B = Array(12289, 7681, 3217, 9973)
+      // the four 14-bit hash words are computed once per row (round 18 —
+      // the q_dedup_simhash hoist at 4 words: 56 update expressions share
+      // 4 projected hashes instead of each re-deriving its word)
+      val dt = docTokenIds(s, d).select(
+        col("doc_id") +: (0 until 4).map(j =>
+          expr(s"(${A(j)} * tokid + ${B(j)}) % 16384").as(s"h$j")): _*)
       val bitSums = (0 until 56).map { k =>
         val j = k / 14
-        sum(expr(s"CASE WHEN pmod(shiftright((${A(j)} * tokid + ${B(j)}) % 16384, ${k % 14}), 2) = 1 " +
+        sum(expr(s"CASE WHEN pmod(shiftright(h$j, ${k % 14}), 2) = 1 " +
           "THEN 1 ELSE -1 END")).as(s"s$k")
       }
       val sh = dt.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
