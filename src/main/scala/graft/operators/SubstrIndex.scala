@@ -519,22 +519,28 @@ object SubstrIndex {
     cleanupUncommitted(spark, path)
     val (w, tok) = params(spark, path)
     val sh = trackPinned(spark, path)(windows(newDocs, w, tok).localCheckpoint())
-    val batchAgg = sh.groupBy("k").agg(
-      count(lit(1)).as("cnt"),
-      min(struct(col("doc_id"), col("pos"))).as("bcanon"))
+    // per-key count + batch-canonical via ONE k-partitioned window pass
+    // (round 18 — the spansFromWindows move from the batch operator,
+    // r17 #5): the groupBy(k) + join-back re-shuffled the batch's window
+    // frame a second time for the marking join
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val shm = sh
+      .withColumn("cnt", count(lit(1)).over(wk))
+      .withColumn("bcanon", min(struct(col("doc_id"), col("pos"))).over(wk))
     val bloomWorthIt = useBloom.getOrElse(
       winBytes(spark, path) >= BloomMinIndexBytes)
     // bloom prefilter: candidate keys = batch keys the filter might have
     // seen. None ⇒ provably nothing is in the index — skip reading it.
+    val batchKeys = sh.select("k").distinct()
     val candKeys: Option[DataFrame] =
       (if (bloomWorthIt) readBloom(spark, path) else None) match {
       case Some((bf, bits, hashes)) =>
-        val c = batchAgg.select("k").join(broadcast(bf))
+        val c = batchKeys.join(broadcast(bf))
           .filter(expr(graft.functions.BloomAgg.mightContainSql(
             "k", "bf", bits, hashes)))
           .select("k")
         if (c.isEmpty) None else Some(c)
-      case None => Some(batchAgg.select("k"))
+      case None => Some(batchKeys)
     }
     // confirmed-seen keys: stored keys semi-joined by the candidates —
     // the index is streamed map-side against a broadcast candidate set
@@ -546,8 +552,7 @@ object SubstrIndex {
       case Some(c) => spark.read.parquet(s"$path/win").select("k")
         .join(c, Seq("k"), "left_semi").distinct()
     }
-    val marks = sh
-      .join(batchAgg, "k")
+    val marks = shm
       .join(seenK.withColumn("in_index", lit(1L)), Seq("k"), "left")
       .filter(col("in_index").isNotNull ||
         (col("cnt") >= 2 &&
