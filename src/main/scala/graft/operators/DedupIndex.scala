@@ -245,6 +245,17 @@ object DedupIndex {
     val newBands = bandsOf(newDs, p)
     val allBands = spark.read.parquet(s"$path/bands")
       .select("doc_id", "band", "bkey").unionByName(newBands)
+      // only buckets the NEW batch lands in can produce a candidate pair
+      // (every pair needs a new-batch side), and the semi-join keeps each
+      // touched bucket's FULL membership, so the cap below still sees the
+      // union's true bucket sizes — incremental == batch is preserved
+      // (suite-pinned). Round 18 (guide §2.3): the serving call previously
+      // checkpointed and cap-counted the ENTIRE stored band table per
+      // batch — at 100 TB a full index copy + shuffle per daily batch;
+      // now the index is scanned once and filtered to the batch's bucket
+      // neighborhood before anything is materialized.
+      .join(newBands.select("band", "bkey").distinct(),
+        Seq("band", "bkey"), "left_semi")
     // the hot-bucket cap must see the UNION's bucket sizes (a bucket can
     // cross the capacity only once the new batch lands in it) — this is
     // what keeps incremental == batch, suite-pinned
