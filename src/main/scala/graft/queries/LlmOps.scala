@@ -2935,10 +2935,14 @@ object LlmOps {
     // per-doc sizes and both self-join sides) and the tokenize+shingle
     // pipeline otherwise re-runs per consumer (the self-join sides share
     // one exchange via reuse, but the sizes aggregation re-explodes the
-    // corpus — guide §1.2 "don't compute things twice"). Blocks are
-    // released by the caller sweep (Bench/Verify per query;
-    // nearDupPairsShared's pinned-delta tracking covers the shared path).
-    val sh = docShingles(s, d).localCheckpoint()
+    // corpus — guide §1.2 "don't compute things twice"). LAZY (eager =
+    // false, ADVICE r17): the first action materializes it and the three
+    // consumers still dedupe, but merely CONSTRUCTING the query (explain
+    // dumps, plan suites, library callers that never execute) no longer
+    // runs the full tokenize+shingle job. Blocks are released by the
+    // caller sweep (Bench/Verify per query; nearDupPairsShared's
+    // pinned-delta tracking covers the shared path).
+    val sh = docShingles(s, d).localCheckpoint(eager = false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -3827,8 +3831,9 @@ object LlmOps {
     // so the LSH banding scale path applies unchanged.
     "q_dedup_containment" -> ((s, d) => {
       // one materialized shingle pass for sizes + both self-join sides
-      // (the nearDupPairs discipline); swept per query by the harness
-      val sh = docShingles(s, d).localCheckpoint()
+      // (the nearDupPairs discipline — lazy, so explain-only callers run
+      // no job; ADVICE r17); swept per query by the harness
+      val sh = docShingles(s, d).localCheckpoint(eager = false)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.as("a").join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

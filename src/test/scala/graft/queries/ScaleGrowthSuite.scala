@@ -63,6 +63,12 @@ class ScaleGrowthSuite extends SparkSpec {
       // its growth stays under the linear line.
       val small = m(q, "sf0.01")
       if (big.joinRowsMax == 0L && small.joinRowsMax == 0L) succeed
+      else if (big.joinRowsMax == 0L || small.joinRowsMax == 0L)
+        // exactly one SF join-free would feed a zero into exponent()
+        // (log of 0 / division by 0 → NaN or Inf, a useless assert
+        // message) — name the inconsistency instead (ADVICE r17)
+        fail(s"$q: join-free at one SF only (sf0.01=${small.joinRowsMax}, " +
+          s"sf0.1=${big.joinRowsMax}) — the plan shape is SF-dependent")
       else {
         val e = exponent(q, _.joinRowsMax)
         assert(e <= 1.5, s"$q pairing-work growth exponent $e")
